@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Tables}
+
+/** Batch relational operator surface (SURVEY.md §2.3 Q1, Q4, Q9-Q15).
+  *
+  * Everything here is deliberately declarative DataFrame code: filters and
+  * projections reach the parquet scan (PushedFilters / ReadSchema), joins
+  * are left to Catalyst+AQE with explicit broadcast hints only where a side
+  * is known-small at ANY scale (nation/region are bounded dimension tables;
+  * customer/orders/lineitem are not and must shuffle-join on their keys).
+  */
+object RelationalQueries {
+  import Det._
+
+  /** Q1 — scan + projection + filter. The filter and the 4-column
+    * projection must both push into the parquet scan. */
+  def q1ScanFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q4 — grouped aggregation, TPC-H Q1 shape (reference operator O7
+    * re-expressed batch-side). Partial aggregation (map-side combine)
+    * happens automatically for all of these. */
+  def q4Pricing(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q9 — multi-way equi-join, TPC-H Q5 shape: revenue by nation.
+    * nation is a bounded dimension → broadcast; the
+    * customer⋈orders⋈lineitem chain shuffles on its join keys (at 100 TB
+    * those are the real exchanges; AQE handles skew/size re-planning). */
+  def q9JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders   = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val nation   = Tables.load(spark, dir, "nation")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  /** Q10 — sort/limit top-k: top-10 customers by total order value.
+    * TakeOrderedAndProject physically: no global sort materialization. */
+  def q10TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spend"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Q11 — set operations: (1998 orders ∪ big orders) ∖ finished orders,
+    * distinct set semantics on both engines. */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val y1998  = orders.where(year(col("o_orderdate")) === 1998).select("o_orderkey")
+    val big    = orders.where(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val done   = orders.where(col("o_orderstatus") === "F").select("o_orderkey")
+    y1998.union(big).distinct().except(done).orderBy("o_orderkey")
+  }
+
+  /** Q12 — rollup by (nation, order year) with explicit NULLS FIRST so
+    * the subtotal rows sort identically on both engines. */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation   = Tables.load(spark, dir, "nation")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("order_year"), col("o_totalprice"))
+      .rollup("n_name", "order_year")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first, col("order_year").asc_nulls_first)
+  }
+
+  /** Q13 — SQL window functions: per-customer order sequence, running
+    * spend (decimal-exact inside the frame), previous order gap. */
+  def q13WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_spend"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Q14 — scalar function pack: string/date/math/array built-ins in one
+    * wide projection (every one stays inside whole-stage codegen). */
+  def q14ScalarPack(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        lower(col("o_orderstatus")).as("status_lc"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+        substring(col("o_orderpriority"), 1, 3).as("prio3"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        date_trunc("month", col("o_orderdate")).as("order_month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_1995"),
+        abs(col("o_totalprice") - 200000.0).as("dist_200k"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec"),
+        element_at(array(col("o_orderstatus"), col("o_orderpriority")), 2).as("arr_pick"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q15 — exact distinct counting (the approximate path is benched
+    * separately as a rows-only query; hashes can't match a sketch). */
+  def q15Distinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** Rows-only: approx_count_distinct (HyperLogLog++) — the 100 TB path
+    * for cardinality, sketch-mergeable across partitions. */
+  def q15ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Event-time windowed analytics over the `events` stream table — the
+  * batch twins of the reference's streaming operators (SURVEY.md §2 O4,
+  * O7-O9, O12-O13). Each of these plans is reused verbatim by
+  * [[graft.streaming.StreamingPipelines]]: in Spark the batch and
+  * streaming logical plans are the same declarative tree.
+  */
+object WindowQueries {
+
+  /** The open-JSON projection policy from the reference's Tweet bean
+    * (Tweet.java:10-21): declared schema over a dynamic JSON document,
+    * unknown fields dropped, corrupt records → null (the permissive
+    * DStream-path semantics from TwitterDStreamTrendingHashtag.java:228-232,
+    * chosen over the throwing Dataset path — see SURVEY.md §1.2). */
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  /** Q2 — native JSON parse (`from_json`, never a typed lambda: keeps
+    * pruning/pushdown and codegen intact, unlike the reference's
+    * Jackson map at TwitterDatasetTrendingHashtag.java:74-75). */
+  def q2JsonParse(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), from_json(col("props"), propsSchema).as("p"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           count(col("p.k")).as("n_parsed"),
+           sum(col("p.k")).cast("long").as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** Q5 — tumbling event-time window count (reference O12:
+    * `groupBy(window(timestamp, "1 seconds")).count()` at
+    * TwitterDatasetTrendingHashtag.java:90, re-parameterized to 1 minute
+    * for the testdata's time spread). */
+  def q5Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .orderBy("window_start")
+  }
+
+  /** Q6 — sliding event-time window (reference O9: 30s/5s sliding window
+    * at TwitterDatasetTrendingHashtag.java:80; window/slide are query
+    * parameters, here 5min/1min). Each event lands in window/slide = 5
+    * overlapping windows. */
+  def q6Sliding(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .orderBy("window_start")
+  }
+
+  /** Q7 — windowed top-1 (argmax) — the trending-hashtag semantics
+    * (reference O8/O11). The reference's argmax tie-break is HashMap
+    * iteration order (TwitterDatasetTrendingHashtag.java:187-196,
+    * nondeterministic); the engine defines: highest count, then
+    * lexicographically smallest key. Two-level aggregation: count per
+    * (window, key) — partial-agg friendly — then argmax per window via
+    * max_by on an ordering-encoded struct. */
+  def q7WindowTop1(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    // max_by over struct(cnt, reversed-key) would need per-type negation;
+    // a rank window keeps the tie-break explicit and engine-portable.
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy("w").orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") === 1)
+      .select(col("w.start").as("window_start"), col("event_type").as("top_type"), col("cnt"))
+      .orderBy("window_start")
+  }
+
+  /** Q8 — running/cumulative count: the batch twin of the reference's
+    * stateful running total (O13, mapGroupsWithState at
+    * TwitterDatasetTrendingHashtag.java:97-107). Batch semantics =
+    * unbounded-preceding count ordered by event time. */
+  def q8RunningCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), count(lit(1)).over(w).as("running_cnt"))
+      .orderBy("ts", "event_id")
+  }
+}
