@@ -1,24 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+
+/** Benchmark main — runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line `{"metric":"total","value":…,"queries":{…}}`.
+  *
+  * Methodology (VERDICT r1 fixes):
+  *  - deterministic query order (sorted by name) so warmup cost doesn't
+  *    land on a random query;
+  *  - one full warmup pass (JIT + codegen + parquet footer caching), then
+  *    one timed pass;
+  *  - results are materialized through the noop sink (every row is fully
+  *    produced, nothing is collected to the driver, final orderBys are
+  *    NOT optimized away under a count());
+  *  - a failed query reports `-1`, never its time-to-exception.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    ordered.foreach { case (n, f) => runOne(n, f) } // warmup pass
+    val results = ordered.map { case (n, f) => n -> runOne(n, f) }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

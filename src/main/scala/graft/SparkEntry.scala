@@ -40,8 +40,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q2_json_parse" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_parsed,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_parsed,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q4_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

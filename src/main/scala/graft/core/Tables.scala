@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Catalog over the driver-generated parquet star schema (TESTDATA.md).
   *
@@ -15,8 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark 4 has no
+    // nanosecond timestamp type and throws PARQUET_TYPE_ILLEGAL unless the
+    // column is surfaced as a raw long. Runtime conf so every session
+    // (including driver-owned ones calling SparkEntry.entry) is covered.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // nanos → micros by truncation (integer DIV keeps 64-bit exactness;
+      // a double division would lose precision above 2^53 ns). DuckDB's
+      // TIMESTAMP(NANOS) → TIMESTAMP auto-cast truncates identically.
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** Register every table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
@@ -37,6 +51,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

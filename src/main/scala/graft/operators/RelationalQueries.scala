@@ -89,7 +89,10 @@ object RelationalQueries {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), year(col("o_orderdate")).as("order_year"), col("o_totalprice"))
-      .rollup("n_name", "order_year")
+      // rollup by Column ref, not by name: name-based re-resolution after a
+      // multi-join trips Spark 4's ambiguous-column check (SPARK dataset-id
+      // metadata survives the projection); Column refs resolve directly.
+      .rollup(col("n_name"), col("order_year"))
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("n_name").asc_nulls_first, col("order_year").asc_nulls_first)
   }

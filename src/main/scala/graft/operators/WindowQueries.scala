@@ -82,12 +82,35 @@ object WindowQueries {
   /** Q8 — running/cumulative count: the batch twin of the reference's
     * stateful running total (O13, mapGroupsWithState at
     * TwitterDatasetTrendingHashtag.java:97-107). Batch semantics =
-    * unbounded-preceding count ordered by event time. */
+    * unbounded-preceding count ordered by event time.
+    *
+    * Scale-safe two-phase plan (a global `Window.orderBy` would pull the
+    * whole table into one task): range-partition by the sort key, rank
+    * locally per partition, then add broadcast per-partition prefix
+    * offsets. Every heavy operator runs per-partition; the only global
+    * structure is the tiny (numPartitions)-row offset table. The
+    * streaming twin is [[graft.streaming.StreamingPipelines]] O13. */
   def q8RunningCount(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("ts"), count(lit(1)).over(w).as("running_cnt"))
-      .orderBy("ts", "event_id")
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = Tables.load(spark, dir, "events")
+      .select("event_id", "ts")
+      .repartitionByRange(n, col("ts"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-partition local rank: Window partitioned by pid → parallel
+    val localW = Window.partitionBy("pid").orderBy("ts", "event_id")
+    val local  = ranged.withColumn("local_rn", row_number().over(localW))
+    // prefix offsets: one row per partition, cumulated on a single tiny
+    // task (bounded by numPartitions, never by data size; the constant
+    // partition key just makes the single-partition window explicit)
+    val offW = Window.partitionBy(lit(0)).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+      .select(col("pid"), coalesce(sum(col("n")).over(offW), lit(0L)).as("offset"))
+    local
+      .join(broadcast(offsets), "pid")
+      .select(col("event_id"), col("ts"),
+              (col("offset") + col("local_rn")).as("running_cnt"))
+      .orderBy("ts", "event_id") // oracle-harness determinism only
   }
 }
