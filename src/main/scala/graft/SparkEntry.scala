@@ -18,10 +18,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_scan_filter"   -> (RelationalQueries.q1ScanFilter _),
     "q2_json_parse"    -> (WindowQueries.q2JsonParse _),
+    "q3_hashtag_explode" -> (TextQueries.q3HashtagExplode _),
+    "q3b_token_explode"  -> (TextQueries.q3bTokenExplode _),
     "q4_agg_pricing"   -> (RelationalQueries.q4Pricing _),
     "q5_window_tumbling" -> (WindowQueries.q5Tumbling _),
     "q6_window_sliding"  -> (WindowQueries.q6Sliding _),
     "q7_window_top1"     -> (WindowQueries.q7WindowTop1 _),
+    "q7b_window_topk"    -> (WindowQueries.q7bWindowTopK _),
     "q8_running_count"   -> (WindowQueries.q8RunningCount _),
     "q9_join_revenue"    -> (RelationalQueries.q9JoinRevenue _),
     "q10_topk_orders"    -> (RelationalQueries.q10TopCustomers _),
@@ -31,6 +34,16 @@ object SparkEntry {
     "q14_scalar_pack"    -> (RelationalQueries.q14ScalarPack _),
     "q15_distinct"       -> (RelationalQueries.q15Distinct _),
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
+    "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
+    "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
+    "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
+    "q18_text_stats"       -> (TextQueries.q18TextStats _),
+    "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
+    "q18c_langid"          -> (TextQueries.q18cLangId _),
+    "q18d_fingerprint"     -> (TextQueries.q18dFingerprint _),
+    "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
+    "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
+    "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,5 +142,110 @@ object SparkEntry {
     "q15_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q3_hashtag_explode" ->
+      """SELECT tag, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text, '#\w+')) AS tag FROM documents) t
+        |GROUP BY tag ORDER BY cnt DESC, tag LIMIT 20""".stripMargin,
+    "q3b_token_explode" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text, '\w+')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q7b_window_topk" ->
+      """SELECT window_start, top_type, cnt, rank FROM (
+        |  SELECT window_start, event_type AS top_type, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+        |  FROM (SELECT date_trunc('minute', ts) AS window_start, event_type, COUNT(*) AS cnt
+        |        FROM events GROUP BY 1, 2) c) t
+        |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
+    "q16_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q16b_minhash_neardup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |       FROM tk),
+        |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |      FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+        |SELECT doc_i, doc_j, jac FROM p WHERE jac >= 0.8
+        |ORDER BY doc_i, doc_j""".stripMargin,
+    "q17_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        list_inner_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+        |      FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id < 10),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q18_text_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+        |  ROUND(CAST(len(list_filter(t, s -> list_contains(['the', 'a'], s))) AS DOUBLE) / len(t), 4) AS stop_ratio
+        |FROM tk ORDER BY doc_id""".stripMargin,
+    "q18b_bigrams" ->
+      """WITH tk AS (SELECT lang, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (SELECT lang, unnest(CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |       FROM tk),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram)
+        |SELECT lang, bigram, cnt, rank FROM (
+        |  SELECT lang, bigram, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+        |  FROM c) t
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q18c_langid" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(t, s -> list_contains(['window','batch','stream'], s))) AS s_de,
+        |  len(list_filter(t, s -> list_contains(['the','a','fast','slow'], s))) AS s_en,
+        |  len(list_filter(t, s -> list_contains(['data','table','row'], s))) AS s_es,
+        |  len(list_filter(t, s -> list_contains(['join','merge','sort'], s))) AS s_fr,
+        |  len(list_filter(t, s -> list_contains(['hash','scan','filter'], s))) AS s_zh
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' WHEN s_es = g THEN 'es'
+        |       WHEN s_fr = g THEN 'fr' ELSE 'zh' END AS lang_pred,
+        |  CAST(g AS BIGINT) AS score
+        |FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |        greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM sc) x
+        |ORDER BY doc_id""".stripMargin,
+    "q18d_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split_regex(text, '\s+'),
+        |        s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_multimodal_roundtrip" ->
+      """WITH j AS (SELECT d.doc_id, e.embedding,
+        |    to_json(struct_pack(doc_id := d.doc_id, lang := d.lang,
+        |                        source := d.source, n_chars := d.n_chars)) AS js
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT doc_id,
+        |  json_extract_string(js, '$.lang') AS lang_rt,
+        |  json_extract_string(js, '$.source') AS source_rt,
+        |  CAST(json_extract(js, '$.n_chars') AS BIGINT) AS n_chars_rt,
+        |  CAST(len(embedding) AS BIGINT) AS emb_dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS emb0
+        |FROM j ORDER BY doc_id""".stripMargin,
+    "q19b_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

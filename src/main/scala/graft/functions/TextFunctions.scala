@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives as native Column expressions — every one stays inside
+  * whole-stage codegen (no UDFs, no object boundaries). These are the
+  * building blocks for the reference's signature operator (hashtag
+  * explode, TwitterDatasetTrendingHashtag.java:369-387 /
+  * TwitterDStreamTrendingHashtag.java:60-78) and for the LLM-pipeline
+  * text analysis (SURVEY.md §2.3 Q3/Q18).
+  */
+object TextFunctions {
+
+  /** O5: all `#\w+` hashtags of a text, in order — the reference's
+    * regex at TwitterDStreamTrendingHashtag.java:66 re-expressed as a
+    * Catalyst-native extraction (null text → empty array, mirroring the
+    * permissive DStream path). */
+  def hashtags(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit("#\\w+"), lit(0))
+
+  /** Whitespace tokenization (documents.text is single-space separated;
+    * the regex split also handles tabs/newlines in open-world input). */
+  def tokens(text: Column): Column =
+    split(coalesce(text, lit("")), "\\s+")
+
+  /** Adjacent-token bigrams, `"a b"` strings; < 2 tokens → empty. */
+  def bigrams(toks: Column): Column = {
+    val t = toks
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word k-shingles (k consecutive tokens joined by spaces) —
+    * the near-dup unit for MinHash/Jaccard. < k tokens → empty set. */
+  def shingles(toks: Column, k: Int): Column = {
+    val joined = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= k, joined).otherwise(array().cast("array<string>")))
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over a
+    * per-token code (length*131 + first char), mod 1e9+7. Pure 64-bit
+    * arithmetic — reproducible on any engine (DuckDB twin:
+    * list_reduce(list_prepend(7, list_transform(...)), ...)). */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => (length(t) * lit(131L) + ascii(substring(t, 1, 1))).cast("long")),
+      lit(7L),
+      (acc, v) => pmod(acc * lit(31L) + v, lit(1000000007L)))
+
+  /** Marker-token score: how many tokens of `text` fall in `markers`.
+    * The unit of the language-ID heuristic (score per language, argmax). */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** Language-ID heuristic over marker-token lists: argmax score with
+    * first-listed-wins tie-break (deterministic; langs evaluated in the
+    * given order). Returns the language code column. */
+  def langId(toks: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (lang, ms) => lang -> markerScore(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the LLM-data pipeline (SURVEY.md §2.3 Q16).
+  *
+  * Exact dedup = hash-groupBy on content (one shuffle keyed by the text —
+  * at 100 TB group on a content digest to keep shuffle rows narrow).
+  *
+  * Near-dup = MinHash + banded LSH, the scale path: signatures are
+  * computed per-row (no shuffle), candidate pairs come ONLY from
+  * band-bucket joins (never all-pairs — all-pairs Jaccard is O(n²) and
+  * dead at 100 TB), and the exact Jaccard filter runs on candidates only.
+  * All hash seeds are fixed → deterministic output.
+  */
+object DedupQueries {
+
+  /** Q16 — exact dedup on `text`: deterministic representative
+    * (min doc_id) + multiplicity per distinct content. */
+  def q16ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  // ---- MinHash-LSH machinery ------------------------------------------
+
+  /** Carter-Wegman hash family mod the Mersenne prime 2^31-1, over a
+    * 31-bit reduction of a base xxhash64: g_i(s) = (a_i*h + b_i) mod p.
+    * Operands stay < 2^31 so products stay < 2^62 — no 64-bit overflow
+    * (Spark 4 runs ANSI arithmetic; wrapping is an error, not a hash
+    * function). Coefficients from a fixed-seed PRNG → deterministic. */
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private def hashFamily(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+                 rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  val numHashes = 128
+  val bandRows  = 4
+  val numBands  = numHashes / bandRows // 32 bands → P(candidate | J=0.8) ≈ 1 - 5e-8
+
+  /** MinHash signatures as an aggregation: explode shingles to
+    * (doc_id, baseHash) rows, then numHashes simple `min` aggregates —
+    * one flat projection + one hash aggregate, fully codegen'd with
+    * map-side partial aggregation. (The naive alternative — an array
+    * expression with numHashes nested `transform`s per row — builds a
+    * pathological Catalyst tree: 128 re-evaluations of the shingle-hash
+    * array per row; optimizer+codegen choke on it.) */
+  def minhashSignatures(docShingles: DataFrame): DataFrame = {
+    val hashed = docShingles
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
+    val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Band keys: signature sliced into numBands rows-of-bandRows, each
+    * band compressed to one string key (band index disambiguates). */
+  def bandKeys(sig: Column): Column =
+    array((0 until numBands).map { b =>
+      concat_ws(",", lit(b.toString) +:
+        (0 until bandRows).map(r => element_at(sig, b * bandRows + r + 1).cast("string")): _*)
+    }: _*)
+
+  /** Q16b — near-duplicate pairs: word-3-shingles → MinHash(128) →
+    * 32×4 banded LSH buckets → candidate pairs within buckets only →
+    * exact Jaccard ≥ 0.8 verification. Output = (doc_i, doc_j, jac).
+    *
+    * Oracle note: DuckDB computes ground truth all-pairs (feasible at
+    * sf0.01's 500 docs); the engine never does — a hash-match therefore
+    * also proves the LSH candidate recall was 100% on this corpus. */
+  def q16bNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+
+    val withBands = minhashSignatures(docs)
+      .withColumn("bands", bandKeys(col("sig")))
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+
+    // candidates: co-bucketed pairs, deduped. The join is keyed by band —
+    // this is the shuffle that replaces the O(n²) cross product. (Skew
+    // guard at scale: cap pathological bucket sizes before the self-join.)
+    val l = withBands.select(col("doc_id").as("doc_i"), col("band"))
+    val r = withBands.select(col("doc_id").as("doc_j"), col("band"))
+    val candidates = l.join(r, "band")
+      .where(col("doc_i") < col("doc_j"))
+      .select("doc_i", "doc_j").distinct()
+
+    // exact verification on candidates only
+    val si = docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
+    val sj = docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
+    candidates.join(si, "doc_i").join(sj, "doc_j")
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .where(col("jac") >= 0.8)
+      .select("doc_i", "doc_j", "jac")
+      .orderBy("doc_i", "doc_j")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text operator surface: the reference's signature hashtag explode
+  * (O5/Q3 — TwitterDatasetTrendingHashtag.java:369-387) plus the
+  * LLM-pipeline text analysis pack (Q18: token stats, bigrams,
+  * language-ID heuristic, document fingerprint).
+  *
+  * Scale posture: everything here is generator + hash-aggregation —
+  * explode fans out rows inside a single stage (no shuffle before the
+  * partial aggregate), and every groupBy benefits from map-side combine.
+  * At 100 TB the only exchanges are the final per-key shuffles.
+  */
+object TextQueries {
+
+  /** Shared language-ID marker profiles (first-listed wins ties). The
+    * lists are corpus-vocabulary markers — the mechanism (per-language
+    * marker scoring + deterministic argmax) is the declared capability,
+    * swap lists for real stopword tables in production. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "stream"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("hash", "scan", "filter"))
+
+  /** Q3 — hashtag explode, the reference's `#\w+` semantics verbatim.
+    * (This corpus contains no `#` characters, so the result is empty —
+    * the oracle computes the same; the operator's behavioral proof on
+    * hashtag-bearing text lives in TextFunctionsSpec.) */
+  def q3HashtagExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(hashtags(col("text"))).as("tag"))
+      .groupBy("tag").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tag")).limit(20)
+
+  /** Q3b — the same generator pipeline over `\w+` word tokens (real
+    * data on this corpus): top-20 tokens. */
+  def q3bTokenExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+
+  /** Q18 — per-document token statistics / quality scoring: token count,
+    * distinct tokens, average token length, stop-marker ratio. */
+  def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+                .cast("double") / size(toks), 4).as("avg_token_len"),
+        round(markerScore(toks, Seq("the", "a")).cast("double") / size(toks), 4)
+          .as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Q18b — top-3 bigrams per language (generator + two-level agg +
+    * per-group rank, deterministic tie-break on the bigram). */
+  def q18bBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(bigrams(tokens(col("text")))).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy("lang", "rank")
+  }
+
+  /** Q18c — language-ID heuristic: marker-profile scoring, argmax with
+    * fixed profile order for ties. */
+  def q18cLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        langId(toks, langProfiles).as("lang_pred"),
+        greatest(langProfiles.map(p => markerScore(toks, p._2)): _*).cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Q18d — deterministic rolling-hash document fingerprint. */
+  def q18dFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}

@@ -79,6 +79,29 @@ object WindowQueries {
       .orderBy("window_start")
   }
 
+  /** Q7b — windowed top-k (k=3) via the typed bounded [[graft.functions.TopKCounts]]
+    * Aggregator — the declared UDAF surface (O11 re-principled; see
+    * TopK.scala scaladoc for the contrast with the reference's map-buffer
+    * Aggregator). Partial aggregation ships ≤k rows per (window,partition). */
+  def q7bWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TagCount, TopKCounts}
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+              col("event_type").as("tag"), col("cnt"))
+    counts.as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => TagCount(r._2, r._3))
+      .agg(new TopKCounts(3).toColumn.name("topk"))
+      .toDF("window_start", "topk")
+      .select(col("window_start"), posexplode(col("topk")))
+      .select(col("window_start"), col("col.tag").as("top_type"),
+              col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("window_start", "rank")
+  }
+
   /** Q8 — running/cumulative count: the batch twin of the reference's
     * stateful running total (O13, mapGroupsWithState at
     * TwitterDatasetTrendingHashtag.java:97-107). Batch semantics =
