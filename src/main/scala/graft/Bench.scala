@@ -23,6 +23,9 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // streaming queries memoize one replay per sfDir — clear so each
+      // timed q20* measures a real replay, not a cache hit
+      if (name.startsWith("q20")) graft.streaming.StreamingPipelines.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

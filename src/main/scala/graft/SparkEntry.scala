@@ -44,6 +44,9 @@ object SparkEntry {
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
+    "q20_stream_tumbling"  -> (graft.streaming.StreamingPipelines.q20StreamTumbling _),
+    "q20b_stream_top1"     -> (graft.streaming.StreamingPipelines.q20bStreamTop1 _),
+    "q20c_stream_running"  -> (graft.streaming.StreamingPipelines.q20cStreamRunning _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -247,5 +250,19 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Streaming parity: the replayed streams' final sink state must equal
+    // the BATCH answers — the oracles below are batch SQL over events.
+    "q20_stream_tumbling" ->
+      """SELECT date_trunc('minute', ts) AS window_start, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20b_stream_top1" ->
+      """SELECT window_start, top_type, cnt FROM (
+        |  SELECT window_start, event_type AS top_type, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (SELECT date_trunc('minute', ts) AS window_start, event_type, COUNT(*) AS cnt
+        |        FROM events GROUP BY 1, 2) c
+        |) t WHERE rn = 1 ORDER BY window_start""".stripMargin,
+    "q20c_stream_running" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS running_cnt FROM events""".stripMargin,
   )
 }

@@ -7,9 +7,9 @@ import graft.core.Tables
 
 /** Event-time windowed analytics over the `events` stream table — the
   * batch twins of the reference's streaming operators (SURVEY.md §2 O4,
-  * O7-O9, O12-O13). Each of these plans is reused verbatim by
-  * [[graft.streaming.StreamingPipelines]]: in Spark the batch and
-  * streaming logical plans are the same declarative tree.
+  * O7-O9, O12-O13). [[graft.streaming.StreamingPipelines]] runs the same
+  * window/agg trees as continuous queries; q20a-c assert the replayed
+  * final state equals these batch answers.
   */
 object WindowQueries {
 

@@ -1,0 +1,219 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import java.sql.Timestamp
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Structured Streaming twins of the reference's three continuous
+  * queries (TwitterDatasetTrendingHashtag.java:64-109), replayed from a
+  * chunked file stream (this environment has no Kafka; the file source
+  * exercises the same micro-batch machinery — offsets, watermark, state
+  * stores, update mode, sinks).
+  *
+  * Operators covered: O1/O2 source (file stream, maxFilesPerTrigger as
+  * the rate-limit knob), O9 sliding / O12 tumbling event-time windows,
+  * O10 watermark (300 s, S:79/89/98), O13 mapGroupsWithState running
+  * count (S:458-492), O17 ForeachWriter sink lifecycle (S:212-263),
+  * O18 update output mode, O19 multi-query orchestration on one session.
+  *
+  * Parity contract (SURVEY.md Q20): after the replay drains, the upserted
+  * sink state must equal the batch answers — checked by the oracle rows
+  * of q20/q20b/q20c and by StreamingParitySpec.
+  */
+object StreamingPipelines {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  /** O13 state/output beans (S:398-456). */
+  case class CountInfo(count: Long)
+  case class CountUpdate(count: Long, timestamp: Timestamp)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Sink state for one replay: the "InfluxDB measurements" of the
+    * reference, as upsertable in-memory tables. */
+  final class SinkState {
+    val windowCounts = TrieMap.empty[Timestamp, Long]                    // O12 twin
+    val typeCounts   = TrieMap.empty[(Timestamp, String), Long]          // O9/O11 input
+    val runningLog   = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13
+  }
+
+  /** ForeachWriter instances are serialized to executors — a captured
+    * sink reference would be a lost copy. Writers resolve their queue
+    * through this JVM-static registry (the stand-in for the external
+    * connection a real sink opens in `open()`). */
+  object WriterRegistry {
+    val queues = TrieMap.empty[String, java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]]
+  }
+
+  /** O17 — ForeachWriter with the reference's open/process/close
+    * lifecycle (S:218-232), writing running-count points. Runs on
+    * executors per partition per epoch; the registry lookup in `open`
+    * plays the role of the reference's per-partition InfluxDB
+    * connection setup (S:218-223). */
+  final class RunningCountWriter(runId: String) extends ForeachWriter[CountUpdate] {
+    @transient private var q: java.util.concurrent.ConcurrentLinkedQueue[CountUpdate] = _
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      q = WriterRegistry.queues(runId) // "connect"
+      true
+    }
+    override def process(value: CountUpdate): Unit = q.add(value)
+    override def close(errorOrNull: Throwable): Unit = () // "disconnect"
+  }
+
+  // ---- replay input ----------------------------------------------------
+
+  /** Write `events` as one parquet file per day, modification times
+    * strictly increasing in day order, so the file-stream source replays
+    * the month in event-time order (the in-order-producer assumption the
+    * reference's 300 s watermark relies on). Idempotent per (dir). */
+  def chunkEvents(spark: SparkSession, dir: String): Path = {
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
+      Integer.toHexString(dir.hashCode))
+    val chunkDir = root.resolve("chunks")
+    if (Files.exists(chunkDir.resolve("_DONE"))) return chunkDir
+    Files.createDirectories(chunkDir)
+    val staging = root.resolve("staging").toString
+    Tables.load(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(staging)
+    val dayDirs = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("day=")).toSeq
+      .sortBy(_.getFileName.toString)
+    dayDirs.zipWithIndex.foreach { case (dayDir, i) =>
+      val parts = Files.list(dayDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (part, j) =>
+        val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+    }
+    Files.createFile(chunkDir.resolve("_DONE"))
+    chunkDir
+  }
+
+  // ---- the three reference pipelines, replayed to completion -----------
+
+  /** Run all three streaming queries concurrently on one session (O19,
+    * S:86-109) over the chunked replay; block until drained; return the
+    * final sink state. */
+  def replay(spark: SparkSession, dir: String): SinkState = {
+    import spark.implicits._
+    val sink = new SinkState
+    val chunkDir = chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    def source: DataFrame = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1) // the rate-limit knob (S:69)
+      .parquet(chunkDir.toString)
+
+    // O12 — tumbling 1-minute count, update mode, upsert sink
+    val tumbling = source
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckpt/tumbling")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r => // bounded: only windows updated this trigger
+          sink.windowCounts.put(r.getTimestamp(0), r.getLong(1))
+        }
+      }.start()
+
+    // O9/O11 input — per-(window, type) counts; trending top-1 is derived
+    // from the upserted sink (the reference charts the sink, S:237-263)
+    val perType = source
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckpt/pertype")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          sink.typeCounts.put((r.getTimestamp(0), r.getString(1)), r.getLong(2))
+        }
+      }.start()
+
+    // O13 — global stateful running count (constant key, S:99), state =
+    // CountInfo, output stamped with the current watermark (S:473-484)
+    val updateFn: (String, Iterator[Event], GroupState[CountInfo]) => CountUpdate =
+      (_, events, state) => {
+        val prev = state.getOption.map(_.count).getOrElse(0L)
+        val next = CountInfo(prev + events.size)
+        state.update(next)
+        CountUpdate(next.count, new Timestamp(state.getCurrentWatermarkMs()))
+      }
+    val runId = java.util.UUID.randomUUID().toString
+    WriterRegistry.queues.put(runId, sink.runningLog)
+    val running = source.as[Event]
+      .withWatermark("ts", "300 seconds")
+      .groupByKey(_ => "count")
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckpt/running")
+      .trigger(Trigger.AvailableNow())
+      .foreach(new RunningCountWriter(runId))
+      .start()
+
+    Seq(tumbling, perType, running).foreach(_.awaitTermination())
+    WriterRegistry.queues.remove(runId)
+    sink
+  }
+
+  /** Replay results memoized per sfDir (the three q20 entries share one
+    * replay; Bench clears this to time real replays). */
+  private val cache = TrieMap.empty[String, SinkState]
+  def replayCached(spark: SparkSession, dir: String): SinkState =
+    cache.getOrElseUpdate(dir, replay(spark, dir))
+  def clearCache(): Unit = cache.clear()
+
+  // ---- q20 parity queries: final sink state as DataFrames --------------
+
+  /** Q20 — streamed tumbling counts; oracle = the batch q5 SQL. */
+  def q20StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replayCached(spark, dir).windowCounts.toSeq
+      .toDF("window_start", "n_events")
+      .orderBy("window_start")
+  }
+
+  /** Q20b — trending top-1 per window from the streamed per-type counts
+    * (deterministic tie-break: count desc, type asc); oracle = batch q7. */
+  def q20bStreamTop1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = replayCached(spark, dir).typeCounts.toSeq
+      .map { case ((w, t), c) => (w, t, c) }
+      .toDF("window_start", "top_type", "cnt")
+    val w = Window.partitionBy("window_start").orderBy(col("cnt").desc, col("top_type"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("window_start", "top_type", "cnt")
+      .orderBy("window_start")
+  }
+
+  /** Q20c — final running-count state; oracle = COUNT(*) over events. */
+  def q20cStreamRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val finalCount = replayCached(spark, dir).runningLog.asScala
+      .map(_.count).foldLeft(0L)(math.max)
+    Seq(finalCount).toDF("running_cnt")
+  }
+}
