@@ -185,6 +185,18 @@ object StreamingPipelines {
     cache.getOrElseUpdate(dir, replay(spark, dir))
   def clearCache(): Unit = cache.clear()
 
+  /** The reference's actual flagship flow (O5+O9/O12): hashtag explode →
+    * sliding event-time window → per-hashtag counts. One declarative
+    * tree, valid as a batch or streaming plan (callers add watermark +
+    * output mode on the stream side). */
+  def trendingHashtagCounts(tweets: DataFrame, windowDur: String, slide: String): DataFrame =
+    tweets
+      .select(explode(graft.functions.TextFunctions.hashtags(col("text"))).as("hashtag"),
+              col("timestamp"))
+      .groupBy(window(col("timestamp"), windowDur, slide), col("hashtag"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("hashtag"), col("cnt"))
+
   // ---- q20 parity queries: final sink state as DataFrames --------------
 
   /** Q20 — streamed tumbling counts; oracle = the batch q5 SQL. */

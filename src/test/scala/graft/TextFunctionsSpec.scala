@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Behavioral proof of the reference's signature operator (O5, `#\w+`
+  * at TwitterDStreamTrendingHashtag.java:66) and the text-analysis
+  * primitives, on hashtag-bearing text (the parquet corpus has none). */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def extract(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text").select(hashtags(col("text")).as("h"))
+      .as[Seq[String]].collect().toSeq
+
+  test("hashtags: basic extraction, order preserved") {
+    assert(extract("RT #spark is #fast #spark") == Seq(Seq("#spark", "#fast", "#spark")))
+  }
+
+  test("hashtags: none / empty / null-safe") {
+    assert(extract("no tags here", "") == Seq(Seq(), Seq()))
+    val withNull = Seq(Some("a #b"), None).toDF("text")
+      .select(hashtags(col("text")).as("h")).as[Seq[String]].collect().toSeq
+    assert(withNull == Seq(Seq("#b"), Seq()))
+  }
+
+  test("hashtags: word-char boundary semantics match the reference regex") {
+    // Java \w = [A-Za-z0-9_]: punctuation terminates, underscore/digits don't
+    assert(extract("end#notstart #tag_1, #x-y #42") ==
+      Seq(Seq("#notstart", "#tag_1", "#x", "#42")))
+  }
+
+  test("tokens + bigrams") {
+    val bg = Seq("a b c d").toDF("text")
+      .select(bigrams(tokens(col("text"))).as("b")).as[Seq[String]].head()
+    assert(bg == Seq("a b", "b c", "c d"))
+    val short = Seq("solo").toDF("text")
+      .select(bigrams(tokens(col("text"))).as("b")).as[Seq[String]].head()
+    assert(short == Seq())
+  }
+
+  test("shingles: distinct word 3-grams; under-length yields empty") {
+    val sh = Seq("a b c d a b c d a b").toDF("text")
+      .select(shingles(tokens(col("text")), 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    val none = Seq("a b").toDF("text")
+      .select(shingles(tokens(col("text")), 3).as("s")).as[Seq[String]].head()
+    assert(none == Seq())
+  }
+
+  test("fingerprint: deterministic rolling hash, exact value") {
+    def term(t: String): Long = t.length.toLong * 131 + t.head.toInt
+    def expected(toks: Seq[String]): Long =
+      toks.map(term).foldLeft(7L)((acc, v) => (acc * 31 + v) % 1000000007L)
+    val fp = Seq("spark joins fast").toDF("text")
+      .select(fingerprint(tokens(col("text"))).as("f")).as[Long].head()
+    assert(fp == expected(Seq("spark", "joins", "fast")))
+  }
+
+  test("langId: argmax with first-listed-wins tie-break") {
+    val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
+    val pred = Seq("y z q", "x y", "q q q").toDF("text")
+      .select(langId(tokens(col("text")), profiles).as("p")).as[String].collect().toSeq
+    // row1: bb=1, cc=1 tie → first-listed of the tied (bb); row2: aa/bb tie → aa
+    // row3: all zero → ties at 0 → first listed (aa)
+    assert(pred == Seq("bb", "aa", "aa"))
+  }
+}

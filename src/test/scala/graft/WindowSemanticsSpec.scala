@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Event-time window semantics the engine pins down (SURVEY §5.2):
+  * boundary inclusivity [start, end), sliding-window membership, and
+  * the deterministic argmax tie-break replacing the reference's
+  * HashMap-iteration-order nondeterminism (S:187-196). */
+class WindowSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window boundary is [start, end): boundary event opens the next window") {
+    val df = Seq(
+      ts("2024-01-01 00:00:59.999"), // last instant of window 0
+      ts("2024-01-01 00:01:00.000")  // first instant of window 1
+    ).toDF("ts")
+    val out = df.groupBy(window(col("ts"), "1 minute"))
+      .count()
+      .select(col("window.start").cast("string"), col("count"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("2024-01-01 00:00:00" -> 1L, "2024-01-01 00:01:00" -> 1L))
+  }
+
+  test("sliding window: event belongs to window/slide overlapping windows") {
+    val df = Seq(ts("2024-01-01 00:04:30")).toDF("ts")
+    val starts = df.groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .count().select(col("window.start").cast("string"))
+      .as[String].collect().toSeq.sorted
+    assert(starts == Seq(
+      "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+      "2024-01-01 00:03:00", "2024-01-01 00:04:00"))
+  }
+
+  test("windowed top-1 tie-break: highest count, then lexicographically smallest key") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "zebra"),
+      (ts("2024-01-01 00:00:20"), "apple"),
+      (ts("2024-01-01 00:00:30"), "mango")).toDF("ts", "tag")
+    val counts = df.groupBy(window(col("ts"), "1 minute").as("w"), col("tag"))
+      .agg(count(lit(1)).as("cnt"))
+    val rankW = Window.partitionBy("w").orderBy(col("cnt").desc, col("tag").asc)
+    val top = counts.withColumn("rn", row_number().over(rankW))
+      .where(col("rn") === 1).select("tag").as[String].collect().toSeq
+    assert(top == Seq("apple")) // all tied at 1 → lexicographic
+  }
+}
