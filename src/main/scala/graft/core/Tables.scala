@@ -46,6 +46,7 @@ object Tables {
 object GraftSession {
   def build(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the reference's signature extraction
+  * (O5, regex `#\w+` at TwitterDStreamTrendingHashtag.java:66) — the
+  * engine's declared custom-UDF surface (SURVEY.md §2.3): a scalar
+  * `Expression`, not a Scala UDF, so it lives inside the optimizer's
+  * visibility (null propagation, constant folding over literals) and
+  * avoids per-row regex machinery with a direct byte scan.
+  *
+  * Semantics match `regexp_extract_all(text, '#\w+', 0)` exactly
+  * (JDK `\w` = `[A-Za-z0-9_]`): maximal word-char run after `#`, empty
+  * runs are not matches, matches do not overlap. Equivalence with the
+  * regex composition is property-tested in ExtractHashtagsSpec.
+  * (CodegenFallback for now — the scan itself is branch-light; promoting
+  * to doGenCode is a recorded follow-up, SURVEY §7 hard-parts (e).)
+  */
+case class ExtractHashtags(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hashtags"
+
+  private def isWordChar(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+    (b >= '0' && b <= '9') || b == '_'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == '#') {
+        var j = i + 1
+        while (j < bytes.length && isWordChar(bytes(j))) j += 1
+        if (j > i + 1) {
+          out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, j))
+          i = j
+        } else i += 1
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractHashtags =
+    copy(child = newChild)
+}
+
+object ExtractHashtags {
+  val fnName = "hashtags"
+
+  private def registration =
+    (FunctionIdentifier(fnName),
+     new ExpressionInfo(classOf[ExtractHashtags].getCanonicalName, fnName),
+     (exprs: Seq[Expression]) => ExtractHashtags(exprs.head))
+
+  /** Runtime registration (idempotent) — defensive like the nanosAsLong
+    * conf: works on sessions the engine did not build. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val (id, info, builder) = registration
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** Session-extension wiring: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` (used by GraftSession) makes `hashtags(text)`
+  * available to pure-SQL users — the injection point any further custom
+  * rules/strategies would share. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier(ExtractHashtags.fnName),
+       new ExpressionInfo(classOf[ExtractHashtags].getCanonicalName, ExtractHashtags.fnName),
+       (exprs: Seq[Expression]) => ExtractHashtags(exprs.head)))
+}

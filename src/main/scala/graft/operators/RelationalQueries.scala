@@ -70,13 +70,26 @@ object RelationalQueries {
   }
 
   /** Q11 — set operations: (1998 orders ∪ big orders) ∖ finished orders,
-    * distinct set semantics on both engines. */
+    * distinct set semantics on both engines.
+    *
+    * Planned as ONE scan + ONE shuffle: membership flags per row, then
+    * `groupBy(key).agg(max(flag)…)` + a filter — semantically identical
+    * to `union.distinct.except` for any key multiplicity, without the
+    * naive plan's three scans of `orders` and three shuffles
+    * (union-distinct + except are each an exchange). At 100 TB the
+    * difference is 3× scan I/O and 2 extra wide shuffles. */
   def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders")
-    val y1998  = orders.where(year(col("o_orderdate")) === 1998).select("o_orderkey")
-    val big    = orders.where(col("o_totalprice") > 400000.0).select("o_orderkey")
-    val done   = orders.where(col("o_orderstatus") === "F").select("o_orderkey")
-    y1998.union(big).distinct().except(done).orderBy("o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) === 1998).as("in_1998"),
+        (col("o_totalprice") > 400000.0).as("in_big"),
+        (col("o_orderstatus") === "F").as("in_done"))
+      .groupBy("o_orderkey")
+      .agg(max(col("in_1998")).as("f_1998"), max(col("in_big")).as("f_big"),
+           max(col("in_done")).as("f_done"))
+      .where((col("f_1998") || col("f_big")) && !col("f_done"))
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
   }
 
   /** Q12 — rollup by (nation, order year) with explicit NULLS FIRST so

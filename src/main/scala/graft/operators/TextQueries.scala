@@ -28,15 +28,20 @@ object TextQueries {
     "fr" -> Seq("join", "merge", "sort"),
     "zh" -> Seq("hash", "scan", "filter"))
 
-  /** Q3 — hashtag explode, the reference's `#\w+` semantics verbatim.
-    * (This corpus contains no `#` characters, so the result is empty —
-    * the oracle computes the same; the operator's behavioral proof on
-    * hashtag-bearing text lives in TextFunctionsSpec.) */
-  def q3HashtagExplode(spark: SparkSession, dir: String): DataFrame =
+  /** Q3 — hashtag explode, the reference's `#\w+` semantics verbatim,
+    * through the engine's custom Catalyst expression
+    * ([[graft.functions.ExtractHashtags]], registered as the SQL
+    * function `hashtags`). (This corpus contains no `#` characters, so
+    * the result is empty — the oracle computes the same; behavioral
+    * proof on hashtag-bearing text lives in TextFunctionsSpec /
+    * ExtractHashtagsSpec.) */
+  def q3HashtagExplode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExtractHashtags.ensureRegistered(spark)
     Tables.load(spark, dir, "documents")
-      .select(explode(hashtags(col("text"))).as("tag"))
+      .select(explode(call_function("hashtags", col("text"))).as("tag"))
       .groupBy("tag").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tag")).limit(20)
+  }
 
   /** Q3b — the same generator pipeline over `\w+` word tokens (real
     * data on this corpus): top-20 tokens. */
