@@ -53,6 +53,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 128-way MinHash aggregate exceeds the default 100-field
+      // codegen cutoff; without this the signature stage silently runs
+      // interpreted (~2× slower measured)
+      .config("spark.sql.codegen.maxFields", "256")
+      // InferFiltersFromGenerate re-derives `size(arr) > 0` beneath every
+      // explode and pushes it to the scan with the array-producing
+      // expression tree fully inlined — for nested-lambda trees (shingles,
+      // bigrams) the inlined copy re-evaluates the tokenizer per element,
+      // interpreted, measured 8× on q16b. Our explode inputs carry
+      // explicit cheap pre-filters instead.
+      .config("spark.sql.optimizer.excludedRules",
+              "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,7 +20,14 @@ object TextFunctions {
     regexp_extract_all(coalesce(text, lit("")), lit("#\\w+"), lit(0))
 
   /** Whitespace tokenization (documents.text is single-space separated;
-    * the regex split also handles tabs/newlines in open-world input). */
+    * the regex split also handles tabs/newlines in open-world input).
+    *
+    * PERFORMANCE CONTRACT for all token-consuming functions below: pass
+    * a *materialized attribute* (`.withColumn("toks", tokens(...))`),
+    * never this expression inline. Catalyst duplicates the argument tree
+    * at every use site — `element_at(tokens(text), i)` inside a
+    * transform lambda re-runs the regex split per element, turning a
+    * linear scan into O(tokens²) per row (measured 10× on q16b). */
   def tokens(text: Column): Column =
     split(coalesce(text, lit("")), "\\s+")
 

@@ -53,8 +53,14 @@ object DedupQueries {
     * pathological Catalyst tree: 128 re-evaluations of the shingle-hash
     * array per row; optimizer+codegen choke on it.) */
   def minhashSignatures(docShingles: DataFrame): DataFrame = {
+    // repartition by doc_id right after the (cheap) explode: the
+    // numHashes-wide hash projection + aggregation then runs across all
+    // cores AND the groupBy reuses the partitioning (single exchange of
+    // narrow (doc_id, h) rows). Without it the whole signature stage
+    // inherits the scan's partitioning — one task for a one-file table.
     val hashed = docShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
     val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
@@ -81,9 +87,14 @@ object DedupQueries {
     * sf0.01's 500 docs); the engine never does — a hash-match therefore
     * also proves the LSH candidate recall was 100% on this corpus. */
   def q16bNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Filter on token count BEFORE the shingle projection: ≥3 tokens ⟺
+    // ≥1 shingle, and a `where(size(sh) > 0)` after would be pushed down
+    // with the whole shingle tree re-inlined into the Filter (split
+    // re-evaluated per element_at — measured 8× slower, interpreted).
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see tokens() scaladoc
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
 
     val withBands = minhashSignatures(docs)
       .withColumn("bands", bandKeys(col("sig")))

@@ -54,8 +54,9 @@ object TextQueries {
   /** Q18 — per-document token statistics / quality scoring: token count,
     * distinct tokens, average token length, stop-marker ratio. */
   def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks") // materialized attribute: see tokens() scaladoc
     Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -72,7 +73,8 @@ object TextQueries {
   def q18bBigrams(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.load(spark, dir, "documents")
-      .select(col("lang"), explode(bigrams(tokens(col("text")))).as("bigram"))
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"), explode(bigrams(col("toks"))).as("bigram"))
       .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
     counts.withColumn("rank", row_number().over(w).cast("long"))
@@ -83,8 +85,9 @@ object TextQueries {
   /** Q18c — language-ID heuristic: marker-profile scoring, argmax with
     * fixed profile order for ties. */
   def q18cLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         langId(toks, langProfiles).as("lang_pred"),
@@ -95,6 +98,7 @@ object TextQueries {
   /** Q18d — deterministic rolling-hash document fingerprint. */
   def q18dFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 }

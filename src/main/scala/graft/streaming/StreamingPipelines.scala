@@ -116,9 +116,18 @@ object StreamingPipelines {
     val chunkDir = chunkEvents(spark, dir)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
 
+    // Streaming state here is tiny per trigger (≤ a few thousand window
+    // rows); 32 state-store partitions would mean 3 queries × N triggers
+    // × 32 near-empty state tasks of pure overhead. 8 is plenty locally;
+    // on a real cluster this is sized to state volume, not cores.
+    // (The partition count is baked into each query's checkpoint at
+    // first start, so set it before start() and restore after.)
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     def source: DataFrame = spark.readStream
       .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1) // the rate-limit knob (S:69)
+      .option("maxFilesPerTrigger", 3) // the rate-limit knob (S:69)
       .parquet(chunkDir.toString)
 
     // O12 — tumbling 1-minute count, update mode, upsert sink
@@ -173,8 +182,11 @@ object StreamingPipelines {
       .foreach(new RunningCountWriter(runId))
       .start()
 
-    Seq(tumbling, perType, running).foreach(_.awaitTermination())
-    WriterRegistry.queues.remove(runId)
+    try Seq(tumbling, perType, running).foreach(_.awaitTermination())
+    finally {
+      WriterRegistry.queues.remove(runId)
+      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    }
     sink
   }
 
