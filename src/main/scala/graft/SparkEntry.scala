@@ -47,6 +47,7 @@ object SparkEntry {
     "q20_stream_tumbling"  -> (graft.streaming.StreamingPipelines.q20StreamTumbling _),
     "q20b_stream_top1"     -> (graft.streaming.StreamingPipelines.q20bStreamTop1 _),
     "q20c_stream_running"  -> (graft.streaming.StreamingPipelines.q20cStreamRunning _),
+    "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,5 +265,10 @@ object SparkEntry {
         |) t WHERE rn = 1 ORDER BY window_start""".stripMargin,
     "q20c_stream_running" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS running_cnt FROM events""".stripMargin,
+    "q20d_stream_sliding" ->
+      """SELECT window_start, COUNT(*) AS n_events FROM (
+        |  SELECT date_trunc('minute', ts) - to_minutes(CAST(k.k AS INT)) AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS k) k
+        |) t GROUP BY window_start ORDER BY window_start""".stripMargin,
   )
 }

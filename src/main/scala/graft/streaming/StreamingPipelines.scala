@@ -44,9 +44,10 @@ object StreamingPipelines {
   /** Sink state for one replay: the "InfluxDB measurements" of the
     * reference, as upsertable in-memory tables. */
   final class SinkState {
-    val windowCounts = TrieMap.empty[Timestamp, Long]                    // O12 twin
-    val typeCounts   = TrieMap.empty[(Timestamp, String), Long]          // O9/O11 input
-    val runningLog   = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13
+    val windowCounts  = TrieMap.empty[Timestamp, Long]                   // O12 twin
+    val slidingCounts = TrieMap.empty[Timestamp, Long]                   // O9 twin (5m/1m)
+    val typeCounts    = TrieMap.empty[(Timestamp, String), Long]         // O11 input
+    val runningLog    = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13
   }
 
   /** ForeachWriter instances are serialized to executors — a captured
@@ -145,7 +146,24 @@ object StreamingPipelines {
         }
       }.start()
 
-    // O9/O11 input — per-(window, type) counts; trending top-1 is derived
+    // O9 — sliding event-time window (the reference's trending window
+    // shape, 30s/5s at S:80, re-parameterized 5m/1m for the data's
+    // spread): each event lands in window/slide = 5 overlapping windows
+    val sliding = source
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckpt/sliding")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          sink.slidingCounts.put(r.getTimestamp(0), r.getLong(1))
+        }
+      }.start()
+
+    // O11 input — per-(window, type) counts; trending top-1 is derived
     // from the upserted sink (the reference charts the sink, S:237-263)
     val perType = source
       .withWatermark("ts", "300 seconds")
@@ -182,7 +200,7 @@ object StreamingPipelines {
       .foreach(new RunningCountWriter(runId))
       .start()
 
-    try Seq(tumbling, perType, running).foreach(_.awaitTermination())
+    try Seq(tumbling, sliding, perType, running).foreach(_.awaitTermination())
     finally {
       WriterRegistry.queues.remove(runId)
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
@@ -230,6 +248,14 @@ object StreamingPipelines {
     val w = Window.partitionBy("window_start").orderBy(col("cnt").desc, col("top_type"))
     counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select("window_start", "top_type", "cnt")
+      .orderBy("window_start")
+  }
+
+  /** Q20d — streamed sliding-window counts (O9); oracle = batch q6 SQL. */
+  def q20dStreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replayCached(spark, dir).slidingCounts.toSeq
+      .toDF("window_start", "n_events")
       .orderBy("window_start")
   }
 
