@@ -36,7 +36,11 @@ object SparkEntry {
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
+    "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
+    "q16d_charngram_neardup" -> (DedupQueries.q16dCharNgramNearDup _),
+    "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
+    "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -178,6 +182,49 @@ object SparkEntry {
         |      FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
         |SELECT doc_i, doc_j, jac FROM p WHERE jac >= 0.8
         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q16c_simhash_neardup" -> {
+      // identical 48-bit SimHash recomputed in DuckDB: same word-3-gram
+      // shingles, same char-polynomial base hash mod 2^53-prime, same
+      // sign-bit assembly — generated bit terms below
+      val bitSums = (0 until 48).map(j =>
+        s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |       FROM tk WHERE len(t) >= 3),
+         |hs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hh AS (SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 9007199254740881) AS h
+         |       FROM hs),
+         |fp AS (SELECT doc_id, $bitSums AS fp FROM hh GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY doc_i, doc_j""".stripMargin
+    },
+    "q16d_charngram_neardup" ->
+      """WITH sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 3), i -> substring(text, i, 5))) AS sh
+        |       FROM documents WHERE length(text) >= 5),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_i, doc_j, jac FROM p WHERE jac >= 0.8
+        |ORDER BY doc_i, doc_j""".stripMargin,
+    "q16e_embedding_neardup" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |        ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_i, vec_j, cos_sim FROM p WHERE cos_sim >= 0.9
+        |ORDER BY vec_i, vec_j""".stripMargin,
     "q17_cosine_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -191,9 +238,10 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos_sim
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q18_text_stats" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+      """WITH tk AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents)
         |SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
         |  ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
         |  ROUND(CAST(len(list_filter(t, s -> list_contains(['the', 'a'], s))) AS DOUBLE) / len(t), 4) AS stop_ratio

@@ -79,23 +79,11 @@ object DedupQueries {
         (0 until bandRows).map(r => element_at(sig, b * bandRows + r + 1).cast("string")): _*)
     }: _*)
 
-  /** Q16b — near-duplicate pairs: word-3-shingles → MinHash(128) →
-    * 32×4 banded LSH buckets → candidate pairs within buckets only →
-    * exact Jaccard ≥ 0.8 verification. Output = (doc_i, doc_j, jac).
-    *
-    * Oracle note: DuckDB computes ground truth all-pairs (feasible at
-    * sf0.01's 500 docs); the engine never does — a hash-match therefore
-    * also proves the LSH candidate recall was 100% on this corpus. */
-  def q16bNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // Filter on token count BEFORE the shingle projection: ≥3 tokens ⟺
-    // ≥1 shingle, and a `where(size(sh) > 0)` after would be pushed down
-    // with the whole shingle tree re-inlined into the Filter (split
-    // re-evaluated per element_at — measured 8× slower, interpreted).
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see tokens() scaladoc
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
-
+  /** Generic MinHash-LSH near-dup pipeline over any (doc_id, sh)
+    * shingle-set frame: signatures → banded buckets → candidate pairs
+    * within buckets only → exact Jaccard ≥ threshold verification.
+    * Output = (doc_i, doc_j, jac). */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val withBands = minhashSignatures(docs)
       .withColumn("bands", bandKeys(col("sig")))
       .select(col("doc_id"), explode(col("bands")).as("band"))
@@ -116,8 +104,105 @@ object DedupQueries {
       .withColumn("jac",
         size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
           size(array_union(col("sh_i"), col("sh_j"))))
-      .where(col("jac") >= 0.8)
+      .where(col("jac") >= threshold)
       .select("doc_i", "doc_j", "jac")
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** Word-3-gram shingle sets of `documents`. Filter on token count
+    * BEFORE the shingle projection: ≥3 tokens ⟺ ≥1 shingle, and a
+    * `where(size(sh) > 0)` after would be pushed down with the whole
+    * shingle tree re-inlined into the Filter (split re-evaluated per
+    * element_at — measured 8× slower, interpreted). */
+  def wordShingleDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see tokens() scaladoc
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+
+  /** Q16b — near-dup pairs on word-3-shingles, Jaccard ≥ 0.8.
+    *
+    * Oracle note: DuckDB computes ground truth all-pairs (feasible at
+    * sf0.01's 500 docs); the engine never does — a hash-match therefore
+    * also proves the LSH candidate recall was 100% on this corpus. */
+  def q16bNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(wordShingleDocs(spark, dir), 0.8)
+
+  /** Q16d — near-dup pairs on character-5-gram shingles (robust to
+    * token-boundary edits), same LSH machinery, Jaccard ≥ 0.8. */
+  def q16dCharNgramNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .where(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), length(col("text")) - 5),
+          i => col("text").substr(i + 1, lit(5)))).as("sh"))
+    nearDupPairs(docs, 0.8)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** SimHash parameters. The base hash is a polynomial over characters
+    * mod a < 2^53 prime — NOT xxhash64 — deliberately: it is exactly
+    * reproducible in the DuckDB oracle (list_reduce), so the whole
+    * fingerprint and the hamming criterion are cross-engine verifiable.
+    * 48 fingerprint bits, 8 bands of 6 bits: any pair at hamming ≤ 6
+    * shares ≥ 2 clean bands (pigeonhole, 6 errors over 8 bands) —
+    * candidate recall is deterministic, not probabilistic. */
+  val simhashBits   = 48
+  val simhashBands  = 8
+  val simhashBandBits = simhashBits / simhashBands
+  val simhashMaxHamming = 6
+  val CharPolyP = 9007199254740881L // largest prime < 2^53: 131*P + 255 < 2^63
+
+  /** Polynomial char hash of a string column (both engines compute this
+    * identically; see q18d for the token-level sibling). */
+  def charPolyHash(s: Column): Column =
+    aggregate(
+      // drop empty fragments: Java-style split("") can emit a trailing
+      // "" that DuckDB's string_split does not — hashes must agree
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(1L),
+      (acc, v) => pmod(acc * lit(131L) + v, lit(CharPolyP)))
+
+  /** 48-bit SimHash fingerprints of (doc_id, sh) shingle-set docs:
+    * explode → char-poly hash → per-bit ±1 sums (same aggregate pattern
+    * as MinHash) → sign bits assembled into one long. */
+  def simhashFingerprints(docShingles: DataFrame): DataFrame = {
+    val hashed = docShingles
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), charPolyHash(col("s")).as("h"))
+    val bitSums = (0 until simhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val fp = (0 until simhashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Q16c — SimHash near-dup pairs: fingerprints → 8×6-bit band buckets
+    * → candidates within buckets → exact hamming ≤ 6 verification.
+    * Output = (doc_i, doc_j, hamming). Oracle recomputes the identical
+    * fingerprints all-pairs in DuckDB. */
+  def q16cSimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = simhashFingerprints(wordShingleDocs(spark, dir))
+    val bands = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until simhashBands).map { b =>
+        concat_ws(":", lit(b.toString),
+          shiftright(col("fp"), b * simhashBandBits)
+            .bitwiseAND(lit((1L << simhashBandBits) - 1)).cast("string"))
+      }: _*)).as("band"))
+    val l = bands.select(col("doc_id").as("doc_i"), col("fp").as("fp_i"), col("band"))
+    val r = bands.select(col("doc_id").as("doc_j"), col("fp").as("fp_j"), col("band"))
+    l.join(r, "band")
+      .where(col("doc_i") < col("doc_j"))
+      .select("doc_i", "doc_j", "fp_i", "fp_j").distinct()
+      .withColumn("hamming", bit_count(col("fp_i").bitwiseXOR(col("fp_j"))).cast("long"))
+      .where(col("hamming") <= simhashMaxHamming)
+      .select("doc_i", "doc_j", "hamming")
       .orderBy("doc_i", "doc_j")
   }
 }

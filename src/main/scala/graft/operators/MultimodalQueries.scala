@@ -48,6 +48,31 @@ object MultimodalQueries {
     }
   }
 
+  /** STUB resize — a real impl decodes, scales, re-encodes; the stub
+    * transforms the fake dimensions deterministically, preserving the
+    * aspect contract (never upscales, fits within maxW×maxH). */
+  def resize(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+    f.copy(width = math.max(1, (f.width * scale).toInt),
+           height = math.max(1, (f.height * scale).toInt))
+  }
+
+  /** STUB frame sampling — every k-th frame index of the fake clip
+    * (real impl: seek+decode selected frames only). */
+  def sampleFrames(f: MediaFeatures, every: Int): Seq[Int] =
+    (0 until f.n_frames by math.max(1, every)).toSeq
+
+  /** Resize + frame-sample over a feature Dataset — same per-partition
+    * batched shape as extractFeatures. */
+  def resizeAndSample(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int,
+                      every: Int): Dataset[(Long, Int, Int, Seq[Int])] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions(_.map { f =>
+      val r = resize(f, maxW, maxH)
+      (r.doc_id, r.width, r.height, sampleFrames(r, every))
+    })
+  }
+
   /** documents joined with embeddings as a media-ish table: text bytes as
     * the opaque binary column + typed metadata. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

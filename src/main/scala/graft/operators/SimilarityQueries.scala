@@ -21,6 +21,109 @@ object SimilarityQueries {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
+  // ---- hyperplane LSH (random-projection sign bits) -------------------
+
+  // 8 tables × 6 bits (+ hamming-1 multiprobe on the probe side in
+  // q17b). Tuned for the corpus's worst case — uniformly random
+  // embeddings, where true neighbors sit at ~60° — measured recall@5
+  // ≈ 0.85 there; clustered real-world embeddings bucket far tighter.
+  val annTables = 8
+  val annBitsPerTable = 6
+  val annDim = 64
+
+  /** Fixed-seed Gaussian hyperplanes as a (plane_id, dim, w) relation —
+    * sign-bit computation is then a relational inner product (explode
+    * embedding dims ⋈ broadcast planes → grouped sum), which codegen
+    * handles at any width, instead of a 2048-literal expression tree
+    * (the MinHash lesson: giant trees choke the optimizer). */
+  def hyperplanes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      p <- 0 until annTables * annBitsPerTable
+      d <- 0 until annDim
+    } yield (p, d, rnd.nextGaussian())
+    rows.toDF("plane_id", "dim", "w")
+  }
+
+  /** Per-table LSH bucket keys for (id, v: array<double>) vectors:
+    * (id, table_id, key) where key packs bitsPerTable sign bits. */
+  def bucketKeys(vectors: DataFrame, spark: SparkSession): DataFrame = {
+    val planes = hyperplanes(spark)
+    vectors
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .join(broadcast(planes), "dim")
+      .groupBy(col("id"), col("plane_id"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .select(col("id"),
+        (col("plane_id") / annBitsPerTable).cast("int").as("table_id"),
+        // SQL shiftleft accepts a column bit position (the Scala DSL
+        // overload takes only a literal Int)
+        expr(s"IF(proj > 0, shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $annBitsPerTable AS INT)), CAST(0 AS BIGINT))").as("bit"))
+      .groupBy("id", "table_id")
+      .agg(sum(col("bit")).as("key"))
+  }
+
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Q16e — embedding-cosine near-duplicate pairs (cos ≥ 0.9):
+    * hyperplane-LSH candidates (same bucket in any table) → exact cosine
+    * verification. On this corpus no pair reaches 0.9 (max pairwise cos
+    * ≈ 0.51), so engine and oracle agree on the empty set; the
+    * mechanism's behavioral proof on planted vectors lives in
+    * DedupSimilaritySpec. */
+  def q16eEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = normalized(spark, dir)
+    val keys = bucketKeys(emb.select(col("vec_id").as("id"), col("v")), spark)
+    val l = keys.select(col("id").as("vec_i"), col("table_id"), col("key"))
+    val r = keys.select(col("id").as("vec_j"), col("table_id"), col("key"))
+    val cand = l.join(r, Seq("table_id", "key"))
+      .where(col("vec_i") < col("vec_j"))
+      .select("vec_i", "vec_j").distinct()
+    val ei = emb.select(col("vec_id").as("vec_i"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val ej = emb.select(col("vec_id").as("vec_j"), col("v").as("v_j"), col("nrm").as("n_j"))
+    cand.join(ei, "vec_i").join(ej, "vec_j")
+      .withColumn("cos_sim", round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .where(col("cos_sim") >= 0.9)
+      .select("vec_i", "vec_j", "cos_sim")
+      .orderBy("vec_i", "vec_j")
+  }
+
+  /** Q17b — approximate nearest neighbors (rows-only check: recall is
+    * probabilistic by construction; measured against exact q17 in
+    * DedupSimilaritySpec): probes search only their LSH buckets, exact
+    * cosine ranks the candidates. The sublinear scale path: candidate
+    * count per probe is corpus_fraction × tables, not N. */
+  def q17bAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = normalized(spark, dir)
+    val keys = bucketKeys(emb.select(col("vec_id").as("id"), col("v")), spark)
+    // multiprobe: each probe also searches the bitsPerTable buckets at
+    // hamming distance 1 from its own key (flip each bit) — the standard
+    // recall/latency lever, probe-side only so the index stays 1 row per
+    // (vector, table)
+    val probeVariants: Seq[Column] =
+      col("key") +: (0 until annBitsPerTable).map(b => col("key").bitwiseXOR(lit(1L << b)))
+    val probeKeys = keys.where(col("id") < 10)
+      .select(col("id").as("probe_id"), col("table_id"),
+        explode(array(probeVariants: _*)).as("key"))
+    val cand = probeKeys.join(keys, Seq("table_id", "key"))
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id")).distinct()
+    val ep = emb.select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val ec = emb.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = cand.join(broadcast(ep), "probe_id").join(ec, "neighbor_id")
+      .withColumn("cos_sim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q17 — for probe vectors vec_id < 10: top-5 cosine neighbors,
     * tie-break by neighbor id, scores rounded to 6dp for cross-engine
     * hash stability. */

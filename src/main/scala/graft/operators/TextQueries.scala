@@ -56,10 +56,15 @@ object TextQueries {
   def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks") // materialized attribute: see tokens() scaladoc
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
+        // BPE-ish piece count: letter runs / digit runs / single
+        // non-space symbols — the pre-tokenization split BPE vocabular-
+        // ies are trained over; a cheap, deterministic token estimator
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_pieces"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
                 .cast("double") / size(toks), 4).as("avg_token_len"),

@@ -43,6 +43,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(jac == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("simhash: identical docs → identical fingerprints; near-dups within hamming 6; disjoint far") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w20", "XX")
+    val disjoint = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> disjoint).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+    val fp = DedupQueries.simhashFingerprints(df).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(ham(fp(1L), fp(3L)) <= DedupQueries.simhashMaxHamming,
+      s"near-dup hamming ${ham(fp(1L), fp(3L))}")
+    assert(ham(fp(1L), fp(4L)) > 12, s"disjoint hamming ${ham(fp(1L), fp(4L))}")
+  }
+
+  test("embedding near-dup: planted duplicate vectors are found, noise is not") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec() = Seq.fill(SimilarityQueries.annDim)(rnd.nextGaussian())
+    val v0 = vec()
+    val v0tweaked = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01 else x }
+    val vectors = Seq((0L, v0), (1L, v0tweaked)) ++ (2L to 40L).map(i => (i, vec()))
+    val df = vectors.toDF("id", "v")
+    val keys = SimilarityQueries.bucketKeys(df, spark0)
+    val l = keys.select(col("id").as("i"), col("table_id"), col("key"))
+    val r = keys.select(col("id").as("j"), col("table_id"), col("key"))
+    val cand = l.join(r, Seq("table_id", "key")).where(col("i") < col("j"))
+      .select("i", "j").distinct().as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)), "near-identical vectors must share an LSH bucket")
+  }
+
+  test("ANN top-k recall vs exact top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityQueries.q17bAnnTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // unstructured random embeddings are LSH's worst case; the harness
+    // still must find a meaningful fraction through 4×8-bit tables
+    assert(recall >= 0.3, s"ANN recall $recall too low (|exact|=${exact.size}, |ann|=${ann.size})")
+    assert(ann.size <= 50)
+  }
+
   test("cosine: identity 1.0, orthogonal 0.0, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),
