@@ -22,6 +22,7 @@ object SparkEntry {
     "q3b_token_explode"  -> (TextQueries.q3bTokenExplode _),
     "q4_agg_pricing"   -> (RelationalQueries.q4Pricing _),
     "q5_window_tumbling" -> (WindowQueries.q5Tumbling _),
+    "q5b_session_window" -> (WindowQueries.q5bSessionWindow _),
     "q6_window_sliding"  -> (WindowQueries.q6Sliding _),
     "q7_window_top1"     -> (WindowQueries.q7WindowTop1 _),
     "q7b_window_topk"    -> (WindowQueries.q7bWindowTopK _),
@@ -76,6 +77,14 @@ object SparkEntry {
     "q5_window_tumbling" ->
       """SELECT date_trunc('minute', ts) AS window_start, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5b_session_window" ->
+      """WITH o AS (SELECT ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (ORDER BY ts, event_id)),
+        |s AS (SELECT ts, SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY sid ORDER BY session_start""".stripMargin,
     "q6_window_sliding" ->
       """SELECT window_start, COUNT(*) AS n_events FROM (
         |  SELECT date_trunc('minute', ts) - to_minutes(CAST(k.k AS INT)) AS window_start

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,11 +20,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (JDK `\w` = `[A-Za-z0-9_]`): maximal word-char run after `#`, empty
   * runs are not matches, matches do not overlap. Equivalence with the
   * regex composition is property-tested in ExtractHashtagsSpec.
-  * (CodegenFallback for now — the scan itself is branch-light; promoting
-  * to doGenCode is a recorded follow-up, SURVEY §7 hard-parts (e).)
+  * Fully codegen'd (doGenCode emits the same byte scan), so projections
+  * using it stay inside whole-stage codegen spans; `nullSafeEval` keeps
+  * the interpreted path for non-codegen contexts.
   */
 case class ExtractHashtags(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "hashtags"
@@ -50,6 +51,36 @@ case class ExtractHashtags(child: Expression)
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      s"""
+        |byte[] $bytes = $c.getBytes();
+        |java.util.ArrayList $out = new java.util.ArrayList();
+        |int $i = 0;
+        |while ($i < $bytes.length) {
+        |  if ($bytes[$i] == (byte) '#') {
+        |    int $j = $i + 1;
+        |    while ($j < $bytes.length) {
+        |      byte $b = $bytes[$j];
+        |      if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') ||
+        |          ($b >= '0' && $b <= '9') || $b == '_') { $j++; } else { break; }
+        |    }
+        |    if ($j > $i + 1) {
+        |      $out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        |        java.util.Arrays.copyOfRange($bytes, $i, $j)));
+        |      $i = $j;
+        |    } else { $i++; }
+        |  } else { $i++; }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+        |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ExtractHashtags =
     copy(child = newChild)

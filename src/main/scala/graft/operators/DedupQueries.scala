@@ -60,7 +60,7 @@ object DedupQueries {
     // inherits the scan's partitioning — one task for a one-file table.
     val hashed = docShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(col("doc_id"))
+      .repartition(docShingles.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // explicit count: AQE coalesces column-only repartitions by data size, starving CPU-bound hash stages
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
     val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
@@ -170,7 +170,7 @@ object DedupQueries {
   def simhashFingerprints(docShingles: DataFrame): DataFrame = {
     val hashed = docShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(col("doc_id"))
+      .repartition(docShingles.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // explicit count: AQE coalesces column-only repartitions by data size, starving CPU-bound hash stages
       .select(col("doc_id"), charPolyHash(col("s")).as("h"))
     val bitSums = (0 until simhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")

@@ -45,6 +45,19 @@ object WindowQueries {
       .orderBy("window_start")
   }
 
+  /** Q5b — session windows (gap-based): events within a 5-minute gap of
+    * each other merge into one session; `session_window` is the native
+    * primitive (works identically as a streaming aggregation with
+    * watermark-driven state eviction). Beyond the reference's surface —
+    * SURVEY §2.2 lists session windows as absent there. */
+  def q5bSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("n_events"))
+      .orderBy("session_start")
+  }
+
   /** Q6 — sliding event-time window (reference O9: 30s/5s sliding window
     * at TwitterDatasetTrendingHashtag.java:80; window/slide are query
     * parameters, here 5min/1min). Each event lands in window/slide = 5
