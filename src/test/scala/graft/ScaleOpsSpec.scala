@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.core.Tables
+import graft.operators.SkewOps
+
+/** Scale-posture mechanics: salted aggregation equivalence and bucketed
+  * co-located joins (the zero-shuffle join path a 100 TB layout uses). */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted count/sum equal direct aggregation (skewed input)") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) s"k${i % 50}" else "HOT", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("count"), sum("v").as("sum"))
+      .as[(String, Long, Long)].collect().map { case (k, c, s) => k -> ((c, s)) }.toMap
+    val viaCnt = SkewOps.saltedCount(df, col("k"), 8).as[(String, Long)].collect().toMap
+    val viaSum = SkewOps.saltedSum(df, col("k"), col("v"), 8).as[(String, Long)].collect().toMap
+    assert(viaCnt == direct.view.mapValues(_._1).toMap)
+    assert(viaSum == direct.view.mapValues(_._2).toMap)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val s = TestSpark.spark
+    s.sql("DROP TABLE IF EXISTS orders_b")
+    s.sql("DROP TABLE IF EXISTS customer_b")
+    // external bucketed tables (warehouse.dir is a static conf; an
+    // explicit path keeps the test out of the repo working dir)
+    Tables.load(s, "/root/testdata/sf0.001", "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.load(s, "/root/testdata/sf0.001", "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = s.table("orders_b")
+      .join(s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    joined.collect() // force final (adaptive) plan
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // the JOIN itself must be shuffle-free (bucket co-location); the only
+    // allowed exchange is the one feeding the final groupBy
+    assert(shuffles.size <= 1,
+      s"expected bucket-co-located join (≤1 exchange for the agg), got ${shuffles.size}")
+    assert(joined.count() > 0)
+  }
+}
