@@ -215,6 +215,67 @@ object StreamingPipelines {
     cache.getOrElseUpdate(dir, replay(spark, dir))
   def clearCache(): Unit = cache.clear()
 
+  /** O13 on the modern arbitrary-state API (`transformWithState`,
+    * Spark 4): same semantics as the mapGroupsWithState pipeline —
+    * per-batch increment of a single keyed counter, output stamped with
+    * the current watermark. Requires the RocksDB state store provider
+    * (the 100 TB-grade state backend; also what production streaming
+    * state should run on). */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CountUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[CountUpdate] = {
+      val prev = Option(countState.get()).getOrElse(0L)
+      val next = prev + rows.size
+      countState.update(next)
+      Iterator.single(CountUpdate(next, new Timestamp(timerValues.getCurrentWatermarkInMs())))
+    }
+  }
+
+  /** Running count via transformWithState over a chunked replay; returns
+    * the final count (must equal the event total — see
+    * StreamingParitySpec). Scoped to its own method (not the main
+    * replay) so the RocksDB provider conf stays local. */
+  def runningCountViaTransformWithState(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val chunkDir = chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    try {
+      val q = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 3).parquet(chunkDir.toString)
+        .as[Event]
+        .withWatermark("ts", "300 seconds")
+        .groupByKey(_ => "count")
+        .transformWithState(new RunningCountProcessor, TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[CountUpdate], _: Long) =>
+          batch.collect().foreach(u => sink.add(u.count))
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    var m = 0L
+    sink.forEach(c => m = math.max(m, c))
+    m
+  }
+
   /** The reference's actual flagship flow (O5+O9/O12): hashtag explode →
     * sliding event-time window → per-hashtag counts. One declarative
     * tree, valid as a batch or streaming plan (callers add watermark +

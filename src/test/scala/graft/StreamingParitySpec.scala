@@ -72,6 +72,11 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(finalCount == 1000L)
   }
 
+  test("transformWithState running count equals event total (RocksDB state store)") {
+    val total = StreamingPipelines.runningCountViaTransformWithState(spark, "/root/testdata/sf0.001")
+    assert(total == 1000L)
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
