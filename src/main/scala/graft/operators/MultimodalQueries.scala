@@ -81,6 +81,9 @@ object MultimodalQueries {
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("media"),
         octet_length(col("text")).cast("long").as("n_bytes"))
+      // decode is the expensive step: spread it across all cores even
+      // when the source is a single file (1 scan partition)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[MediaRecord]
   }
 
