@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators._
+
+/** Physical-plan shape guards: the properties that make these queries
+  * scale are asserted, not assumed — a regression that silently turns a
+  * pushed filter into a post-scan filter or a TakeOrdered into a global
+  * sort fails here, not at 100 TB. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def planString(df: DataFrame): String = finalPlan(df).toString
+
+  test("q1: filter and projection reach the parquet scan") {
+    val p = planString(RelationalQueries.q1ScanFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p.take(500))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      "scan must read exactly the 4 projected columns")
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planString(RelationalQueries.q10TopCustomers(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q9: nation joins as broadcast") {
+    val p = planString(RelationalQueries.q9JoinRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allNodes) ++ below)
+  }
+
+  test("q8: no unpartitioned data-sized window (only the tiny offset table)") {
+    val plan = finalPlan(WindowQueries.q8RunningCount(spark, dir))
+    val windows = allNodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the data-sized window (local rank over ts, event_id) must be
+    // partitioned; the only single-partition window allowed is the
+    // numPartitions-row offsets cumsum, recognizable by ordering on pid
+    // (its constant partition key is folded away by the optimizer)
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val ordersOnPidOnly = w.orderSpec.forall(_.child.references.forall(_.name == "pid"))
+      assert(w.partitionSpec.nonEmpty || ordersOnPidOnly,
+        s"data-sized WindowExec without partitioning: ${w.simpleString(200)}")
+    }
+  }
+
+  test("q16b: no cartesian/nested-loop join anywhere in the LSH pipeline") {
+    val p = planString(DedupQueries.q16bNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct"), "LSH must never plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must come from equi-joins on band keys")
+  }
+}

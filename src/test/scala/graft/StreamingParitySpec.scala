@@ -72,6 +72,28 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(finalCount == 1000L)
   }
 
+  test("streaming dropDuplicates with watermark equals batch distinct count") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val chunkDir = StreamingPipelines.chunkEvents(spark, "/root/testdata/sf0.001")
+    val ckpt = Files.createTempDirectory("dedup-ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.schema(StreamingPipelines.eventSchema)
+      .option("maxFilesPerTrigger", 5).parquet(chunkDir.toString)
+      .withWatermark("ts", "300 seconds")
+      .dropDuplicates("event_id") // streaming state-backed dedup (Q16's stream twin)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(b.count()): Unit
+      }.start()
+    q.awaitTermination()
+    val batchDistinct = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id").distinct().count()
+    assert(seen.get() == batchDistinct)
+  }
+
   test("transformWithState running count equals event total (RocksDB state store)") {
     val total = StreamingPipelines.runningCountViaTransformWithState(spark, "/root/testdata/sf0.001")
     assert(total == 1000L)
