@@ -108,9 +108,30 @@ object ExtractHashtags {
   * available to pure-SQL users — the injection point any further custom
   * rules/strategies would share. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(ExtractHashtags.fnName),
        new ExpressionInfo(classOf[ExtractHashtags].getCanonicalName, ExtractHashtags.fnName),
        (exprs: Seq[Expression]) => ExtractHashtags(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(MinHash.sigFnName),
+       new ExpressionInfo(classOf[MinHashSig].getCanonicalName, MinHash.sigFnName),
+       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(MinHash.charFnName),
+       new ExpressionInfo(classOf[MinHashCharNgrams].getCanonicalName, MinHash.charFnName),
+       (exprs: Seq[Expression]) => MinHashCharNgrams(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(SimHash.fnName),
+       new ExpressionInfo(classOf[SimHashFp].getCanonicalName, SimHash.fnName),
+       (exprs: Seq[Expression]) => SimHashFp(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(HyperplaneLsh.fnName),
+       new ExpressionInfo(classOf[HyperplaneKeys].getCanonicalName, HyperplaneLsh.fnName),
+       (exprs: Seq[Expression]) => HyperplaneKeys(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(TextSim.jacFnName),
+       new ExpressionInfo(classOf[CharNgramJaccard].getCanonicalName, TextSim.jacFnName),
+       (exprs: Seq[Expression]) => CharNgramJaccard(exprs(0), exprs(1), exprs(2))))
+  }
 }

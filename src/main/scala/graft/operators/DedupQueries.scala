@@ -29,85 +29,114 @@ object DedupQueries {
 
   // ---- MinHash-LSH machinery ------------------------------------------
 
-  /** Carter-Wegman hash family mod the Mersenne prime 2^31-1, over a
-    * 31-bit reduction of a base xxhash64: g_i(s) = (a_i*h + b_i) mod p.
-    * Operands stay < 2^31 so products stay < 2^62 — no 64-bit overflow
-    * (Spark 4 runs ANSI arithmetic; wrapping is an error, not a hash
-    * function). Coefficients from a fixed-seed PRNG → deterministic. */
-  private val MersenneP = 2147483647L // 2^31 - 1
-  private def hashFamily(n: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(n)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-                 rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  val numHashes = 128
+  val numHashes = graft.functions.MinHash.NumHashes
   val bandRows  = 4
   val numBands  = numHashes / bandRows // 32 bands → P(candidate | J=0.8) ≈ 1 - 5e-8
 
-  /** MinHash signatures as an aggregation: explode shingles to
-    * (doc_id, baseHash) rows, then numHashes simple `min` aggregates —
-    * one flat projection + one hash aggregate, fully codegen'd with
-    * map-side partial aggregation. (The naive alternative — an array
-    * expression with numHashes nested `transform`s per row — builds a
-    * pathological Catalyst tree: 128 re-evaluations of the shingle-hash
-    * array per row; optimizer+codegen choke on it.) */
+  /** MinHash signatures of a (doc_id, sh: array<string>) frame via the
+    * native single-pass expression [[graft.functions.MinHashSig]] — a
+    * pure map stage: no explode, no 128-column aggregate, no shuffle.
+    * (History: r2 used explode + 128 min() aggregates — correct but the
+    * per-aggregate update overhead over millions of exploded shingle
+    * rows dominated the whole bench suite; a typed Aggregator was 5×
+    * worse again. The expression computes all minima in one tight loop
+    * per document.) Callers pre-filter zero-shingle docs. */
   def minhashSignatures(docShingles: DataFrame): DataFrame = {
-    // repartition by doc_id right after the (cheap) explode: the
-    // numHashes-wide hash projection + aggregation then runs across all
-    // cores AND the groupBy reuses the partitioning (single exchange of
-    // narrow (doc_id, h) rows). Without it the whole signature stage
-    // inherits the scan's partitioning — one task for a one-file table.
-    val hashed = docShingles
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(docShingles.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // explicit count: AQE coalesces column-only repartitions by data size, starving CPU-bound hash stages
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersenneP)).as("h"))
-    val mins = hashFamily(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    graft.functions.MinHash.ensureRegistered(docShingles.sparkSession)
+    docShingles.select(col("doc_id"), call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
   }
 
   /** Band keys: signature sliced into numBands rows-of-bandRows, each
-    * band compressed to one string key (band index disambiguates). */
+    * band hashed to one long key (band index disambiguates; a band-key
+    * hash collision can only add a false candidate, which exact
+    * verification removes — so 8-byte keys are safe and shuffle far
+    * less than the r2 string keys). `sig` must be a materialized
+    * attribute (tree-duplication contract, see TextFunctions.tokens). */
   def bandKeys(sig: Column): Column =
     array((0 until numBands).map { b =>
-      concat_ws(",", lit(b.toString) +:
-        (0 until bandRows).map(r => element_at(sig, b * bandRows + r + 1).cast("string")): _*)
+      xxhash64(lit(b) +: (0 until bandRows).map(r => element_at(sig, b * bandRows + r + 1)): _*)
     }: _*)
 
-  /** Generic MinHash-LSH near-dup pipeline over any (doc_id, sh)
-    * shingle-set frame: signatures → banded buckets → candidate pairs
-    * within buckets only → exact Jaccard ≥ threshold verification.
-    * Output = (doc_i, doc_j, jac). */
-  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val withBands = minhashSignatures(docs)
-      .withColumn("bands", bandKeys(col("sig")))
-      .select(col("doc_id"), explode(col("bands")).as("band"))
+  /** Signature-agreement slack for the candidate screen: MinHash position
+    * agreement is an unbiased Jaccard estimator with sd ≤
+    * sqrt(0.25/numHashes) ≈ 0.044, so screening at threshold−0.2 is a
+    * ≥4.5σ margin — a true pair at exactly the threshold fails the
+    * screen with p ≈ 1e-8 (and the fixed seeds make any given corpus
+    * deterministic anyway). */
+  val screenSlack = 0.2
 
-    // candidates: co-bucketed pairs, deduped. The join is keyed by band —
-    // this is the shuffle that replaces the O(n²) cross product. (Skew
-    // guard at scale: cap pathological bucket sizes before the self-join.)
+  /** Generic MinHash-LSH near-dup pipeline. `raw` carries doc_id plus
+    * whatever source columns `sigCol` (signature expression) and
+    * `payloadCol` need; `jacOf` computes the exact Jaccard of two
+    * payloads (array formula for shingle arrays, or a pairwise native
+    * expression such as [[graft.functions.CharNgramJaccard]]).
+    *
+    * Plan shape, built for 100 TB:
+    *  1. signatures: pure map over a round-robin repartition (explicit
+    *     count — AQE would coalesce a column-only repartition and starve
+    *     the CPU-bound stage);
+    *  2. candidates: explode 32 band keys/doc, self-join keyed by band —
+    *     the one shuffle that replaces the O(n²) cross product (skew
+    *     guard at scale: cap pathological bucket sizes pre-join);
+    *  3. screen: banding alone is a high-recall/low-precision net — on
+    *     char-shingled prose most of the corpus shares enough common
+    *     shingles to co-bucket somewhere (measured: 261k candidates for
+    *     256 true pairs at sf0.1). Before touching any shingle array,
+    *     estimate Jaccard from the signatures already in hand (128 long
+    *     comparisons per pair, sigs broadcast) and keep pairs with
+    *     agreement ≥ threshold−slack;
+    *  4. exact verification: Jaccard over the shingle sets, joined from
+    *     per-doc shingle frames, only for the screened survivors.
+    *
+    * Each stage is referenced exactly once downstream — a DataFrame
+    * subtree referenced from N join sides is recomputed N times (no
+    * auto-CSE across joins; measured 45 s vs 6 s on q16d when the
+    * candidate subtree leaked into both verification sides via a
+    * semi-join). At 100 TB you would materialize the screened pairs and
+    * semi-join the corpus instead of joining full per-doc shingle
+    * frames; in-plan, full frames + tiny screened side is the shape
+    * that avoids the duplication. Output = (doc_i, doc_j, jac). */
+  def nearDupPairs(raw: DataFrame, sigCol: Column, payloadCol: Column,
+                   jacOf: (Column, Column) => Column, threshold: Double): DataFrame = {
+    val spark = raw.sparkSession
+    graft.functions.MinHash.ensureRegistered(spark)
+
+    val sigs = raw
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), sigCol.as("sig"))
+    val withBands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
     val l = withBands.select(col("doc_id").as("doc_i"), col("band"))
     val r = withBands.select(col("doc_id").as("doc_j"), col("band"))
     val candidates = l.join(r, "band")
       .where(col("doc_i") < col("doc_j"))
+      .select("doc_i", "doc_j")
+
+    // screen BEFORE the pair-dedup: the distinct then aggregates a few
+    // hundred survivors instead of shuffling every co-bucket pair
+    val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
+    val gi = sigs.select(col("doc_id").as("doc_i"), col("sig").as("sig_i"))
+    val gj = sigs.select(col("doc_id").as("doc_j"), col("sig").as("sig_j"))
+    val screened = candidates
+      .join(broadcast(gi), "doc_i")
+      .join(broadcast(gj), "doc_j")
+      .withColumn("agree", aggregate(
+        zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), _ + _))
+      .where(col("agree") >= minAgree)
       .select("doc_i", "doc_j").distinct()
 
-    // exact verification on candidates only
-    val si = docs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"))
-    val sj = docs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"))
-    candidates.join(si, "doc_i").join(sj, "doc_j")
-      .withColumn("jac",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(array_union(col("sh_i"), col("sh_j"))))
+    val si = raw.select(col("doc_id").as("doc_i"), payloadCol.as("p_i"))
+    val sj = raw.select(col("doc_id").as("doc_j"), payloadCol.as("p_j"))
+    screened.join(si, "doc_i").join(sj, "doc_j")
+      .withColumn("jac", jacOf(col("p_i"), col("p_j")))
       .where(col("jac") >= threshold)
       .select("doc_i", "doc_j", "jac")
       .orderBy("doc_i", "doc_j")
   }
+
+  /** Exact Jaccard over two shingle-array payload columns. */
+  def arrayJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Word-3-gram shingle sets of `documents`. Filter on token count
     * BEFORE the shingle projection: ≥3 tokens ⟺ ≥1 shingle, and a
@@ -125,18 +154,33 @@ object DedupQueries {
     * Oracle note: DuckDB computes ground truth all-pairs (feasible at
     * sf0.01's 500 docs); the engine never does — a hash-match therefore
     * also proves the LSH candidate recall was 100% on this corpus. */
-  def q16bNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(wordShingleDocs(spark, dir), 0.8)
+  def q16bNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    nearDupPairs(raw,
+      sigCol = call_function(graft.functions.MinHash.sigFnName, shingles(col("toks"), 3)),
+      payloadCol = shingles(col("toks"), 3),
+      jacOf = arrayJaccard,
+      threshold = 0.8)
+  }
 
   /** Q16d — near-dup pairs on character-5-gram shingles (robust to
-    * token-boundary edits), same LSH machinery, Jaccard ≥ 0.8. */
+    * token-boundary edits), same LSH machinery, Jaccard ≥ 0.8. The
+    * signature never materializes the ~len-per-doc shingle array:
+    * [[graft.functions.MinHashCharNgrams]] hashes the char windows in
+    * place (zero-allocation for ASCII); only candidate docs get the
+    * exact shingle-set treatment. */
   def q16dCharNgramNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    graft.functions.TextSim.ensureRegistered(spark)
+    val raw = Tables.load(spark, dir, "documents")
       .where(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), length(col("text")) - 5),
-          i => col("text").substr(i + 1, lit(5)))).as("sh"))
-    nearDupPairs(docs, 0.8)
+      .select(col("doc_id"), col("text"))
+    nearDupPairs(raw,
+      sigCol = call_function(graft.functions.MinHash.charFnName, col("text"), lit(5)),
+      payloadCol = col("text"),
+      jacOf = (a, b) => call_function(graft.functions.TextSim.jacFnName, a, b, lit(5)),
+      threshold = 0.8)
   }
 
   // ---- SimHash --------------------------------------------------------
@@ -164,23 +208,16 @@ object DedupQueries {
       lit(1L),
       (acc, v) => pmod(acc * lit(131L) + v, lit(CharPolyP)))
 
-  /** 48-bit SimHash fingerprints of (doc_id, sh) shingle-set docs:
-    * explode → char-poly hash → per-bit ±1 sums (same aggregate pattern
-    * as MinHash) → sign bits assembled into one long. */
+  /** 48-bit SimHash fingerprints of (doc_id, sh) shingle-set docs via
+    * the native single-pass expression [[graft.functions.SimHashFp]]
+    * (bit-identical to the r2 explode + 48-sum-aggregate plan and to the
+    * DuckDB oracle's recomputation — pinned in MinHashSpec): a pure map
+    * over a round-robin repartition, no explode/aggregate/shuffle. */
   def simhashFingerprints(docShingles: DataFrame): DataFrame = {
-    val hashed = docShingles
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(docShingles.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // explicit count: AQE coalesces column-only repartitions by data size, starving CPU-bound hash stages
-      .select(col("doc_id"), charPolyHash(col("s")).as("h"))
-    val bitSums = (0 until simhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    val fp = (0 until simhashBits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
+    graft.functions.SimHash.ensureRegistered(docShingles.sparkSession)
+    docShingles
+      .repartition(docShingles.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), call_function(graft.functions.SimHash.fnName, col("sh")).as("fp"))
   }
 
   /** Q16c — SimHash near-dup pairs: fingerprints → 8×6-bit band buckets
@@ -199,10 +236,11 @@ object DedupQueries {
     val r = bands.select(col("doc_id").as("doc_j"), col("fp").as("fp_j"), col("band"))
     l.join(r, "band")
       .where(col("doc_i") < col("doc_j"))
-      .select("doc_i", "doc_j", "fp_i", "fp_j").distinct()
+      // hamming test BEFORE the pair-dedup (fps ride the band join), so
+      // the distinct aggregates survivors, not every co-bucket pair
       .withColumn("hamming", bit_count(col("fp_i").bitwiseXOR(col("fp_j"))).cast("long"))
       .where(col("hamming") <= simhashMaxHamming)
-      .select("doc_i", "doc_j", "hamming")
+      .select("doc_i", "doc_j", "hamming").distinct()
       .orderBy("doc_i", "doc_j")
   }
 }

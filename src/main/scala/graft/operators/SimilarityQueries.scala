@@ -27,41 +27,22 @@ object SimilarityQueries {
   // q17b). Tuned for the corpus's worst case — uniformly random
   // embeddings, where true neighbors sit at ~60° — measured recall@5
   // ≈ 0.85 there; clustered real-world embeddings bucket far tighter.
-  val annTables = 8
-  val annBitsPerTable = 6
-  val annDim = 64
-
-  /** Fixed-seed Gaussian hyperplanes as a (plane_id, dim, w) relation —
-    * sign-bit computation is then a relational inner product (explode
-    * embedding dims ⋈ broadcast planes → grouped sum), which codegen
-    * handles at any width, instead of a 2048-literal expression tree
-    * (the MinHash lesson: giant trees choke the optimizer). */
-  def hyperplanes(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val rows = for {
-      p <- 0 until annTables * annBitsPerTable
-      d <- 0 until annDim
-    } yield (p, d, rnd.nextGaussian())
-    rows.toDF("plane_id", "dim", "w")
-  }
+  val annTables = graft.functions.HyperplaneLsh.Tables
+  val annBitsPerTable = graft.functions.HyperplaneLsh.BitsPerTable
+  val annDim = graft.functions.HyperplaneLsh.Dim
 
   /** Per-table LSH bucket keys for (id, v: array<double>) vectors:
-    * (id, table_id, key) where key packs bitsPerTable sign bits. */
+    * (id, table_id, key) where key packs bitsPerTable sign bits — a pure
+    * map via the native [[graft.functions.HyperplaneKeys]] expression
+    * (static plane matrix, one pass per vector), posexploded to one row
+    * per hash table. Round-robin repartition spreads the CPU-bound
+    * projection work off the scan's (often single-file) partitioning. */
   def bucketKeys(vectors: DataFrame, spark: SparkSession): DataFrame = {
-    val planes = hyperplanes(spark)
+    graft.functions.HyperplaneLsh.ensureRegistered(spark)
     vectors
-      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .join(broadcast(planes), "dim")
-      .groupBy(col("id"), col("plane_id"))
-      .agg(sum(col("x") * col("w")).as("proj"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"),
-        (col("plane_id") / annBitsPerTable).cast("int").as("table_id"),
-        // SQL shiftleft accepts a column bit position (the Scala DSL
-        // overload takes only a literal Int)
-        expr(s"IF(proj > 0, shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $annBitsPerTable AS INT)), CAST(0 AS BIGINT))").as("bit"))
-      .groupBy("id", "table_id")
-      .agg(sum(col("bit")).as("key"))
+        posexplode(call_function(graft.functions.HyperplaneLsh.fnName, col("v"))).as(Seq("table_id", "key")))
   }
 
   private def normalized(spark: SparkSession, dir: String): DataFrame =

@@ -136,13 +136,17 @@ object WindowQueries {
     // per-partition local rank: Window partitioned by pid → parallel
     val localW = Window.partitionBy("pid").orderBy("ts", "event_id")
     val local  = ranged.withColumn("local_rn", row_number().over(localW))
-    // prefix offsets: one row per partition, cumulated on a single tiny
-    // task (bounded by numPartitions, never by data size; the constant
-    // partition key just makes the single-partition window explicit)
-    val offW = Window.partitionBy(lit(0)).orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
-      .select(col("pid"), coalesce(sum(col("n")).over(offW), lit(0L)).as("offset"))
+    // prefix offsets: one row per partition. A window here would need an
+    // empty/constant partition spec (the optimizer folds `lit(0)` away →
+    // an all-data-to-one-task WindowExec warning); a triangular self-join
+    // over the ≤numPartitions count rows computes the same prefix sums
+    // with no WindowExec at all — O(P²) rows where P is the partition
+    // count, never a function of data size.
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left_outer")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
     local
       .join(broadcast(offsets), "pid")
       .select(col("event_id"), col("ts"),
