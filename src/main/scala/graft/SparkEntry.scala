@@ -42,6 +42,7 @@ object SparkEntry {
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
+    "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "q20b_stream_top1"     -> (graft.streaming.StreamingPipelines.q20bStreamTop1 _),
     "q20c_stream_running"  -> (graft.streaming.StreamingPipelines.q20cStreamRunning _),
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
+    "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -327,5 +329,16 @@ object SparkEntry {
         |  SELECT date_trunc('minute', ts) - to_minutes(CAST(k.k AS INT)) AS window_start
         |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS k) k
         |) t GROUP BY window_start ORDER BY window_start""".stripMargin,
+    // batch interval join == drained stream-stream join; ts compared at
+    // microsecond precision on both engines (Spark ingests ns → µs via
+    // Tables.load; CAST(... AS TIMESTAMP) truncates DuckDB's ns the same)
+    "q20e_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

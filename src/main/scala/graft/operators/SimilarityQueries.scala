@@ -105,6 +105,104 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  val ivfK = 16      // coarse centroids (≈ sqrt(N) at test scale; at 100 TB this grows with N)
+  val ivfNProbe = 4  // inverted lists searched per probe
+  val ivfIters = 5   // Lloyd iterations
+
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    * score = inner product against L2-normalized vectors (spherical
+    * k-means ⟺ cosine buckets), argmax via lexicographic struct max
+    * (ties → larger cid, deterministic). Input (id, v), output (id, cid). */
+  private def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors
+      .join(broadcast(centroids))
+      .select(col("id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .groupBy("id")
+      .agg(max(struct(col("score"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+
+  /** Train the coarse quantizer: deterministic spherical k-means.
+    * Init = the ivfK smallest vec_ids (fully reproducible, no RNG);
+    * each iteration is a distributed broadcast-assign + per-dimension
+    * mean, with only the ivfK×dim centroid matrix collected to the
+    * driver between iterations — the same small-model-state pattern
+    * MLlib's KMeans uses, never the data. */
+  def ivfTrain(spark: SparkSession, unit: DataFrame): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    var centroids = unit.orderBy("id").limit(ivfK)
+      .as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    for (_ <- 0 until ivfIters) {
+      val cdf = centroids.toDF("cid", "cvec")
+      val assigned = assignToCentroids(unit, cdf)
+      val means = unit.join(assigned, "id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](rows.map(_._2).max + 1)
+          rows.foreach { case (_, d, m) => arr(d) = m }
+          (cid, normalize(arr).toSeq)
+        }
+      // empty clusters keep their previous centroid
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids
+  }
+
+  /** Q17b's IVF sibling (Q17c) — approximate top-5 cosine neighbors via
+    * inverted lists: vectors are bucketed by nearest coarse centroid;
+    * probes score ONLY the vectors in their ivfNProbe nearest lists.
+    * Candidate fraction ≈ nprobe/k of the corpus per probe — the
+    * standard sublinear ANN layout (FAISS-style IVF-Flat re-expressed
+    * relationally: the inverted index is a cid-keyed table, list lookup
+    * is a broadcast-join, scan-within-list is the exact scorer). Probe
+    * scope: vec_id < 10 like q17/q17b; rows-only check (recall is
+    * measured against exact q17 in DedupSimilaritySpec). */
+  def q17cIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val centroids = ivfTrain(spark, unit)
+    val cdf = centroids.toDF("cid", "cvec")
+
+    // inverted lists: id → nearest centroid
+    val index = assignToCentroids(unit, cdf)
+
+    // probes search their nprobe closest lists
+    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
+    val probeLists = unit.where(col("id") < 10)
+      .join(broadcast(cdf))
+      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(probeRank))
+      .where(col("rn") <= ivfNProbe)
+      .select("probe_id", "cid")
+
+    val cand = probeLists.join(index, "cid")
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"))
+
+    // exact cosine on the candidate lists only
+    val ep = emb.select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val ec = emb.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = cand.join(broadcast(ep), "probe_id").join(ec, "neighbor_id")
+      .withColumn("cos_sim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q17 — for probe vectors vec_id < 10: top-5 cosine neighbors,
     * tie-break by neighbor id, scores rounded to 6dp for cross-engine
     * hash stability. */

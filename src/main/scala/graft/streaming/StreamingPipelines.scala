@@ -48,6 +48,7 @@ object StreamingPipelines {
     val slidingCounts = TrieMap.empty[Timestamp, Long]                   // O9 twin (5m/1m)
     val typeCounts    = TrieMap.empty[(Timestamp, String), Long]         // O11 input
     val runningLog    = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13
+    val joinPairs     = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]() // stream-stream join
   }
 
   /** ForeachWriter instances are serialized to executors — a captured
@@ -200,7 +201,37 @@ object StreamingPipelines {
       .foreach(new RunningCountWriter(runId))
       .start()
 
-    try Seq(tumbling, sliding, perType, running).foreach(_.awaitTermination())
+    // stream-stream interval join (beyond the reference's surface; the
+    // canonical funnel query): each click joined to same-user purchases
+    // within the following 5 minutes. Both sides carry the 300 s
+    // watermark; the range condition bounds join state, so buffered rows
+    // are evicted as the watermark advances — state is O(join window ×
+    // rate), never O(stream). Inner join + append mode: each match is
+    // emitted exactly once, and the event-time-ordered replay guarantees
+    // a row's match partner always arrives before eviction (partner ts
+    // within 300 s < the 600 s arrival-to-eviction horizon), so the
+    // drained result equals the batch interval join.
+    val clicks = source
+      .withWatermark("ts", "300 seconds")
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = source
+      .withWatermark("ts", "300 seconds")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 5 minutes"))
+      .select(col("c_user"), col("click_id"), col("purchase_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/joined")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          sink.joinPairs.add((r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+      }.start()
+
+    try Seq(tumbling, sliding, perType, running, joined).foreach(_.awaitTermination())
     finally {
       WriterRegistry.queues.remove(runId)
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
@@ -318,6 +349,17 @@ object StreamingPipelines {
     replayCached(spark, dir).slidingCounts.toSeq
       .toDF("window_start", "n_events")
       .orderBy("window_start")
+  }
+
+  /** Q20e — stream-stream interval join result (click → same-user
+    * purchases within 5 minutes); oracle = the batch interval join in
+    * DuckDB (timestamps compared at microsecond precision on both
+    * engines). */
+  def q20eStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replayCached(spark, dir).joinPairs.asScala.toSeq
+      .toDF("user_id", "click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Q20c — final running-count state; oracle = COUNT(*) over events. */

@@ -88,6 +88,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.size <= 50)
   }
 
+  test("IVF top-k recall vs exact top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityQueries.q17cIvfTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe/k = 1/4 of uniformly random vectors scanned per probe —
+    // the spherical partitioning must beat that fraction meaningfully
+    assert(recall >= 0.3, s"IVF recall $recall too low (|exact|=${exact.size}, |ivf|=${ivf.size})")
+    assert(ivf.size <= 50)
+    assert(ivf.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
+  }
+
   test("cosine: identity 1.0, orthogonal 0.0, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),

@@ -70,6 +70,18 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(sink.runningLog.size() > 1, "running count should emit one update per batch")
     val finalCount = sink.runningLog.asScalaMax
     assert(finalCount == 1000L)
+    // stream-stream interval join drains to exactly the batch interval join
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val batchPairs = c.join(p,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 5 minutes"))
+      .select(col("c_user"), col("click_id"), col("purchase_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    import scala.jdk.CollectionConverters._
+    assert(sink.joinPairs.asScala.toSet == batchPairs)
   }
 
   test("streaming dropDuplicates with watermark equals batch distinct count") {
