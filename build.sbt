@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is one JVM acting as driver + a 32-core executor; size it
+  // like a cluster would (≥ ~0.75 GB/core). At 8g the bench JVM hit
+  // growing GC pressure mid-suite — queries after the first ~15 ran
+  // 2-4× slower (r3's "unexplained q10 regression" was exactly this).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

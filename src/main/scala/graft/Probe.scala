@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Scratch perf probe (not part of the driver contract): times the q20
+  * shared replay in isolation with per-trigger progress so trigger-level
+  * costs are observable. Run:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.Probe /root/testdata/sf0.1 10 2"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir  = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val fpt  = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = core.GraftSession.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[probe] q=${p.id.toString.take(8)} batch=${p.batchId} rows=${p.numInputRows} " +
+          s"trigger=${p.durationMs.get("triggerExecution")}ms addBatch=${p.durationMs.get("addBatch")}ms " +
+          s"getBatch=${p.durationMs.get("getBatch")}ms walCommit=${p.durationMs.get("walCommit")}ms " +
+          s"stateCommit=${Option(p.stateOperators).filter(_.nonEmpty).map(_.map(_.commitTimeMs).sum).getOrElse(0L)}ms")
+      }
+    })
+
+    for (i <- 0 until reps) {
+      val t0 = System.nanoTime()
+      val s = graft.streaming.StreamingPipelines.replay(spark, dir, fpt)
+      println(s"[probe] rep=$i fpt=$fpt replay=${(System.nanoTime() - t0) / 1e9}s " +
+        s"windows=${s.windowCounts.size} joins=${s.joinPairs.size()}")
+    }
+    spark.stop()
+  }
+}

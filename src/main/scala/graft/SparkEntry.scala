@@ -55,6 +55,7 @@ object SparkEntry {
     "q20c_stream_running"  -> (graft.streaming.StreamingPipelines.q20cStreamRunning _),
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
+    "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,9 +162,12 @@ object SparkEntry {
     "q15_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same derived tweet-shaped view as the engine (raw corpus is
+    // hashtag-free): text #lang #source
     "q3_hashtag_explode" ->
       """SELECT tag, COUNT(*) AS cnt FROM (
-        |  SELECT unnest(regexp_extract_all(text, '#\w+')) AS tag FROM documents) t
+        |  SELECT unnest(regexp_extract_all(text || ' #' || lang || ' #' || source, '#\w+')) AS tag
+        |  FROM documents) t
         |GROUP BY tag ORDER BY cnt DESC, tag LIMIT 20""".stripMargin,
     "q3b_token_explode" ->
       """SELECT token, COUNT(*) AS cnt FROM (
@@ -227,10 +231,15 @@ object SparkEntry {
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_i, doc_j, jac FROM p WHERE jac >= 0.8
         |ORDER BY doc_i, doc_j""".stripMargin,
+    // same augmented view as the engine: vec_id < 50 also appears as a
+    // ×2-scaled copy at vec_id + 1000000 (exact in FP; cos = 1.0) so the
+    // near-dup check is non-vacuous; ground truth is all-pairs
     "q16e_embedding_neardup" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |           FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM base
+        |        UNION ALL
+        |        SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0) FROM base WHERE vec_id < 50),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM aug),
         |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
         |        ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
@@ -340,5 +349,8 @@ object SparkEntry {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // drained streaming dropDuplicates state == batch DISTINCT
+    "q20f_stream_dedup" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
   )
 }

@@ -18,11 +18,18 @@ import graft.functions.TextFunctions._
   */
 object DedupQueries {
 
-  /** Q16 — exact dedup on `text`: deterministic representative
-    * (min doc_id) + multiplicity per distinct content. */
+  /** Q16 — exact dedup: deterministic representative (min doc_id) +
+    * multiplicity per distinct content.
+    *
+    * The shuffle key is a (xxhash64, md5) content digest — ~24 bytes —
+    * not the text itself: at 100 TB a `groupBy(text)` shuffle carries
+    * every byte of the corpus across the network, a digest key carries
+    * only fingerprints. Two documents agree on both digests (192
+    * independent bits) only by a ~2^-96 accident, far below any
+    * practical corpus's birthday bound. */
   def q16ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .groupBy("text")
+      .groupBy(xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
@@ -83,8 +90,9 @@ object DedupQueries {
     *     shingles to co-bucket somewhere (measured: 261k candidates for
     *     256 true pairs at sf0.1). Before touching any shingle array,
     *     estimate Jaccard from the signatures already in hand (128 long
-    *     comparisons per pair, sigs broadcast) and keep pairs with
-    *     agreement ≥ threshold−slack;
+    *     comparisons per pair; sigs arrive via doc-id-keyed sort-merge
+    *     joins — never broadcast, the sig table is corpus-sized) and
+    *     keep pairs with agreement ≥ threshold−slack;
     *  4. exact verification: Jaccard over the shingle sets, joined from
     *     per-doc shingle frames, only for the screened survivors.
     *
@@ -112,13 +120,19 @@ object DedupQueries {
       .select("doc_i", "doc_j")
 
     // screen BEFORE the pair-dedup: the distinct then aggregates a few
-    // hundred survivors instead of shuffling every co-bucket pair
+    // hundred survivors instead of shuffling every co-bucket pair.
+    // The sig lookups are sort-merge joins BY HINT, not broadcasts: the
+    // signature table is corpus-sized (~1 KB/doc) — broadcasting it
+    // ships the whole corpus's signatures to every executor and OOMs at
+    // billions of docs, while a shuffle join moves each side exactly
+    // once, partitioned by doc id. (AQE may still localize it at toy
+    // scale; the hint keeps the *planned* shape scale-safe.)
     val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
     val gi = sigs.select(col("doc_id").as("doc_i"), col("sig").as("sig_i"))
     val gj = sigs.select(col("doc_id").as("doc_j"), col("sig").as("sig_j"))
     val screened = candidates
-      .join(broadcast(gi), "doc_i")
-      .join(broadcast(gj), "doc_j")
+      .join(gi.hint("merge"), "doc_i")
+      .join(gj.hint("merge"), "doc_j")
       .withColumn("agree", aggregate(
         zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), _ + _))

@@ -31,13 +31,20 @@ object TextQueries {
   /** Q3 — hashtag explode, the reference's `#\w+` semantics verbatim,
     * through the engine's custom Catalyst expression
     * ([[graft.functions.ExtractHashtags]], registered as the SQL
-    * function `hashtags`). (This corpus contains no `#` characters, so
-    * the result is empty — the oracle computes the same; behavioral
-    * proof on hashtag-bearing text lives in TextFunctionsSpec /
-    * ExtractHashtagsSpec.) */
+    * function `hashtags`).
+    *
+    * The raw corpus contains no `#` characters, which made the r3
+    * oracle row vacuous (both engines agreed on the empty set). The
+    * query therefore runs over a derived tweet-shaped view — each
+    * document tagged with its language and source (`text #lang
+    * #source`) — so the extractor, explode, and count pipeline is
+    * exercised on real matches end-to-end; the oracle derives the
+    * identical view. Raw-text behavioral proof lives in
+    * TextFunctionsSpec / ExtractHashtagsSpec. */
   def q3HashtagExplode(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ExtractHashtags.ensureRegistered(spark)
     Tables.load(spark, dir, "documents")
+      .select(concat(col("text"), lit(" #"), col("lang"), lit(" #"), col("source")).as("text"))
       .select(explode(call_function("hashtags", col("text"))).as("tag"))
       .groupBy("tag").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tag")).limit(20)

@@ -107,12 +107,64 @@ object StreamingPipelines {
     chunkDir
   }
 
+  // ---- source seam -----------------------------------------------------
+
+  /** Where a production source plugs in (O1/O2). The reference consumes
+    * a Kafka topic of JSON tweets
+    * (TwitterDatasetTrendingHashtag.java:64-72); this environment has no
+    * Kafka broker or connector jar, so the default is the chunked
+    * parquet file stream — same micro-batch machinery (offsets,
+    * rate-limit knob, watermark, state). Swapping in Kafka is a config
+    * change, not a code change: the kafka branch below carries the full
+    * option surface and the wire-format decode (binary value →
+    * from_json → typed columns, the reference's O4), and only needs the
+    * spark-sql-kafka connector on the classpath. */
+  final case class SourceConfig(
+      format: String = "parquet",               // "parquet" | "kafka"
+      path: String = "",                        // file-source dir
+      filesPerTrigger: Int = 10,                // file-source rate knob
+      kafkaBootstrap: String = "localhost:9092",
+      kafkaTopic: String = "events",
+      kafkaStartingOffsets: String = "earliest",
+      kafkaMaxOffsetsPerTrigger: Long = 100000L) // kafka rate knob
+
+  /** Build the canonical typed event stream from a source config; every
+    * pipeline downstream is source-agnostic. */
+  def eventStream(spark: SparkSession, src: SourceConfig): DataFrame = src.format match {
+    case "kafka" =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", src.kafkaBootstrap)
+        .option("subscribe", src.kafkaTopic)
+        .option("startingOffsets", src.kafkaStartingOffsets)
+        .option("maxOffsetsPerTrigger", src.kafkaMaxOffsetsPerTrigger)
+        .load()
+        // wire contract: value = JSON event (reference O4); corrupt
+        // records null out and are dropped, per SURVEY §1.2
+        .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+        .where(col("e").isNotNull)
+        .select(col("e.*"))
+    case _ =>
+      spark.readStream
+        .schema(eventSchema)
+        .option("maxFilesPerTrigger", src.filesPerTrigger)
+        .parquet(src.path)
+  }
+
   // ---- the three reference pipelines, replayed to completion -----------
 
-  /** Run all three streaming queries concurrently on one session (O19,
+  /** Run all the streaming queries concurrently on one session (O19,
     * S:86-109) over the chunked replay; block until drained; return the
-    * final sink state. */
-  def replay(spark: SparkSession, dir: String): SinkState = {
+    * final sink state.
+    *
+    * filesPerTrigger sizes the replay at ~3 triggers + drain per query
+    * (30 day-chunks / 10): multi-trigger semantics (watermark advance,
+    * state carry-over, per-trigger upserts) are still exercised, but the
+    * wall clock is not dominated by trigger bookkeeping — r3 ran 11
+    * triggers × 5 queries and spent ~26 s mostly on offset/commit-log
+    * and state-store churn. Parity is batch-size-independent here: the
+    * replay is event-time-ordered, so a row's window is never below the
+    * watermark when it arrives (no drops at any trigger granularity). */
+  def replay(spark: SparkSession, dir: String, filesPerTrigger: Int = 10): SinkState = {
     import spark.implicits._
     val sink = new SinkState
     val chunkDir = chunkEvents(spark, dir)
@@ -127,10 +179,8 @@ object StreamingPipelines {
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-    def source: DataFrame = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 3) // the rate-limit knob (S:69)
-      .parquet(chunkDir.toString)
+    def source: DataFrame = eventStream(spark,
+      SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
 
     // O12 — tumbling 1-minute count, update mode, upsert sink
     val tumbling = source
@@ -244,7 +294,138 @@ object StreamingPipelines {
   private val cache = TrieMap.empty[String, SinkState]
   def replayCached(spark: SparkSession, dir: String): SinkState =
     cache.getOrElseUpdate(dir, replay(spark, dir))
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = { cache.clear(); dedupCache.clear() }
+
+  // ---- streaming dropDuplicates (q20f) ---------------------------------
+
+  /** Streaming exact dedup: first occurrence per user_id across the
+    * whole replay (`dropDuplicates` keyed state). Its own replay, timed
+    * separately from the shared one in Bench.
+    *
+    * Scale note: key-only dropDuplicates state is O(distinct keys) and
+    * never evicted — correct for the exact global-dedup contract this
+    * query declares (oracle = DISTINCT over the batch table). When the
+    * dedup contract is time-bounded, `dropDuplicatesWithinWatermark`
+    * bounds state to the watermark horizon; the batch-side digest dedup
+    * (q16) is the exact-at-rest path at 100 TB. */
+  def dropDupReplay(spark: SparkSession, dir: String, filesPerTrigger: Int = 10): Seq[Long] = {
+    val chunkDir = chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+        .withWatermark("ts", "300 seconds")
+        .dropDuplicates("user_id")
+        .select("user_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.add(r.getLong(0)))
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    seen.asScala.toSeq
+  }
+
+  private val dedupCache = TrieMap.empty[String, Seq[Long]]
+  def dropDupReplayCached(spark: SparkSession, dir: String): Seq[Long] =
+    dedupCache.getOrElseUpdate(dir, dropDupReplay(spark, dir))
+
+  /** Q20f — drained streaming dropDuplicates state; oracle = batch
+    * DISTINCT user_id. */
+  def q20fStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dropDupReplayCached(spark, dir).toDF("user_id").orderBy("user_id")
+  }
+
+  // ---- continuous operation (ProcessingTime trigger) -------------------
+
+  /** The reference's actual operating mode: an unbounded micro-batch
+    * loop on a fixed cadence (500 ms,
+    * TwitterDStreamTrendingHashtag.java:49; default trigger at
+    * TwitterDatasetTrendingHashtag.java:86) — not replay-to-drain. Runs
+    * the trending per-(window, type) pipeline under
+    * `Trigger.ProcessingTime(triggerMs)`, polls progress until the
+    * source is exhausted, stops the query, and returns the final upsert
+    * state plus each trigger's `triggerExecution` duration so the SLA
+    * the reference implies (work per trigger < slide) is *measured*,
+    * not assumed — see StreamingParitySpec and BASELINE.md. */
+  def processingTimeReplay(spark: SparkSession, dir: String, triggerMs: Long = 500,
+                           filesPerTrigger: Int = 3): (Map[(Timestamp, String), Long], Seq[Long]) = {
+    val chunkDir = chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("graft-pt-ckpt").toString
+    val state = TrieMap.empty[(Timestamp, String), Long]
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => state.put((r.getTimestamp(0), r.getString(1)), r.getLong(2)))
+      }.start()
+    try {
+      // drain detection: stop after two consecutive empty triggers
+      var emptyStreak = 0
+      var lastBatchId = -1L
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (emptyStreak < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(triggerMs)
+        val p = q.lastProgress
+        if (p != null && p.batchId != lastBatchId) {
+          lastBatchId = p.batchId
+          emptyStreak = if (p.numInputRows == 0) emptyStreak + 1 else 0
+        }
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    }
+    val durations = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").longValue())
+    (state.toMap, durations)
+  }
+
+  // ---- durable sink (foreachBatch → parquet, idempotent) ---------------
+
+  /** The durable-sink path (VERDICT r3 gap #3): the reference writes
+    * (measurement, time, tags, fields) points to InfluxDB
+    * (TwitterDatasetTrendingHashtag.java:242-248); the portable
+    * equivalent is an idempotent `foreachBatch` parquet append — each
+    * epoch writes to `sink/batch_id=N`, so a replayed epoch after
+    * failure OVERWRITES its own directory instead of duplicating rows
+    * (exactly-once at rest on top of the source's replayable offsets).
+    * Returns the sink path; rows carry the point shape
+    * (measurement, time, tag, value). */
+  def durableSinkReplay(spark: SparkSession, dir: String, filesPerTrigger: Int = 10): String = {
+    val chunkDir = chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val out = Files.createTempDirectory("graft-sink-out").toString
+    val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("events_per_minute").as("measurement"),
+              col("window.start").as("time"),
+              col("event_type").as("tag"),
+              col("cnt").as("value"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
 
   /** O13 on the modern arbitrary-state API (`transformWithState`,
     * Spark 4): same semantics as the mapGroupsWithState pipeline —
@@ -282,8 +463,7 @@ object StreamingPipelines {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     try {
-      val q = spark.readStream.schema(eventSchema)
-        .option("maxFilesPerTrigger", 3).parquet(chunkDir.toString)
+      val q = eventStream(spark, SourceConfig(path = chunkDir.toString))
         .as[Event]
         .withWatermark("ts", "300 seconds")
         .groupByKey(_ => "count")

@@ -71,4 +71,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "LSH must never plan a cartesian product")
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must come from equi-joins on band keys")
   }
+
+  private def broadcastOutputs(p: SparkPlan): Seq[String] =
+    allNodes(p).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.output.map(_.name)
+    }.flatten
+
+  test("q16b/q16d: the corpus-sized signature table is never broadcast") {
+    // the screen's sig lookups must be shuffle joins — a broadcast of
+    // the signature table ships ~1 KB × corpus to every executor and
+    // OOMs at 100 TB (VERDICT r3 #1)
+    for (df <- Seq(DedupQueries.q16bNearDup(spark, dir),
+                   DedupQueries.q16dCharNgramNearDup(spark, dir))) {
+      val names = broadcastOutputs(finalPlan(df))
+      assert(!names.exists(n => n.startsWith("sig")),
+        s"signature columns crossed a broadcast exchange: $names")
+    }
+  }
+
+  test("q16: exact dedup shuffles a digest key, never the document text") {
+    val plan = finalPlan(DedupQueries.q16ExactDedup(spark, dir))
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }.flatten
+    assert(!shuffled.contains("text"),
+      s"full text crossed a shuffle — group on the digest instead: $shuffled")
+    assert(plan.toString.contains("xxhash64"), "digest key must be in the grouping")
+  }
 }

@@ -111,6 +111,56 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(total == 1000L)
   }
 
+  test("q20f drained dropDuplicates state equals batch DISTINCT user_id") {
+    import spark.implicits._
+    val got = StreamingPipelines.q20fStreamDedup(spark, "/root/testdata/sf0.001")
+      .as[Long].collect().toSeq
+    val want = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id").distinct().as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("ProcessingTime trigger: sustained operation meets the per-trigger SLA") {
+    import spark.implicits._
+    val (state, durations) = StreamingPipelines.processingTimeReplay(
+      spark, "/root/testdata/sf0.001", triggerMs = 500, filesPerTrigger = 3)
+    // parity: final upsert state == batch per-(minute, type) counts
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, c) => ((w, t), c) }.toMap
+    assert(state == batch)
+    // the reference's implied SLA: work per trigger < the 5 s slide
+    // (TwitterDatasetTrendingHashtag.java:80) — measured, not assumed
+    assert(durations.nonEmpty)
+    assert(durations.max < 5000L,
+      s"trigger execution ${durations.max} ms breaches the 5 s slide SLA")
+  }
+
+  test("durable foreachBatch parquet sink: idempotent per-epoch dirs, last write wins") {
+    import spark.implicits._
+    val out = StreamingPipelines.durableSinkReplay(spark, "/root/testdata/sf0.001")
+    // partition discovery surfaces batch_id; update-mode re-emits a key
+    // on change, so the key's latest epoch carries its final value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("time", "tag").orderBy(col("batch_id").desc)
+    val latest = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("time"), col("tag"), col("value"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    assert(latest == batch)
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
