@@ -133,5 +133,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(TextSim.jacFnName),
        new ExpressionInfo(classOf[CharNgramJaccard].getCanonicalName, TextSim.jacFnName),
        (exprs: Seq[Expression]) => CharNgramJaccard(exprs(0), exprs(1), exprs(2))))
+    // whole-operator extension: the LSH similarity self-join logical
+    // node, lowered to the band-join assembly inside the operator-
+    // optimization fixed point (graft.plans.SimilarityJoin)
+    ext.injectOptimizerRule(spark => new graft.plans.ExpandSimilarityJoin(spark))
   }
 }

@@ -137,7 +137,13 @@ object DedupQueries {
         zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), _ + _))
       .where(col("agree") >= minAgree)
-      .select("doc_i", "doc_j").distinct()
+      // pair-dedup as an explicit aggregate (not .distinct(): this
+      // subtree is also assembled inside the optimizer by
+      // ExpandSimilarityJoin, after ReplaceDeduplicateWithAggregate has
+      // already run — a Deduplicate node introduced there would reach
+      // the planner unreplaced; the unused count is pruned)
+      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("_c"))
+      .select("doc_i", "doc_j")
 
     val si = raw.select(col("doc_id").as("doc_i"), payloadCol.as("p_i"))
     val sj = raw.select(col("doc_id").as("doc_j"), payloadCol.as("p_j"))
@@ -172,11 +178,9 @@ object DedupQueries {
     val raw = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
-    nearDupPairs(raw,
-      sigCol = call_function(graft.functions.MinHash.sigFnName, shingles(col("toks"), 3)),
-      payloadCol = shingles(col("toks"), 3),
-      jacOf = arrayJaccard,
-      threshold = 0.8)
+    // declared through the SimilarityJoin logical operator; the
+    // optimizer rule lowers it to nearDupPairs' band-join assembly
+    graft.plans.SimilarityJoin.wordNearDup(raw, 0.8)
   }
 
   /** Q16d — near-dup pairs on character-5-gram shingles (robust to
@@ -190,11 +194,7 @@ object DedupQueries {
     val raw = Tables.load(spark, dir, "documents")
       .where(length(col("text")) >= 5)
       .select(col("doc_id"), col("text"))
-    nearDupPairs(raw,
-      sigCol = call_function(graft.functions.MinHash.charFnName, col("text"), lit(5)),
-      payloadCol = col("text"),
-      jacOf = (a, b) => call_function(graft.functions.TextSim.jacFnName, a, b, lit(5)),
-      threshold = 0.8)
+    graft.plans.SimilarityJoin.charNearDup(raw, 0.8)
   }
 
   // ---- SimHash --------------------------------------------------------

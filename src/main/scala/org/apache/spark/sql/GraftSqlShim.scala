@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` plan↔DataFrame constructors for graft's
+  * custom logical operator API ([[graft.plans.SimilarityJoin]]) — the
+  * standard shim pattern for Spark extension libraries that introduce
+  * their own `LogicalPlan` nodes. */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -90,6 +90,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q16b: declared via the SimilarityJoin operator, lowered by the injected rule") {
+    val df = DedupQueries.q16bNearDup(spark, dir)
+    val declared = df.queryExecution.analyzed.collect {
+      case s: graft.plans.SimilarityJoin => s
+    }
+    assert(declared.nonEmpty, "analyzed plan must contain the SimilarityJoin node")
+    assert(declared.head.mode == graft.plans.SimilarityJoin.WordMode)
+    val lowered = df.queryExecution.optimizedPlan.collect {
+      case s: graft.plans.SimilarityJoin => s
+    }
+    assert(lowered.isEmpty, "optimizer must lower SimilarityJoin to the band-join assembly")
+    // lowering is semantics-preserving: same pairs as the direct assembly
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val raw = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    val direct = DedupQueries.nearDupPairs(raw,
+      sigCol = call_function(graft.functions.MinHash.sigFnName, shingles(col("toks"), 3)),
+      payloadCol = shingles(col("toks"), 3),
+      jacOf = DedupQueries.arrayJaccard,
+      threshold = 0.8).collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == direct)
+  }
+
   test("q16: exact dedup shuffles a digest key, never the document text") {
     val plan = finalPlan(DedupQueries.q16ExactDedup(spark, dir))
     val shuffled = allNodes(plan).collect {
