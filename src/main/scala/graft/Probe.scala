@@ -27,11 +27,19 @@ object Probe {
       }
     })
 
-    for (i <- 0 until reps) {
-      val t0 = System.nanoTime()
-      val s = graft.streaming.StreamingPipelines.replay(spark, dir, fpt)
-      println(s"[probe] rep=$i fpt=$fpt replay=${(System.nanoTime() - t0) / 1e9}s " +
-        s"windows=${s.windowCounts.size} joins=${s.joinPairs.size()}")
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
+      val (state, durations) = graft.streaming.StreamingPipelines
+        .processingTimeReplay(spark, dir, triggerMs = 500, filesPerTrigger = fpt)
+      println(s"[probe] pt keys=${state.size} triggers=${durations.size} " +
+        s"durationsMs=${durations.mkString(",")} max=${durations.max} " +
+        s"mean=${durations.sum / durations.size}")
+    } else {
+      for (i <- 0 until reps) {
+        val t0 = System.nanoTime()
+        val s = graft.streaming.StreamingPipelines.replay(spark, dir, fpt)
+        println(s"[probe] rep=$i fpt=$fpt replay=${(System.nanoTime() - t0) / 1e9}s " +
+          s"windows=${s.windowCounts.size} joins=${s.joinPairs.size()}")
+      }
     }
     spark.stop()
   }
