@@ -10,8 +10,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir  = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val fpt  = args.lift(1).map(_.toInt).getOrElse(10)
-    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    def fpt  = args.lift(1).map(_.toInt).getOrElse(10)
+    def reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
 
@@ -27,7 +27,20 @@ object Probe {
       }
     })
 
-    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("q")) {
+      // isolate named queries: 1 warmup + 3 timed noop-sink runs each
+      val names = args.drop(1)
+      names.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val times = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $n times=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
+    } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
       val (state, durations) = graft.streaming.StreamingPipelines
         .processingTimeReplay(spark, dir, triggerMs = 500, filesPerTrigger = fpt)
       println(s"[probe] pt keys=${state.size} triggers=${durations.size} " +
