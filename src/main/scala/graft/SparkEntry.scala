@@ -56,6 +56,7 @@ object SparkEntry {
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
+    "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +353,9 @@ object SparkEntry {
     // drained streaming dropDuplicates state == batch DISTINCT
     "q20f_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    // the salted two-phase plan is result-identical to the plain GROUP BY
+    "q21_skew_agg" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

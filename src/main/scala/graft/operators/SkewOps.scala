@@ -35,4 +35,16 @@ object SkewOps {
       .groupBy("key")
       .agg(sum("partial").as("sum"))
   }
+
+  /** Q21 — hot-key aggregation through the salted two-phase plan,
+    * declared end-to-end: `event_type` has 5 values over the whole
+    * table, the canonical hot-key shape where a single-phase groupBy
+    * funnels each key through one reducer. Phase 1 spreads each key
+    * over 8 salt buckets, phase 2 merges 5×8 partials — the straggler
+    * becomes 8 balanced tasks. Oracle = the plain GROUP BY (the salted
+    * plan is result-identical by construction). */
+  def q21SkewAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    saltedCount(graft.core.Tables.load(spark, dir, "events"), col("event_type"), 8)
+      .select(col("key").as("event_type"), col("count").as("n"))
+      .orderBy("event_type")
 }

@@ -115,6 +115,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == direct)
   }
 
+  test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
+    val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(shuffled.exists(_.contains("__salt")),
+      s"phase-1 shuffle must be keyed by (key, salt): $shuffled")
+  }
+
   test("q16: exact dedup shuffles a digest key, never the document text") {
     val plan = finalPlan(DedupQueries.q16ExactDedup(spark, dir))
     val shuffled = allNodes(plan).collect {
