@@ -47,6 +47,8 @@ object SparkEntry {
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
     "q18d_fingerprint"     -> (TextQueries.q18dFingerprint _),
+    "q18e_quality_filter"  -> (TextQueries.q18eQualityFilter _),
+    "q18f_sequence_pack"   -> (TextQueries.q18fSequencePack _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -303,6 +305,38 @@ object SparkEntry {
         |        s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q18e/q18f: same expressions as the engine; the filter compares the
+    // ROUNDED avg_token_len (identical doubles both engines) and rule
+    // order is first-match
+    "q18e_quality_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr_raw
+        |      FROM tk),
+        |r AS (SELECT doc_id, n_tokens, avg_token_len,
+        |        ROUND(dr_raw, 4) AS distinct_ratio,
+        |        CASE WHEN n_tokens < 20 THEN 'too_short'
+        |             WHEN n_tokens > 80 THEN 'too_long'
+        |             WHEN avg_token_len < 4.0 OR avg_token_len > 5.0 THEN 'token_len'
+        |             WHEN dr_raw < 0.4 THEN 'repetitive'
+        |             ELSE 'ok' END AS reason
+        |      FROM m)
+        |SELECT doc_id, n_tokens, avg_token_len, distinct_ratio, reason,
+        |       CAST(reason = 'ok' AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q18f_sequence_pack" ->
+      """WITH tk AS (SELECT doc_id,
+        |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS start_offset
+        |      FROM tk)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       CAST(start_offset // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q19_multimodal_roundtrip" ->
       """WITH j AS (SELECT d.doc_id, e.embedding,
         |    to_json(struct_pack(doc_id := d.doc_id, lang := d.lang,

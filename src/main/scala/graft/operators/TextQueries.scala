@@ -113,4 +113,67 @@ object TextQueries {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
+
+  /** Q18e — pretraining quality filter: the q18 signals composed into a
+    * keep/drop decision with the FIRST failing rule as the reason (rule
+    * order is part of the contract — deterministic, auditable drops are
+    * how data pipelines stay debuggable). Pure map over the corpus: at
+    * 100 TB this is a single scan with zero shuffles (the orderBy is
+    * oracle-harness determinism only). Thresholds sit inside this
+    * corpus's observed ranges so every rule actually fires. */
+  def q18eQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+                .cast("double") / size(toks), 4).as("avg_token_len"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio_raw"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        round(col("distinct_ratio_raw"), 4).as("distinct_ratio"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 80, "too_long")
+          .when(col("avg_token_len") < 4.0 || col("avg_token_len") > 5.0, "token_len")
+          .when(col("distinct_ratio_raw") < 0.4, "repetitive")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", (col("reason") === "ok").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Q18f — sequence packing (concat-and-chunk pretraining layout):
+    * documents concatenated in doc_id order; each doc's pack is the
+    * 2048-token chunk its start offset falls in. The global running
+    * token sum uses the q8 two-phase plan — range-partition by doc_id,
+    * per-partition cumulative sums, broadcast per-partition prefix
+    * offsets — so no single task ever sees more than its partition
+    * (a bare `Window.orderBy` would serialize the corpus through one
+    * task; pinned scale-safe in PlanShapeSpec for q8's identical
+    * shape). */
+  def q18fSequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packTokens = 2048
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("local_sum", sum(col("n_tokens")).over(localW))
+    val sums = ranged.groupBy("pid").agg(sum(col("n_tokens")).as("t"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b.pid") < col("a.pid"), "left_outer")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("offset"))
+    local
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("offset") + col("local_sum") - col("n_tokens")).as("start_offset"))
+      .withColumn("pack_id", expr(s"start_offset DIV $packTokens"))
+      .orderBy("doc_id")
+  }
 }
