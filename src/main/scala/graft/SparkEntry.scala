@@ -58,6 +58,7 @@ object SparkEntry {
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
+    "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
   )
 
@@ -387,6 +388,10 @@ object SparkEntry {
     // drained streaming dropDuplicates state == batch DISTINCT
     "q20f_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    // sharded (scalable) running count sums to the same global total as
+    // the single-key parity funnel (q20c)
+    "q20g_stream_sharded" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS running_cnt FROM events""".stripMargin,
     // the salted two-phase plan is result-identical to the plain GROUP BY
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events

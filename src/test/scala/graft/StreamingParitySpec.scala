@@ -113,12 +113,61 @@ class StreamingParitySpec extends AnyFunSuite {
 
   test("q20f drained dropDuplicates state equals batch DISTINCT user_id") {
     import spark.implicits._
-    val got = StreamingPipelines.q20fStreamDedup(spark, "/root/testdata/sf0.001")
-      .as[Long].collect().toSeq
+    val df = StreamingPipelines.q20fStreamDedup(spark, "/root/testdata/sf0.001")
+    // the oracle-feeding path must READ THE DURABLE SINK (a distributed
+    // parquet scan), not re-parallelize driver-collected state
+    // (VERDICT r4 #1: the old path OOMs the driver at corpus-scale keys)
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20f must be fed by the durable parquet sink, not driver memory")
+    val got = df.as[Long].collect().toSeq
     val want = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select("user_id").distinct().as[Long].collect().sorted.toSeq
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("q20g sharded running count: partials spread over shards, sum equals COUNT(*)") {
+    val partials = StreamingPipelines.shardedRunningReplay(spark, "/root/testdata/sf0.001")
+    assert(partials.values.sum == 1000L)
+    // the point of the variant: state is NOT a single hot key
+    assert(partials.size > 1,
+      s"expected state across multiple shards, got ${partials.keySet}")
+    import spark.implicits._
+    val viaQuery = StreamingPipelines
+      .q20gStreamRunningSharded(spark, "/root/testdata/sf0.001")
+      .as[Long].head()
+    assert(viaQuery == 1000L)
+  }
+
+  test("checkpoint recovery: killed replay resumes and the sink stays exactly-once") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("reco-ckpt").toString
+    val out = Files.createTempDirectory("reco-out").toString
+    // run 1: kill the query after ≥1 committed epoch (mid-replay)
+    StreamingPipelines.durableSinkReplay(spark, "/root/testdata/sf0.001",
+      filesPerTrigger = 3, ckptOpt = Some(ckpt), outOpt = Some(out), stopAfterBatches = 1)
+    // run 2: same checkpoint — must resume from committed offsets and
+    // finish the replay, idempotently overwriting any half-written epoch
+    StreamingPipelines.durableSinkReplay(spark, "/root/testdata/sf0.001",
+      filesPerTrigger = 3, ckptOpt = Some(ckpt), outOpt = Some(out))
+    val all = spark.read.parquet(out)
+    // epochs were split across the two runs (not restarted from zero)
+    val epochs = all.select("batch_id").distinct().as[Long].collect().sorted
+    assert(epochs.length >= 2, s"expected multiple epochs, got ${epochs.toSeq}")
+    // exactly-once at rest: latest-epoch-wins state == the batch answer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("time", "tag").orderBy(col("batch_id").desc)
+    val latest = all.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("time"), col("tag"), col("value"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    assert(latest == batch)
   }
 
   test("ProcessingTime trigger: sustained operation meets the per-trigger SLA") {
