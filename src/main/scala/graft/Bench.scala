@@ -51,10 +51,13 @@ object Bench {
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def obj(res: Seq[(String, Double)]): String =
+      res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // raw passes are emitted alongside the min so the min-of-two
+    // methodology is auditable (and comparable to single-pass rounds)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,12 +43,14 @@ object SparkEntry {
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
+    "q17d_int8_quant"      -> (SimilarityQueries.q17dInt8Quant _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
     "q18d_fingerprint"     -> (TextQueries.q18dFingerprint _),
     "q18e_quality_filter"  -> (TextQueries.q18eQualityFilter _),
     "q18f_sequence_pack"   -> (TextQueries.q18fSequencePack _),
+    "q18g_train_split"     -> (TextQueries.q18gTrainSplit _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -338,6 +340,31 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_offset,
         |       CAST(start_offset // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // same rolling-hash bucket both engines compute bit-identically
+    // (fingerprint mod 100 → 80/10/10 content-hashed split)
+    "q18g_train_split" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(text, '\s+'),
+        |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp % 100 AS bucket,
+        |  CASE WHEN fp % 100 < 80 THEN 'train'
+        |       WHEN fp % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    // FLOOR (not round-half-even) on the identical IEEE product keeps
+    // the int8 codes bit-exact across engines
+    "q17d_int8_quant" ->
+      """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS pos,
+        |  CAST(floor(unnest(v) * s) AS BIGINT) AS qval,
+        |  ROUND(s, 6) AS scale
+        |FROM m ORDER BY vec_id, pos""".stripMargin,
     "q19_multimodal_roundtrip" ->
       """WITH j AS (SELECT d.doc_id, e.embedding,
         |    to_json(struct_pack(doc_id := d.doc_id, lang := d.lang,

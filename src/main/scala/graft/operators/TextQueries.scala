@@ -143,6 +143,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q18g — deterministic train/val/test assignment: bucket =
+    * fingerprint(toks) mod 100 (the polynomial rolling hash both
+    * engines compute bit-identically; xxhash64 has no DuckDB twin),
+    * split 80/10/10. Content-hashed splits are how training pipelines
+    * keep a document in the same split across reshuffles, re-crawls
+    * and engine swaps — row position or RNG would migrate docs between
+    * train and eval. Pure map: one scan, zero shuffles at 100 TB (the
+    * orderBy is oracle-harness determinism only). */
+  def q18gTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), pmod(fingerprint(col("toks")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
   /** Q18f — sequence packing (concat-and-chunk pretraining layout):
     * documents concatenated in doc_id order; each doc's pack is the
     * 2048-token chunk its start offset falls in. The global running

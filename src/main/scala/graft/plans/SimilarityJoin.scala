@@ -32,21 +32,28 @@ case class SimilarityJoin(
     child: LogicalPlan,
     mode: String,
     threshold: Double,
+    docId: Attribute,
+    payload: Attribute,
     out: Seq[Attribute]) extends UnaryNode {
   override def output: Seq[Attribute] = out
   // `out` is produced here, not drawn from the child — without this the
-  // analyzer would flag the output attributes as missing inputs
+  // analyzer would flag the output attributes as missing inputs.
+  // `docId`/`payload` are constructor Expressions, so they land in
+  // `references` automatically: column pruning keeps them alive and any
+  // rewrite that would drop them is rejected by the analyzer instead of
+  // failing inside the lowering (the node consumes exactly these two
+  // child columns, by ExprId rather than by name).
   override def producedAttributes: AttributeSet = AttributeSet(out)
   override protected def withNewChildInternal(newChild: LogicalPlan): SimilarityJoin =
     copy(child = newChild)
 }
 
 object SimilarityJoin {
-  /** child schema (doc_id, toks: array<string>) — word-3-gram shingle
-    * Jaccard (q16b semantics). */
+  /** payload = array<string> of tokens — word-3-gram shingle Jaccard
+    * (q16b semantics). */
   val WordMode = "word3gram"
-  /** child schema (doc_id, text: string) — character-5-gram Jaccard
-    * computed in-place, no shingle materialization (q16d semantics). */
+  /** payload = string — character-5-gram Jaccard computed in-place, no
+    * shingle materialization (q16d semantics). */
   val CharMode = "char5gram"
 
   private def freshOutput(): Seq[Attribute] = Seq(
@@ -54,12 +61,26 @@ object SimilarityJoin {
     AttributeReference("doc_j", LongType)(),
     AttributeReference("jac", DoubleType)())
 
-  def wordNearDup(raw: DataFrame, threshold: Double): DataFrame = build(raw, WordMode, threshold)
-  def charNearDup(raw: DataFrame, threshold: Double): DataFrame = build(raw, CharMode, threshold)
+  def wordNearDup(raw: DataFrame, threshold: Double): DataFrame =
+    build(raw, WordMode, threshold, payloadName = "toks")
+  def charNearDup(raw: DataFrame, threshold: Double): DataFrame =
+    build(raw, CharMode, threshold, payloadName = "text")
 
-  private def build(raw: DataFrame, mode: String, threshold: Double): DataFrame =
+  /** The doc-id and payload columns are resolved ONCE, at declaration —
+    * a child missing them fails here with a clear message, not deep in
+    * the optimizer fixed point (they ride the node as Attributes from
+    * then on, immune to renames above/below). */
+  private def build(raw: DataFrame, mode: String, threshold: Double,
+                    payloadName: String): DataFrame = {
+    val analyzed = raw.queryExecution.analyzed
+    def resolve(name: String): Attribute = analyzed.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"SimilarityJoin($mode) child must provide a `$name` column; " +
+        s"got ${analyzed.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(raw.sparkSession,
-      SimilarityJoin(raw.queryExecution.analyzed, mode, threshold, freshOutput()))
+      SimilarityJoin(analyzed, mode, threshold,
+        resolve("doc_id"), resolve(payloadName), freshOutput()))
+  }
 }
 
 /** Lowers [[SimilarityJoin]] to the band-join assembly. Runs in the
@@ -70,10 +91,15 @@ class ExpandSimilarityJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   import graft.functions.{MinHash, TextSim}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case SimilarityJoin(child, mode, threshold, out) =>
+    case SimilarityJoin(child, mode, threshold, docId, payload, out) =>
       MinHash.ensureRegistered(spark)
       TextSim.ensureRegistered(spark)
-      val raw = GraftSqlShim.ofRows(spark, child)
+      // normalize to the canonical column names by ExprId: the captured
+      // attributes stay valid under renames/pruning of the child
+      val payloadName = if (mode == SimilarityJoin.WordMode) "toks" else "text"
+      val canonical = Project(Seq(
+        Alias(docId, "doc_id")(), Alias(payload, payloadName)()), child)
+      val raw = GraftSqlShim.ofRows(spark, canonical)
       val expanded = mode match {
         case SimilarityJoin.WordMode =>
           DedupQueries.nearDupPairs(raw,

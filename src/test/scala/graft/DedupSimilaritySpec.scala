@@ -101,6 +101,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
 
+  test("IVF index persists to disk: a fresh session reuses it without retraining") {
+    // first use (this or an earlier test) trains and writes the index dir
+    SimilarityQueries.q17cIvfTopK(spark, "/root/testdata/sf0.001").collect()
+    val trainedBefore = SimilarityQueries.ivfTrainCount.get()
+    // simulate a fresh JVM: empty in-memory memo, separate session state
+    SimilarityQueries.clearIvfCache()
+    val s2 = spark.newSession()
+    val rows = SimilarityQueries.q17cIvfTopK(s2, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 50)
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore,
+      "second session must LOAD the persisted centroid index, not retrain")
+  }
+
+  test("IVF k scales ~sqrt(N) with a floor, nprobe keeps the scan fraction constant") {
+    assert(SimilarityQueries.ivfKFor(100) == 16)   // floor
+    assert(SimilarityQueries.ivfKFor(10000) == 100)
+    assert(SimilarityQueries.ivfKFor(1000000) == 1000)
+    assert(SimilarityQueries.ivfNProbeFor(16) == 4)
+    assert(SimilarityQueries.ivfNProbeFor(100) == 25) // 25% of lists
+  }
+
   test("cosine: identity 1.0, orthogonal 0.0, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),

@@ -97,6 +97,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(declared.nonEmpty, "analyzed plan must contain the SimilarityJoin node")
     assert(declared.head.mode == graft.plans.SimilarityJoin.WordMode)
+    // the node must declare which child columns it consumes (doc id +
+    // payload) so pruning/renaming rules see real references
+    assert(declared.head.references.nonEmpty, "SimilarityJoin.references must not be empty")
+    assert(declared.head.references.exists(_.name == "doc_id"))
     val lowered = df.queryExecution.optimizedPlan.collect {
       case s: graft.plans.SimilarityJoin => s
     }
@@ -115,6 +119,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == direct)
   }
 
+  test("SimilarityJoin: a child missing the payload column fails at declaration") {
+    import spark.implicits._
+    val bad = Seq((1L, "some text")).toDF("doc_id", "wrong_name")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.SimilarityJoin.wordNearDup(bad, 0.8)
+    }
+    assert(e.getMessage.contains("toks"), e.getMessage)
+  }
+
   test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
     val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
     val shuffled = allNodes(plan).collect {
@@ -123,6 +136,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(shuffled.exists(_.contains("__salt")),
       s"phase-1 shuffle must be keyed by (key, salt): $shuffled")
+  }
+
+  test("q16e: the augmented embedding frame is cached — one source scan feeds three join sides") {
+    val plan = finalPlan(SimilarityQueries.q16eEmbeddingNearDup(spark, dir))
+    val str = plan.toString
+    // the scan+norm subtree is referenced from three plan positions
+    // (bucket keys, i-side, j-side); without the persist Catalyst
+    // recomputes it per side (no CSE across joins)
+    assert(str.contains("InMemoryTableScan"),
+      "q16e must read the persisted frame, not recompute the scan per join side")
+    val parquetScans = allNodes(plan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.toString.contains("embeddings")
+      case _ => false
+    }
+    assert(parquetScans == 0,
+      s"final plan should only read the cache; found $parquetScans embeddings file scans")
   }
 
   test("q16: exact dedup shuffles a digest key, never the document text") {
