@@ -200,9 +200,11 @@ object SimilarityQueries {
     centroids
   }
 
-  /** A trained IVF coarse quantizer: k, the derived probe fan-out, and
-    * the k×dim centroid matrix (the only driver-resident state). */
-  final case class IvfIndex(k: Int, nprobe: Int, centroids: Seq[(Int, Seq[Double])])
+  /** A trained IVF index: k, the derived probe fan-out, the k×dim
+    * centroid matrix (the only driver-resident state), and the path of
+    * the persisted inverted-list assignment table (id → cid). */
+  final case class IvfIndex(k: Int, nprobe: Int,
+                            centroids: Seq[(Int, Seq[Double])], assignPath: String)
 
   /** An ANN coarse quantizer is an INDEX — built once, PERSISTED, and
     * reused by every query and every session (FAISS trains offline; at
@@ -229,19 +231,26 @@ object SimilarityQueries {
       import spark.implicits._
       val idx = ivfIndexDir(dir)
       val centPath = idx.resolve("centroids").toString
-      if (java.nio.file.Files.exists(idx.resolve("_DONE"))) {
+      val assignPath = idx.resolve("assignments").toString
+      if (java.nio.file.Files.exists(idx.resolve("_DONE")) &&
+          java.nio.file.Files.exists(idx.resolve("assignments"))) {
         val cents = spark.read.parquet(centPath)
           .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-        IvfIndex(cents.size, ivfNProbeFor(cents.size), cents)
+        IvfIndex(cents.size, ivfNProbeFor(cents.size), cents, assignPath)
       } else {
         val k = ivfKFor(unit.count())
         val cents = ivfTrain(spark, unit, k)
         ivfTrainCount.incrementAndGet()
         java.nio.file.Files.createDirectories(idx)
         cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite").parquet(centPath)
+        // the inverted lists ARE the index: persist id→cid so queries
+        // read a 2-column table instead of recomputing N×k inner
+        // products per execution (FAISS add() happens at build time)
+        assignToCentroids(unit, cents.toDF("cid", "cvec"))
+          .write.mode("overwrite").parquet(assignPath)
         try java.nio.file.Files.createFile(idx.resolve("_DONE"))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        IvfIndex(k, ivfNProbeFor(k), cents)
+        IvfIndex(k, ivfNProbeFor(k), cents, assignPath)
       }
     })
   def clearIvfCache(): Unit = centroidCache.clear()
@@ -264,8 +273,9 @@ object SimilarityQueries {
     val ivf = ivfCentroids(spark, dir, unit)
     val cdf = ivf.centroids.toDF("cid", "cvec")
 
-    // inverted lists: id → nearest centroid
-    val index = assignToCentroids(unit, cdf)
+    // inverted lists: id → nearest centroid, READ from the persisted
+    // index (built once in ivfCentroids) — not recomputed per query
+    val index = spark.read.parquet(ivf.assignPath)
 
     // probes search their nprobe closest lists
     val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))

@@ -49,22 +49,33 @@ object StreamingPipelines {
   val RocksDBProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Set the RocksDB state-store provider for the duration of `body`,
-    * restoring the previous conf after. */
+  /** Changelog checkpointing: commit the per-batch delta instead of a
+    * full RocksDB snapshot — the production setting that keeps RocksDB
+    * commit latency flat as state grows (snapshots still happen, but
+    * asynchronously in the background). */
+  val RocksDBConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDBProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** Set the RocksDB state-store provider (+ its tuning confs) for the
+    * duration of `body`, restoring the previous conf after. */
   private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, RocksDBProvider)
+    val saved = RocksDBConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    RocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
   /** Sink state for one replay: the "InfluxDB measurements" of the
-    * reference, as upsertable in-memory tables. */
+    * reference, as upsertable in-memory tables. The tumbling pipeline
+    * additionally writes the durable per-epoch parquet sink
+    * (`tumblingSinkDir`), which is the path q20 reads — the in-memory
+    * table is the cheap stand-in for the OTHER derived views. */
   final class SinkState {
+    @volatile var tumblingSinkDir: String = _                            // durable O12 sink
     val windowCounts  = TrieMap.empty[Timestamp, Long]                   // O12 twin
     val slidingCounts = TrieMap.empty[Timestamp, Long]                   // O9 twin (5m/1m)
     val typeCounts    = TrieMap.empty[(Timestamp, String), Long]         // O11 input
@@ -211,14 +222,18 @@ object StreamingPipelines {
     // first start, so set it before start() and restore after.)
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey, RocksDBProvider) // picked up at query start
+    val savedProvider = RocksDBConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    RocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) } // picked up at query start
 
     def source: DataFrame = eventStream(spark,
       SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
 
-    // O12 — tumbling 1-minute count, update mode, upsert sink
+    // O12 — tumbling 1-minute count, update mode. Epochs land in the
+    // DURABLE per-epoch parquet sink (idempotent overwrite, same shape
+    // as durableSinkReplay) — the path q20StreamTumbling reads back —
+    // while the in-memory upsert remains for the parity spec's direct
+    // state assertions. No driver round-trip on the durable path.
+    sink.tumblingSinkDir = Files.createTempDirectory("graft-tumbling-out").toString
     val tumbling = source
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "1 minute"))
@@ -227,10 +242,15 @@ object StreamingPipelines {
       .writeStream.outputMode("update")
       .option("checkpointLocation", s"$ckpt/tumbling")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r => // bounded: only windows updated this trigger
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val persisted = batch.persist()
+        persisted.write.mode("overwrite")
+          .parquet(s"${sink.tumblingSinkDir}/batch_id=$batchId")
+        persisted.collect().foreach { r => // bounded: only windows updated this trigger
           sink.windowCounts.put(r.getTimestamp(0), r.getLong(1))
         }
+        persisted.unpersist()
+        ()
       }.start()
 
     // O9 — sliding event-time window (the reference's trending window
@@ -321,9 +341,9 @@ object StreamingPipelines {
     finally {
       WriterRegistry.queues.remove(runId)
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-      savedProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
+      savedProvider.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
     sink
@@ -635,11 +655,18 @@ object StreamingPipelines {
 
   // ---- q20 parity queries: final sink state as DataFrames --------------
 
-  /** Q20 — streamed tumbling counts; oracle = the batch q5 SQL. */
+  /** Q20 — streamed tumbling counts read back from the DURABLE per-epoch
+    * parquet sink (latest-epoch-wins per window: update mode re-emits a
+    * changed window each trigger, so its newest epoch carries the final
+    * count). The oracle-feeding path is the distributed sink read, not
+    * driver memory; oracle = the batch q5 SQL. */
   def q20StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    replayCached(spark, dir).windowCounts.toSeq
-      .toDF("window_start", "n_events")
+    import org.apache.spark.sql.expressions.Window
+    val out = replayCached(spark, dir).tumblingSinkDir
+    val w = Window.partitionBy("window_start").orderBy(col("batch_id").desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("window_start", "n_events")
       .orderBy("window_start")
   }
 

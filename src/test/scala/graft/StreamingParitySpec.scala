@@ -126,6 +126,20 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20StreamTumbling(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20 must be fed by the durable tumbling sink, not driver memory")
+    val got = df.as[(java.sql.Timestamp, Long)].collect().toMap
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(got == batch)
+  }
+
   test("q20g sharded running count: partials spread over shards, sum equals COUNT(*)") {
     val partials = StreamingPipelines.shardedRunningReplay(spark, "/root/testdata/sf0.001")
     assert(partials.values.sum == 1000L)
