@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_scalar_pack"    -> (RelationalQueries.q14ScalarPack _),
     "q15_distinct"       -> (RelationalQueries.q15Distinct _),
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
+    "q15c_quantiles"       -> (RelationalQueries.q15cQuantiles _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "q18e_quality_filter"  -> (TextQueries.q18eQualityFilter _),
     "q18f_sequence_pack"   -> (TextQueries.q18fSequencePack _),
     "q18g_train_split"     -> (TextQueries.q18gTrainSplit _),
+    "q18h_stratified_sample" -> (TextQueries.q18hStratifiedSample _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -62,6 +64,7 @@ object SparkEntry {
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
+    "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -168,6 +171,42 @@ object SparkEntry {
     "q15_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // both engines interpolate at rank p*(n-1) (quantile_cont ==
+    // Spark's exact percentile); 6dp rounding absorbs last-ulp drift
+    "q15c_quantiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // native ASOF LEFT JOIN as the independent oracle for the union-tag
+    // window implementation; purchase ties per (user, ts) pre-resolved
+    // to MAX(event_id) on both engines
+    "q22_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS purchase_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, p.purchase_id
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+    // content-hash stratified sample: same fingerprint, same
+    // (fp, doc_id) order, bottom-20 per lang
+    "q18h_stratified_sample" ->
+      """WITH fp AS (SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(text, '\s+'),
+        |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, fp,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rk
+        |      FROM fp)
+        |SELECT lang, rk, doc_id, fp FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     // same derived tweet-shaped view as the engine (raw corpus is
     // hashtag-free): text #lang #source
     "q3_hashtag_explode" ->

@@ -31,6 +31,25 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   override def outputEncoder: Encoder[Seq[Scored]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
 
+case class HashedDoc(lang: String, fp: Long, doc_id: Long)
+
+/** Bottom-k docs by (fp asc, doc_id asc) — deterministic content-hash
+  * stratified sampling: the k docs whose fingerprint sorts lowest
+  * within each stratum. Same bounded-buffer/partial-agg properties as
+  * [[TopKByScore]]: only k rows per group per partition cross the
+  * shuffle, never the stratum (a per-group `row_number` window would
+  * shuffle every row into as few partitions as there are strata). */
+class BottomKByHash(k: Int) extends Aggregator[HashedDoc, Seq[HashedDoc], Seq[HashedDoc]] {
+  private def best(xs: Seq[HashedDoc]): Seq[HashedDoc] =
+    xs.sortBy(x => (x.fp, x.doc_id)).take(k)
+  override def zero: Seq[HashedDoc] = Seq.empty
+  override def reduce(b: Seq[HashedDoc], a: HashedDoc): Seq[HashedDoc] = best(b :+ a)
+  override def merge(b1: Seq[HashedDoc], b2: Seq[HashedDoc]): Seq[HashedDoc] = best(b1 ++ b2)
+  override def finish(r: Seq[HashedDoc]): Seq[HashedDoc] = best(r)
+  override def bufferEncoder: Encoder[Seq[HashedDoc]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedDoc]]()
+  override def outputEncoder: Encoder[Seq[HashedDoc]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedDoc]]()
+}
+
 /** Top-k (tag, cnt) pairs by (cnt desc, tag asc) — trending top-k. */
 class TopKCounts(k: Int) extends Aggregator[TagCount, Seq[TagCount], Seq[TagCount]] {
   private def best(xs: Seq[TagCount]): Seq[TagCount] =

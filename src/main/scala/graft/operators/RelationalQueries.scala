@@ -163,4 +163,23 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
   }
+
+  /** Q15c — exact interpolated quantiles per group (both engines use the
+    * same linear-interpolation definition, rank = p·(n−1), so the
+    * doubles hash-match after 6dp rounding). Like q15/q15b, the exact
+    * path is the oracle-able twin: at 100 TB per-group exact percentile
+    * buffers O(group) values — production uses `percentile_approx`
+    * (t-digest, mergeable partials) for the same shape at bounded
+    * memory. */
+  def q15cQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
 }

@@ -161,6 +161,32 @@ object TextQueries {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Q18h — deterministic stratified sampling: the 20 docs per language
+    * whose content-hash fingerprint sorts lowest (fp asc, doc_id asc) —
+    * the balanced-sampling step of a training-data pipeline, reproducible
+    * across runs and engines because the sample is a pure function of
+    * content (no RNG). Executed with the bounded
+    * [[graft.functions.BottomKByHash]] Aggregator: k rows per stratum
+    * per partition cross the shuffle (partial aggregation), instead of
+    * every row funneling into one partition per stratum as a
+    * `row_number` window would — at 100 TB with a handful of strata
+    * that difference is the whole job. */
+  def q18hStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{BottomKByHash, HashedDoc}
+    val bottomK = new BottomKByHash(20).toColumn
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), fingerprint(tokens(col("text"))).as("fp"), col("doc_id"))
+      .as[HashedDoc]
+      .groupByKey(_.lang)
+      .agg(bottomK.name("sample"))
+      .toDF("lang", "sample")
+      .select(col("lang"), posexplode(col("sample")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+              col("col.doc_id").as("doc_id"), col("col.fp").as("fp"))
+      .orderBy("lang", "rk")
+  }
+
   /** Q18f — sequence packing (concat-and-chunk pretraining layout):
     * documents concatenated in doc_id order; each doc's pack is the
     * 2048-token chunk its start offset falls in. The global running
