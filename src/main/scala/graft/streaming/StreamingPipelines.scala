@@ -216,12 +216,15 @@ object StreamingPipelines {
 
     // Streaming state here is tiny per trigger (≤ a few thousand window
     // rows); 32 state-store partitions would mean 3 queries × N triggers
-    // × 32 near-empty state tasks of pure overhead. 8 is plenty locally;
-    // on a real cluster this is sized to state volume, not cores.
+    // × 32 near-empty state tasks of pure overhead — and with RocksDB
+    // each state partition is a native store instance whose open/commit
+    // dominates at this state size (measured: 4 partitions 5.5 s replay
+    // vs 8 partitions 6.5 s). 4 is right locally; on a real cluster
+    // this is sized to state volume, not cores.
     // (The partition count is baked into each query's checkpoint at
     // first start, so set it before start() and restore after.)
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val savedProvider = RocksDBConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     RocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) } // picked up at query start
 
@@ -379,7 +382,7 @@ object StreamingPipelines {
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
     val out = Files.createTempDirectory("graft-dedup-out").toString
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try withRocksDB(spark) {
       val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
         .dropDuplicates("user_id")
@@ -433,7 +436,7 @@ object StreamingPipelines {
     val ckpt = Files.createTempDirectory("graft-shard-ckpt").toString
     val partials = TrieMap.empty[Int, Long]
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val shardFn: (Int, Iterator[Event], GroupState[CountInfo]) => (Int, Long) =
       (shard, events, state) => {
         val next = CountInfo(state.getOption.map(_.count).getOrElse(0L) + events.size)
@@ -486,7 +489,7 @@ object StreamingPipelines {
     val ckpt = Files.createTempDirectory("graft-pt-ckpt").toString
     val state = TrieMap.empty[(Timestamp, String), Long]
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     // Drain detection: on Spark 3.4+/4.x an idle ProcessingTime trigger
     // emits QueryIdleEvent and does NOT update lastProgress (only ONE
     // no-data batch runs after the last data batch), so "two consecutive
