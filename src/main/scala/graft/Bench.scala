@@ -5,7 +5,8 @@ import graft.core.GraftSession
 /** Benchmark main — runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line `{"metric":"total","value":…,"queries":{…}}`.
   *
-  * Methodology (VERDICT r1 fixes; r4: min-of-two):
+  * Methodology (VERDICT r1 fixes; r4: min-of-two; r6: auditability +
+  * cross-query isolation):
   *  - deterministic query order (sorted by name) so warmup cost doesn't
   *    land on a random query;
   *  - one full warmup pass (JIT + codegen + parquet footer caching), then
@@ -13,13 +14,28 @@ import graft.core.GraftSession
   *    host noise is real (measured: a 15 s spike on a query whose
   *    isolated time is 1.1 s across 3 consecutive runs); min-of-two
   *    still times every query end-to-end through the noop sink while
-  *    halving exposure to transient stalls;
+  *    halving exposure to transient stalls; raw passes are emitted too;
   *  - results are materialized through the noop sink (every row is fully
   *    produced, nothing is collected to the driver, final orderBys are
   *    NOT optimized away under a count());
+  *  - after every query the Spark block-manager cache is cleared
+  *    (outside the timed window), and between passes streaming state
+  *    stores are unloaded and a full GC runs — one query's residency
+  *    must not bill the next query's clock (the r5 regression: cached
+  *    frames + accumulated RocksDB native stores inflated the whole
+  *    suite 1.1-6×, VERDICT r5 #1);
+  *  - per-pass GC time/count deltas are emitted in the JSON so memory
+  *    pressure is auditable instead of inferred;
   *  - a failed query reports `-1`, never its time-to-exception.
   */
 object Bench {
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(0L, b.getCollectionTime)).sum,
+     beans.map(b => math.max(0L, b.getCollectionCount)).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,13 +43,14 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      // q20* share one streamed replay (three concurrent queries on one
-      // session, reference O19). The replay cost is timed once, on
-      // q20_stream_tumbling (cache cleared → real replay); q20b/q20c are
-      // derived views of the same final sink state and time as such.
+      // q20* share one streamed replay (all streaming queries run
+      // concurrently on one session, reference O19). The replay cost is
+      // timed once, on q20_stream_tumbling (cache cleared → real
+      // replay); the other q20* entries are derived reads of the same
+      // drained sinks and time as such.
       if (name == "q20_stream_tumbling") graft.streaming.StreamingPipelines.clearCache()
       val t0 = System.nanoTime()
-      try {
+      val t = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -41,11 +58,28 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
       }
+      // cross-query isolation, outside the timed window: drop any
+      // cached blocks the query left behind (they'd occupy unified
+      // memory and bill later queries' GC)
+      spark.catalog.clearCache()
+      t
     }
 
-    ordered.foreach { case (n, f) => runOne(n, f) } // warmup pass
-    val pass1 = ordered.map { case (n, f) => n -> runOne(n, f) }
-    val pass2 = ordered.map { case (n, f) => n -> runOne(n, f) }
+    def runPass(label: String): (Seq[(String, Double)], (String, String)) = {
+      val (gcMs0, gcN0) = gcStats()
+      val res = ordered.map { case (n, f) => n -> runOne(n, f) }
+      val (gcMs1, gcN1) = gcStats()
+      // inter-pass hygiene: unload streaming state stores (native
+      // RocksDB instances) and compact the heap so pass N+1 starts from
+      // the same baseline as pass N
+      graft.streaming.StreamingPipelines.unloadStateStores()
+      System.gc()
+      (res, (label, s"""{"gc_ms":${gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0}}"""))
+    }
+
+    val (_, gcWarm) = runPass("warmup")
+    val (pass1, gc1) = runPass("pass1")
+    val (pass2, gc2) = runPass("pass2")
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       // a failure in either pass reports as failed; otherwise best-of-two
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -55,9 +89,11 @@ object Bench {
       res.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    // raw passes are emitted alongside the min so the min-of-two
-    // methodology is auditable (and comparable to single-pass rounds)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"failed":$nFailed,"sf":"$sfDir"}""")
+    val gcObj = Seq(gcWarm, gc1, gc2)
+      .map { case (l, j) => "\"" + l + "\":" + j }.mkString("{", ",", "}")
+    // raw passes + GC deltas are emitted alongside the min so the
+    // min-of-two methodology and any memory pressure are auditable
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"gc":$gcObj,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,7 +51,7 @@ object Probe {
         val t0 = System.nanoTime()
         val s = graft.streaming.StreamingPipelines.replay(spark, dir, fpt)
         println(s"[probe] rep=$i fpt=$fpt replay=${(System.nanoTime() - t0) / 1e9}s " +
-          s"windows=${s.windowCounts.size} joins=${s.joinPairs.size()}")
+          s"running=${s.runningLog.size()} shards=${s.shardPartials.size}")
       }
     }
     spark.stop()

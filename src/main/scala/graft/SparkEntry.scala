@@ -41,6 +41,7 @@ object SparkEntry {
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
     "q16d_charngram_neardup" -> (DedupQueries.q16dCharNgramNearDup _),
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
+    "q16e_raw_embedding_neardup" -> (SimilarityQueries.q16eRawEmbeddingNearDup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
+    "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
   )
@@ -458,6 +460,16 @@ object SparkEntry {
     // the single-key parity funnel (q20c)
     "q20g_stream_sharded" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS running_cnt FROM events""".stripMargin,
+    // the trending argmax UDAF run IN-STREAM (reference S:81) must agree
+    // with the batch q7 answer — same oracle as q20b, which derives the
+    // argmax from the per-type sink at read time instead
+    "q20h_stream_top1_instream" ->
+      """SELECT window_start, top_type, cnt FROM (
+        |  SELECT window_start, event_type AS top_type, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (SELECT date_trunc('minute', ts) AS window_start, event_type, COUNT(*) AS cnt
+        |        FROM events GROUP BY 1, 2) c
+        |) t WHERE rn = 1 ORDER BY window_start""".stripMargin,
     // the salted two-phase plan is result-identical to the plain GROUP BY
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events

@@ -31,10 +31,60 @@ object HyperplaneLsh {
   val BitsPerTable = 6
   val Dim = 64
 
+  /** Max key width of the parameterized (near-dup) variant. */
+  val MaxBits = 30
+
   /** planes(p)(d): generation order matches the r2 relational version. */
   val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Plane matrix for the parameterized key width (near-dup path): up to
+    * [[MaxBits]] planes per table, drawn once with its own fixed seed;
+    * a `bits`-wide key uses the first `bits` planes of its table, so
+    * widening the key REFINES the same buckets (prefix property). */
+  val planesWide: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(Tables * MaxBits)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Key width for a corpus of `n` vectors: ~log2(n)+2 bits keeps the
+    * EXPECTED BUCKET SIZE constant (~n/2^bits ≈ 1/4) as the corpus
+    * grows — with a fixed width, bucket population is n/2^bits and the
+    * candidate-pair count grows O(n²/2^bits): the 6-bit ANN tables that
+    * are right for recall at query time produced ~64M candidate pairs
+    * for 32k random vectors (measured, r5's q16e regression). Exact
+    * duplicates and near-exact copies (cos → 1) share every sign bit,
+    * so dedup recall is unaffected by width; moderate-similarity recall
+    * (cos ≈ 0.9) shifts to the ANN path (q17b) whose narrow keys +
+    * multiprobe are tuned for it. */
+  def bitsFor(n: Long): Int =
+    math.min(MaxBits, math.max(BitsPerTable,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt + 2))
+
+  def keysFromVectorWide(arr: ArrayData, bits: Int): ArrayData = {
+    val dims = math.min(arr.numElements(), Dim)
+    val keys = new Array[Long](Tables)
+    var t = 0
+    while (t < Tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val row = planesWide(t * MaxBits + b)
+        var proj = 0.0
+        var d = 0
+        while (d < dims) {
+          proj += arr.getDouble(d) * row(d)
+          d += 1
+        }
+        if (proj > 0) key |= 1L << b
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
   }
 
   def keysFromVector(arr: ArrayData): ArrayData = {
@@ -62,6 +112,7 @@ object HyperplaneLsh {
   }
 
   val fnName = "hyperplane_keys"
+  val wideFnName = "hyperplane_keys_wide"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -70,7 +121,39 @@ object HyperplaneLsh {
       reg.registerFunction(id,
         new ExpressionInfo(classOf[HyperplaneKeys].getCanonicalName, fnName),
         (exprs: Seq[Expression]) => HyperplaneKeys(exprs.head))
+    val wid = FunctionIdentifier(wideFnName)
+    if (!reg.functionExists(wid))
+      reg.registerFunction(wid,
+        new ExpressionInfo(classOf[HyperplaneKeysWide].getCanonicalName, wideFnName),
+        (exprs: Seq[Expression]) =>
+          HyperplaneKeysWide(exprs.head, exprs(1).eval().asInstanceOf[Int]))
   }
+}
+
+/** `hyperplane_keys_wide(v: array<double>, bits)` — the parameterized
+  * near-dup variant of [[HyperplaneKeys]]: one `bits`-wide LSH bucket key
+  * per table over the [[HyperplaneLsh.planesWide]] matrix. `bits` must be
+  * a foldable int literal (it is baked into the expression at
+  * resolution). */
+case class HyperplaneKeysWide(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= HyperplaneLsh.MaxBits, s"bits out of range: $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${HyperplaneLsh.wideFnName} expects array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = HyperplaneLsh.wideFnName
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneLsh.keysFromVectorWide(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneLsh.keysFromVectorWide($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKeysWide =
+    copy(child = newChild)
 }
 
 /** `hyperplane_keys(v: array<double>) -> array<bigint>` — one 6-bit LSH

@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unload every loaded state-store provider on this JVM (closing
+    * RocksDB native instances). `StateStore.unloadAll` is
+    * `private[sql]`; graft calls it after a replay drains so native
+    * store lifetime tracks query lifetime instead of the 60 s
+    * maintenance cadence (see StreamingPipelines.unloadStateStores). */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

@@ -114,6 +114,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "second session must LOAD the persisted centroid index, not retrain")
   }
 
+  test("IVF index revalidates the corpus fingerprint: in-place data change rebuilds") {
+    import org.apache.spark.sql.functions._
+    // stage a private copy of the sf0.001 embeddings under its own path
+    val dataDir = java.nio.file.Files.createTempDirectory("ivf-fp-data")
+    val src = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tgt = dataDir.resolve("embeddings.parquet")
+    src.write.mode("overwrite").parquet(tgt.toString)
+    SimilarityQueries.q17cIvfTopK(spark, dataDir.toString).collect()
+    val trainedAfterBuild = SimilarityQueries.ivfTrainCount.get()
+    // same data, same path → memo/disk hit, no retrain
+    SimilarityQueries.q17cIvfTopK(spark, dataDir.toString).collect()
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedAfterBuild)
+    // mutate the corpus IN PLACE (drop half the vectors, same path)
+    val tmp = dataDir.resolve("emb2.parquet").toString
+    graft.core.Tables.load(spark, dataDir.toString, "embeddings")
+      .where(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    tgt.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgt)
+    // fingerprint mismatch must force a rebuild, not serve the stale index
+    SimilarityQueries.q17cIvfTopK(spark, dataDir.toString).collect()
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedAfterBuild + 1,
+      "mutated corpus must rebuild the IVF index")
+  }
+
   test("IVF k scales ~sqrt(N) with a floor, nprobe keeps the scan fraction constant") {
     assert(SimilarityQueries.ivfKFor(100) == 16)   // floor
     assert(SimilarityQueries.ivfKFor(10000) == 100)

@@ -58,15 +58,19 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.contains(("2024-01-01 00:00:00", "#spark", 2L)))
   }
 
-  test("chunked replay sink equals batch aggregation (q20 machinery, sf0.001)") {
+  test("chunked replay sinks equal batch aggregations (q20 machinery, sf0.001)") {
     import spark.implicits._
-    val sink = StreamingPipelines.replay(spark, "/root/testdata/sf0.001")
+    // replayCached so every q20* reader test below shares this one replay
+    val sink = StreamingPipelines.replayCached(spark, "/root/testdata/sf0.001")
     val batchCounts = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .groupBy(window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("n"))
       .as[(java.sql.Timestamp, Long)].collect().toMap
-    assert(sink.windowCounts.toMap == batchCounts)
+    val streamedCounts = StreamingPipelines
+      .readLatestWins(spark, sink.tumblingSinkDir, Seq("window_start"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(streamedCounts == batchCounts)
     assert(sink.runningLog.size() > 1, "running count should emit one update per batch")
     val finalCount = sink.runningLog.asScalaMax
     assert(finalCount == 1000L)
@@ -80,8 +84,48 @@ class StreamingParitySpec extends AnyFunSuite {
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 5 minutes"))
       .select(col("c_user"), col("click_id"), col("purchase_id"))
       .as[(Long, Long, Long)].collect().toSet
-    import scala.jdk.CollectionConverters._
-    assert(sink.joinPairs.asScala.toSet == batchPairs)
+    val streamedPairs = spark.read.parquet(sink.joinSinkDir)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamedPairs == batchPairs)
+  }
+
+  test("q20h in-stream trending argmax equals batch top-1 per window") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20hStreamTop1InStream(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20h must be fed by the durable sink, not driver memory")
+    val got = df.as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    val want = StreamingPipelines.q20bStreamTop1(spark, "/root/testdata/sf0.001")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    assert(got == want, "in-stream argmax (UDAF) and derived-at-read argmax must agree")
+    assert(got.nonEmpty)
+  }
+
+  test("chunk cache revalidates the corpus fingerprint: stale chunks are rebuilt") {
+    import spark.implicits._
+    // stage a private copy of the sf0.001 dataset dir
+    val dataDir = Files.createTempDirectory("chunk-fp-data")
+    val src = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    src.write.mode("overwrite").parquet(dataDir.resolve("events.parquet").toString)
+    val chunks1 = StreamingPipelines.chunkEvents(spark, dataDir.toString)
+    val n1 = Files.list(chunks1).count()
+    // mutate the corpus IN PLACE (drop half the rows) — same path
+    val half = graft.core.Tables.load(spark, dataDir.toString, "events")
+      .where(col("event_id") % 2 === 0)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = dataDir.resolve("events2.parquet").toString
+    half.write.mode("overwrite").parquet(tmp)
+    val tgt = dataDir.resolve("events.parquet")
+    tgt.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tgt)
+    Files.move(java.nio.file.Paths.get(tmp), tgt)
+    // the fingerprint mismatch must force a re-chunk, not serve stale chunks
+    val chunks2 = StreamingPipelines.chunkEvents(spark, dataDir.toString)
+    val rows2 = spark.read.schema(StreamingPipelines.eventSchema)
+      .parquet(chunks2.toString).count()
+    val want2 = graft.core.Tables.load(spark, dataDir.toString, "events").count()
+    assert(rows2 == want2, s"stale chunk dir served: $rows2 != $want2")
+    assert(n1 >= 1)
   }
 
   test("streaming dropDuplicates with watermark equals batch distinct count") {
@@ -141,7 +185,8 @@ class StreamingParitySpec extends AnyFunSuite {
   }
 
   test("q20g sharded running count: partials spread over shards, sum equals COUNT(*)") {
-    val partials = StreamingPipelines.shardedRunningReplay(spark, "/root/testdata/sf0.001")
+    val partials = StreamingPipelines
+      .replayCached(spark, "/root/testdata/sf0.001").shardPartials
     assert(partials.values.sum == 1000L)
     // the point of the variant: state is NOT a single hot key
     assert(partials.size > 1,

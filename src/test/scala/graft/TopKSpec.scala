@@ -57,4 +57,31 @@ class TopKSpec extends AnyFunSuite {
     val out = a.finish(xs.foldLeft(a.zero)(a.reduce))
     assert(out == Seq(Scored(0, 3, 0.9), Scored(0, 1, 0.5)))
   }
+
+  test("reduce never sorts: the hot path is bounded insertion (VERDICT r5 #4)") {
+    val a = new TopKCounts(5)
+    val rnd = new Random(42)
+    val many = Seq.fill(10000)(TagCount("t" + rnd.nextInt(50), rnd.nextInt(1000).toLong))
+    val buf = many.foldLeft(a.zero)(a.reduce)
+    assert(a.sortPasses == 0, s"reduce path sorted ${a.sortPasses} times over 10k rows")
+    assert(buf.size == 5)
+    // finish sorts exactly once, and the bounded-insert buffer holds
+    // the true top-5 of the stream
+    val out = a.finish(buf)
+    assert(a.sortPasses == 1)
+    assert(out == many.sortBy(t => (-t.cnt, t.tag)).take(5))
+  }
+
+  test("TrendingArgMax: map-buffer argmax with deterministic tie-break") {
+    val a = new graft.functions.TrendingArgMax
+    val in = Seq(TagCount("b", 1), TagCount("a", 1), TagCount("b", 1),
+                 TagCount("c", 2), TagCount("a", 1))
+    val buf = in.foldLeft(a.zero)(a.reduce)
+    // a=2, b=2, c=2 → tie broken by tag asc
+    assert(a.finish(buf) == graft.functions.Top1("a", 2))
+    // merge law: split anywhere, same answer
+    val (l, r) = in.splitAt(2)
+    assert(a.finish(a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))) ==
+      a.finish(buf))
+  }
 }
