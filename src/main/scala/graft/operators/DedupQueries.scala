@@ -64,6 +64,35 @@ object DedupQueries {
       xxhash64(lit(b) +: (0 until bandRows).map(r => element_at(sig, b * bandRows + r + 1)): _*)
     }: _*)
 
+  /** Skew guard (the 100 TB caveat this file carried since r4): a band
+    * bucket of n docs yields O(n²) candidate pairs inside one join
+    * task — one pathological bucket (boilerplate headers, empty docs,
+    * template spam) can dominate the whole join. Buckets whose
+    * ESTIMATED size exceeds [[SkewBucketCap]] are dropped pre-join.
+    *
+    * The estimate comes from a deterministic 1/[[SkewSampleMod]]
+    * doc-hash sample (pure plan — the guard also runs inside the
+    * optimizer-spliced [[graft.plans.SimilarityJoin]] lowering, so it
+    * cannot execute jobs): sampling costs ~1% of one signature pass,
+    * and a bucket at the cap contributes ~cap/mod = 100 sampled rows —
+    * far above Poisson noise. Semantics: members of a dropped bucket
+    * can still pair through their other numBands-1 bands; a cluster
+    * big enough to trip the cap is EXACT-duplicate-grade mass that the
+    * digest dedup (q16) removes upstream — run exact dedup first, as
+    * any production pipeline does. Drop visibility: [[hotBuckets]] is
+    * the monitoring surface (count it to alert). */
+  val SkewBucketCap = 10000
+  val SkewSampleMod = 100
+
+  /** Buckets of `withBands` (doc_id, band) whose estimated population
+    * exceeds `cap` — the guard's observable monitoring surface. */
+  def hotBuckets(withBands: DataFrame, cap: Int, sampleMod: Int): DataFrame =
+    withBands
+      .where(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .groupBy("band").agg(count(lit(1)).as("n_sampled"))
+      .where(col("n_sampled") * sampleMod > cap)
+      .select(col("band").as("hot_band"))
+
   /** Signature-agreement slack for the candidate screen: MinHash position
     * agreement is an unbiased Jaccard estimator with sd ≤
     * sqrt(0.25/numHashes) ≈ 0.044, so screening at threshold−0.2 is a
@@ -105,14 +134,24 @@ object DedupQueries {
     * frames; in-plan, full frames + tiny screened side is the shape
     * that avoids the duplication. Output = (doc_i, doc_j, jac). */
   def nearDupPairs(raw: DataFrame, sigCol: Column, payloadCol: Column,
-                   jacOf: (Column, Column) => Column, threshold: Double): DataFrame = {
+                   jacOf: (Column, Column) => Column, threshold: Double,
+                   bucketCap: Int = SkewBucketCap,
+                   skewSampleMod: Int = SkewSampleMod): DataFrame = {
     val spark = raw.sparkSession
     graft.functions.MinHash.ensureRegistered(spark)
 
     val sigs = raw
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), sigCol.as("sig"))
-    val withBands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    val allBands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    // skew guard: anti-join away pathological buckets before the
+    // self-join. The hot list is tiny by construction (pathological
+    // buckets only) — broadcast it; the sampled counting branch's
+    // doc-hash filter pushes below the signature projection, so it
+    // prices at ~1/sampleMod of a signature pass.
+    val withBands = allBands.join(
+      broadcast(hotBuckets(allBands, bucketCap, skewSampleMod)),
+      col("band") === col("hot_band"), "left_anti")
     val l = withBands.select(col("doc_id").as("doc_i"), col("band"))
     val r = withBands.select(col("doc_id").as("doc_j"), col("band"))
     val candidates = l.join(r, "band")

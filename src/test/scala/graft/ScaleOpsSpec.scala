@@ -11,6 +11,39 @@ import graft.operators.SkewOps
 class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("band-bucket skew cap: a pathological hot bucket is dropped, candidates stay bounded") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // 2000 identical boilerplate docs → one 2000-doc bucket in EVERY
+    // band (O(n²) ≈ 2M candidate pairs without the guard) + one genuine
+    // duplicate pair with its own content
+    val hotText = "the same boilerplate template text repeated for every single spam document here"
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = ((1 to 2000).map(i => (i.toLong, hotText)) ++
+      Seq((5001L, dupText), (5002L, dupText))).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+    graft.functions.MinHash.ensureRegistered(spark)
+    val sh = graft.functions.TextFunctions.shingles(col("toks"), 3)
+    val pairs = DedupQueries.nearDupPairs(docs,
+      sigCol = call_function(graft.functions.MinHash.sigFnName, sh),
+      payloadCol = sh,
+      jacOf = DedupQueries.arrayJaccard,
+      threshold = 0.8,
+      bucketCap = 500, skewSampleMod = 1)
+      .as[(Long, Long, Double)].collect()
+    // the hot cluster is excised (exact-dup-grade mass belongs to q16's
+    // digest dedup upstream); the small bucket survives untouched
+    assert(pairs.toSeq == Seq((5001L, 5002L, 1.0)),
+      s"expected only the genuine pair, got ${pairs.length} pairs")
+    // and the monitoring surface reports the hot buckets
+    val sigs = docs.select(col("doc_id"),
+      call_function(graft.functions.MinHash.sigFnName, sh).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
+    val nHot = DedupQueries.hotBuckets(bands, 500, 1).count()
+    assert(nHot >= 1, "hotBuckets must surface the pathological buckets")
+  }
+
   test("salted count/sum equal direct aggregation (skewed input)") {
     import spark.implicits._
     // 90% of rows share one hot key
