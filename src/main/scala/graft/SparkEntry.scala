@@ -42,6 +42,7 @@ object SparkEntry {
     "q16d_charngram_neardup" -> (DedupQueries.q16dCharNgramNearDup _),
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q16e_raw_embedding_neardup" -> (SimilarityQueries.q16eRawEmbeddingNearDup _),
+    "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
@@ -268,6 +269,33 @@ object SparkEntry {
          |WHERE bit_count(xor(a.fp, b.fp)) <= 6
          |ORDER BY doc_i, doc_j""".stripMargin
     },
+    // near-dup clusters: recursive-CTE reachability over the all-pairs
+    // ground-truth graph (independent CC implementation); rep = min
+    // reachable doc_id, keep = doc is its own representative
+    "q16f_dedup_clusters" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |shg AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |       FROM tk),
+        |nz AS (SELECT * FROM shg WHERE len(sh) > 0),
+        |e0 AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+        |       FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT doc_i AS a, doc_j AS b FROM e0
+        |          UNION SELECT doc_j, doc_i FROM e0),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS m FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  COALESCE(rep.m, d.doc_id) AS cluster_rep,
+        |  CAST(COALESCE(rep.m, d.doc_id) = d.doc_id AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q16d_charngram_neardup" ->
       """WITH sh AS (SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 3), i -> substring(text, i, 5))) AS sh

@@ -238,6 +238,70 @@ object DedupQueries {
     graft.plans.SimilarityJoin.charNearDup(raw, 0.8)
   }
 
+  // ---- near-dup clusters (connected components) -----------------------
+
+  /** Connected components over an undirected (doc_i, doc_j) pair graph
+    * by iterative min-label propagation: rep(x) converges to the
+    * smallest doc_id reachable from x. The canonical FINAL step of
+    * near-dup dedup at scale — pairs alone over-delete (a~b, b~c must
+    * collapse to ONE representative, not two independent drops).
+    *
+    * Scale posture: the edge list and each iteration's label table are
+    * MATERIALIZED to storage (bounded lineage — an unmaterialized loop
+    * would re-run the whole LSH pipeline per iteration AND per plan
+    * position), exactly how production CC checkpoints iterations; each
+    * iteration is two shuffles keyed by node id, state O(nodes in
+    * pairs) — never the corpus. Iterations needed = component diameter
+    * (near-dup clusters are shallow; `maxIter` is a guard). At
+    * billions of edges the alternating large-star/small-star variant
+    * cuts convergence to O(log n) rounds — same per-round plan shape.
+    * Returns (node, rep). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    pairs.write.mode("overwrite").parquet(s"$tmp/edges")
+    val e = spark.read.parquet(s"$tmp/edges")
+    val edges = e.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .unionAll(e.select(col("doc_j").as("a"), col("doc_i").as("b")))
+    var labels = edges.groupBy("a").agg(min("b").as("m"))
+      .select(col("a").as("node"), least(col("a"), col("m")).as("rep"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("node").as("b"), col("rep").as("nrep")), "b")
+        .groupBy("a").agg(min("nrep").as("nrep"))
+      val next = labels.join(nbr, labels("node") === nbr("a"), "left")
+        .select(col("node"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      next.write.mode("overwrite").parquet(s"$tmp/labels_$iter")
+      val cur = spark.read.parquet(s"$tmp/labels_$iter")
+      val changed = cur
+        .join(labels.select(col("node"), col("rep").as("prev")), "node")
+        .where(col("rep") =!= col("prev")).count()
+      converged = changed == 0
+      labels = cur
+      iter += 1
+    }
+    labels
+  }
+
+  /** Q16f — near-dup CLUSTERS over the full corpus: connected
+    * components of the q16b near-dup graph; every document gets
+    * (cluster_rep = min doc_id in its component, keep = is it the
+    * representative). Oracle: DuckDB recursive-CTE reachability over
+    * the all-pairs ground-truth graph — an independent CC
+    * implementation. */
+  def q16fDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q16bNearDup(spark, dir).select("doc_i", "doc_j")
+    val labels = connectedComponents(pairs)
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(labels.select(col("node").as("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"),
+        (coalesce(col("rep"), col("doc_id")) === col("doc_id")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** SimHash parameters. The base hash is a polynomial over characters

@@ -44,6 +44,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(nHot >= 1, "hotBuckets must surface the pathological buckets")
   }
 
+  test("connected components: chains collapse to one representative, singletons untouched") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // chain 1-2-3 (no direct 1-3 edge), separate pair 10-11, chain 20-21-22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("doc_i", "doc_j")
+    val got = DedupQueries.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L),
+      s"transitive closure wrong: $got")
+  }
+
   test("salted count/sum equal direct aggregation (skewed input)") {
     import spark.implicits._
     // 90% of rows share one hot key
