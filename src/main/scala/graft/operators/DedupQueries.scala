@@ -271,15 +271,17 @@ object DedupQueries {
       val nbr = edges
         .join(labels.select(col("node").as("b"), col("rep").as("nrep")), "b")
         .groupBy("a").agg(min("nrep").as("nrep"))
+      // the changed flag rides the same materialized write (one job per
+      // iteration, not a separate join+count pass)
       val next = labels.join(nbr, labels("node") === nbr("a"), "left")
-        .select(col("node"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .select(col("node"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("new_rep"),
+          (least(col("rep"), coalesce(col("nrep"), col("rep"))) =!= col("rep"))
+            .cast("long").as("chg"))
       next.write.mode("overwrite").parquet(s"$tmp/labels_$iter")
       val cur = spark.read.parquet(s"$tmp/labels_$iter")
-      val changed = cur
-        .join(labels.select(col("node"), col("rep").as("prev")), "node")
-        .where(col("rep") =!= col("prev")).count()
-      converged = changed == 0
-      labels = cur
+      converged = cur.agg(sum("chg")).head().getLong(0) == 0L
+      labels = cur.select(col("node"), col("new_rep").as("rep"))
       iter += 1
     }
     labels
