@@ -55,6 +55,7 @@ object SparkEntry {
     "q18f_sequence_pack"   -> (TextQueries.q18fSequencePack _),
     "q18g_train_split"     -> (TextQueries.q18gTrainSplit _),
     "q18h_stratified_sample" -> (TextQueries.q18hStratifiedSample _),
+    "q18i_repetition"      -> (TextQueries.q18iRepetition _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -409,6 +410,34 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_offset,
         |       CAST(start_offset // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q18i: flags compare RAW IEEE ratios (identical doubles both
+    // engines — small-int divisions); rounded columns are output-only
+    "q18i_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |b AS (SELECT doc_id, t,
+        |        CASE WHEN len(t) >= 2
+        |          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |          ELSE CAST([] AS VARCHAR[]) END AS bg
+        |      FROM tk),
+        |m AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(1 AS DOUBLE) - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_tok_raw,
+        |        CAST(1 AS DOUBLE) - CAST(len(list_distinct(bg)) AS DOUBLE) / greatest(len(bg), 1) AS dup_bg_raw,
+        |        CAST(list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) AS DOUBLE)
+        |          / len(t) AS top_tok_raw
+        |      FROM b),
+        |r AS (SELECT doc_id, n_tokens,
+        |        ROUND(dup_tok_raw, 4) AS dup_token_ratio,
+        |        ROUND(dup_bg_raw, 4) AS dup_bigram_ratio,
+        |        ROUND(top_tok_raw, 4) AS top_token_ratio,
+        |        CASE WHEN dup_bg_raw > 0.1 THEN 'dup_bigrams'
+        |             WHEN top_tok_raw > 0.15 THEN 'top_token'
+        |             WHEN dup_tok_raw > 0.6 THEN 'dup_tokens'
+        |             ELSE 'ok' END AS reason
+        |      FROM m)
+        |SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio, top_token_ratio,
+        |       reason, CAST(reason = 'ok' AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // same rolling-hash bucket both engines compute bit-identically
     // (fingerprint mod 100 → 80/10/10 content-hashed split)
     "q18g_train_split" ->

@@ -58,6 +58,16 @@ object TextFunctions {
       lit(7L),
       (acc, v) => pmod(acc * lit(31L) + v, lit(1000000007L)))
 
+  /** Highest single-token occurrence count — the numerator of the
+    * "top-token dominance" repetition signal (the most boilerplate-like
+    * token's share of the document). O(distinct × tokens) comparisons
+    * per row, all inside codegen — a pure map with zero shuffles; the
+    * explode + groupBy(doc, token) + max alternative would shuffle the
+    * corpus's entire token stream to compute a per-row scalar. */
+  def topTokenCount(toks: Column): Column =
+    aggregate(array_distinct(toks), lit(0L),
+      (acc, u) => greatest(acc, size(filter(toks, x => x === u)).cast("long")))
+
   /** Marker-token score: how many tokens of `text` fall in `markers`.
     * The unit of the language-ID heuristic (score per language, argmax). */
   def markerScore(toks: Column, markers: Seq[String]): Column =

@@ -143,6 +143,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q18i — repetition / boilerplate signals (the Gopher-rules family of
+    * quality filters, token-level): duplicate-token ratio
+    * (1 − distinct/total), duplicate-bigram ratio, and top-token
+    * dominance (most frequent token's share), composed into a keep/drop
+    * decision with the FIRST failing rule as the reason (same auditable
+    * contract as q18e). Repetition rules catch what q18e's
+    * distinct-ratio alone can't: boilerplate that repeats phrases
+    * (bigram signal) or spams one token (dominance signal) while
+    * keeping overall vocabulary wide.
+    *
+    * Pure map over the corpus — zero shuffles at 100 TB (the orderBy is
+    * oracle-harness determinism only); all three signals are
+    * higher-order array expressions inside whole-stage codegen.
+    * Thresholds sit inside this corpus's observed ranges so every rule
+    * fires (dup_bg max .133, top_tok max .30, dup_tok p90 .68).
+    * Flags compare the RAW ratios; the rounded columns are for output
+    * determinism only. */
+  def q18iRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val bgs = col("bgs")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), toks, bigrams(toks).as("bgs"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)).as("dup_tok_raw"),
+        (lit(1.0) - size(array_distinct(bgs)).cast("double") / greatest(size(bgs), lit(1)))
+          .as("dup_bg_raw"),
+        (topTokenCount(toks).cast("double") / size(toks)).as("top_tok_raw"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("dup_tok_raw"), 4).as("dup_token_ratio"),
+        round(col("dup_bg_raw"), 4).as("dup_bigram_ratio"),
+        round(col("top_tok_raw"), 4).as("top_token_ratio"),
+        when(col("dup_bg_raw") > 0.1, "dup_bigrams")
+          .when(col("top_tok_raw") > 0.15, "top_token")
+          .when(col("dup_tok_raw") > 0.6, "dup_tokens")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", (col("reason") === "ok").cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Q18g — deterministic train/val/test assignment: bucket =
     * fingerprint(toks) mod 100 (the polynomial rolling hash both
     * engines compute bit-identically; xxhash64 has no DuckDB twin),

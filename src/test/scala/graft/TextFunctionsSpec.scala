@@ -59,6 +59,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp == expected(Seq("spark", "joins", "fast")))
   }
 
+  test("topTokenCount: mode frequency; repetition ratios behave") {
+    val cnt = Seq("a b a c a b", "x y z", "").toDF("text")
+      .select(topTokenCount(tokens(col("text"))).as("c")).as[Long].collect().toSeq
+    // "a" ×3; all-distinct → 1; empty text → tokens = [""] → 1
+    assert(cnt == Seq(3L, 1L, 1L))
+  }
+
+  test("q18i: first-failing-rule reasons fire per signal") {
+    import org.apache.spark.sql.{SaveMode}
+    val dir = java.nio.file.Files.createTempDirectory("q18i").toString
+    // doc 1: "p q p q ..." — every bigram is a repeat → dup_bigrams
+    // doc 2: one token interleaved with unique filler — all bigrams
+    //        distinct (dup_bg = 0), m is 4/8 = 0.5 of tokens → top_token
+    // doc 3: all-unique tokens → every signal zero → ok
+    Seq(
+      (1L, Seq.fill(10)("p q").mkString(" "), "en", "web"),
+      (2L, (1 to 4).map(i => s"m u$i").mkString(" "), "en", "web"),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextQueries.q18iRepetition(spark, dir)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(out(1L) == "dup_bigrams")
+    assert(out(2L) == "top_token")
+    assert(out(3L) == "ok")
+  }
+
   test("langId: argmax with first-listed-wins tie-break") {
     val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
     val pred = Seq("y z q", "x y", "q q q").toDF("text")
