@@ -56,6 +56,7 @@ object SparkEntry {
     "q18g_train_split"     -> (TextQueries.q18gTrainSplit _),
     "q18h_stratified_sample" -> (TextQueries.q18hStratifiedSample _),
     "q18i_repetition"      -> (TextQueries.q18iRepetition _),
+    "q18j_decontaminate"   -> (TextQueries.q18jDecontaminate _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -438,6 +439,31 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio, top_token_ratio,
         |       reason, CAST(reason = 'ok' AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q18j: same fingerprint buckets as q18g; 8-gram join + left join
+    // back keeps zero-hit train docs with n_hit = 0
+    "q18j_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(text, '\s+'),
+        |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket,
+        |    string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, bucket,
+        |    CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS sgs FROM fp),
+        |ev AS (SELECT DISTINCT unnest(sgs) AS s FROM sh WHERE bucket >= 90),
+        |tr AS (SELECT doc_id, unnest(sgs) AS s FROM sh WHERE bucket < 80),
+        |hits AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |         FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+        |SELECT d.doc_id, CAST(len(d.sgs) AS BIGINT) AS n_shingles,
+        |       COALESCE(h.n_hit, 0) AS n_hit,
+        |       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / greatest(len(d.sgs), 1), 4) AS contamination,
+        |       CAST(COALESCE(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+        |FROM sh d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.bucket < 80
+        |ORDER BY d.doc_id""".stripMargin,
     // same rolling-hash bucket both engines compute bit-identically
     // (fingerprint mod 100 → 80/10/10 content-hashed split)
     "q18g_train_split" ->

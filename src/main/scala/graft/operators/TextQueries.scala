@@ -204,6 +204,45 @@ object TextQueries {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Q18j — train/eval decontamination: flag training documents that
+    * share any word 8-gram with the held-out test split (the benchmark-
+    * overlap scrub every LLM training pipeline runs before a model sees
+    * the data). Splits come from q18g's content-hash buckets — eval =
+    * buckets ≥ 90, train = buckets < 80 — so the check is reproducible
+    * across runs and engines with no RNG and composes with the split
+    * operator. Reports per train doc its distinct-8-gram count, how
+    * many of those appear anywhere in eval, the contamination ratio,
+    * and the flag (any hit contaminates — the standard conservative
+    * rule).
+    *
+    * Scale posture: the eval set is benchmark-sized by construction, so
+    * its distinct shingle set is explicitly `broadcast()` — the 100 TB
+    * train side streams past it map-side with NO shuffle of corpus
+    * shingles; the only exchange is the per-doc hit count's partial
+    * aggregation. (Were eval corpus-scale, drop the hint and let the
+    * same plan shuffle-hash-join.) */
+  def q18jDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), pmod(fingerprint(col("toks")), lit(100L)).as("bucket"),
+              shingles(col("toks"), 8).as("sgs"))
+    val evalSh = docs.filter(col("bucket") >= 90)
+      .select(explode(col("sgs")).as("sh")).distinct()
+    val train = docs.filter(col("bucket") < 80)
+    val hits = train.select(col("doc_id"), explode(col("sgs")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), size(col("sgs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+                greatest(col("n_shingles"), lit(1L)), 4).as("contamination"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Q18h — deterministic stratified sampling: the 20 docs per language
     * whose content-hash fingerprint sorts lowest (fp asc, doc_id asc) —
     * the balanced-sampling step of a training-data pipeline, reproducible

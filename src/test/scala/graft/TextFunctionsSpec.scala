@@ -86,6 +86,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(3L) == "ok")
   }
 
+  test("q18j: shared 8-gram across split boundary flags contamination") {
+    import org.apache.spark.sql.SaveMode
+    // engine/oracle fingerprint, token-level (length*131 + first char,
+    // rolled mod 1e9+7) — used to steer docs into q18g buckets
+    def bucket(text: String): Long =
+      text.split("\\s+").map(t => t.length.toLong * 131 + t.head.toInt)
+        .foldLeft(7L)((a, v) => (a * 31 + v) % 1000000007L) % 100
+    // filler must vary (length, first char) — the only token features the
+    // hash sees; digits-only suffixes never change the bucket
+    def find(prefix: String, p: Long => Boolean): String =
+      Iterator.from(0)
+        .map(i => s"$prefix ${('a' + i % 26).toChar.toString * (1 + i / 26 % 10)}")
+        .find(t => p(bucket(t))).get
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val trainHit = find(shared, _ < 80)                     // shares s1..s8 with eval
+    val evalDoc = find(shared + " zz", b => b >= 90)
+    val trainClean = find((1 to 9).map(i => s"c$i").mkString(" "), _ < 80)
+    val dir = java.nio.file.Files.createTempDirectory("q18j").toString
+    Seq((1L, trainHit, "en", "web"), (2L, evalDoc, "en", "web"), (3L, trainClean, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextQueries.q18jDecontaminate(spark, dir)
+      .select("doc_id", "n_hit", "contaminated").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 3L))           // eval doc is not a train row
+    assert(out(1L)._1 >= 1L && out(1L)._2 == 1L)
+    assert(out(3L) == (0L, 0L))
+  }
+
   test("langId: argmax with first-listed-wins tie-break") {
     val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
     val pred = Seq("y z q", "x y", "q q q").toDF("text")
