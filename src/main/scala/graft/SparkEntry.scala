@@ -57,6 +57,7 @@ object SparkEntry {
     "q18h_stratified_sample" -> (TextQueries.q18hStratifiedSample _),
     "q18i_repetition"      -> (TextQueries.q18iRepetition _),
     "q18j_decontaminate"   -> (TextQueries.q18jDecontaminate _),
+    "q18k_pii_redact"      -> (TextQueries.q18kPiiRedact _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
+    "q20i_stream_session"  -> (graft.streaming.StreamingPipelines.q20iStreamSession _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
   )
@@ -464,6 +466,44 @@ object SparkEntry {
         |FROM sh d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.bucket < 80
         |ORDER BY d.doc_id""".stripMargin,
+    // q18k: staged email→IP→phone redaction; counts taken on exactly the
+    // string each replace sees; planted PII derived from doc_id so both
+    // engines build identical fixtures; red_fp = the shared rolling hash
+    // over the redacted text proves byte-identical masking
+    "q18k_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 3
+        |         THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 2
+        |         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+        |              || CAST((doc_id * 3) % 250 AS VARCHAR) || '.'
+        |              || CAST(doc_id % 250 AS VARCHAR)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |    regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t3
+        |  FROM s2)
+        |SELECT doc_id, n_email, n_ip, n_phone,
+        |       CAST(n_email + n_ip + n_phone > 0 AS BIGINT) AS has_pii,
+        |       CAST(length(t3) AS BIGINT) AS red_len,
+        |       list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split_regex(t3, '\s+'),
+        |             s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS red_fp
+        |FROM s3 ORDER BY doc_id""".stripMargin,
     // same rolling-hash bucket both engines compute bit-identically
     // (fingerprint mod 100 → 80/10/10 content-hashed split)
     "q18g_train_split" ->
@@ -553,6 +593,19 @@ object SparkEntry {
         |  FROM (SELECT date_trunc('minute', ts) AS window_start, event_type, COUNT(*) AS cnt
         |        FROM events GROUP BY 1, 2) c
         |) t WHERE rn = 1 ORDER BY window_start""".stripMargin,
+    // q20i: per-type gaps-and-islands sessionization (q5b's shape with
+    // PARTITION BY event_type) — an independent batch implementation of
+    // the streamed session windows
+    "q20i_stream_session" ->
+      """WITH o AS (SELECT ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |s AS (SELECT ts, event_type,
+        |    SUM(brk) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT MIN(ts) AS session_start, event_type, COUNT(*) AS n_events
+        |FROM s GROUP BY event_type, sid ORDER BY event_type, session_start""".stripMargin,
     // the salted two-phase plan is result-identical to the plain GROUP BY
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events

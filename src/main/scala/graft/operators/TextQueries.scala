@@ -220,7 +220,10 @@ object TextQueries {
     * train side streams past it map-side with NO shuffle of corpus
     * shingles; the only exchange is the per-doc hit count's partial
     * aggregation. (Were eval corpus-scale, drop the hint and let the
-    * same plan shuffle-hash-join.) */
+    * same plan shuffle-hash-join.) The train side is ONE scan:
+    * `explode_outer` keeps short docs alive so the per-doc shingle
+    * count and hit count come from the same aggregation — no second
+    * corpus pass, no join-back shuffle. */
   def q18jDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -228,19 +231,80 @@ object TextQueries {
               shingles(col("toks"), 8).as("sgs"))
     val evalSh = docs.filter(col("bucket") >= 90)
       .select(explode(col("sgs")).as("sh")).distinct()
-    val train = docs.filter(col("bucket") < 80)
-    val hits = train.select(col("doc_id"), explode(col("sgs")).as("sh"))
-      .join(broadcast(evalSh), "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    train.select(col("doc_id"), size(col("sgs")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("hit", lit(1L))
+    docs.filter(col("bucket") < 80)
+      .select(col("doc_id"), size(col("sgs")).cast("long").as("n_shingles"),
+              explode_outer(col("sgs")).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"), "left_outer")
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(
-        col("doc_id"), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+        col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") /
                 greatest(col("n_shingles"), lit(1L)), 4).as("contamination"),
-        (coalesce(col("n_hit"), lit(0L)) > 0).cast("long").as("contaminated"))
+        (col("n_hit") > 0).cast("long").as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** PII patterns shared by engine and oracle. Plain character-class
+    * regexes only — no lookarounds, no backreferences — so Java regex
+    * (Spark) and RE2 (DuckDB) agree exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The PII scrub itself, over any (doc_id, text) frame: redact
+    * emails → IPs → phones in that order (staged, so a redaction can
+    * never manufacture a later pattern), count each kind on exactly the
+    * string the replace sees, and fingerprint the redacted text. Pure
+    * map — zero shuffles; the regexes stay in whole-stage codegen.
+    * Each stage's string is consumed twice (count + next replace), which
+    * CollapseProject refuses to inline-duplicate for non-cheap
+    * expressions (SPARK-36718) — each regex runs once per row. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_email"),
+        size(regexp_extract_all(col("t1"), lit(IpRe), lit(0))).cast("long").as("n_ip"),
+        regexp_replace(col("t1"), IpRe, "<IP>").as("t2"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"),
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        regexp_replace(col("t2"), PhoneRe, "<PHONE>").as("t3"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        ((col("n_email") + col("n_ip") + col("n_phone")) > 0).cast("long").as("has_pii"),
+        length(col("t3")).cast("long").as("red_len"),
+        fingerprint(tokens(col("t3"))).as("red_fp"))
+
+  /** Q18k — PII detection + redaction (the scrub every training corpus
+    * runs before anything ships): flag and mask emails, IPv4 addresses,
+    * and phone numbers, reporting per-doc counts and a fingerprint of
+    * the redacted text (proving the masked strings match the oracle's
+    * byte-for-byte without hauling full text through the compare).
+    *
+    * The synthetic corpus carries no natural PII, so the declared row
+    * runs over a deterministic planted fixture — doc_id-derived emails
+    * (doc_id % 7 = 0), phones (% 5 = 3), and IPs (% 11 = 2) appended to
+    * the raw text, computed identically by both engines (the q16e
+    * planted-fixture precedent: a non-vacuous oracle exercising real
+    * redaction beats a literal-but-empty one). [[piiRedact]] is the
+    * raw-semantics library surface. */
+  def q18kPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.load(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+                 lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 3,
+          concat(lit(" call 555-867-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 2,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
+                 ((col("doc_id") * 3) % 250).cast("string"), lit("."),
+                 (col("doc_id") % 250).cast("string"))).otherwise(lit(""))
+      ).as("text"))
+    piiRedact(planted).orderBy("doc_id")
   }
 
   /** Q18h — deterministic stratified sampling: the 20 docs per language

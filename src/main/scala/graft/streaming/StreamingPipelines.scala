@@ -102,6 +102,7 @@ object StreamingPipelines {
     @volatile var top1SinkDir: String = _      // O11 in-stream argmax (q20h), update mode
     @volatile var joinSinkDir: String = _      // stream-stream join, append mode
     @volatile var dedupSinkDir: String = _     // dropDuplicates (q20f), append mode
+    @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
     val shardPartials = TrieMap.empty[Int, Long] // q20g: ≤ shards rows/trigger
   }
@@ -136,10 +137,22 @@ object StreamingPipelines {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** The watermark-flush sentinel: one synthetic event, 1 hour past the
+    * corpus max event time, replayed LAST. Its only job is to push the
+    * final watermark past every real session/window end so APPEND-mode
+    * state (session windows, q20i) fully emits on drain — without it the
+    * last session per key sits in state forever, because the watermark
+    * can never pass `last_event_ts + gap` using real events alone (the
+    * standard closed-stream flush pattern; a production Kafka pipeline
+    * does the same with producer heartbeats). Every pipeline whose
+    * semantics are over REAL events filters it out before aggregating. */
+  val SentinelType = "__flush"
+
   /** Write `events` as one parquet file per day, modification times
     * strictly increasing in day order, so the file-stream source replays
     * the month in event-time order (the in-order-producer assumption the
-    * reference's 300 s watermark relies on).
+    * reference's 300 s watermark relies on). A final single-row sentinel
+    * chunk (see [[SentinelType]]) replays after all real data.
     *
     * The chunk dir is keyed by the FULL dataset path (not `hashCode` —
     * VERDICT r5 wrong #3) and stamped with a corpus fingerprint
@@ -154,7 +167,8 @@ object StreamingPipelines {
     val events = Tables.load(spark, dir, "events")
     val fp = {
       val r = events.agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
-      s"${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+      // v2: layout includes the sentinel chunk — older dirs rebuild
+      s"v2:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
     }
     if (Files.exists(doneFile) &&
         new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp) return chunkDir
@@ -177,6 +191,22 @@ object StreamingPipelines {
         Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
       }
     }
+    // the sentinel chunk: latest mtime + last-sorting name → last trigger
+    val mx = events.agg(max(col("event_id")), max(col("ts"))).head()
+    val sentStaging = root.resolve("sentinel").toString
+    events.sparkSession.range(1).select(
+        lit(mx.getLong(0) + 1).as("event_id"),
+        lit(new Timestamp(mx.getTimestamp(1).getTime + 3600L * 1000)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(SentinelType).as("event_type"),
+        lit(0.0).as("value"),
+        lit("").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentStaging)
+    val sentPart = Files.list(Paths.get(sentStaging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val sentDst = chunkDir.resolve("chunk_999_00.parquet")
+    Files.move(sentPart, sentDst)
+    Files.setLastModifiedTime(sentDst, FileTime.fromMillis(1700000000000L + 999000L))
     Files.write(doneFile, fp.getBytes("UTF-8"))
     chunkDir
   }
@@ -246,16 +276,16 @@ object StreamingPipelines {
     * cycles, and RocksDB instance churn for no semantic gain).
     *
     * filesPerTrigger sizes the replay at 2 data triggers + drain per
-    * query (30 day-chunks / 15): multi-trigger semantics (watermark
-    * advance, state carry-over, per-trigger upserts) are still
-    * exercised, but the wall clock is not dominated by trigger
-    * bookkeeping — each trigger costs offset/commit-log writes + a
-    * state commit per partition PER QUERY (measured: 7.8 s warm replay
-    * at 3 data triggers vs 5.8 s at 2, identical results). Parity is
-    * batch-size-independent here: the replay is event-time-ordered, so a
-    * row's window is never below the watermark when it arrives (no drops
-    * at any trigger granularity). */
-  def replay(spark: SparkSession, dir: String, filesPerTrigger: Int = 15): SinkState = {
+    * query (30 day-chunks + the sentinel chunk / 16): multi-trigger
+    * semantics (watermark advance, state carry-over, per-trigger
+    * upserts) are still exercised, but the wall clock is not dominated
+    * by trigger bookkeeping — each trigger costs offset/commit-log
+    * writes + a state commit per partition PER QUERY (measured: 7.8 s
+    * warm replay at 3 data triggers vs 5.8 s at 2, identical results).
+    * Parity is batch-size-independent here: the replay is
+    * event-time-ordered, so a row's window is never below the watermark
+    * when it arrives (no drops at any trigger granularity). */
+  def replay(spark: SparkSession, dir: String, filesPerTrigger: Int = 16): SinkState = {
     import spark.implicits._
     val sink = new SinkState
     val chunkDir = chunkEvents(spark, dir)
@@ -277,6 +307,10 @@ object StreamingPipelines {
 
     def source: DataFrame = eventStream(spark,
       SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+    // real events only — every pipeline aggregating over the corpus
+    // drops the watermark-flush sentinel before it can count; only the
+    // session query (append mode) lets it through its watermark node
+    def data: DataFrame = source.where(col("event_type") =!= SentinelType)
 
     /** Idempotent durable sink: each epoch OVERWRITES its own
       * `batch_id=N` dir, so a failure-replayed epoch replaces itself
@@ -292,9 +326,10 @@ object StreamingPipelines {
     sink.top1SinkDir     = Files.createTempDirectory("graft-out-top1").toString
     sink.joinSinkDir     = Files.createTempDirectory("graft-out-join").toString
     sink.dedupSinkDir    = Files.createTempDirectory("graft-out-dedup").toString
+    sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
 
     // O12 — tumbling 1-minute count, update mode.
-    val tumbling = source
+    val tumbling = data
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("n_events"))
@@ -307,7 +342,7 @@ object StreamingPipelines {
     // O9 — sliding event-time window (the reference's trending window
     // shape, 30s/5s at S:80, re-parameterized 5m/1m for the data's
     // spread): each event lands in window/slide = 5 overlapping windows
-    val sliding = source
+    val sliding = data
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "5 minutes", "1 minute"))
       .agg(count(lit(1)).as("n_events"))
@@ -320,7 +355,7 @@ object StreamingPipelines {
     // O11 input — per-(window, type) counts; q20b derives top-1 from
     // the drained sink at read time (the reference charts the sink,
     // S:237-263)
-    val perType = source
+    val perType = data
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -336,7 +371,7 @@ object StreamingPipelines {
     // window's current argmax each trigger and latest-epoch-wins at
     // read time yields the final answer (q20h; oracle = batch q7).
     val argmax = udaf(new graft.functions.TrendingArgMax, Encoders.product[TagCount])
-    val top1 = source
+    val top1 = data
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "1 minute"))
       .agg(argmax(col("event_type"), lit(1L)).as("m"))
@@ -362,7 +397,7 @@ object StreamingPipelines {
       }
     val runId = java.util.UUID.randomUUID().toString
     WriterRegistry.queues.put(runId, sink.runningLog)
-    val running = source.as[Event]
+    val running = data.as[Event]
       .withWatermark("ts", "300 seconds")
       .groupByKey(_ => "count")
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
@@ -385,7 +420,7 @@ object StreamingPipelines {
         state.update(next)
         (shard, next.count)
       }
-    val sharded = source.as[Event]
+    val sharded = data.as[Event]
       .groupByKey(e => math.floorMod(e.user_id, RunningCountShards.toLong).toInt)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(shardFn)
       .writeStream.outputMode("update")
@@ -434,7 +469,7 @@ object StreamingPipelines {
     // `dropDuplicatesWithinWatermark` bounds state to the watermark
     // horizon; the batch-side digest dedup (q16) is the exact-at-rest
     // path at 100 TB.
-    val dedup = source
+    val dedup = data
       .dropDuplicates("user_id")
       .select("user_id")
       .writeStream.outputMode("append")
@@ -442,7 +477,30 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.dedupSinkDir)).start()
 
-    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, dedup)
+    // Per-type session windows (q20i) — the gap-based windowing mode
+    // (q5b's streaming twin, keyed by type so session state shards over
+    // the key space instead of funneling one global session chain).
+    // Session aggregations only support APPEND mode: a session emits
+    // exactly once, when the watermark passes its end. The sentinel must
+    // reach the watermark node (it flushes every real session at drain),
+    // so it is NOT filtered here — a pre-aggregation filter would be
+    // pushed below EventTimeWatermark by PushDownPredicates and the
+    // watermark would never advance past the last real event (measured:
+    // the corpus-tail session never emits). Keyed by event_type, the
+    // sentinel only ever forms its own '__flush' session, which the
+    // q20i reader drops.
+    val session = source
+      .withWatermark("ts", "300 seconds")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("event_type"), col("n_events"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/session")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(epochSink(sink.sessionSinkDir)).start()
+
+    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, dedup, session)
       .foreach(_.awaitTermination())
     finally {
       WriterRegistry.queues.remove(runId)
@@ -451,7 +509,7 @@ object StreamingPipelines {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
-      // free the native stores this replay opened (8 queries × 4 state
+      // free the native stores this replay opened (9 queries × 4 state
       // partitions) instead of waiting on the 60 s maintenance cadence
       unloadStateStores()
     }
@@ -515,6 +573,7 @@ object StreamingPipelines {
     }
     spark.streams.addListener(listener)
     val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+      .where(col("event_type") =!= SentinelType)
       .withWatermark("ts", "300 seconds")
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -565,6 +624,7 @@ object StreamingPipelines {
     val out = outOpt.getOrElse(Files.createTempDirectory("graft-sink-out").toString)
     withRocksDB(spark) {
       val q = eventStream(spark, SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+        .where(col("event_type") =!= SentinelType)
         .withWatermark("ts", "300 seconds")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
@@ -630,6 +690,7 @@ object StreamingPipelines {
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     withRocksDB(spark) {
       val q = eventStream(spark, SourceConfig(path = chunkDir.toString))
+        .where(col("event_type") =!= SentinelType)
         .as[Event]
         .withWatermark("ts", "300 seconds")
         .groupByKey(_ => "count")
@@ -745,4 +806,16 @@ object StreamingPipelines {
     readLatestWins(spark, replayCached(spark, dir).top1SinkDir, Seq("window_start"))
       .select("window_start", "top_type", "cnt")
       .orderBy("window_start")
+
+  /** Q20i — per-type SESSION windows drained from the append-mode sink
+    * (a session emits exactly once, when the watermark passes its end —
+    * the sentinel chunk guarantees that happens for every session by
+    * drain time, so the plain union read is complete); oracle = batch
+    * gaps-and-islands sessionization per type in DuckDB (an independent
+    * implementation, like q5b's). */
+  def q20iStreamSession(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(replayCached(spark, dir).sessionSinkDir)
+      .where(col("event_type") =!= SentinelType) // the flush event's own session
+      .select("session_start", "event_type", "n_events")
+      .orderBy("event_type", "session_start")
 }

@@ -90,6 +90,24 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamedPairs == batchPairs)
   }
 
+  test("q20i drained session windows equal batch session_window aggregation") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20iStreamSession(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20i must be fed by the durable sink, not driver memory")
+    val got = df.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want,
+      s"streamed sessions != batch sessions (got ${got.size}, want ${want.size})")
+    assert(got.nonEmpty)
+    // append-mode sessions emit exactly once: no key may appear twice
+    assert(got.size == df.count())
+  }
+
   test("q20h in-stream trending argmax equals batch top-1 per window") {
     import spark.implicits._
     val df = StreamingPipelines.q20hStreamTop1InStream(spark, "/root/testdata/sf0.001")
@@ -121,8 +139,10 @@ class StreamingParitySpec extends AnyFunSuite {
     Files.move(java.nio.file.Paths.get(tmp), tgt)
     // the fingerprint mismatch must force a re-chunk, not serve stale chunks
     val chunks2 = StreamingPipelines.chunkEvents(spark, dataDir.toString)
+    // real rows only — the chunk layout carries the one-row flush sentinel
     val rows2 = spark.read.schema(StreamingPipelines.eventSchema)
-      .parquet(chunks2.toString).count()
+      .parquet(chunks2.toString)
+      .where(col("event_type") =!= StreamingPipelines.SentinelType).count()
     val want2 = graft.core.Tables.load(spark, dataDir.toString, "events").count()
     assert(rows2 == want2, s"stale chunk dir served: $rows2 != $want2")
     assert(n1 >= 1)
@@ -136,6 +156,7 @@ class StreamingParitySpec extends AnyFunSuite {
     val seen = new java.util.concurrent.atomic.AtomicLong()
     val q = spark.readStream.schema(StreamingPipelines.eventSchema)
       .option("maxFilesPerTrigger", 5).parquet(chunkDir.toString)
+      .where(col("event_type") =!= StreamingPipelines.SentinelType)
       .withWatermark("ts", "300 seconds")
       .dropDuplicates("event_id") // streaming state-backed dedup (Q16's stream twin)
       .writeStream.outputMode("append")

@@ -115,6 +115,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, 0L))
   }
 
+  test("piiRedact: staged masking counts and redacts each PII kind once") {
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (1L, "mail a.b-c@sub.example.org then 10.0.0.1 call 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "two ips 1.2.3.4 and 5.6.7.8"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextQueries.piiRedact(docs)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "has_pii")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == (1L, 1L, 1L, 1L))
+    assert(out(2L) == (0L, 0L, 0L, 0L))
+    assert(out(3L) == (0L, 2L, 0L, 1L))
+    assert(out(4L) == (0L, 0L, 0L, 0L))
+    // the masked text itself: all three kinds replaced by their tokens
+    val red = TextQueries.piiRedact(docs).where(col("doc_id") === 1L)
+    val redLen = red.select("red_len").as[Long].head()
+    assert(redLen == "mail <EMAIL> then <IP> call <PHONE>".length.toLong)
+  }
+
   test("langId: argmax with first-listed-wins tie-break") {
     val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
     val pred = Seq("y z q", "x y", "q q q").toDF("text")
