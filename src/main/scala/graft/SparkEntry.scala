@@ -58,6 +58,7 @@ object SparkEntry {
     "q18i_repetition"      -> (TextQueries.q18iRepetition _),
     "q18j_decontaminate"   -> (TextQueries.q18jDecontaminate _),
     "q18k_pii_redact"      -> (TextQueries.q18kPiiRedact _),
+    "q18l_corpus_mix"      -> (TextQueries.q18lCorpusMix _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -504,6 +505,26 @@ object SparkEntry {
         |             s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS red_fp
         |FROM s3 ORDER BY doc_id""".stripMargin,
+    // q18l: q18e's exact rules re-aggregated per (source, lang); ratios
+    // rounded from exact long sums
+    "q18l_corpus_mix" ->
+      """WITH tk AS (SELECT source, lang, string_split_regex(text, '\s+') AS t FROM documents),
+        |m AS (SELECT source, lang,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / len(t), 4) AS avg_token_len,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr
+        |      FROM tk),
+        |k AS (SELECT source, lang, n_tokens,
+        |        CASE WHEN n_tokens < 20 THEN 0 WHEN n_tokens > 80 THEN 0
+        |             WHEN avg_token_len < 4.0 OR avg_token_len > 5.0 THEN 0
+        |             WHEN dr < 0.4 THEN 0 ELSE 1 END AS keep
+        |      FROM m)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(keep) AS BIGINT) AS n_keep,
+        |       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+        |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+        |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // same rolling-hash bucket both engines compute bit-identically
     // (fingerprint mod 100 → 80/10/10 content-hashed split)
     "q18g_train_split" ->

@@ -246,6 +246,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q18l — corpus mix report: per (source, lang), document and token
+    * totals plus the survival rate under q18e's exact quality rules —
+    * the numbers a training pipeline turns into mixture weights (how
+    * much of each slice exists, and how much of it the filter keeps).
+    * Pure map + ONE partial-aggregated shuffle of (source, lang) keys;
+    * at 100 TB the exchange carries a few hundred small rows. Ratios
+    * are ROUND()ed from exact long sums, so the cross-engine hash
+    * compare stays deterministic. */
+  def q18lCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("source"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+                .cast("double") / size(toks), 4).as("avg_token_len"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("dr"))
+      .select(col("source"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") < 20, 0L).when(col("n_tokens") > 80, 0L)
+          .when(col("avg_token_len") < 4.0 || col("avg_token_len") > 5.0, 0L)
+          .when(col("dr") < 0.4, 0L).otherwise(1L).as("keep"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("keep")).as("n_keep"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6).as("keep_rate"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4).as("avg_tokens"))
+      .orderBy("source", "lang")
+  }
+
   /** PII patterns shared by engine and oracle. Plain character-class
     * regexes only — no lookarounds, no backreferences — so Java regex
     * (Spark) and RE2 (DuckDB) agree exactly. */

@@ -128,6 +128,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("toks"), e.getMessage)
   }
 
+  test("q18j: eval shingles broadcast — the train corpus never shuffles its shingles") {
+    val p = planString(TextQueries.q18jDecontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-side shingle explode must stream past the broadcast eval set")
+  }
+
+  test("q18k: redaction is a pure map — no joins, one exchange (the oracle sort)") {
+    val plan = finalPlan(TextQueries.q18kPiiRedact(spark, dir))
+    val s = plan.toString
+    assert(!s.contains("Join"), "PII redaction must not join")
+    val exchanges = allNodes(plan).count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(exchanges == 1, s"expected only the orderBy range exchange, got $exchanges")
+  }
+
   test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
     val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
     val shuffled = allNodes(plan).collect {
