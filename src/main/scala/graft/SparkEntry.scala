@@ -47,6 +47,7 @@ object SparkEntry {
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
     "q17d_int8_quant"      -> (SimilarityQueries.q17dInt8Quant _),
+    "q17e_int8_topk"       -> (SimilarityQueries.q17eInt8TopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -550,6 +551,26 @@ object SparkEntry {
         |  CAST(floor(unnest(v) * s) AS BIGINT) AS qval,
         |  ROUND(s, 6) AS scale
         |FROM m ORDER BY vec_id, pos""".stripMargin,
+    // q17e: integer dot products over the q17d codes are exact on both
+    // engines; de-scale association order mirrors the Spark expression
+    // ((qdot / (s_c*s_p)) / (nrm_c*nrm_p)) so the doubles are IEEE-identical
+    "q17e_int8_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+        |             127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, nrm, s,
+        |        list_transform(v, x -> CAST(floor(x * s) AS BIGINT)) AS qv
+        |      FROM n),
+        |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        CAST(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * c.qv[i])) AS DOUBLE)
+        |          / (c.s * p.s) / (c.nrm * p.nrm) AS cos_q
+        |      FROM q p JOIN q c ON c.vec_id <> p.vec_id WHERE p.vec_id < 10),
+        |r AS (SELECT probe_id, neighbor_id, cos_q,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_q DESC, neighbor_id) AS rn
+        |      FROM sc)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos_q, 6) AS cos_sim_q
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q19_multimodal_roundtrip" ->
       """WITH j AS (SELECT d.doc_id, e.embedding,
         |    to_json(struct_pack(doc_id := d.doc_id, lang := d.lang,

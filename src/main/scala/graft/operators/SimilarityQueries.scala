@@ -377,6 +377,55 @@ object SimilarityQueries {
       .orderBy("vec_id", "pos")
   }
 
+  /** Q17e — similarity search OVER the int8 codes (q17d's quantization
+    * put to work): score candidates with INTEGER dot products on the
+    * quantized vectors, de-scale, rank. This is the memory-bandwidth
+    * scale path — at 100 TB the scorer streams 8× fewer bytes than f64
+    * and the inner loop is int MAC, while rank quality stays within
+    * quantization error of exact (agreement vs q17 measured in
+    * DedupSimilaritySpec). Integer dots are EXACT cross-engine (max
+    * |q·q| ≈ 127²×dim ≪ 2^53), so unlike the ANN rows (q17b/c) this
+    * row is fully hash-checked: candidate order, de-scale arithmetic,
+    * and rounding all verified against DuckDB. Same broadcast-probe +
+    * bounded-top-k plan as q17 — only k rows per probe per partition
+    * cross the shuffle. */
+  def q17eInt8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("scale",
+        lit(127.0) / aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("qv", transform(col("v"), x => floor(x * col("scale")).cast("long")))
+      .select("vec_id", "qv", "scale", "nrm")
+
+    val probes = emb.select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+        col("scale").as("pscale"), col("nrm").as("pnrm"))
+      .where(col("probe_id") < 10)
+
+    // integer MAC over the codes, then de-scale:
+    // cos_q = (qp . qc) / (s_c * s_p) / (|c| * |p|)
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id").as("probe"),
+        col("vec_id").as("id"),
+        (aggregate(zip_with(col("qv"), col("pqv"), _ * _), lit(0L), _ + _).cast("double")
+          / (col("scale") * col("pscale")) / (col("nrm") * col("pnrm"))).as("score"))
+
+    import spark.implicits._
+    val topk = new TopKByScore(5).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe)
+      .agg(topk.name("topk"))
+      .toDF("probe_id", "topk")
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(
+        col("probe_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.score"), 6).as("cos_sim_q"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q17 — for probe vectors vec_id < 10: top-5 cosine neighbors,
     * tie-break by neighbor id, scores rounded to 6dp for cross-engine
     * hash stability. */

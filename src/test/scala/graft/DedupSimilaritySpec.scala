@@ -88,6 +88,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.size <= 50)
   }
 
+  test("int8-scored top-k agrees with exact f64 top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = SimilarityQueries.q17eInt8TopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // int8 carries ~7 bits of signal per component: on random vectors the
+    // top-5 sets should be near-identical, diverging only where exact
+    // scores sit within quantization error of each other
+    val agree = (exact & quant).size.toDouble / exact.size
+    assert(agree >= 0.8, s"int8 agreement $agree too low (|exact|=${exact.size})")
+    assert(quant.size == exact.size)
+  }
+
   test("IVF top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
