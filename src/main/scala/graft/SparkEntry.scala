@@ -48,6 +48,7 @@ object SparkEntry {
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
     "q17d_int8_quant"      -> (SimilarityQueries.q17dInt8Quant _),
     "q17e_int8_topk"       -> (SimilarityQueries.q17eInt8TopK _),
+    "q17f_ivf_int8_topk"   -> (SimilarityQueries.q17fIvfInt8TopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),

@@ -377,6 +377,60 @@ object SimilarityQueries {
       .orderBy("vec_id", "pos")
   }
 
+  /** Q17f — IVF × int8 (the FAISS IVF-SQ8 layout re-expressed
+    * relationally): candidate lists come from the persisted IVF coarse
+    * quantizer (sublinear — ~nprobe/k of the corpus per probe, q17c's
+    * machinery) and scoring runs on the int8 codes (8× less memory
+    * bandwidth, q17e's scorer). This is the configuration a 100 TB
+    * deployment actually ships: the full-precision vectors are never
+    * read at query time. Rows-only like the other ANN rows (candidate
+    * sets depend on k-means training); recall vs exact f64 q17 is
+    * pinned in DedupSimilaritySpec. */
+  def q17fIvfInt8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf = ivfCentroids(spark, dir, unit)
+    val index = spark.read.parquet(ivf.assignPath)
+
+    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
+    val probeLists = unit.where(col("id") < 10)
+      .join(broadcast(ivf.centroids.toDF("cid", "cvec")))
+      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(probeRank))
+      .where(col("rn") <= ivf.nprobe)
+      .select("probe_id", "cid")
+    val cand = probeLists.join(index, "cid")
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"))
+
+    // int8 codes + de-scale constants (at scale: a precomputed code
+    // table read instead of the f64 vectors — 8× fewer bytes scanned)
+    val codes = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("scale",
+        lit(127.0) / aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("qv", transform(col("v"), x => floor(x * col("scale")).cast("long")))
+      .select("vec_id", "qv", "scale", "nrm")
+    val cp = codes.select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+      col("scale").as("ps"), col("nrm").as("pn"))
+    val cc = codes.select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"),
+      col("scale").as("cs"), col("nrm").as("cn"))
+    val scored = cand.join(broadcast(cp), "probe_id").join(cc, "neighbor_id")
+      .withColumn("cos_q",
+        aggregate(zip_with(col("cqv"), col("pqv"), _ * _), lit(0L), _ + _).cast("double")
+          / (col("cs") * col("ps")) / (col("cn") * col("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+              round(col("cos_q"), 6).as("cos_sim_q"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q17e — similarity search OVER the int8 codes (q17d's quantization
     * put to work): score candidates with INTEGER dot products on the
     * quantized vectors, de-scale, rank. This is the memory-bandwidth

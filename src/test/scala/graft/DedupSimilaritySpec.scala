@@ -101,6 +101,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(quant.size == exact.size)
   }
 
+  test("IVF x int8 top-k recall vs exact top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q = SimilarityQueries.q17fIvfInt8TopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // same candidate lists as q17c; int8 scoring loses a rank edge only
+    // inside quantization error, so recall tracks the coarse quantizer's
+    val recall = (exact & q).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-int8 recall $recall too low (|exact|=${exact.size})")
+    assert(q.size <= 50)
+  }
+
   test("IVF top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -146,6 +146,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the orderBy range exchange, got $exchanges")
   }
 
+  test("q17e: quantized scoring keeps q17's broadcast-probe shape") {
+    val p = planString(SimilarityQueries.q17eInt8TopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probes must broadcast — the corpus side never shuffles for scoring")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("q18l: corpus mix is map + one partial-aggregated key shuffle") {
+    val plan = finalPlan(TextQueries.q18lCorpusMix(spark, dir))
+    val s = plan.toString
+    assert(!s.contains("Join"), "the mix report must not join")
+    // partial_count/partial_sum before the exchange = map-side combine
+    assert(s.contains("partial_count") || s.contains("partial count"), s.take(600))
+  }
+
   test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
     val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
     val shuffled = allNodes(plan).collect {
