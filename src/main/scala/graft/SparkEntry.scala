@@ -43,6 +43,7 @@ object SparkEntry {
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q16e_raw_embedding_neardup" -> (SimilarityQueries.q16eRawEmbeddingNearDup _),
     "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
+    "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
     "q17c_ivf_topk"        -> (SimilarityQueries.q17cIvfTopK _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q18j_decontaminate"   -> (TextQueries.q18jDecontaminate _),
     "q18k_pii_redact"      -> (TextQueries.q18kPiiRedact _),
     "q18l_corpus_mix"      -> (TextQueries.q18lCorpusMix _),
+    "q18m_rarity_score"    -> (TextQueries.q18mRarityScore _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -73,8 +75,10 @@ object SparkEntry {
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
     "q20i_stream_session"  -> (graft.streaming.StreamingPipelines.q20iStreamSession _),
+    "q20j_stream_enrich"   -> (graft.streaming.StreamingPipelines.q20jStreamEnrich _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
+    "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -202,6 +206,17 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, p.purchase_id
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
+    // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
+    // independent oracle for the engine's binned band-join rewrite
+    "q22b_range_join" ->
+      """SELECT a.event_id, a.event_type,
+        |  CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors
+        |FROM events a LEFT JOIN events b
+        |  ON b.event_id <> a.event_id AND b.event_type <> a.event_type
+        | AND b.ts >= a.ts - INTERVAL 60 SECOND
+        | AND b.ts <= a.ts + INTERVAL 60 SECOND
+        |GROUP BY a.event_id, a.event_type
+        |ORDER BY a.event_id""".stripMargin,
     // content-hash stratified sample: same fingerprint, same
     // (fp, doc_id) order, bottom-20 per lang
     "q18h_stratified_sample" ->
@@ -303,6 +318,21 @@ object SparkEntry {
         |  CAST(COALESCE(rep.m, d.doc_id) = d.doc_id AS BIGINT) AS keep
         |FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q16g: all-pairs ground truth at 0.99 over the same planted view —
+    // the cluster-scoped (SemDeDup) engine plan must lose no pair: the
+    // only pairs ≥ 0.99 are the ×2-scaled copies (raw corpus tops out at
+    // cos ≈ 0.51), and copies provably co-assign to one cluster
+    "q16g_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM base
+        |        UNION ALL
+        |        SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0) FROM base WHERE vec_id < 50),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM aug),
+        |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |        ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_i, vec_j, cos_sim FROM p WHERE cos_sim >= 0.99
+        |ORDER BY vec_i, vec_j""".stripMargin,
     "q16d_charngram_neardup" ->
       """WITH sh AS (SELECT doc_id,
         |         list_distinct(list_transform(range(1, length(text) - 3), i -> substring(text, i, 5))) AS sh
@@ -527,6 +557,25 @@ object SparkEntry {
         |       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
         |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
         |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // q18m: integer sums until the final long/long division → the
+    // doubles are IEEE-identical cross-engine before ROUND
+    "q18m_rarity_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |            FROM documents),
+        |dt AS (SELECT doc_id, token, COUNT(*) AS n_in_doc FROM tok GROUP BY 1, 2),
+        |v AS (SELECT token, SUM(n_in_doc) AS tf FROM dt GROUP BY 1),
+        |agg AS (SELECT dt.doc_id,
+        |          SUM(dt.n_in_doc) AS n_tokens,
+        |          SUM(dt.n_in_doc * v.tf) AS tf_sum,
+        |          SUM(CASE WHEN v.tf <= 2 THEN dt.n_in_doc ELSE 0 END) AS n_rare
+        |        FROM dt JOIN v USING (token) GROUP BY dt.doc_id)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(tf_sum AS BIGINT) AS tf_sum,
+        |  ROUND(CAST(tf_sum AS DOUBLE) / n_tokens, 4) AS avg_tf,
+        |  CAST(n_rare AS BIGINT) AS n_rare,
+        |  ROUND(CAST(n_rare AS DOUBLE) / n_tokens, 4) AS rare_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // same rolling-hash bucket both engines compute bit-identically
     // (fingerprint mod 100 → 80/10/10 content-hashed split)
     "q18g_train_split" ->
@@ -649,6 +698,14 @@ object SparkEntry {
         |  FROM o)
         |SELECT MIN(ts) AS session_start, event_type, COUNT(*) AS n_events
         |FROM s GROUP BY event_type, sid ORDER BY event_type, session_start""".stripMargin,
+    // q20j: the drained stream-static join + windowed agg must equal the
+    // batch join + group-by (user_id ⊂ c_custkey on this corpus, so the
+    // inner join drops nothing)
+    "q20j_stream_enrich" ->
+      """SELECT date_trunc('minute', e.ts) AS window_start,
+        |       c.c_mktsegment AS segment, COUNT(*) AS cnt
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the salted two-phase plan is result-identical to the plain GROUP BY
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events

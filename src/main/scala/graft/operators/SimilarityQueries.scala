@@ -135,6 +135,51 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       0.9)
 
+  /** Q16g — SEMANTIC dedup, cluster-scoped (the SemDeDup recipe, Abbas
+    * et al. 2023, re-expressed relationally): instead of LSH buckets
+    * (q16e), candidate pairs are scoped to the IVF coarse-quantizer
+    * clusters — vectors are assigned to their nearest centroid (a pure
+    * map against the broadcast centroid matrix, reusing the PERSISTED
+    * index q17c built for this dataset) and only within-cluster pairs
+    * are exact-cosine-verified at threshold 0.99. With k ≈ √N centroids,
+    * cluster population is ≈ √N, so candidate pairs are O(N^1.5), never
+    * O(N²) — the shape SemDeDup runs at web scale.
+    *
+    * Fully hash-checked, by construction: the planted duplicates
+    * ([[plantedEmbeddings]]) are ×2-scaled copies, which L2-normalize to
+    * BIT-IDENTICAL unit vectors (×2 and ×4 are exact in binary FP, the
+    * sum runs in the same order, sqrt(4s) = 2·sqrt(s) exactly), so a
+    * copy's centroid scores equal its original's and the deterministic
+    * argmax co-assigns them — every true pair (cos → 1) is inside one
+    * cluster. The oracle is the all-pairs ground truth at 0.99; raw
+    * corpus pairs top out at cos ≈ 0.51, so the answer is exactly the
+    * planted pair set and the cluster scoping provably loses nothing. */
+  def q16gSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = normalized(spark, dir)
+    val unitRaw = raw.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf = ivfCentroids(spark, dir, unitRaw) // the shared persisted index
+    val cdf = ivf.centroids.toDF("cid", "cvec")
+    val emb = plantedEmbeddings(spark, dir)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val assigned = assignToCentroids(unit, cdf)
+    val l = assigned.select(col("id").as("vec_i"), col("cid"))
+    val r = assigned.select(col("id").as("vec_j"), col("cid"))
+    val cand = l.join(r, Seq("cid"))
+      .where(col("vec_i") < col("vec_j"))
+      .select("vec_i", "vec_j")
+    val ei = emb.select(col("vec_id").as("vec_i"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val ej = emb.select(col("vec_id").as("vec_j"), col("v").as("v_j"), col("nrm").as("n_j"))
+    cand.join(ei, "vec_i").join(ej, "vec_j")
+      .withColumn("cos_sim", round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .where(col("cos_sim") >= 0.99)
+      .select("vec_i", "vec_j", "cos_sim")
+      .orderBy("vec_i", "vec_j")
+  }
+
   /** Q17b — approximate nearest neighbors (rows-only check: recall is
     * probabilistic by construction; measured against exact q17 in
     * DedupSimilaritySpec): probes search only their LSH buckets, exact

@@ -365,6 +365,53 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Q18m — unigram corpus-frequency scoring (the language-model-free
+    * quality signal family: CCNet-style corpus statistics instead of a
+    * trained LM): per document, the summed and averaged corpus frequency
+    * of its tokens and the share of corpus-rare tokens (frequency ≤ 2 —
+    * hapax/dis legomena). Low avg_tf / high rare_ratio flags
+    * gibberish, OCR noise, and code-switched fragments; the same shape
+    * with log-probabilities is a unigram LM scorer (kept integer here so
+    * the cross-engine hash compare is exact — every number is an integer
+    * sum until the final division of two longs, which is IEEE-identical
+    * on both engines).
+    *
+    * Scale posture: the corpus is aggregated to the doc-term frame
+    * (doc_id, token, n_in_doc) FIRST — the shuffle carries one row per
+    * distinct (doc, token), never one per token instance. The vocabulary
+    * is derived from that same frame (one further partial-aggregated
+    * shuffle of token keys) and joined back BY TOKEN — a shuffled hash
+    * join, deliberately not a broadcast: a web-scale vocabulary is
+    * heavy-tailed and corpus-derived, so no small-side assumption holds
+    * (Zipf means the hot tokens skew the join — the salting escape
+    * hatch is [[SkewOps]]). At 100 TB the doc-term frame is materialized
+    * once and both consumers read it; here the recompute is two scans
+    * (the documented Catalyst no-CSE-across-joins trap,
+    * DedupQueries.scala). */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val docTerm = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n_in_doc"))
+    val vocab = docTerm.groupBy("token").agg(sum(col("n_in_doc")).as("tf"))
+    docTerm.join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_in_doc")).as("n_tokens"),
+        sum(col("n_in_doc") * col("tf")).as("tf_sum"),
+        sum(when(col("tf") <= 2, col("n_in_doc")).otherwise(0L)).as("n_rare"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("tf_sum").cast("long").as("tf_sum"),
+        round(col("tf_sum").cast("double") / col("n_tokens"), 4).as("avg_tf"),
+        col("n_rare").cast("long").as("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 4).as("rare_ratio"))
+  }
+
+  /** Q18m — [[rarityScore]] over the documents corpus. */
+  def q18mRarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
   /** Q18f — sequence packing (concat-and-chunk pretraining layout):
     * documents concatenated in doc_id order; each doc's pack is the
     * 2048-token chunk its start offset falls in. The global running

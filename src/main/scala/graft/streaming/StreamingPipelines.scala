@@ -101,6 +101,7 @@ object StreamingPipelines {
     @volatile var perTypeSinkDir: String = _   // O11 input, update mode
     @volatile var top1SinkDir: String = _      // O11 in-stream argmax (q20h), update mode
     @volatile var joinSinkDir: String = _      // stream-stream join, append mode
+    @volatile var enrichSinkDir: String = _    // stream-static join (q20j), update mode
     @volatile var dedupSinkDir: String = _     // dropDuplicates (q20f), append mode
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
@@ -326,6 +327,7 @@ object StreamingPipelines {
     sink.top1SinkDir     = Files.createTempDirectory("graft-out-top1").toString
     sink.joinSinkDir     = Files.createTempDirectory("graft-out-join").toString
     sink.dedupSinkDir    = Files.createTempDirectory("graft-out-dedup").toString
+    sink.enrichSinkDir   = Files.createTempDirectory("graft-out-enrich").toString
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
 
     // O12 — tumbling 1-minute count, update mode.
@@ -457,6 +459,30 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.joinSinkDir)).start()
 
+    // Stream-STATIC enrichment join (q20j) — the dimension-join mode the
+    // reference never exercises but every production stream runs: each
+    // event joined to the static customer table (user_id → market
+    // segment), then aggregated per (window, segment). The static side
+    // is `broadcast()` and STATELESS — no watermark bookkeeping, no join
+    // state; Spark re-resolves the batch side each micro-batch (which is
+    // how slowly-changing dimensions pick up updates mid-stream). At
+    // 100 TB the dimension stays broadcast-sized by construction
+    // (customers ≪ events); a corpus-scale dimension would drop the hint
+    // and shuffle-hash-join per micro-batch instead.
+    val customers = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enrich = data
+      .withWatermark("ts", "300 seconds")
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 minute"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+              col("c_mktsegment").as("segment"), col("cnt"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$ckpt/enrich")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(epochSink(sink.enrichSinkDir)).start()
+
     // Streaming exact dedup (q20f): first occurrence per user_id across
     // the whole replay (`dropDuplicates` keyed state). Append-mode
     // epochs are disjoint first-occurrence sets — a plain union read.
@@ -500,7 +526,7 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.sessionSinkDir)).start()
 
-    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, dedup, session)
+    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, enrich, dedup, session)
       .foreach(_.awaitTermination())
     finally {
       WriterRegistry.queues.remove(runId)
@@ -509,7 +535,7 @@ object StreamingPipelines {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
-      // free the native stores this replay opened (9 queries × 4 state
+      // free the native stores this replay opened (10 queries × 4 state
       // partitions) instead of waiting on the 60 s maintenance cadence
       unloadStateStores()
     }
@@ -806,6 +832,15 @@ object StreamingPipelines {
     readLatestWins(spark, replayCached(spark, dir).top1SinkDir, Seq("window_start"))
       .select("window_start", "top_type", "cnt")
       .orderBy("window_start")
+
+  /** Q20j — stream-static enrichment (events ⋈ broadcast customer dim →
+    * per-(window, segment) counts) read back latest-epoch-wins; oracle =
+    * the equivalent batch join + group-by in DuckDB. */
+  def q20jStreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    readLatestWins(spark, replayCached(spark, dir).enrichSinkDir,
+      Seq("window_start", "segment"))
+      .select("window_start", "segment", "cnt")
+      .orderBy("window_start", "segment")
 
   /** Q20i — per-type SESSION windows drained from the append-mode sink
     * (a session emits exactly once, when the watermark passes its end —

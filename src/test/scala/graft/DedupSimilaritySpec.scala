@@ -171,6 +171,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(SimilarityQueries.ivfNProbeFor(100) == 25) // 25% of lists
   }
 
+  test("semantic dedup (cluster-scoped): finds exactly the planted pairs (sf0.001)") {
+    val got = SimilarityQueries.q16gSemanticDedup(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val n = SimilarityQueries.plantedEmbeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") >= 1000000L).count()
+    // every planted copy must co-cluster with its original (bit-identical
+    // unit vectors → identical centroid scores → same deterministic
+    // argmax), and nothing else clears 0.99 on this corpus
+    val want = (0L until n).map(i => (i, i + 1000000L, 1.0))
+    assert(got == want, s"got ${got.take(5)}... (${got.size}) want ${want.size} planted pairs")
+  }
+
   test("cosine: identity 1.0, orthogonal 0.0, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),

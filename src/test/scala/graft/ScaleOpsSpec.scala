@@ -97,4 +97,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected bucket-co-located join (≤1 exchange for the agg), got ${shuffles.size}")
     assert(joined.count() > 0)
   }
+
+  test("binned band join: equals the naive range join, including boundaries and zero-neighbor rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    // events straddling bin edges: pairs at exactly ±60s (inclusive),
+    // ±60.000001s (out), same-type neighbors (excluded), isolated rows
+    val rows = Seq(
+      (1L, ts(0), "click"),
+      (2L, ts(60), "purchase"),      // +60s from e1: in (boundary), cross-bin
+      (3L, ts(121), "purchase"),     // +121s from e1: out of band
+      (4L, ts(50), "click"),         // same type as e1: not its neighbor
+      (5L, ts(1000), "view"),        // isolated
+      (6L, ts(-60), "view")          // -60s from e1: in (boundary, negative side)
+    ).toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", lit(0L)).withColumn("value", lit(0.0))
+    val got = graft.operators.RangeJoin.neighborCounts(rows, 60L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // naive ground truth computed inline
+    val raw = rows.select("event_id", "ts", "event_type")
+      .as[(Long, Timestamp, String)].collect()
+    val want = raw.map { case (id, t, ty) =>
+      id -> raw.count { case (id2, t2, ty2) =>
+        id2 != id && ty2 != ty && math.abs(t2.getTime - t.getTime) <= 60000L
+      }.toLong
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(5L) == 0L, "isolated row must survive with 0 neighbors")
+  }
+
+  test("q22b plans as an equi-join on bins — never a cartesian/nested-loop") {
+    val q = graft.operators.RangeJoin.q22bRangeJoin(spark, "/root/testdata/sf0.001")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join must be rewritten to a binned equi-join")
+  }
 }

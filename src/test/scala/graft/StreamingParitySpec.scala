@@ -108,6 +108,23 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.size == df.count())
   }
 
+  test("q20j stream-static enrichment equals the batch dimension join") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20jStreamEnrich(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20j must be fed by the durable sink, not driver memory")
+    val got = df.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val cust = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val want = ev.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("minute", col("ts")).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want,
+      s"streamed enrichment != batch join (got ${got.size}, want ${want.size})")
+    assert(got.nonEmpty)
+  }
+
   test("q20h in-stream trending argmax equals batch top-1 per window") {
     import spark.implicits._
     val df = StreamingPipelines.q20hStreamTop1InStream(spark, "/root/testdata/sf0.001")

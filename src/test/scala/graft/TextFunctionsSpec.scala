@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.operators.TextQueries
 
 /** Behavioral proof of the reference's signature operator (O5, `#\w+`
   * at TwitterDStreamTrendingHashtag.java:66) and the text-analysis
@@ -134,6 +135,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     val red = TextQueries.piiRedact(docs).where(col("doc_id") === 1L)
     val redLen = red.select("red_len").as[Long].head()
     assert(redLen == "mail <EMAIL> then <IP> call <PHONE>".length.toLong)
+  }
+
+  test("rarityScore: corpus frequencies, hapax counting, exact ratios") {
+    // corpus: "the" appears 4×, "cat"/"dog" 2× each, "zyx"/"qwv" once (hapax)
+    val docs = Seq(
+      (1L, "the cat the dog"),
+      (2L, "the cat zyx"),
+      (3L, "the dog qwv")).toDF("doc_id", "text")
+    val out = TextQueries.rarityScore(docs)
+      .select("doc_id", "n_tokens", "tf_sum", "n_rare")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc1: tf(the)*2 + tf(cat) + tf(dog) = 8+2+2 = 12; cat/dog (tf=2)
+    // are rare under the tf ≤ 2 rule (hapax + dis legomena)
+    assert(out(1L) == (4L, 12L, 2L))
+    // doc2: 4+2+1 = 7; cat (tf=2) + zyx (hapax) rare
+    assert(out(2L) == (3L, 7L, 2L))
+    assert(out(3L) == (3L, 7L, 2L))
   }
 
   test("langId: argmax with first-listed-wins tie-break") {
