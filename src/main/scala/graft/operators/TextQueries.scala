@@ -380,11 +380,13 @@ object TextQueries {
     * (doc_id, token, n_in_doc) FIRST — the shuffle carries one row per
     * distinct (doc, token), never one per token instance. The vocabulary
     * is derived from that same frame (one further partial-aggregated
-    * shuffle of token keys) and joined back BY TOKEN — a shuffled hash
-    * join, deliberately not a broadcast: a web-scale vocabulary is
-    * heavy-tailed and corpus-derived, so no small-side assumption holds
-    * (Zipf means the hot tokens skew the join — the salting escape
-    * hatch is [[SkewOps]]). At 100 TB the doc-term frame is materialized
+    * shuffle of token keys) and joined back BY TOKEN — deliberately NOT
+    * `broadcast()`-hinted: a web-scale vocabulary is corpus-derived and
+    * heavy-tailed, so no static small-side assumption holds; AQE picks
+    * broadcast only when the measured vocab actually fits, and falls
+    * back to a shuffled join otherwise (Zipf means the hot tokens skew
+    * that join — the salting escape hatch is [[SkewOps]]). At 100 TB
+    * the doc-term frame is materialized
     * once and both consumers read it; here the recompute is two scans
     * (the documented Catalyst no-CSE-across-joins trap,
     * DedupQueries.scala). */

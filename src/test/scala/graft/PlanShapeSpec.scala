@@ -161,6 +161,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("partial_count") || s.contains("partial count"), s.take(600))
   }
 
+  test("q18m: corpus pre-aggregates to the doc-term frame before the vocab join") {
+    val s = planString(TextQueries.q18mRarityScore(spark, dir))
+    // partial aggregation of (doc_id, token) must sit below the join —
+    // the shuffle carries distinct doc-terms, never raw token instances
+    assert(s.contains("partial_count") || s.contains("partial count"), s.take(600))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "vocab joins by token key only")
+  }
+
+  test("q16g: semantic dedup candidates come from the cluster equi-join, never all-pairs") {
+    val s = planString(SimilarityQueries.q16gSemanticDedup(spark, dir))
+    assert(!s.contains("CartesianProduct"), "no cartesian anywhere")
+    // the pair-forming join must be an equi-join keyed on the cluster id
+    // (the only nested-loop joins allowed are the k×dim centroid
+    // broadcasts inside the assign step — corpus × centroid-matrix, the
+    // designed fan-out, bounded by k ≈ √N rows on the build side)
+    assert(s.contains("Join [cid") || s.contains("Join [coalesce(cid"),
+      "within-cluster pairs must come from a cid-keyed equi-join:\n" + s.take(800))
+  }
+
   test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
     val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
     val shuffled = allNodes(plan).collect {
