@@ -28,6 +28,7 @@ object SparkEntry {
     "q7b_window_topk"    -> (WindowQueries.q7bWindowTopK _),
     "q8_running_count"   -> (WindowQueries.q8RunningCount _),
     "q9_join_revenue"    -> (RelationalQueries.q9JoinRevenue _),
+    "q9b_semi_anti_join" -> (RelationalQueries.q9bSemiAntiJoin _),
     "q10_topk_orders"    -> (RelationalQueries.q10TopCustomers _),
     "q11_set_ops"        -> (RelationalQueries.q11SetOps _),
     "q12_rollup"         -> (RelationalQueries.q12Rollup _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q18k_pii_redact"      -> (TextQueries.q18kPiiRedact _),
     "q18l_corpus_mix"      -> (TextQueries.q18lCorpusMix _),
     "q18m_rarity_score"    -> (TextQueries.q18mRarityScore _),
+    "q18n_token_budget_sample" -> (TextQueries.q18nTokenBudgetSample _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -136,6 +138,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // q9b: EXISTS/NOT EXISTS — the declarative twin of left_semi +
+    // left_anti
+    "q9b_semi_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "q10_topk_orders" ->
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
@@ -206,6 +216,26 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, p.purchase_id
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
+    // q18n: the naive per-slice window (one partition per slice) is the
+    // independent oracle for the engine's keyed two-phase prefix sums;
+    // token sums are exact longs
+    "q18n_token_budget_sample" ->
+      """WITH tk AS (SELECT doc_id, source, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(text, '\s+'),
+        |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, lang, doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source, lang ORDER BY fp, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - n_tokens AS slice_offset
+        |      FROM tk)
+        |SELECT source, lang, doc_id, n_tokens,
+        |       CAST(slice_offset AS BIGINT) AS slice_offset,
+        |       CAST(slice_offset < 150 AS BIGINT) AS sampled
+        |FROM c ORDER BY source, lang, doc_id""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite
     "q22b_range_join" ->

@@ -58,6 +58,25 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Q9b — the semi/anti join surface Q9's inner join doesn't exercise:
+    * customers WITH at least one order (left_semi — the EXISTS plan, no
+    * row multiplication) and WITHOUT any 'F'-status order (left_anti,
+    * NOT EXISTS). Both are build-side-deduplicating hash joins in
+    * Spark — the scale shape for existence predicates, never a join +
+    * distinct (which would shuffle the multiplied fact rows only to
+    * collapse them again). */
+  def q9bSemiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    cust
+      .join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.where(col("o_orderstatus") === "F").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   /** Q10 — sort/limit top-k: top-10 customers by total order value.
     * TakeOrderedAndProject physically: no global sort materialization. */
   def q10TopCustomers(spark: SparkSession, dir: String): DataFrame = {

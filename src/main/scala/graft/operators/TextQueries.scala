@@ -414,6 +414,57 @@ object TextQueries {
   def q18mRarityScore(spark: SparkSession, dir: String): DataFrame =
     rarityScore(Tables.load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Q18n — token-budget mixture sampling: the APPLICATION step to
+    * q18l's mix report — materialize a per-(source, lang) sample that
+    * fills each slice's token budget, deterministically. Docs within a
+    * slice are ordered by content-hash fingerprint (fp asc, doc_id asc —
+    * the same no-RNG reproducibility contract as q18g/q18h), each doc
+    * gets its slice-relative token start offset, and a doc is sampled
+    * iff its offset is under the budget — so reruns, re-crawls, and
+    * engine swaps select the same documents, and raising the budget only
+    * APPENDS to the sample (offsets don't move).
+    *
+    * The per-slice running token sum is the q8/q18f two-phase plan
+    * GENERALIZED TO KEYED prefix sums: range-partition by (slice, fp,
+    * doc_id), per-partition window sums, then per-(slice, partition)
+    * totals joined back as broadcast offsets — no slice ever funnels
+    * through one task the way `Window.partitionBy(slice)` would, which
+    * at 100 TB with a handful of sources × languages is the difference
+    * between a job and a stall. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long, nParts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        fingerprint(tokens(col("text"))).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(nParts, col("source"), col("lang"), col("fp"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("source", "lang", "pid").orderBy("fp", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("local_sum", sum(col("n_tokens")).over(localW))
+    val sums = ranged.groupBy("source", "lang", "pid").agg(sum(col("n_tokens")).as("t"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("b.pid") < col("a.pid"),
+        "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.lang").as("lang"), col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("offset"))
+    local
+      .join(broadcast(offsets), Seq("source", "lang", "pid"))
+      .select(col("source"), col("lang"), col("doc_id"), col("n_tokens"),
+        (col("offset") + col("local_sum") - col("n_tokens")).as("slice_offset"))
+      .withColumn("sampled", (col("slice_offset") < budget).cast("long"))
+  }
+
+  /** Q18n — [[tokenBudgetSample]] at 150 tokens per (source, lang) slice
+    * (inside this corpus's observed 80–400-token slice range, so some
+    * slices cut and some saturate). */
+  def q18nTokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSample(Tables.load(spark, dir, "documents"), 150L,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .orderBy("source", "lang", "doc_id")
+
   /** Q18f — sequence packing (concat-and-chunk pretraining layout):
     * documents concatenated in doc_id order; each doc's pack is the
     * 2048-token chunk its start offset falls in. The global running

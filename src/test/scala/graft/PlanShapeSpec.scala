@@ -161,6 +161,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("partial_count") || s.contains("partial count"), s.take(600))
   }
 
+  test("q18n: keyed prefix sums — every window is slice+partition-scoped, no slice funnel") {
+    val plan = finalPlan(TextQueries.q18nTokenBudgetSample(spark, dir))
+    val windows = allNodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // the running sum must be partitioned by (source, lang, pid) — a
+    // bare PARTITION BY (source, lang) would funnel each slice's corpus
+    // share through one task
+    windows.foreach { w =>
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "pid")),
+        s"slice-funnel WindowExec: ${w.simpleString(200)}")
+    }
+  }
+
+  test("q9b: semi and anti joins plan as such — no inner-join-plus-distinct") {
+    val s = planString(RelationalQueries.q9bSemiAntiJoin(spark, dir))
+    assert(s.contains("LeftSemi"), s.take(400))
+    assert(s.contains("LeftAnti"), s.take(400))
+  }
+
   test("q18m: corpus pre-aggregates to the doc-term frame before the vocab join") {
     val s = planString(TextQueries.q18mRarityScore(spark, dir))
     // partial aggregation of (doc_id, token) must sit below the join —

@@ -154,6 +154,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(3L) == (3L, 7L, 2L))
   }
 
+  test("tokenBudgetSample: per-slice prefix sums in fp order, budget cuts deterministically") {
+    val docs = Seq(
+      (1L, "aa bb cc", "s1", "en"),       // 3 tokens
+      (2L, "dd ee", "s1", "en"),          // 2 tokens
+      (3L, "ff gg hh ii", "s1", "en"),    // 4 tokens
+      (10L, "xx yy", "s2", "de"),         // separate slice
+      (11L, "zz", "s2", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextQueries.tokenBudgetSample(docs, budget = 5L, nParts = 3)
+      .select("source", "lang", "doc_id", "n_tokens", "slice_offset", "sampled")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // offsets must be the exact prefix sums of n_tokens in (fp, doc_id)
+    // order within each slice, starting at 0 — recompute independently
+    val fps = docs.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    for ((slice, rows) <- out.groupBy(r => (r._1, r._2))) {
+      val inOrder = rows.sortBy(r => (fps(r._3), r._3))
+      var run = 0L
+      inOrder.foreach { r =>
+        assert(r._5 == run, s"slice $slice doc ${r._3}: offset ${r._5} != $run")
+        assert(r._6 == (if (run < 5L) 1L else 0L), s"budget flag wrong for doc ${r._3}")
+        run += r._4
+      }
+    }
+    // slice s1 has 9 tokens against a budget of 5: at least one doc cut
+    assert(out.filter(r => r._1 == "s1").map(_._6).min == 0L)
+    // slice s2 (3 tokens) fits entirely
+    assert(out.filter(r => r._1 == "s2").map(_._6).forall(_ == 1L))
+  }
+
   test("langId: argmax with first-listed-wins tie-break") {
     val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
     val pred = Seq("y z q", "x y", "q q q").toDF("text")
