@@ -32,8 +32,11 @@ object SparkEntry {
     "q10_topk_orders"    -> (RelationalQueries.q10TopCustomers _),
     "q11_set_ops"        -> (RelationalQueries.q11SetOps _),
     "q12_rollup"         -> (RelationalQueries.q12Rollup _),
+    "q12b_cube"          -> (RelationalQueries.q12bCube _),
     "q13_window_funcs"   -> (RelationalQueries.q13WindowFuncs _),
+    "q13b_rank_funcs"    -> (RelationalQueries.q13bRankFuncs _),
     "q14_scalar_pack"    -> (RelationalQueries.q14ScalarPack _),
+    "q14b_pivot"         -> (RelationalQueries.q14bPivot _),
     "q15_distinct"       -> (RelationalQueries.q15Distinct _),
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
     "q15c_quantiles"       -> (RelationalQueries.q15cQuantiles _),
@@ -44,6 +47,7 @@ object SparkEntry {
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q16e_raw_embedding_neardup" -> (SimilarityQueries.q16eRawEmbeddingNearDup _),
     "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
+    "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
     "q17b_ann_topk"        -> (SimilarityQueries.q17bAnnTopK _),
@@ -169,6 +173,17 @@ object SparkEntry {
         |      JOIN nation ON c_nationkey = n_nationkey) t
         |GROUP BY ROLLUP(n_name, order_year)
         |ORDER BY n_name NULLS FIRST, order_year NULLS FIRST""".stripMargin,
+    // gid: both engines use the SQL-standard bit order (first cube
+    // column = MSB of GROUPING)
+    "q12b_cube" ->
+      """SELECT o_orderstatus, order_year,
+        |  CAST(GROUPING(o_orderstatus, order_year) AS INT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+        |             o_totalprice FROM orders) t
+        |GROUP BY CUBE(o_orderstatus, order_year)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin,
     "q13_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
@@ -178,6 +193,19 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_seq""".stripMargin,
+    // ranking/distribution window family; 6dp rounding absorbs last-ulp
+    // double drift in percent_rank/cume_dist
+    "q13b_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drank,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cdist,
+        |  LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q14_scalar_pack" ->
       """SELECT o_orderkey,
         |  lower(o_orderstatus) AS status_lc,
@@ -192,6 +220,22 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  ([o_orderstatus, o_orderpriority])[2] AS arr_pick
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // MAX-over-empty yields NULL, matching Spark's pivot semantics for
+    // cells with no input rows (a bare COUNT FILTER would give 0)
+    "q14b_pivot" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus AS st,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT order_year,
+        |  MAX(rev) FILTER (WHERE st = 'F') AS "F_rev",
+        |  MAX(n)   FILTER (WHERE st = 'F') AS "F_n",
+        |  MAX(rev) FILTER (WHERE st = 'O') AS "O_rev",
+        |  MAX(n)   FILTER (WHERE st = 'O') AS "O_n",
+        |  MAX(rev) FILTER (WHERE st = 'P') AS "P_rev",
+        |  MAX(n)   FILTER (WHERE st = 'P') AS "P_n"
+        |FROM c GROUP BY order_year ORDER BY order_year""".stripMargin,
     "q15_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -352,6 +396,27 @@ object SparkEntry {
     // the cluster-scoped (SemDeDup) engine plan must lose no pair: the
     // only pairs ≥ 0.99 are the ×2-scaled copies (raw corpus tops out at
     // cos ≈ 0.51), and copies provably co-assign to one cluster
+    // keep-best normalized dedup over the planted SHOUTED-twin fixture
+    // (DedupQueries.casedVariants); the window rn=1 row is an
+    // independent implementation of the engine's single-shuffle
+    // max(struct(quality, -id)) argmax
+    "q16h_keep_best" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         replace(upper(text), ' ', '  ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |nn AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM fixture)
+        |SELECT doc_id, n_chars, n_members FROM (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY h) AS n_members
+        |  FROM nn) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q16g_semantic_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |aug AS (SELECT vec_id, v FROM base

@@ -34,6 +34,54 @@ object DedupQueries {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Library surface: normalized dedup with a KEEP-BEST policy over any
+    * (doc_id, text) frame. Documents that agree after canonicalization
+    * (trim, lowercase, collapse internal whitespace) form one group,
+    * and the survivor is chosen by QUALITY — longest original text
+    * wins, doc_id breaks ties — not q16's arbitrary min-id. This is the
+    * production "canonical document selection" step: near-identical
+    * crawls differ in case/spacing, and the pipeline keeps the richest
+    * copy, deterministically.
+    *
+    * Same scale shape as q16: the shuffle key is a digest OF THE
+    * NORMALIZED text (never the text itself), and the keep-best argmax
+    * rides the same single shuffle as a `max(struct(quality, -id))`
+    * partial aggregate — no window function, no second pass, map-side
+    * combine intact. (The normalization regex sticks to `\s`'s common
+    * Java∩RE2 subset — the q18k cross-engine contract.) */
+  def keepBestDedup(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+              xxhash64(norm).as("h64"), md5(norm).as("h128"))
+      .groupBy("h64", "h128")
+      .agg(max(struct(col("n_chars").as("q"), (-col("doc_id")).as("negid"))).as("best"),
+           count(lit(1)).as("n_members"))
+      .select((-col("best.negid")).as("doc_id"), col("best.q").as("n_chars"),
+              col("n_members"))
+  }
+
+  /** Planted fixture for q16h (the q16e `plantedEmbeddings` pattern —
+    * the raw corpus has zero case/whitespace variants at any SF, so the
+    * raw-corpus row would be vacuous): every 10th document gains a
+    * SHOUTED twin at doc_id+2000000 — uppercased, every space doubled.
+    * The twin canonicalizes to the same normalized text but is LONGER,
+    * so keep-best must select the twin over the original — the policy
+    * provably differs from min-id dedup on every planted group, and the
+    * oracle hash-checks that. Both engines build the same fixture. */
+  def casedVariants(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val twins = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+              regexp_replace(upper(col("text")), " ", "  ").as("text"))
+    base.unionByName(twins)
+  }
+
+  /** Q16h — keep-best normalized dedup over the planted-variant corpus. */
+  def q16hKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestDedup(casedVariants(Tables.load(spark, dir, "documents")))
+      .orderBy("doc_id")
+
   // ---- MinHash-LSH machinery ------------------------------------------
 
   val numHashes = graft.functions.MinHash.NumHashes

@@ -129,6 +129,25 @@ object RelationalQueries {
       .orderBy(col("n_name").asc_nulls_first, col("order_year").asc_nulls_first)
   }
 
+  /** Q12b — full CUBE over (status, order year) with `grouping_id()`,
+    * the grouping-set surface q12's ROLLUP doesn't reach: all four
+    * grouping combinations materialize from ONE scan through Spark's
+    * Expand operator (each input row fans out to its grouping sets
+    * before the single shuffle — no per-set re-scan, which at 100 TB
+    * would multiply scan I/O by the number of sets). gid uses the SQL
+    * convention both engines share: first cube column = MSB. */
+  def q12bCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"),
+              col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("order_year"))
+      .agg(grouping_id().cast("int").as("gid"),
+           dsum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+               col("order_year").asc_nulls_first)
+  }
+
   /** Q13 — SQL window functions: per-customer order sequence, running
     * spend (decimal-exact inside the frame), previous order gap. */
   def q13WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -142,6 +161,30 @@ object RelationalQueries {
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
         datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
       .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Q13b — the ranking/distribution window-function family q13's
+    * row_number/lag/sum doesn't cover: dense_rank, ntile, percent_rank,
+    * cume_dist, lead, first_value. One WindowExec partitioned by
+    * customer (both engines use the standard SQL definitions: ntile
+    * front-loads remainder rows, percent_rank = (rank−1)/(n−1),
+    * cume_dist = peers-inclusive fraction — rounded 6dp to absorb
+    * last-ulp double drift). first_value needs no explicit frame: with
+    * an ORDER BY the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    * frame always contains the partition's first row. */
+  def q13bRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        first_value(col("o_orderkey")).over(w).as("first_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Q14 — scalar function pack: string/date/math/array built-ins in one
@@ -162,6 +205,25 @@ object RelationalQueries {
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec"),
         element_at(array(col("o_orderstatus"), col("o_orderpriority")), 2).as("arr_pick"))
       .orderBy("o_orderkey")
+  }
+
+  /** Q14b — pivot (long→wide reshape): per-year revenue and order count
+    * by order status, one column pair per status. The pivot values are
+    * EXPLICIT (`Seq("F","O","P")`): with declared values the pivot is a
+    * single-pass grouped aggregation with conditional aggregates — no
+    * value-discovery pre-query, no second scan, and the output schema is
+    * static (what a 100 TB plan needs; auto-discovery collects the
+    * distinct values to the driver first). Each cell is a decimal-exact
+    * conditional sum, NULL where the (year, status) cell is empty on
+    * both engines. */
+  def q14bPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("order_year"),
+              col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("order_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      .orderBy("order_year")
   }
 
   /** Q15 — exact distinct counting (the approximate path is benched

@@ -36,6 +36,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(agreeFar == 0, s"disjoint docs should share no minima, got $agreeFar")
   }
 
+  test("keep-best dedup: longest copy survives, doc_id breaks ties, singletons pass through") {
+    val docs = Seq(
+      (1L, "Hello    World"),    // 14 chars: longest in its group => survivor
+      (2L, "hello world"),       // 11 chars
+      (3L, "HELLO  WORLD "),     // 13 chars; all three normalize to "hello world"
+      (10L, "same length A"),    // unrelated
+      (20L, "  unique doc  "),   // singleton
+      (4L, "tie breaker"), (5L, "tie breaker")) // equal length: min id wins
+      .toDF("doc_id", "text")
+    val out = DedupQueries.keepBestDedup(docs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    assert(out == List((1L, 14L, 3L), (4L, 11L, 2L), (10L, 13L, 1L), (20L, 14L, 1L)))
+  }
+
+  test("q16h fixture: every planted SHOUTED twin out-survives its original") {
+    val out = DedupQueries.q16hKeepBest(spark, "/root/testdata/sf0.001")
+    val twoMember = out.where(col("n_members") === 2)
+    val n = twoMember.count()
+    assert(n > 0, "fixture must plant at least one variant group")
+    // keep-best selects the twin (longer) — never the original
+    assert(twoMember.where(col("doc_id") < 2000000L).count() == 0,
+      "a planted group's survivor must be the doubled-space twin")
+  }
+
   test("exact Jaccard via array ops matches hand computation") {
     val df = Seq((1L, Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("id", "x", "y")
     val jac = df.select((size(array_intersect(col("x"), col("y"))).cast("double") /

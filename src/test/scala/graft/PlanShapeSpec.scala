@@ -240,4 +240,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"full text crossed a shuffle — group on the digest instead: $shuffled")
     assert(plan.toString.contains("xxhash64"), "digest key must be in the grouping")
   }
+
+  test("q16h: keep-best dedup also shuffles digests only, argmax rides the aggregate") {
+    val plan = finalPlan(DedupQueries.q16hKeepBest(spark, dir))
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }.flatten
+    assert(!shuffled.contains("text"),
+      s"normalized text crossed a shuffle — group on the digest instead: $shuffled")
+    // the keep-best selection must be a max(struct) partial aggregate,
+    // not a window function (a window would need a second sort pass)
+    assert(allNodes(plan).collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "keep-best must not plan a window function")
+  }
+
+  test("q12b: cube expands grouping sets from ONE scan of orders") {
+    val p = planString(RelationalQueries.q12bCube(spark, dir))
+    assert(p.contains("Expand"), "cube must plan through the Expand operator")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"cube must not re-scan orders per grouping set: ${p.take(400)}")
+  }
+
+  test("q14b: explicit pivot values — single scan, single aggregate pass, no discovery job") {
+    val df = RelationalQueries.q14bPivot(spark, dir)
+    // plan shape is checkable BEFORE execution: value discovery would
+    // have to run a collect during analysis, which would show up as a
+    // second scan in the analyzed plan
+    val p = planString(df)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pivot with declared values must scan orders exactly once: ${p.take(400)}")
+  }
 }
