@@ -133,4 +133,66 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "range join must be rewritten to a binned equi-join")
   }
+
+  // tree walk that descends into AQE query stages (a bare .collect on
+  // the adaptive root sees only stage boundaries)
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allNodes) ++ below)
+  }
+
+  test("static partition pruning: a filter on the partition column reads one directory") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-part").toString
+    val s = TestSpark.spark
+    Tables.load(s, "/root/testdata/sf0.001", "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val nLangs = Tables.load(s, "/root/testdata/sf0.001", "documents")
+      .select("lang").distinct().count()
+    assert(nLangs > 1, "corpus must span several langs for pruning to mean anything")
+    val q = s.read.parquet(dir).where(col("lang") === "en").groupBy("source").count()
+    q.collect()
+    val scans = allNodes(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // pruning happens at plan time: only lang=en's directory is listed
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $nLangs partition dirs after pruning, got ${scans.head.selectedPartitions.partitionCount}")
+    assert(scans.head.partitionFilters.nonEmpty, "lang filter must be a partition filter, not a data filter")
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions through the join") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val s = TestSpark.spark
+    // fact partitioned by status; dim carries the filter the fact scan
+    // can't see statically — DPP pushes the dim's surviving keys into
+    // the fact's partition listing as a runtime subquery filter
+    Tables.load(s, "/root/testdata/sf0.001", "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    // the dim must be a file source: a literal LocalRelation's filter
+    // constant-folds at plan time and DPP sees no selective predicate
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("st", "label").write.mode("overwrite").parquet(dimDir)
+    val q = s.read.parquet(dir)
+      .join(s.read.parquet(dimDir).where(col("label") === "finished"),
+        col("o_orderstatus") === col("st"))
+      .groupBy("st").count()
+    q.collect()
+    val factScans = allNodes(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(factScans.nonEmpty)
+    val pruned = factScans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])))
+    assert(pruned,
+      s"fact scan must carry a dynamic pruning filter: ${factScans.map(_.partitionFilters).mkString(";")}")
+  }
 }
