@@ -120,6 +120,22 @@ object MultimodalQueries {
         md5(col("text")).as("digest"))
       .orderBy("doc_id")
 
+  /** Q19d — resize + frame-sample declared end-to-end: decode (stub) →
+    * fit-within-96×96 resize → every-2nd-frame sampling → one row per
+    * (doc, sampled frame). Unlike q19c this IS hash-checked: the stub
+    * derives every number from the payload bytes with IEEE double
+    * arithmetic only (min/divide/multiply/floor — each op bit-exact
+    * cross-engine), so the oracle recomputes the whole pipeline in SQL
+    * and any deviation in the typed mapPartitions path, the resize
+    * contract, or the sampling stride breaks the hash. */
+  def q19dFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    resizeAndSample(extractFeatures(mediaTable(spark, dir)), 96, 96, 2)
+      .toDF("doc_id", "width", "height", "frames")
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(col("frames")).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Q19c — the batched decode/feature pipeline end-to-end (rows-only
     * check: the stub decoder is engine-side by design). */
   def q19cFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -41,4 +41,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 500)
     assert(out.forall { case (_, w, h, frames) => w <= 96 && h <= 96 && frames.nonEmpty })
   }
+
+  test("q19d: one row per sampled frame, stride-2 indices, resized dims within bounds") {
+    import org.apache.spark.sql.functions._
+    val df = MultimodalQueries.q19dFrameSample(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(3) % 2 == 0), "frame indices must step by 2")
+    assert(rows.forall(r => r.getInt(1) <= 96 && r.getInt(2) <= 96))
+    // every doc appears (nf >= 1 always samples frame 0)
+    assert(df.select("doc_id").distinct().count() == 500)
+  }
 }
