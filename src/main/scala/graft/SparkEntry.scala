@@ -27,19 +27,23 @@ object SparkEntry {
     "q7_window_top1"     -> (WindowQueries.q7WindowTop1 _),
     "q7b_window_topk"    -> (WindowQueries.q7bWindowTopK _),
     "q8_running_count"   -> (WindowQueries.q8RunningCount _),
+    "q8b_sessionize"     -> (WindowQueries.q8bSessionize _),
     "q9_join_revenue"    -> (RelationalQueries.q9JoinRevenue _),
     "q9b_semi_anti_join" -> (RelationalQueries.q9bSemiAntiJoin _),
     "q10_topk_orders"    -> (RelationalQueries.q10TopCustomers _),
     "q11_set_ops"        -> (RelationalQueries.q11SetOps _),
     "q12_rollup"         -> (RelationalQueries.q12Rollup _),
     "q12b_cube"          -> (RelationalQueries.q12bCube _),
+    "q12c_grouping_sets" -> (RelationalQueries.q12cGroupingSets _),
     "q13_window_funcs"   -> (RelationalQueries.q13WindowFuncs _),
     "q13b_rank_funcs"    -> (RelationalQueries.q13bRankFuncs _),
     "q14_scalar_pack"    -> (RelationalQueries.q14ScalarPack _),
     "q14b_pivot"         -> (RelationalQueries.q14bPivot _),
+    "q14c_unpivot"       -> (RelationalQueries.q14cUnpivot _),
     "q15_distinct"       -> (RelationalQueries.q15Distinct _),
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
     "q15c_quantiles"       -> (RelationalQueries.q15cQuantiles _),
+    "q15d_sketch_union"    -> (RelationalQueries.q15dSketchUnion _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
@@ -134,6 +138,22 @@ object SparkEntry {
       """SELECT event_id, ts,
         |  COUNT(*) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
         |FROM events ORDER BY ts, event_id""".stripMargin,
+    "q8b_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q9_join_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -184,6 +204,15 @@ object SparkEntry {
         |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
         |             o_totalprice FROM orders) t
         |GROUP BY CUBE(o_orderstatus, order_year)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin,
+    "q12c_grouping_sets" ->
+      """SELECT o_orderstatus, order_year,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_year) AS INT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+        |             o_totalprice FROM orders) t
+        |GROUP BY GROUPING SETS ((o_orderstatus, order_year), (order_year), ())
         |ORDER BY gid, o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin,
     "q13_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
@@ -237,6 +266,16 @@ object SparkEntry {
         |  MAX(rev) FILTER (WHERE st = 'P') AS "P_rev",
         |  MAX(n)   FILTER (WHERE st = 'P') AS "P_n"
         |FROM c GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "q14c_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_quantity > 48)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q15_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -148,6 +148,32 @@ object RelationalQueries {
                col("order_year").asc_nulls_first)
   }
 
+  /** Q12c — arbitrary GROUPING SETS, the general surface behind q12's
+    * ROLLUP and q12b's CUBE: {(status, year), (year), ()}. Not a rollup
+    * of (status, year) — the (year)-only set skips status — and not a
+    * cube (no (status)-only set), so only the explicit-sets API
+    * expresses it. Same single-scan Expand plan as q12b: each input row
+    * fans out to its 3 grouping sets before ONE shuffle (per-set
+    * re-scans would multiply 100 TB scan I/O by the set count). gid is
+    * built from per-column GROUPING() bits (status = MSB) — the
+    * portable convention for any set list. */
+  def q12cGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"),
+              col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("order_year")),
+            Seq(col("order_year")), Seq.empty[Column]),
+        col("o_orderstatus"), col("order_year"))
+      .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("order_year")))
+             .cast("int").as("gid"),
+           dsum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+               col("order_year").asc_nulls_first)
+  }
+
   /** Q13 — SQL window functions: per-customer order sequence, running
     * spend (decimal-exact inside the frame), previous order gap. */
   def q13WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -226,6 +252,25 @@ object RelationalQueries {
       .orderBy("order_year")
   }
 
+  /** Q14c — unpivot/melt (wide→long, the inverse reshape of q14b's
+    * pivot): the four lineitem measures become (measure, val) pairs,
+    * 4 output rows per input row. Spark's native `unpivot` plans ONE
+    * Expand over ONE scan — no per-measure re-scan and no join-back;
+    * the UNION-ALL-of-4-selects alternative costs 4× scan I/O at
+    * 100 TB (that union IS the DuckDB oracle, where the plans differ
+    * but the semantics can't). The filter runs before the reshape so
+    * pushdown still reaches the scan. */
+  def q14cUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_quantity") > 48)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
   /** Q15 — exact distinct counting (the approximate path is benched
     * separately as a rows-only query; hashes can't match a sketch). */
   def q15Distinct(spark: SparkSession, dir: String): DataFrame = {
@@ -242,6 +287,27 @@ object RelationalQueries {
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Rows-only: the mergeable-sketch cardinality WORKFLOW q15b's single
+    * approx_count_distinct doesn't show — the 100 TB pattern where
+    * per-partition HLL sketches are materialized (one binary cell per
+    * (event_type, day); in production a persisted rollup table) and
+    * later re-aggregated by sketch UNION without touching raw data
+    * again. Stage 1 builds a DataSketches HLL per (type, day); stage 2
+    * unions the day sketches per type and estimates. A sketch estimate
+    * can't hash-match a different engine, so the oracle is rows-only;
+    * ScaleOpsSpec pins the estimate within 5% of the exact count. */
+  def q15dSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+           hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+             .as("approx_users"))
       .orderBy("event_type")
   }
 

@@ -153,4 +153,37 @@ object WindowQueries {
               (col("offset") + col("local_rn")).as("running_cnt"))
       .orderBy("ts", "event_id") // oracle-harness determinism only
   }
+
+  /** Q8b — gap-based sessionization with EXPOSED session ids: a session
+    * breaks after >12 h of per-user inactivity (sized to this corpus's
+    * ~7 h median inter-event gap so sessions actually merge). Two windows and one
+    * agg, all partitioned by user_id — the natural scale unit, so unlike
+    * q8 there is no global ordering anywhere and no prefix-offset
+    * machinery needed: lag() marks break rows, a running sum assigns the
+    * ids, a grouped agg summarizes each session. This is the
+    * assignment-style twin of q5b's `session_window` (which merges
+    * gap-windows without surfacing ids — ids are what downstream
+    * per-session features join on). Gaps compare in integer
+    * MICROSECONDS so both engines cut sessions on the exact same
+    * boundary (a double-seconds diff could straddle the cut). */
+  def q8bSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Det._
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      // first row per user: lag is NULL → condition NULL → otherwise(0),
+      // matching SQL CASE semantics on the oracle side; ids start at 0
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(order))
+               > 43200L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
 }

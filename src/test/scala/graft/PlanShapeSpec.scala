@@ -263,6 +263,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cube must not re-scan orders per grouping set: ${p.take(400)}")
   }
 
+  test("q12c: explicit grouping sets expand from ONE scan of orders") {
+    val p = planString(RelationalQueries.q12cGroupingSets(spark, dir))
+    assert(p.contains("Expand"), "grouping sets must plan through the Expand operator")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"grouping sets must not re-scan orders per set: ${p.take(400)}")
+  }
+
+  test("q14c: unpivot is one Expand over one scan — never a union of re-scans") {
+    val p = planString(RelationalQueries.q14cUnpivot(spark, dir))
+    assert(p.contains("Expand"), "unpivot must plan through the Expand operator")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"unpivot must scan lineitem exactly once: ${p.take(400)}")
+    assert(p.contains("GreaterThan(l_quantity,48.0)"),
+      "the pre-reshape filter must still push into the scan")
+  }
+
+  test("q8b: every sessionize window is user-partitioned — no global-order funnel") {
+    // AQE hides materialized stages behind QueryStageExec; recurse into them
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ p.children.flatMap(all) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case _ => Seq.empty
+      })
+    val ws = all(finalPlan(WindowQueries.q8bSessionize(spark, dir))).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty, "sessionize must plan window functions")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "every window must partition by user_id (a global window pulls the table into one task)")
+  }
+
   test("q14b: explicit pivot values — single scan, single aggregate pass, no discovery job") {
     val df = RelationalQueries.q14bPivot(spark, dir)
     // plan shape is checkable BEFORE execution: value discovery would

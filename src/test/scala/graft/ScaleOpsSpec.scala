@@ -145,6 +145,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     p +: (p.children.flatMap(allNodes) ++ below)
   }
 
+  test("q15d: unioned day-sketches estimate within 5% of the exact distinct count") {
+    import graft.operators.RelationalQueries
+    val est = RelationalQueries.q15dSketchUnion(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k).toDouble - n) / n <= 0.05,
+        s"$k: sketch estimate ${est(k)} vs exact $n") }
+  }
+
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact side of a shuffle join") {
+    // the row-level twin of dynamic PARTITION pruning: when the fact
+    // side isn't partitioned by the join key, Spark can still inject a
+    // bloom filter built from the filtered dim into the fact scan,
+    // turning a shuffle of all fact rows into a shuffle of probable
+    // matches. Local data sits under the 10 GiB application-side
+    // default, so lower the threshold to make the optimizer's decision
+    // visible at test scale (at 100 TB the defaults fire on their own).
+    val s = TestSpark.spark
+    def withConf[T](kv: (String, String)*)(body: => T): T = {
+      val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+      kv.foreach { case (k, v) => s.conf.set(k, v) }
+      try body finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = Tables.load(s, "/root/testdata/sf0.001", "lineitem")
+      val dim  = Tables.load(s, "/root/testdata/sf0.001", "orders")
+        .where(col("o_totalprice") > 450000.0)
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"fact side must carry an injected bloom-filter probe: ${opt.take(600)}")
+      q.collect() // and the filtered plan still executes
+    }
+  }
+
   test("static partition pruning: a filter on the partition column reads one directory") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-part").toString
