@@ -51,6 +51,7 @@ object SparkEntry {
     "q16e_embedding_neardup" -> (SimilarityQueries.q16eEmbeddingNearDup _),
     "q16e_raw_embedding_neardup" -> (SimilarityQueries.q16eRawEmbeddingNearDup _),
     "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
+    "q16i_incremental_neardup" -> (DedupQueries.q16iIncrementalNearDup _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
+    "q23_profile"          -> (RelationalQueries.q23Profile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -331,6 +333,40 @@ object SparkEntry {
         | AND b.ts <= a.ts + INTERVAL 60 SECOND
         |GROUP BY a.event_id, a.event_type
         |ORDER BY a.event_id""".stripMargin,
+    "q23_profile" ->
+      """WITH w AS (SELECT
+        |  CAST(COUNT(event_id) AS DOUBLE) AS event_id_n,
+        |  CAST(COUNT(DISTINCT event_id) AS DOUBLE) AS event_id_distinct,
+        |  CAST(MIN(event_id) AS DOUBLE) AS event_id_min,
+        |  CAST(MAX(event_id) AS DOUBLE) AS event_id_max,
+        |  CAST(SUM(CAST(event_id AS DECIMAL(18,4))) AS DOUBLE) / COUNT(event_id) AS event_id_mean,
+        |  CAST(COUNT(user_id) AS DOUBLE) AS user_id_n,
+        |  CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
+        |  CAST(MIN(user_id) AS DOUBLE) AS user_id_min,
+        |  CAST(MAX(user_id) AS DOUBLE) AS user_id_max,
+        |  CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE) / COUNT(user_id) AS user_id_mean,
+        |  CAST(COUNT(value) AS DOUBLE) AS value_n,
+        |  CAST(COUNT(DISTINCT value) AS DOUBLE) AS value_distinct,
+        |  CAST(MIN(value) AS DOUBLE) AS value_min,
+        |  CAST(MAX(value) AS DOUBLE) AS value_max,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS value_mean
+        |  FROM events)
+        |SELECT 'event_id_n' AS metric, event_id_n AS v FROM w
+        |UNION ALL SELECT 'event_id_distinct', event_id_distinct FROM w
+        |UNION ALL SELECT 'event_id_min', event_id_min FROM w
+        |UNION ALL SELECT 'event_id_max', event_id_max FROM w
+        |UNION ALL SELECT 'event_id_mean', event_id_mean FROM w
+        |UNION ALL SELECT 'user_id_n', user_id_n FROM w
+        |UNION ALL SELECT 'user_id_distinct', user_id_distinct FROM w
+        |UNION ALL SELECT 'user_id_min', user_id_min FROM w
+        |UNION ALL SELECT 'user_id_max', user_id_max FROM w
+        |UNION ALL SELECT 'user_id_mean', user_id_mean FROM w
+        |UNION ALL SELECT 'value_n', value_n FROM w
+        |UNION ALL SELECT 'value_distinct', value_distinct FROM w
+        |UNION ALL SELECT 'value_min', value_min FROM w
+        |UNION ALL SELECT 'value_max', value_max FROM w
+        |UNION ALL SELECT 'value_mean', value_mean FROM w
+        |ORDER BY metric""".stripMargin,
     // content-hash stratified sample: same fingerprint, same
     // (fp, doc_id) order, bottom-20 per lang
     "q18h_stratified_sample" ->
@@ -381,6 +417,20 @@ object SparkEntry {
         |      FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
         |SELECT doc_i, doc_j, jac FROM p WHERE jac >= 0.8
         |ORDER BY doc_i, doc_j""".stripMargin,
+    "q16i_incremental_neardup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |       FROM tk),
+        |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+        |p AS (SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |      FROM nz a JOIN nz b ON (b.doc_id % 5 = 4) AND (a.doc_id % 5 <> 4))
+        |SELECT new_id, old_id, jac FROM p WHERE jac >= 0.8
+        |ORDER BY new_id, old_id""".stripMargin,
     "q16c_simhash_neardup" -> {
       // identical 48-bit SimHash recomputed in DuckDB: same word-3-gram
       // shingles, same char-polynomial base hash mod 2^53-prime, same

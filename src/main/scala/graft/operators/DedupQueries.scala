@@ -243,6 +243,78 @@ object DedupQueries {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** Incremental-ingestion near-dup: which documents of an INCOMING
+    * batch near-duplicate the EXISTING corpus. The production shape for
+    * continuous ingestion — the standing corpus's signatures/bands are
+    * computed once and persisted (here: recomputed, same plan), and
+    * each arriving batch pays O(batch × bucket-collisions), never the
+    * O(corpus²) of re-deduping the world per batch. Same four stages as
+    * [[nearDupPairs]], asymmetric: batch bands probe base bands in ONE
+    * band-keyed shuffle (skew guard on the base side — the side big
+    * enough to grow pathological buckets), signature screen, exact
+    * verify. Output = (new_id, old_id, jac ≥ threshold): the incoming
+    * doc and the existing content it duplicates (the drop/link list an
+    * ingestion pipeline acts on). Both inputs carry (doc_id, columns
+    * that `sigCol`/`payloadCol` evaluate over). */
+  def nearDupPairsAcross(base: DataFrame, batch: DataFrame,
+                         sigCol: Column, payloadCol: Column,
+                         jacOf: (Column, Column) => Column, threshold: Double,
+                         bucketCap: Int = SkewBucketCap,
+                         skewSampleMod: Int = SkewSampleMod): DataFrame = {
+    val spark = base.sparkSession
+    graft.functions.MinHash.ensureRegistered(spark)
+    val par = spark.sparkContext.defaultParallelism
+    val sigB = base.repartition(par).select(col("doc_id"), sigCol.as("sig"))
+    val sigN = batch.repartition(par).select(col("doc_id"), sigCol.as("sig"))
+    val bandsB = sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    val bandsN = sigN.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    val guarded = bandsB.join(
+      broadcast(hotBuckets(bandsB, bucketCap, skewSampleMod)),
+      col("band") === col("hot_band"), "left_anti")
+    val candidates = bandsN.select(col("doc_id").as("new_id"), col("band"))
+      .join(guarded.select(col("doc_id").as("old_id"), col("band")), "band")
+      .select("new_id", "old_id")
+    val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
+    val screened = candidates
+      .join(sigN.select(col("doc_id").as("new_id"), col("sig").as("sig_i"))
+        .hint("shuffle_hash"), "new_id")
+      .join(sigB.select(col("doc_id").as("old_id"), col("sig").as("sig_j"))
+        .hint("shuffle_hash"), "old_id")
+      .withColumn("agree", aggregate(
+        zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), _ + _))
+      .where(col("agree") >= minAgree)
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("_c"))
+      .select("new_id", "old_id")
+    val si = batch.select(col("doc_id").as("new_id"), payloadCol.as("p_i"))
+    val sj = base.select(col("doc_id").as("old_id"), payloadCol.as("p_j"))
+    screened.join(si, "new_id").join(sj, "old_id")
+      .withColumn("jac", jacOf(col("p_i"), col("p_j")))
+      .where(col("jac") >= threshold)
+      .select("new_id", "old_id", "jac")
+      .orderBy("new_id", "old_id")
+  }
+
+  /** Q16i — incremental near-dup against the standing corpus, word-3-
+    * shingles at Jaccard ≥ 0.8 (q16b's contract, asymmetric). The
+    * deterministic ingestion slice `doc_id % 5 == 4` plays the incoming
+    * batch (the corpus has no arrival timestamps; the mod split is
+    * scale-proportional and identical on both engines). */
+  def q16iIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    def side(keep: Column => Column): DataFrame =
+      Tables.load(spark, dir, "documents")
+        .where(keep(col("doc_id")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+    nearDupPairsAcross(
+      base  = side(id => id % 5 =!= 4),
+      batch = side(id => id % 5 === 4),
+      sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+      payloadCol = col("sh"),
+      jacOf = arrayJaccard, threshold = 0.8)
+  }
+
   /** Exact Jaccard over two shingle-array payload columns. */
   def arrayJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
 
@@ -158,7 +158,6 @@ object RelationalQueries {
     * built from per-column GROUPING() bits (status = MSB) — the
     * portable convention for any set list. */
   def q12cGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"),
               col("o_totalprice"))
@@ -309,6 +308,30 @@ object RelationalQueries {
            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
              .as("approx_users"))
       .orderBy("event_type")
+  }
+
+  /** Q23 — one-pass column profiling, the data-quality report a
+    * training pipeline runs before anything else: per profiled column,
+    * non-null count, exact distinct, min/max/mean. ONE scan computes
+    * every metric as an aggregate (the multi-distinct plans through
+    * Spark's Expand — still one scan, never per-column passes, which at
+    * 100 TB multiply scan I/O by the column count); the 1-row wide
+    * result then reshapes to (metric, v) long form via the same native
+    * unpivot as q14c — trivially small by then. Exact distinct is the
+    * oracle-able twin; at 100 TB swap `approx_count_distinct` into the
+    * identical shape (q15b/q15d are that path). */
+  def q23Profile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    def metrics(c: String): Seq[Column] = Seq(
+      count(col(c)).cast("double").as(s"${c}_n"),
+      countDistinct(col(c)).cast("double").as(s"${c}_distinct"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"),
+      (dsum(col(c)) / count(col(c))).as(s"${c}_mean"))
+    val all = Seq("event_id", "user_id", "value").flatMap(metrics)
+    e.agg(all.head, all.tail: _*)
+      .unpivot(Array.empty[Column], "metric", "v")
+      .orderBy("metric")
   }
 
   /** Q15c — exact interpolated quantiles per group (both engines use the

@@ -72,6 +72,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must come from equi-joins on band keys")
   }
 
+  test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
+    val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental candidates must come from the asymmetric band equi-join")
+    assert(!broadcastOutputs(finalPlan(df)).exists(_.startsWith("sig")),
+      "signature columns must cross shuffle joins, not broadcasts")
+    // semantics: every result pairs an incoming doc with a base doc
+    df.collect().foreach { r =>
+      assert(r.getLong(0) % 5 == 4 && r.getLong(1) % 5 != 4,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not batch-vs-base")
+    }
+  }
+
+  test("q23: profile computes all metrics from ONE scan of events") {
+    val p = planString(RelationalQueries.q23Profile(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiling must not re-scan per column/metric: ${p.take(400)}")
+  }
+
   private def broadcastOutputs(p: SparkPlan): Seq[String] =
     allNodes(p).collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
