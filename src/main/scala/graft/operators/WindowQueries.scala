@@ -166,24 +166,32 @@ object WindowQueries {
     * per-session features join on). Gaps compare in integer
     * MICROSECONDS so both engines cut sessions on the exact same
     * boundary (a double-seconds diff could straddle the cut). */
-  def q8bSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q8bSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.load(spark, dir, "events")
+                 .select("user_id", "event_id", "ts", "value"),
+               gapSeconds = 43200L)
+      .orderBy("user_id", "session_id")
+
+  /** Library surface behind q8b: sessionize any (user_id, event_id, ts,
+    * value) frame with a strict `> gapSeconds` inactivity cut. Session
+    * ids start at 0 per user; a gap of exactly `gapSeconds` does NOT
+    * break (strict inequality — pinned in WindowSemanticsSpec). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.core.Det._
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "events")
-      .select("user_id", "event_id", "ts", "value")
+    events
       // first row per user: lag is NULL → condition NULL → otherwise(0),
       // matching SQL CASE semantics on the oracle side; ids start at 0
       .withColumn("brk",
         when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(order))
-               > 43200L * 1000000L, 1).otherwise(0))
+               > gapSeconds * 1000000L, 1).otherwise(0))
       .withColumn("session_id", sum(col("brk")).over(run))
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
            count(lit(1)).as("n_events"),
            dsum(col("value")).as("sum_value"))
-      .orderBy("user_id", "session_id")
   }
 }

@@ -49,4 +49,23 @@ class WindowSemanticsSpec extends AnyFunSuite {
       .where(col("rn") === 1).select("tag").as[String].collect().toSeq
     assert(top == Seq("apple")) // all tied at 1 → lexicographic
   }
+
+  test("sessionize: strict gap cut — exactly-gap stays in session, per-user ids independent") {
+    val gap = 3600L // 1 h
+    val df = Seq(
+      // user 1: 00:00, +1h exactly (stays — strict >), +1h+1s later (breaks)
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 01:00:00"), 2.0),
+      (1L, 3L, ts("2024-01-01 02:00:01"), 4.0),
+      // user 2: single event — its own session 0, untouched by user 1's cuts
+      (2L, 4L, ts("2024-01-01 05:00:00"), 8.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.operators.WindowQueries.sessionize(df, gap)
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 2L, 3.0), // events 1+2 merge across the exactly-1h gap
+      (1L, 1L, 1L, 4.0), // event 3 opens session 1
+      (2L, 0L, 1L, 8.0)))
+  }
 }
