@@ -30,6 +30,7 @@ object SparkEntry {
     "q8b_sessionize"     -> (WindowQueries.q8bSessionize _),
     "q9_join_revenue"    -> (RelationalQueries.q9JoinRevenue _),
     "q9b_semi_anti_join" -> (RelationalQueries.q9bSemiAntiJoin _),
+    "q9c_full_outer_join" -> (RelationalQueries.q9cFullOuterJoin _),
     "q10_topk_orders"    -> (RelationalQueries.q10TopCustomers _),
     "q11_set_ops"        -> (RelationalQueries.q11SetOps _),
     "q12_rollup"         -> (RelationalQueries.q12Rollup _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
     "q23_profile"          -> (RelationalQueries.q23Profile _),
+    "q24_gapfill"          -> (WindowQueries.q24GapFill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,6 +175,20 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+    "q9c_full_outer_join" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_click,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_purchase,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.hour, p.hour) AS hour,
+        |  COALESCE(n_click, 0) AS n_click,
+        |  COALESCE(sum_click, 0.0) AS sum_click,
+        |  COALESCE(n_purchase, 0) AS n_purchase,
+        |  COALESCE(sum_purchase, 0.0) AS sum_purchase
+        |FROM c FULL OUTER JOIN p ON c.hour = p.hour
+        |ORDER BY hour""".stripMargin,
     "q10_topk_orders" ->
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
@@ -367,6 +383,23 @@ object SparkEntry {
         |UNION ALL SELECT 'value_max', value_max FROM w
         |UNION ALL SELECT 'value_mean', value_mean FROM w
         |ORDER BY metric""".stripMargin,
+    "q24_gapfill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    COUNT(*) AS n_events,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM h GROUP BY 1)),
+        |j AS (
+        |  SELECT sp.event_type, sp.hour, COALESCE(h.n_events, 0) AS n_events, h.avg_v
+        |  FROM sp LEFT JOIN h ON sp.event_type = h.event_type AND sp.hour = h.hour)
+        |SELECT event_type, hour, n_events,
+        |  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING) AS filled_avg,
+        |  CAST(avg_v IS NULL AS BIGINT) AS is_gap
+        |FROM j ORDER BY event_type, hour""".stripMargin,
     // content-hash stratified sample: same fingerprint, same
     // (fp, doc_id) order, bottom-20 per lang
     "q18h_stratified_sample" ->

@@ -77,6 +77,28 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Q9c — FULL OUTER join, completing the join-type matrix (inner q9,
+    * left-outer q8's offsets, semi/anti q9b, as-of q22, range q22b):
+    * per-HOUR click vs purchase activity where either side may be
+    * absent (hour grain so both unmatched directions actually occur in
+    * the corpus). Both sides pre-aggregate to one row per key BEFORE
+    * the join — the scale rule for outer joins on fact tables (join the
+    * rollups, not the facts; an outer join of raw facts multiplies rows
+    * then re-aggregates). COALESCE makes the unmatched sides explicit. */
+  def q9cFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    def hourly(t: String) = ev.where(col("event_type") === t)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as(s"n_$t"), dsum(col("value")).as(s"sum_$t"))
+    hourly("click").join(hourly("purchase"), Seq("hour"), "full_outer")
+      .select(col("hour"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("sum_click"), lit(0.0)).as("sum_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("sum_purchase"), lit(0.0)).as("sum_purchase"))
+      .orderBy("hour")
+  }
+
   /** Q10 — sort/limit top-k: top-10 customers by total order value.
     * TakeOrderedAndProject physically: no global sort materialization. */
   def q10TopCustomers(spark: SparkSession, dir: String): DataFrame = {

@@ -172,6 +172,40 @@ object WindowQueries {
                gapSeconds = 43200L)
       .orderBy("user_id", "session_id")
 
+  /** Q24 — time-series gap-fill + forward-fill, the resample step a
+    * metrics/feature pipeline runs before modeling: per event_type, an
+    * hourly SPINE spans [first, last] observed hour (`sequence` +
+    * `explode` — the generator builds the spine in-plan, never a
+    * driver-side range), observed hours left-join onto it, and missing
+    * hours carry the last observed average forward
+    * (`last(_, ignoreNulls)` over a per-type running frame). Every
+    * window and join is keyed by event_type — the scale unit (at 100 TB
+    * the partition key is the series id; a global spine would funnel).
+    * n_events is 0 on gap rows (COALESCE), filled_avg is the carried
+    * value, and is_gap marks synthesized rows. Averages round to 6dp —
+    * the one-division determinism rule (§5.3). */
+  def q24GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Det._
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           round(davg(col("value")), 6).as("avg_v"))
+    val spine = hourly
+      .groupBy("event_type")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val carry = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("avg_v"), ignoreNulls = true).over(carry).as("filled_avg"),
+        col("avg_v").isNull.cast("long").as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Library surface behind q8b: sessionize any (user_id, event_id, ts,
     * value) frame with a strict `> gapSeconds` inactivity cut. Session
     * ids start at 0 per user; a gap of exactly `gapSeconds` does NOT
