@@ -86,6 +86,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q9c: both sides aggregate BEFORE the full-outer join (rollup-join rule)") {
+    val p = finalPlan(RelationalQueries.q9cFullOuterJoin(spark, dir))
+    val nodes = allNodes(p)
+    val join = nodes.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(join.isDefined, "q9c must plan a join")
+    assert(join.get.joinType.toString == "FullOuter", s"got ${join.get.joinType}")
+    // each join input subtree must contain an aggregate: the outer join
+    // runs over one-row-per-key rollups, never raw fact rows
+    join.get.children.foreach { side =>
+      assert(allNodes(side).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        "join input must be a pre-aggregated rollup")
+    }
+  }
+
+  test("q24: gap-fill spine is generated in-plan and every window is series-partitioned") {
+    val df = WindowQueries.q24GapFill(spark, dir)
+    val p = planString(df)
+    assert(p.contains("Generate"), "the spine must come from an in-plan generator (sequence+explode)")
+    val ws = allNodes(finalPlan(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the carry window must partition by the series id")
+  }
+
   test("q23: profile computes all metrics from ONE scan of events") {
     val p = planString(RelationalQueries.q23Profile(spark, dir))
     assert("Scan parquet".r.findAllIn(p).size == 1,
@@ -301,13 +329,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q8b: every sessionize window is user-partitioned — no global-order funnel") {
     // AQE hides materialized stages behind QueryStageExec; recurse into them
-    def all(p: SparkPlan): Seq[SparkPlan] =
-      Seq(p) ++ p.children.flatMap(all) ++ (p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
-        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-        case _ => Seq.empty
-      })
-    val ws = all(finalPlan(WindowQueries.q8bSessionize(spark, dir))).collect {
+    val ws = allNodes(finalPlan(WindowQueries.q8bSessionize(spark, dir))).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(ws.nonEmpty, "sessionize must plan window functions")
