@@ -184,63 +184,81 @@ object DedupQueries {
   def nearDupPairs(raw: DataFrame, sigCol: Column, payloadCol: Column,
                    jacOf: (Column, Column) => Column, threshold: Double,
                    bucketCap: Int = SkewBucketCap,
-                   skewSampleMod: Int = SkewSampleMod): DataFrame = {
-    val spark = raw.sparkSession
+                   skewSampleMod: Int = SkewSampleMod): DataFrame =
+    lshPairs(probe = raw, build = raw, probeName = "doc_i", buildName = "doc_j",
+      sigCol = sigCol, payloadCol = payloadCol, jacOf = jacOf,
+      threshold = threshold, orderedPairs = true,
+      bucketCap = bucketCap, skewSampleMod = skewSampleMod)
+
+  /** The shared LSH core behind [[nearDupPairs]] (symmetric: probe =
+    * build = the corpus, pairs ordered `probe < build`) and
+    * [[nearDupPairsAcross]] (asymmetric: an incoming batch probes the
+    * standing corpus, all cross pairs kept).
+    *
+    * Stage notes, built for 100 TB:
+    *  - skew guard: anti-join away pathological buckets before the band
+    *    join. The hot list is tiny by construction — broadcast it; the
+    *    sampled counting branch's doc-hash filter pushes below the
+    *    signature projection, so it prices at ~1/sampleMod of a
+    *    signature pass. Guarding the BUILD side alone suffices: a band
+    *    with no build rows produces no pairs (and in the symmetric case
+    *    build = the whole corpus, so this matches guarding both).
+    *  - screen BEFORE the pair-dedup: the aggregate then compacts a few
+    *    hundred survivors instead of shuffling every co-bucket pair.
+    *    The sig lookups are shuffled hash joins BY HINT, not
+    *    broadcasts: the signature table is corpus-sized (~1 KB/doc) —
+    *    broadcasting it ships the whole corpus's signatures to every
+    *    executor and OOMs at billions of docs, while a shuffle join
+    *    moves each side exactly once, partitioned by doc id. Hash beats
+    *    sort-merge here (no sort of either side; measured ~20% on
+    *    q16b/q16d), and the per-task build side is sigs/numPartitions —
+    *    bounded by sizing the shuffle.
+    *  - pair-dedup as an explicit aggregate (not .distinct(): this
+    *    subtree is also assembled inside the optimizer by
+    *    ExpandSimilarityJoin, after ReplaceDeduplicateWithAggregate has
+    *    already run — a Deduplicate node introduced there would reach
+    *    the planner unreplaced; the unused count is pruned). */
+  private def lshPairs(probe: DataFrame, build: DataFrame,
+                       probeName: String, buildName: String,
+                       sigCol: Column, payloadCol: Column,
+                       jacOf: (Column, Column) => Column, threshold: Double,
+                       orderedPairs: Boolean,
+                       bucketCap: Int, skewSampleMod: Int): DataFrame = {
+    val spark = probe.sparkSession
     graft.functions.MinHash.ensureRegistered(spark)
-
-    val sigs = raw
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), sigCol.as("sig"))
-    val allBands = sigs.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
-    // skew guard: anti-join away pathological buckets before the
-    // self-join. The hot list is tiny by construction (pathological
-    // buckets only) — broadcast it; the sampled counting branch's
-    // doc-hash filter pushes below the signature projection, so it
-    // prices at ~1/sampleMod of a signature pass.
-    val withBands = allBands.join(
-      broadcast(hotBuckets(allBands, bucketCap, skewSampleMod)),
+    val par = spark.sparkContext.defaultParallelism
+    val sigP = probe.repartition(par).select(col("doc_id"), sigCol.as("sig"))
+    val sigB = build.repartition(par).select(col("doc_id"), sigCol.as("sig"))
+    val bandsB = sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    val guarded = bandsB.join(
+      broadcast(hotBuckets(bandsB, bucketCap, skewSampleMod)),
       col("band") === col("hot_band"), "left_anti")
-    val l = withBands.select(col("doc_id").as("doc_i"), col("band"))
-    val r = withBands.select(col("doc_id").as("doc_j"), col("band"))
-    val candidates = l.join(r, "band")
-      .where(col("doc_i") < col("doc_j"))
-      .select("doc_i", "doc_j")
+    val bandsP = sigP.select(col("doc_id").as(probeName), explode(bandKeys(col("sig"))).as("band"))
+    val joined = bandsP.join(guarded.select(col("doc_id").as(buildName), col("band")), "band")
+    val candidates =
+      (if (orderedPairs) joined.where(col(probeName) < col(buildName)) else joined)
+        .select(probeName, buildName)
 
-    // screen BEFORE the pair-dedup: the aggregate then compacts a few
-    // hundred survivors instead of shuffling every co-bucket pair.
-    // The sig lookups are shuffled hash joins BY HINT, not broadcasts:
-    // the signature table is corpus-sized (~1 KB/doc) — broadcasting it
-    // ships the whole corpus's signatures to every executor and OOMs at
-    // billions of docs, while a shuffle join moves each side exactly
-    // once, partitioned by doc id. Hash beats sort-merge here (no sort
-    // of either side; measured ~20% on q16b/q16d), and the per-task
-    // build side is sigs/numPartitions — bounded by sizing the shuffle,
-    // exactly how it would be provisioned on a cluster.
     val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
-    val gi = sigs.select(col("doc_id").as("doc_i"), col("sig").as("sig_i"))
-    val gj = sigs.select(col("doc_id").as("doc_j"), col("sig").as("sig_j"))
     val screened = candidates
-      .join(gi.hint("shuffle_hash"), "doc_i")
-      .join(gj.hint("shuffle_hash"), "doc_j")
+      .join(sigP.select(col("doc_id").as(probeName), col("sig").as("sig_i"))
+        .hint("shuffle_hash"), probeName)
+      .join(sigB.select(col("doc_id").as(buildName), col("sig").as("sig_j"))
+        .hint("shuffle_hash"), buildName)
       .withColumn("agree", aggregate(
         zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), _ + _))
       .where(col("agree") >= minAgree)
-      // pair-dedup as an explicit aggregate (not .distinct(): this
-      // subtree is also assembled inside the optimizer by
-      // ExpandSimilarityJoin, after ReplaceDeduplicateWithAggregate has
-      // already run — a Deduplicate node introduced there would reach
-      // the planner unreplaced; the unused count is pruned)
-      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("_c"))
-      .select("doc_i", "doc_j")
+      .groupBy(probeName, buildName).agg(count(lit(1)).as("_c"))
+      .select(probeName, buildName)
 
-    val si = raw.select(col("doc_id").as("doc_i"), payloadCol.as("p_i"))
-    val sj = raw.select(col("doc_id").as("doc_j"), payloadCol.as("p_j"))
-    screened.join(si, "doc_i").join(sj, "doc_j")
+    val si = probe.select(col("doc_id").as(probeName), payloadCol.as("p_i"))
+    val sj = build.select(col("doc_id").as(buildName), payloadCol.as("p_j"))
+    screened.join(si, probeName).join(sj, buildName)
       .withColumn("jac", jacOf(col("p_i"), col("p_j")))
       .where(col("jac") >= threshold)
-      .select("doc_i", "doc_j", "jac")
-      .orderBy("doc_i", "doc_j")
+      .select(probeName, buildName, "jac")
+      .orderBy(probeName, buildName)
   }
 
   /** Incremental-ingestion near-dup: which documents of an INCOMING
@@ -260,40 +278,11 @@ object DedupQueries {
                          sigCol: Column, payloadCol: Column,
                          jacOf: (Column, Column) => Column, threshold: Double,
                          bucketCap: Int = SkewBucketCap,
-                         skewSampleMod: Int = SkewSampleMod): DataFrame = {
-    val spark = base.sparkSession
-    graft.functions.MinHash.ensureRegistered(spark)
-    val par = spark.sparkContext.defaultParallelism
-    val sigB = base.repartition(par).select(col("doc_id"), sigCol.as("sig"))
-    val sigN = batch.repartition(par).select(col("doc_id"), sigCol.as("sig"))
-    val bandsB = sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
-    val bandsN = sigN.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
-    val guarded = bandsB.join(
-      broadcast(hotBuckets(bandsB, bucketCap, skewSampleMod)),
-      col("band") === col("hot_band"), "left_anti")
-    val candidates = bandsN.select(col("doc_id").as("new_id"), col("band"))
-      .join(guarded.select(col("doc_id").as("old_id"), col("band")), "band")
-      .select("new_id", "old_id")
-    val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
-    val screened = candidates
-      .join(sigN.select(col("doc_id").as("new_id"), col("sig").as("sig_i"))
-        .hint("shuffle_hash"), "new_id")
-      .join(sigB.select(col("doc_id").as("old_id"), col("sig").as("sig_j"))
-        .hint("shuffle_hash"), "old_id")
-      .withColumn("agree", aggregate(
-        zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
-        lit(0), _ + _))
-      .where(col("agree") >= minAgree)
-      .groupBy("new_id", "old_id").agg(count(lit(1)).as("_c"))
-      .select("new_id", "old_id")
-    val si = batch.select(col("doc_id").as("new_id"), payloadCol.as("p_i"))
-    val sj = base.select(col("doc_id").as("old_id"), payloadCol.as("p_j"))
-    screened.join(si, "new_id").join(sj, "old_id")
-      .withColumn("jac", jacOf(col("p_i"), col("p_j")))
-      .where(col("jac") >= threshold)
-      .select("new_id", "old_id", "jac")
-      .orderBy("new_id", "old_id")
-  }
+                         skewSampleMod: Int = SkewSampleMod): DataFrame =
+    lshPairs(probe = batch, build = base, probeName = "new_id", buildName = "old_id",
+      sigCol = sigCol, payloadCol = payloadCol, jacOf = jacOf,
+      threshold = threshold, orderedPairs = false,
+      bucketCap = bucketCap, skewSampleMod = skewSampleMod)
 
   /** Q16i — incremental near-dup against the standing corpus, word-3-
     * shingles at Jaccard ≥ 0.8 (q16b's contract, asymmetric). The
@@ -301,12 +290,11 @@ object DedupQueries {
     * batch (the corpus has no arrival timestamps; the mod split is
     * scale-proportional and identical on both engines). */
   def q16iIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // one shared shingling contract with q16b (the doc_id slice filter
+    // pushes below the shingle projection; it references no arrays, so
+    // the tokens-materialization rule is not at risk)
     def side(keep: Column => Column): DataFrame =
-      Tables.load(spark, dir, "documents")
-        .where(keep(col("doc_id")))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+      wordShingleDocs(spark, dir).where(keep(col("doc_id")))
     nearDupPairsAcross(
       base  = side(id => id % 5 =!= 4),
       batch = side(id => id % 5 === 4),

@@ -178,31 +178,38 @@ object WindowQueries {
     * `explode` — the generator builds the spine in-plan, never a
     * driver-side range), observed hours left-join onto it, and missing
     * hours carry the last observed average forward
-    * (`last(_, ignoreNulls)` over a per-type running frame). Every
-    * window and join is keyed by event_type — the scale unit (at 100 TB
-    * the partition key is the series id; a global spine would funnel).
-    * n_events is 0 on gap rows (COALESCE), filled_avg is the carried
-    * value, and is_gap marks synthesized rows. Averages round to 6dp —
-    * the one-division determinism rule (§5.3). */
+    * run-expansion. Every window is keyed by event_type — the scale
+    * unit (at 100 TB the partition key is the series id; a global spine
+    * would funnel). n_events is 0 on gap rows, filled_avg is the
+    * carried value, and is_gap marks synthesized rows. Averages round
+    * to 6dp — the one-division determinism rule (§5.3).
+    *
+    * ONE reference to the aggregated frame, not two: the textbook
+    * spine-then-left-join plan reads the hourly aggregate from both the
+    * spine branch and the join's probe side — and a DataFrame subtree
+    * referenced from two join inputs is recomputed twice (the
+    * nearDupPairs CSE trap, this repo's most-relearned lesson). Instead
+    * each observed hour looks at its successor (`lead`) and EMITS ITS
+    * OWN RUN of spine rows [hour, next) carrying its average — same
+    * rows, one scan, one window, one generator, no join at all. */
   def q24GapFill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.core.Det._
-    val hourly = Tables.load(spark, dir, "events")
+    val order = Window.partitionBy("event_type").orderBy("hour")
+    Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
            round(davg(col("value")), 6).as("avg_v"))
-    val spine = hourly
-      .groupBy("event_type")
-      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
-    val carry = Window.partitionBy("event_type").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("next_hour", lead(col("hour"), 1).over(order))
+      .select(col("event_type"), col("n_events"), col("avg_v"), col("hour").as("obs_hour"),
+        explode(sequence(
+          col("hour"),
+          coalesce(col("next_hour") - expr("INTERVAL 1 HOUR"), col("hour")),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
       .select(col("event_type"), col("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("avg_v"), ignoreNulls = true).over(carry).as("filled_avg"),
-        col("avg_v").isNull.cast("long").as("is_gap"))
+        when(col("hour") === col("obs_hour"), col("n_events")).otherwise(lit(0L)).as("n_events"),
+        col("avg_v").as("filled_avg"),
+        (col("hour") =!= col("obs_hour")).cast("long").as("is_gap"))
       .orderBy("event_type", "hour")
   }
 

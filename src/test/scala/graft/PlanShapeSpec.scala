@@ -74,13 +74,22 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
     val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
-    val p = planString(df)
+    // one execution serves all three checks: collect() finalizes AQE,
+    // then the executed plan is read back without re-running the query
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val p = plan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "incremental candidates must come from the asymmetric band equi-join")
-    assert(!broadcastOutputs(finalPlan(df)).exists(_.startsWith("sig")),
+    assert(!broadcastOutputs(plan).exists(_.startsWith("sig")),
       "signature columns must cross shuffle joins, not broadcasts")
-    // semantics: every result pairs an incoming doc with a base doc
-    df.collect().foreach { r =>
+    // semantics: every result pairs an incoming doc with a base doc —
+    // and there must BE results, else the pin is vacuous (sf0.001 has 9)
+    assert(rows.nonEmpty, "the batch slice must near-duplicate the base corpus somewhere")
+    rows.foreach { r =>
       assert(r.getLong(0) % 5 == 4 && r.getLong(1) % 5 != 4,
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not batch-vs-base")
     }
@@ -103,11 +112,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q24: gap-fill spine is generated in-plan and every window is series-partitioned") {
-    val df = WindowQueries.q24GapFill(spark, dir)
-    val p = planString(df)
+  test("q24: gap-fill runs as ONE scan, in-plan generator, series-partitioned window") {
+    val plan = finalPlan(WindowQueries.q24GapFill(spark, dir))
+    val p = plan.toString
     assert(p.contains("Generate"), "the spine must come from an in-plan generator (sequence+explode)")
-    val ws = allNodes(finalPlan(df)).collect {
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "run-expansion must not re-read events for a spine branch")
+    val ws = allNodes(plan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
