@@ -38,6 +38,7 @@ object SparkEntry {
     "q12c_grouping_sets" -> (RelationalQueries.q12cGroupingSets _),
     "q13_window_funcs"   -> (RelationalQueries.q13WindowFuncs _),
     "q13b_rank_funcs"    -> (RelationalQueries.q13bRankFuncs _),
+    "q13c_range_frame"   -> (RelationalQueries.q13cRangeFrame _),
     "q14_scalar_pack"    -> (RelationalQueries.q14ScalarPack _),
     "q14b_pivot"         -> (RelationalQueries.q14bPivot _),
     "q14c_unpivot"       -> (RelationalQueries.q14cUnpivot _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q17d_int8_quant"      -> (SimilarityQueries.q17dInt8Quant _),
     "q17e_int8_topk"       -> (SimilarityQueries.q17eInt8TopK _),
     "q17f_ivf_int8_topk"   -> (SimilarityQueries.q17fIvfInt8TopK _),
+    "q17g_filtered_topk"   -> (SimilarityQueries.q17gFilteredTopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -254,6 +256,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q13c_range_frame" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec, value
+        |  FROM events)
+        |SELECT event_id, event_type, ts,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q14_scalar_pack" ->
       """SELECT o_orderkey,
         |  lower(o_orderstatus) AS status_lc,
@@ -606,6 +619,19 @@ object SparkEntry {
         |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |        list_inner_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
         |      FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id < 10),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q17g_filtered_topk" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        list_inner_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+        |      FROM n p JOIN n c ON c.vec_id <> p.vec_id AND c.label = 3
+        |      WHERE p.vec_id < 10),
         |r AS (SELECT probe_id, neighbor_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM s)

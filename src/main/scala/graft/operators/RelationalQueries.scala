@@ -234,6 +234,27 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q13c — RANGE-framed window with time-value bounds, the frame
+    * family q13's ROWS frames don't reach: per event_type, each event's
+    * trailing-10-minute event count and decimal-exact value sum (the
+    * per-event rolling feature a realtime scorer reads). The order key
+    * is integer epoch-SECONDS — `rangeBetween` needs a numeric key, and
+    * integer seconds put the frame boundary on the exact same instant
+    * in both engines. RANGE means ts-peers share one frame value by
+    * definition, so the result is deterministic without a tie-break. */
+  def q13cRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts_sec")
+      .rangeBetween(-600, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+              unix_seconds(col("ts")).as("ts_sec"), col("value"))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("sum_10m"))
+      .orderBy("event_id")
+  }
+
   /** Q14 — scalar function pack: string/date/math/array built-ins in one
     * wide projection (every one stays inside whole-stage codegen). */
   def q14ScalarPack(spark: SparkSession, dir: String): DataFrame = {

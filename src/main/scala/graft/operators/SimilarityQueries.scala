@@ -510,8 +510,16 @@ object SimilarityQueries {
         (aggregate(zip_with(col("qv"), col("pqv"), _ * _), lit(0L), _ + _).cast("double")
           / (col("scale") * col("pscale")) / (col("nrm") * col("pnrm"))).as("score"))
 
+    rankedTopK(scored, 5, "cos_sim_q")
+  }
+
+  /** Shared ranked-top-k tail: bounded per-probe aggregation (only k
+    * rows per probe per partition cross the shuffle) → posexplode into
+    * (probe_id, neighbor_id, rank, <scoreName>) rows rounded to 6dp. */
+  private def rankedTopK(scored: DataFrame, k: Int, scoreName: String): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val topk = new TopKByScore(5).toColumn
+    val topk = new TopKByScore(k).toColumn
     scored.as[Scored]
       .groupByKey(_.probe)
       .agg(topk.name("topk"))
@@ -521,7 +529,7 @@ object SimilarityQueries {
         col("probe_id"),
         col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
-        round(col("col.score"), 6).as("cos_sim_q"))
+        round(col("col.score"), 6).as(scoreName))
       .orderBy("probe_id", "rank")
   }
 
@@ -543,18 +551,35 @@ object SimilarityQueries {
         col("vec_id").as("id"),
         (dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))).as("score"))
 
-    import spark.implicits._
-    val topk = new TopKByScore(5).toColumn
-    scored.as[Scored]
-      .groupByKey(_.probe)
-      .agg(topk.name("topk"))
-      .toDF("probe_id", "topk")
-      .select(col("probe_id"), posexplode(col("topk")))
+    rankedTopK(scored, 5, "cos_sim")
+  }
+
+  /** Q17g — FILTERED similarity search: top-5 cosine neighbors among
+    * candidates satisfying a metadata predicate (`label = 3`), the
+    * vector-database feature every RAG/retrieval stack needs next to
+    * plain top-k. The predicate applies BEFORE scoring — it reaches the
+    * candidate parquet scan (pinned in PlanShapeSpec), so selective
+    * filters shrink the scoring set instead of under-filling k the way
+    * post-filtering a plain top-k result would. Same broadcast-probe +
+    * bounded-top-k plan as q17; at 100 TB the same predicate prunes
+    * label-partitioned files before a byte of vector data is read. */
+  def q17gFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+    val probes = emb.select(
+      col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+      .where(col("probe_id") < 10)
+
+    val scored = emb.where(col("label") === 3)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(
-        col("probe_id"),
-        col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        round(col("col.score"), 6).as("cos_sim"))
-      .orderBy("probe_id", "rank")
+        col("probe_id").as("probe"),
+        col("vec_id").as("id"),
+        (dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))).as("score"))
+
+    rankedTopK(scored, 5, "cos_sim")
   }
 }

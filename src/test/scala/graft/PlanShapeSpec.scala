@@ -125,6 +125,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "the carry window must partition by the series id")
   }
 
+  test("q17g: the filtered-search predicate reaches the candidate parquet scan") {
+    val p = planString(SimilarityQueries.q17gFilteredTopK(spark, dir))
+    assert(p.contains("EqualTo(label,3)"),
+      s"label predicate must push into the candidate scan (pre-filter, not post-filter): ${p.take(400)}")
+  }
+
   test("q23: profile computes all metrics from ONE scan of events") {
     val p = planString(RelationalQueries.q23Profile(spark, dir))
     assert("Scan parquet".r.findAllIn(p).size == 1,
