@@ -533,19 +533,23 @@ object SimilarityQueries {
       .orderBy("probe_id", "rank")
   }
 
-  /** Q17 — for probe vectors vec_id < 10: top-5 cosine neighbors,
-    * tie-break by neighbor id, scores rounded to 6dp for cross-engine
-    * hash stability. */
-  def q17CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared exact-cosine search head behind q17/q17g: probes = vec_id
+    * < 10 (never candidate-filtered), candidates optionally restricted
+    * by a metadata predicate BEFORE scoring so it reaches the parquet
+    * scan. Broadcast probes × bounded top-k — the q17 plan. */
+  private def cosineTopK(spark: SparkSession, dir: String,
+                         candidateFilter: Option[Column]): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
     val probes = emb.select(
       col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
       .where(col("probe_id") < 10)
 
-    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val cands = candidateFilter.fold(emb)(emb.where)
+    val scored = cands.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(
         col("probe_id").as("probe"),
         col("vec_id").as("id"),
@@ -553,6 +557,12 @@ object SimilarityQueries {
 
     rankedTopK(scored, 5, "cos_sim")
   }
+
+  /** Q17 — for probe vectors vec_id < 10: top-5 cosine neighbors,
+    * tie-break by neighbor id, scores rounded to 6dp for cross-engine
+    * hash stability. */
+  def q17CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(spark, dir, candidateFilter = None)
 
   /** Q17g — FILTERED similarity search: top-5 cosine neighbors among
     * candidates satisfying a metadata predicate (`label = 3`), the
@@ -563,23 +573,6 @@ object SimilarityQueries {
     * post-filtering a plain top-k result would. Same broadcast-probe +
     * bounded-top-k plan as q17; at 100 TB the same predicate prunes
     * label-partitioned files before a byte of vector data is read. */
-  def q17gFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-              col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-
-    val probes = emb.select(
-      col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
-      .where(col("probe_id") < 10)
-
-    val scored = emb.where(col("label") === 3)
-      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(
-        col("probe_id").as("probe"),
-        col("vec_id").as("id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))).as("score"))
-
-    rankedTopK(scored, 5, "cos_sim")
-  }
+  def q17gFilteredTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(spark, dir, candidateFilter = Some(col("label") === 3))
 }

@@ -174,15 +174,14 @@ object WindowQueries {
 
   /** Q24 — time-series gap-fill + forward-fill, the resample step a
     * metrics/feature pipeline runs before modeling: per event_type, an
-    * hourly SPINE spans [first, last] observed hour (`sequence` +
-    * `explode` — the generator builds the spine in-plan, never a
-    * driver-side range), observed hours left-join onto it, and missing
-    * hours carry the last observed average forward
-    * run-expansion. Every window is keyed by event_type — the scale
-    * unit (at 100 TB the partition key is the series id; a global spine
-    * would funnel). n_events is 0 on gap rows, filled_avg is the
-    * carried value, and is_gap marks synthesized rows. Averages round
-    * to 6dp — the one-division determinism rule (§5.3).
+    * hourly grid spans [first, last] observed hour, every missing hour
+    * is synthesized carrying the last observed average forward. The
+    * grid is built in-plan (`sequence` + `explode`), never as a
+    * driver-side range, and everything is keyed by event_type — the
+    * scale unit (at 100 TB the partition key is the series id; a
+    * global spine would funnel). n_events is 0 on gap rows, filled_avg
+    * is the carried value, and is_gap marks synthesized rows. Averages
+    * round to 6dp — the one-division determinism rule (§5.3).
     *
     * ONE reference to the aggregated frame, not two: the textbook
     * spine-then-left-join plan reads the hourly aggregate from both the

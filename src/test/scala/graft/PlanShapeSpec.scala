@@ -14,13 +14,16 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def finalPlan(df: DataFrame): SparkPlan = {
-    df.collect() // force AQE to finalize
-    df.queryExecution.executedPlan match {
+  /** Execute once; return both the rows and the AQE-finalized plan. */
+  private def executedRowsAndPlan(df: DataFrame): (Array[org.apache.spark.sql.Row], SparkPlan) = {
+    val rows = df.collect() // force AQE to finalize
+    val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    (rows, plan)
   }
+  private def finalPlan(df: DataFrame): SparkPlan = executedRowsAndPlan(df)._2
   private def planString(df: DataFrame): String = finalPlan(df).toString
 
   test("q1: filter and projection reach the parquet scan") {
@@ -74,13 +77,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
     val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
-    // one execution serves all three checks: collect() finalizes AQE,
-    // then the executed plan is read back without re-running the query
-    val rows = df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+    // one execution serves all three checks
+    val (rows, plan) = executedRowsAndPlan(df)
     val p = plan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "incremental candidates must come from the asymmetric band equi-join")
