@@ -220,4 +220,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cos(0) == 1.0 && cos(1) == 0.0)
     assert(math.abs(cos(2) - math.sqrt(0.5)) < 1e-12)
   }
+
+  test("incremental near-dup equals the symmetric pairs restricted to cross-split (sf0.001)") {
+    // the asymmetric band join must lose nothing the full self-join
+    // finds: q16b's complete pair set, filtered to pairs that straddle
+    // the doc_id%5 ingestion split and re-oriented (new = batch side),
+    // must equal q16i's output exactly — same signatures → same bands →
+    // same candidate coverage, so this is equality, not recall
+    val dir = "/root/testdata/sf0.001"
+    def isBatch(id: Long) = id % 5 == 4
+    val symmetric = DedupQueries.q16bNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val expected = symmetric.collect {
+      case (i, j, jac) if isBatch(i) != isBatch(j) =>
+        if (isBatch(i)) (i, j, jac) else (j, i, jac)
+    }.toSet
+    val incremental = DedupQueries.q16iIncrementalNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "the split must straddle some near-dup pairs")
+    assert(incremental == expected)
+  }
 }
