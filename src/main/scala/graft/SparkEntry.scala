@@ -96,6 +96,7 @@ object SparkEntry {
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
+    "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,6 +414,13 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS filled_avg,
         |  CAST(avg_v IS NULL AS BIGINT) AS is_gap
         |FROM j ORDER BY event_type, hour""".stripMargin,
+    "q25_cdc_upsert" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
     // content-hash stratified sample: same fingerprint, same
     // (fp, doc_id) order, bottom-20 per lang
     "q18h_stratified_sample" ->

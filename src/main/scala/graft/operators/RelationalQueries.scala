@@ -353,6 +353,38 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Q25 — CDC latest-wins upsert compaction, the MERGE INTO shape a
+    * lakehouse table maintenance job runs: a changelog keyed by entity
+    * (events as the log; `error` rows play the delete tombstone)
+    * compacts to the current snapshot — per key, the latest record by
+    * (ts, event_id) wins, and a winning tombstone removes the key.
+    *
+    * The compaction is a single-shuffle `max_by(payload, struct(ts,
+    * event_id))` aggregate, NOT a row_number window: the aggregate
+    * combines map-side (each partition ships one candidate row per key,
+    * not its whole changelog slice) and never sorts — a window plan
+    * sorts every key's full history inside the shuffle. The window
+    * formulation IS the DuckDB oracle, where the plans differ but the
+    * semantics can't. The delete filter applies AFTER the argmax —
+    * a tombstone must win (suppress the key), not lose to the
+    * newest non-delete. */
+  def q25CdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("op"), col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .where(col("last.op") =!= "D")
+      .select(col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last.ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** Q23 — one-pass column profiling, the data-quality report a
     * training pipeline runs before anything else: per profiled column,
     * non-null count, exact distinct, min/max/mean. ONE scan computes

@@ -10,21 +10,26 @@ import graft.core.Tables
 class SourceFormatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("csv and json round-trip the nation table exactly") {
+  test("csv, json, and orc round-trip the nation table exactly") {
     val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
     val base = Files.createTempDirectory("fmt")
     nation.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$base/csv")
     nation.coalesce(1).write.mode("overwrite").json(s"$base/json")
+    nation.coalesce(1).write.mode("overwrite").orc(s"$base/orc")
 
     val fromCsv = spark.read.schema(nation.schema)
       .option("header", "true").csv(s"$base/csv")
     val fromJson = spark.read.schema(nation.schema).json(s"$base/json")
+    val fromOrc = spark.read.orc(s"$base/orc")
 
     val want = nation.orderBy("n_nationkey").collect().toSeq
     assert(fromCsv.orderBy("n_nationkey").collect().toSeq == want)
     assert(fromJson.orderBy("n_nationkey").collect().toSeq == want)
+    assert(fromOrc.orderBy("n_nationkey").collect().toSeq == want)
     assert(fromCsv.schema == nation.schema && fromJson.schema == nation.schema)
+    // orc is self-describing: the schema must survive without being re-imposed
+    assert(fromOrc.schema == nation.schema)
   }
 
   test("kafka seam: option surface matches the reference's configuration") {
