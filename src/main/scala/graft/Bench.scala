@@ -109,11 +109,15 @@ object Bench {
       "q6_window_sliding", "q7_window_top1", "q7b_window_topk",
       "q8_running_count", "q9_join_revenue")
     val r2Total = results.collect { case (n, v) if r2Set(n) && v >= 0 => v }.sum
+    // a failure INSIDE the subset must be visible at the subset level:
+    // silently dropping a failed query's time would inflate the
+    // apparent like-for-like speedup
+    val r2Failed = results.count { case (n, v) => r2Set(n) && v < 0 }
     val gcObj = Seq(gcWarm, gc1, gc2)
       .map { case (l, j) => "\"" + l + "\":" + j }.mkString("{", ",", "}")
     // raw passes + GC deltas are emitted alongside the min so the
     // min-of-two methodology and any memory pressure are auditable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"gc":$gcObj,"failed":$nFailed,"r2_subset_n":${results.count(r => r2Set(r._1))},"r2_subset_total":$r2Total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"gc":$gcObj,"failed":$nFailed,"r2_subset_n":${results.count(r => r2Set(r._1))},"r2_subset_failed":$r2Failed,"r2_subset_total":$r2Total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

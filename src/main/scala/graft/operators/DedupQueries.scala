@@ -284,11 +284,16 @@ object DedupQueries {
       threshold = threshold, orderedPairs = false,
       bucketCap = bucketCap, skewSampleMod = skewSampleMod)
 
+  /** q16i's deterministic ingestion slice: `doc_id % IngestSplitMod ==
+    * IngestSplitRem` plays the incoming batch (the corpus has no
+    * arrival timestamps; the mod split is scale-proportional and
+    * identical on both engines). The q16i ORACLE SQL in SparkEntry
+    * hard-codes the same 5/4 — change both together. */
+  val IngestSplitMod = 5
+  val IngestSplitRem = 4
+
   /** Q16i — incremental near-dup against the standing corpus, word-3-
-    * shingles at Jaccard ≥ 0.8 (q16b's contract, asymmetric). The
-    * deterministic ingestion slice `doc_id % 5 == 4` plays the incoming
-    * batch (the corpus has no arrival timestamps; the mod split is
-    * scale-proportional and identical on both engines). */
+    * shingles at Jaccard ≥ 0.8 (q16b's contract, asymmetric). */
   def q16iIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     // one shared shingling contract with q16b (the doc_id slice filter
     // pushes below the shingle projection; it references no arrays, so
@@ -296,8 +301,8 @@ object DedupQueries {
     def side(keep: Column => Column): DataFrame =
       wordShingleDocs(spark, dir).where(keep(col("doc_id")))
     nearDupPairsAcross(
-      base  = side(id => id % 5 =!= 4),
-      batch = side(id => id % 5 === 4),
+      base  = side(id => id % IngestSplitMod =!= IngestSplitRem),
+      batch = side(id => id % IngestSplitMod === IngestSplitRem),
       sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
       payloadCol = col("sh"),
       jacOf = arrayJaccard, threshold = 0.8)

@@ -224,11 +224,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("incremental near-dup equals the symmetric pairs restricted to cross-split (sf0.001)") {
     // the asymmetric band join must lose nothing the full self-join
     // finds: q16b's complete pair set, filtered to pairs that straddle
-    // the doc_id%5 ingestion split and re-oriented (new = batch side),
-    // must equal q16i's output exactly — same signatures → same bands →
-    // same candidate coverage, so this is equality, not recall
+    // the ingestion split and re-oriented (new = batch side), must
+    // equal q16i's output exactly. Same signatures → same bands; the
+    // one structural difference is the skew guard's sampling population
+    // (full corpus vs base slice), which only matters once a band
+    // bucket approaches SkewBucketCap=10000 — far above this corpus,
+    // so below the cap this is equality, not recall
     val dir = "/root/testdata/sf0.001"
-    def isBatch(id: Long) = id % 5 == 4
+    def isBatch(id: Long) =
+      id % DedupQueries.IngestSplitMod == DedupQueries.IngestSplitRem
     val symmetric = DedupQueries.q16bNearDup(spark, dir)
       .as[(Long, Long, Double)].collect()
     val expected = symmetric.collect {

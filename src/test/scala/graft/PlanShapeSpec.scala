@@ -88,7 +88,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // and there must BE results, else the pin is vacuous (sf0.001 has 9)
     assert(rows.nonEmpty, "the batch slice must near-duplicate the base corpus somewhere")
     rows.foreach { r =>
-      assert(r.getLong(0) % 5 == 4 && r.getLong(1) % 5 != 4,
+      assert(r.getLong(0) % DedupQueries.IngestSplitMod == DedupQueries.IngestSplitRem
+          && r.getLong(1) % DedupQueries.IngestSplitMod != DedupQueries.IngestSplitRem,
         s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not batch-vs-base")
     }
   }
