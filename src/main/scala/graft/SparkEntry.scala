@@ -46,6 +46,7 @@ object SparkEntry {
     "q15b_approx_distinct" -> (RelationalQueries.q15ApproxDistinct _),
     "q15c_quantiles"       -> (RelationalQueries.q15cQuantiles _),
     "q15d_sketch_union"    -> (RelationalQueries.q15dSketchUnion _),
+    "q15e_approx_quantiles" -> (RelationalQueries.q15eApproxQuantiles _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),

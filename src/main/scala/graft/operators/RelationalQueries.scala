@@ -409,6 +409,23 @@ object RelationalQueries {
       .orderBy("metric")
   }
 
+  /** Rows-only: the approximate-quantile path q15c's scaladoc names as
+    * the production shape — `percentile_approx` (t-digest-style
+    * mergeable summaries, bounded memory per group regardless of group
+    * size; the exact path buffers O(group)). Returns order statistics,
+    * not interpolations, so it can't hash-match q15c's oracle;
+    * ScaleOpsSpec pins each approximate quantile within the
+    * neighboring-exact-quantile envelope. */
+  def q15eApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Q15c — exact interpolated quantiles per group (both engines use the
     * same linear-interpolation definition, rank = p·(n−1), so the
     * doubles hash-match after 6dp rounding). Like q15/q15b, the exact

@@ -158,6 +158,30 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"$k: sketch estimate ${est(k)} vs exact $n") }
   }
 
+  test("q15e: approximate quantiles land inside the exact p25..p99 envelope per group") {
+    import graft.operators.RelationalQueries
+    val dir = "/root/testdata/sf0.001"
+    val approx = RelationalQueries.q15eApproxQuantiles(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("p25"),
+           expr("percentile(value, 0.75)").as("p75"),
+           expr("percentile(value, 0.90)").as("p90"),
+           expr("percentile(value, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p25, p75, p90, p99)) =>
+      val (a50, a95) = approx(k)
+      // approx_percentile returns a real order statistic; at accuracy
+      // 10000 over a few hundred rows per group it must not wander
+      // outside the bracketing exact quantiles
+      assert(a50 >= p25 && a50 <= p75, s"$k: p50≈$a50 outside [$p25, $p75]")
+      assert(a95 >= p90 && a95 <= p99, s"$k: p95≈$a95 outside [$p90, $p99]")
+    }
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter reaches the fact side of a shuffle join") {
     // the row-level twin of dynamic PARTITION pruning: when the fact
     // side isn't partitioned by the join key, Spark can still inject a
