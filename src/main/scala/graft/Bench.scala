@@ -108,6 +108,11 @@ object Bench {
       "q4_agg_pricing", "q5_window_tumbling", "q5b_session_window",
       "q6_window_sliding", "q7_window_top1", "q7b_window_topk",
       "q8_running_count", "q9_join_revenue")
+    // the subset is a literal copy of the r2 bench's query names; if a
+    // standing query is ever renamed/removed the subset would silently
+    // shrink and inflate the apparent speedup — fail loudly instead
+    val drifted = r2Set -- SparkEntry.queries.keySet
+    require(drifted.isEmpty, s"r2 baseline subset drifted from declared queries: ${drifted.toSeq.sorted.mkString(", ")}")
     val r2Total = results.collect { case (n, v) if r2Set(n) && v >= 0 => v }.sum
     // a failure INSIDE the subset must be visible at the subset level:
     // silently dropping a failed query's time would inflate the
@@ -118,6 +123,12 @@ object Bench {
     // raw passes + GC deltas are emitted alongside the min so the
     // min-of-two methodology and any memory pressure are auditable
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"gc":$gcObj,"failed":$nFailed,"r2_subset_n":${results.count(r => r2Set(r._1))},"r2_subset_failed":$r2Failed,"r2_subset_total":$r2Total,"sf":"$sfDir"}""")
+    // the full line above has been tail-truncated in driver artifacts
+    // (BENCH_r06 lost the min-of-two map and headline value); emit a
+    // SECOND compact line so a tail-capped artifact still carries the
+    // auditable numbers: totals, failure counts, top-10 slowest mins
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"slowest":${obj(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -200,9 +200,10 @@ object DedupQueries {
     *    join. The hot list is tiny by construction — broadcast it; the
     *    sampled counting branch's doc-hash filter pushes below the
     *    signature projection, so it prices at ~1/sampleMod of a
-    *    signature pass. Guarding the BUILD side alone suffices: a band
-    *    with no build rows produces no pairs (and in the symmetric case
-    *    build = the whole corpus, so this matches guarding both).
+    *    signature pass. Both sides are guarded: a band with no build
+    *    rows already produces no pairs, but leaving the probe-side copy
+    *    in place would still shuffle its exploded rows into the join —
+    *    the anti-join removes that cost, not any output.
     *  - screen BEFORE the pair-dedup: the aggregate then compacts a few
     *    hundred survivors instead of shuffling every co-bucket pair.
     *    The sig lookups are shuffled hash joins BY HINT, not
@@ -230,10 +231,17 @@ object DedupQueries {
     val sigP = probe.repartition(par).select(col("doc_id"), sigCol.as("sig"))
     val sigB = build.repartition(par).select(col("doc_id"), sigCol.as("sig"))
     val bandsB = sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
-    val guarded = bandsB.join(
-      broadcast(hotBuckets(bandsB, bucketCap, skewSampleMod)),
-      col("band") === col("hot_band"), "left_anti")
+    // guard BOTH sides: a hot band dropped from the build side already
+    // matches nothing, but its probe-side copy would still explode and
+    // shuffle into the band join — anti-join it away there too
+    // (ADVICE r6 #2). The two references to `hot` recompute the sampled
+    // counting branch twice (the no-cross-join-CSE rule) — deliberate:
+    // each costs ~1/sampleMod of a signature pass, far cheaper than
+    // shuffling a pathological band's exploded rows.
+    val hot = broadcast(hotBuckets(bandsB, bucketCap, skewSampleMod))
+    val guarded = bandsB.join(hot, col("band") === col("hot_band"), "left_anti")
     val bandsP = sigP.select(col("doc_id").as(probeName), explode(bandKeys(col("sig"))).as("band"))
+      .join(hot, col("band") === col("hot_band"), "left_anti")
     val joined = bandsP.join(guarded.select(col("doc_id").as(buildName), col("band")), "band")
     val candidates =
       (if (orderedPairs) joined.where(col(probeName) < col(buildName)) else joined)

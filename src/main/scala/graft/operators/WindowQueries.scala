@@ -180,7 +180,9 @@ object WindowQueries {
     * driver-side range, and everything is keyed by event_type — the
     * scale unit (at 100 TB the partition key is the series id; a
     * global spine would funnel). n_events is 0 on gap rows, filled_avg
-    * is the carried value, and is_gap marks synthesized rows. Averages
+    * is the carried value, and is_gap marks rows with no observed
+    * average — synthesized hours plus observed hours whose values are
+    * all NULL (those forward-fill too). Averages
     * round to 6dp — the one-division determinism rule (§5.3).
     *
     * ONE reference to the aggregated frame, not two: the textbook
@@ -191,25 +193,38 @@ object WindowQueries {
     * each observed hour looks at its successor (`lead`) and EMITS ITS
     * OWN RUN of spine rows [hour, next) carrying its average — same
     * rows, one scan, one window, one generator, no join at all. */
-  def q24GapFill(spark: SparkSession, dir: String): DataFrame = {
+  def q24GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.load(spark, dir, "events")).orderBy("event_type", "hour")
+
+  /** Library surface behind q24: hourly gap-fill + forward-fill of any
+    * (event_type, ts, value) frame. See [[q24GapFill]] for semantics. */
+  def gapFill(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.core.Det._
     val order = Window.partitionBy("event_type").orderBy("hour")
-    Tables.load(spark, dir, "events")
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
            round(davg(col("value")), 6).as("avg_v"))
+      // an observed hour whose every `value` is NULL has avg_v NULL and
+      // is itself a gap in the filled series: carry the last non-null
+      // average across it (same per-series window the successor lookup
+      // uses) and flag it, matching last_value(… IGNORE NULLS) +
+      // `avg_v IS NULL` on the oracle side (ADVICE r6 #1)
+      .withColumn("carried_avg",
+        last(col("avg_v"), ignoreNulls = true)
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("next_hour", lead(col("hour"), 1).over(order))
-      .select(col("event_type"), col("n_events"), col("avg_v"), col("hour").as("obs_hour"),
+      .select(col("event_type"), col("n_events"), col("avg_v"), col("carried_avg"),
+        col("hour").as("obs_hour"),
         explode(sequence(
           col("hour"),
           coalesce(col("next_hour") - expr("INTERVAL 1 HOUR"), col("hour")),
           expr("INTERVAL 1 HOUR"))).as("hour"))
       .select(col("event_type"), col("hour"),
         when(col("hour") === col("obs_hour"), col("n_events")).otherwise(lit(0L)).as("n_events"),
-        col("avg_v").as("filled_avg"),
-        (col("hour") =!= col("obs_hour")).cast("long").as("is_gap"))
-      .orderBy("event_type", "hour")
+        col("carried_avg").as("filled_avg"),
+        (col("hour") =!= col("obs_hour") || col("avg_v").isNull).cast("long").as("is_gap"))
   }
 
   /** Library surface behind q8b: sessionize any (user_id, event_id, ts,

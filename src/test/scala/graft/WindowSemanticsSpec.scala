@@ -109,4 +109,26 @@ class WindowSemanticsSpec extends AnyFunSuite {
       assert(engine == reference, s"trial $trial diverged")
     }
   }
+
+  test("gap-fill: an observed hour with all-NULL values forward-fills and flags is_gap") {
+    // hour 00 observed (avg 2.0), hour 01 missing, hour 02 observed but
+    // every value NULL, hour 03 observed (avg 5.0). The all-NULL hour
+    // must carry 2.0 forward and flag is_gap=1 — the oracle's
+    // last_value(IGNORE NULLS) + `avg_v IS NULL` semantics (ADVICE r6 #1)
+    val df = Seq(
+      ("click", ts("2024-01-01 00:10:00"), Some(2.0)),
+      ("click", ts("2024-01-01 02:15:00"), None),
+      ("click", ts("2024-01-01 02:45:00"), None),
+      ("click", ts("2024-01-01 03:05:00"), Some(5.0))
+    ).toDF("event_type", "ts", "value")
+    val out = graft.operators.WindowQueries.gapFill(df)
+      .orderBy("hour")
+      .select(hour(col("hour")), col("n_events"), col("filled_avg"), col("is_gap"))
+      .as[(Int, Long, Option[Double], Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 1L, Some(2.0), 0L),  // observed
+      (1, 0L, Some(2.0), 1L),  // synthesized gap
+      (2, 2L, Some(2.0), 1L),  // observed but all-NULL: carried + flagged
+      (3, 1L, Some(5.0), 0L))) // observed
+  }
 }
