@@ -92,6 +92,7 @@ object SparkEntry {
     "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
     "q20i_stream_session"  -> (graft.streaming.StreamingPipelines.q20iStreamSession _),
     "q20j_stream_enrich"   -> (graft.streaming.StreamingPipelines.q20jStreamEnrich _),
+    "q20k_stream_wire"     -> (graft.streaming.StreamingPipelines.q20kStreamWire _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
@@ -983,6 +984,12 @@ object SparkEntry {
         |       c.c_mktsegment AS segment, COUNT(*) AS cnt
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q20k: the Kafka wire path EXECUTED as a stream (binary frames →
+    // from_json decode → windowed agg, reference S:64-75) must equal the
+    // batch q5 answer — same oracle as q20's file replay
+    "q20k_stream_wire" ->
+      """SELECT date_trunc('minute', ts) AS window_start, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the salted two-phase plan is result-identical to the plain GROUP BY
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events

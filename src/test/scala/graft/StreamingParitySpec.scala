@@ -311,6 +311,61 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(latest == batch)
   }
 
+  test("q20k wire stream: executed Kafka frame decode equals batch, over multiple micro-batches") {
+    import spark.implicits._
+    val out = StreamingPipelines.wireReplay(spark, "/root/testdata/sf0.001")
+    // a real micro-batch execution, not one mega-batch: the day-chunked
+    // addData rounds must have committed multiple epochs
+    val epochs = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert(epochs >= 2, s"expected multiple epochs, got $epochs")
+    val streamed = StreamingPipelines.readLatestWins(spark, out, Seq("window_start"))
+      .select("window_start", "n_events")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val batch = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("wire stream: corrupt frames mid-stream drop permissively under micro-batch execution") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[Array[Byte]](
+      org.apache.spark.sql.Encoders.BINARY, spark.sqlContext)
+    val ckpt = Files.createTempDirectory("wire-corrupt-ckpt").toString
+    val state = scala.collection.concurrent.TrieMap.empty[java.sql.Timestamp, Long]
+    val q = StreamingPipelines.kafkaWireDecode(source.toDF())
+      .withWatermark("ts", "300 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => state.put(r.getTimestamp(0), r.getLong(1)))
+      }.start()
+    def frame(id: Long, ts: String): Array[Byte] =
+      s"""{"event_id":$id,"ts":"$ts","user_id":1,"event_type":"click","value":1.0,"props":"{}"}"""
+        .getBytes("UTF-8")
+    try {
+      source.addData(Seq(frame(1, "2024-01-01 00:00:10.000000"),
+                         frame(2, "2024-01-01 00:00:20.000000")))
+      q.processAllAvailable()
+      // mid-stream corruption, one record each way it goes wrong on a
+      // real topic: not JSON at all, truncated JSON, a frame missing the
+      // non-nullable key fields — plus one good record that must survive
+      source.addData(Seq("definitely not json".getBytes("UTF-8"),
+                         """{"event_id":99,"ts":""".getBytes("UTF-8"),
+                         """{"user_id":5,"value":2.0}""".getBytes("UTF-8"),
+                         frame(3, "2024-01-01 00:01:10.000000")))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    assert(state.toMap == Map(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00") -> 2L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:01:00") -> 1L))
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
