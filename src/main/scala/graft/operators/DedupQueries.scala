@@ -374,9 +374,11 @@ object DedupQueries {
     * iteration is two shuffles keyed by node id, state O(nodes in
     * pairs) — never the corpus. Iterations needed = component diameter
     * (near-dup clusters are shallow; `maxIter` is a guard). At
-    * billions of edges the alternating large-star/small-star variant
-    * cuts convergence to O(log n) rounds — same per-round plan shape.
-    * Returns (node, rep). */
+    * billions of edges [[connectedComponentsStar]] (the alternating
+    * large-star/small-star variant, same per-round materialized
+    * two-shuffle shape) cuts convergence to O(log n) rounds — it is
+    * what q16f runs; this diameter-bounded variant stays as the
+    * differential-test twin. Returns (node, rep). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
@@ -408,6 +410,101 @@ object DedupQueries {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (the
+    * published MapReduce CC algorithm family: Kiveris/Lattanzi/Mirrokni/
+    * Rastogi/Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the billions-of-edges path [[connectedComponents]]'s
+    * scaladoc names. Convergence is O(log n) ROUNDS regardless of
+    * component diameter, vs diameter-bounded min-label propagation: a
+    * chain of 2^k nodes converges in ~k alternations, not 2^k
+    * (measured in DedupSimilaritySpec).
+    *
+    * Per round, on a canonical (u > v) directed edge set:
+    *  - large-star: every strictly-larger neighbor of a node re-points
+    *    at the minimum of the node's closed neighborhood;
+    *  - small-star: every ≤-neighbor (and the node itself) re-points at
+    *    the neighborhood minimum.
+    * Both are the same two-shuffle shape as one propagation iteration
+    * (a per-node min aggregate + an edge join, then pair-dedup), and
+    * each is MATERIALIZED to storage exactly like the propagation
+    * variant (bounded lineage). A component's fixed point is a star
+    * centered at its minimum node, so labels fall out of the final
+    * edge list directly. Convergence = edge-set fingerprint (count +
+    * xxhash64 sum) stable across a full round; fixed points are
+    * provably stable under both stars, so the fingerprint cannot
+    * false-converge on a still-moving set (and the randomized
+    * differential spec pins it). Returns (node, rep = min reachable),
+    * the same contract as [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponentsStar]] exposing the round count (the spec
+    * asserts the log bound on a deep chain graph). */
+  def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccs").toString
+    // materialize the input once: both the canonical edge set and the
+    // node universe derive from it (two references to an unmaterialized
+    // `pairs` would recompute the upstream LSH pipeline twice)
+    pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+    val p = spark.read.parquet(s"$tmp/pairs")
+    p.select(
+        greatest(col("doc_i"), col("doc_j")).as("u"),
+        least(col("doc_i"), col("doc_j")).as("v"))
+      .where(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
+      .write.mode("overwrite").parquet(s"$tmp/edges")
+    var edges = spark.read.parquet(s"$tmp/edges")
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // hash sum in decimal(38,0): a long sum would overflow under ANSI
+      // arithmetic on a handful of ±2^63-scale hashes
+      val r = e.agg(count(lit(1)),
+                    coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+                             lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+    }
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = fp._1 == 0L
+    while (!converged && rounds < maxIter) {
+      // large-star (one per-node min shuffle + the pair-dedup shuffle)
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.where(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("u"), col("m").as("v")) // b > a ≥ m: canonical
+        .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
+        .write.mode("overwrite").parquet(s"$tmp/large_$rounds")
+      val afterLarge = spark.read.parquet(s"$tmp/large_$rounds")
+      // small-star (same shape; edges already point large → small, so
+      // the closed-neighborhood min is just min(v))
+      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
+      afterLarge.join(minsS, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionAll(minsS.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m")) // the minimum's own self-loop
+        .select(col("n").as("u"), col("m").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
+        .write.mode("overwrite").parquet(s"$tmp/small_$rounds")
+      edges = spark.read.parquet(s"$tmp/small_$rounds")
+      val nfp = fingerprint(edges)
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    // the final edge set is a star per component; self-labels cover
+    // singleton/self-loop-only nodes (dropped at canonicalization) —
+    // min(rep) keeps the star center where one exists, since rep ≤ node
+    val labels = edges.select(col("u").as("node"), col("v").as("rep"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("rep")))
+      .unionAll(p.select(col("doc_i").as("node"), col("doc_i").as("rep")))
+      .unionAll(p.select(col("doc_j").as("node"), col("doc_j").as("rep")))
+      .groupBy("node").agg(min("rep").as("rep"))
+    (labels, rounds)
+  }
+
   /** Q16f — near-dup CLUSTERS over the full corpus: connected
     * components of the q16b near-dup graph; every document gets
     * (cluster_rep = min doc_id in its component, keep = is it the
@@ -416,7 +513,7 @@ object DedupQueries {
     * implementation. */
   def q16fDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q16bNearDup(spark, dir).select("doc_i", "doc_j")
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponentsStar(pairs)
     Tables.load(spark, dir, "documents").select("doc_id")
       .join(labels.select(col("node").as("doc_id"), col("rep")), Seq("doc_id"), "left")
       .select(col("doc_id"),

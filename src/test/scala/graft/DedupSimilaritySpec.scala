@@ -244,4 +244,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expected.nonEmpty, "the split must straddle some near-dup pairs")
     assert(incremental == expected)
   }
+
+  test("large-star/small-star CC equals min-label propagation on randomized graphs") {
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(7000 + trial)
+      val n = 30 + rnd.nextInt(50)
+      val nEdges = rnd.nextInt(2 * n)
+      // random node ids are sparse/unordered (the doc_id reality);
+      // self-loops and duplicate edges included on purpose
+      val ids = Seq.fill(n)(rnd.nextLong(1000000L))
+      val edges = Seq.fill(nEdges)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("doc_i", "doc_j")
+        val viaStar = DedupQueries.connectedComponentsStar(pairs)
+          .as[(Long, Long)].collect().toMap
+        val viaProp = DedupQueries.connectedComponents(pairs, maxIter = 200)
+          .as[(Long, Long)].collect().toMap
+        assert(viaStar == viaProp, s"trial $trial diverged (n=$n, e=$nEdges)")
+      }
+    }
+  }
+
+  test("large-star/small-star CC: log-bounded rounds on a deep chain graph") {
+    // a 256-node chain has diameter 255 — min-label propagation needs
+    // ~255 iterations; the star alternation must land in O(log n)
+    val n = 256
+    val chain = (0L until (n - 1)).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = DedupQueries.connectedComponentsStarWithRounds(chain)
+    val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1L)) + 6
+    assert(rounds <= logBound, s"$rounds rounds exceeds the log bound $logBound")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
 }
