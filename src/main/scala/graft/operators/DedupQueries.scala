@@ -224,13 +224,19 @@ object DedupQueries {
                        sigCol: Column, payloadCol: Column,
                        jacOf: (Column, Column) => Column, threshold: Double,
                        orderedPairs: Boolean,
-                       bucketCap: Int, skewSampleMod: Int): DataFrame = {
+                       bucketCap: Int, skewSampleMod: Int,
+                       buildIndex: Option[BandIndex] = None): DataFrame = {
     val spark = probe.sparkSession
     graft.functions.MinHash.ensureRegistered(spark)
     val par = spark.sparkContext.defaultParallelism
     val sigP = probe.repartition(par).select(col("doc_id"), sigCol.as("sig"))
-    val sigB = build.repartition(par).select(col("doc_id"), sigCol.as("sig"))
-    val bandsB = sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+    // the build side's signatures/bands come from the PERSISTED index
+    // when the caller has one (incremental ingestion: the standing
+    // corpus is signed once, not once per batch)
+    val sigB = buildIndex.map(_.sigs)
+      .getOrElse(build.repartition(par).select(col("doc_id"), sigCol.as("sig")))
+    val bandsB = buildIndex.map(_.bands)
+      .getOrElse(sigB.select(col("doc_id"), explode(bandKeys(col("sig"))).as("band")))
     // guard BOTH sides: a hot band dropped from the build side already
     // matches nothing, but its probe-side copy would still explode and
     // shuffle into the band join — anti-join it away there too
@@ -272,7 +278,8 @@ object DedupQueries {
   /** Incremental-ingestion near-dup: which documents of an INCOMING
     * batch near-duplicate the EXISTING corpus. The production shape for
     * continuous ingestion — the standing corpus's signatures/bands are
-    * computed once and persisted (here: recomputed, same plan), and
+    * computed once and persisted (pass `baseIndex`; q16i reads
+    * [[baseBandIndex]]'s fingerprint-validated parquet tables), and
     * each arriving batch pays O(batch × bucket-collisions), never the
     * O(corpus²) of re-deduping the world per batch. Same four stages as
     * [[nearDupPairs]], asymmetric: batch bands probe base bands in ONE
@@ -286,11 +293,80 @@ object DedupQueries {
                          sigCol: Column, payloadCol: Column,
                          jacOf: (Column, Column) => Column, threshold: Double,
                          bucketCap: Int = SkewBucketCap,
-                         skewSampleMod: Int = SkewSampleMod): DataFrame =
+                         skewSampleMod: Int = SkewSampleMod,
+                         baseIndex: Option[BandIndex] = None): DataFrame =
     lshPairs(probe = batch, build = base, probeName = "new_id", buildName = "old_id",
       sigCol = sigCol, payloadCol = payloadCol, jacOf = jacOf,
       threshold = threshold, orderedPairs = false,
-      bucketCap = bucketCap, skewSampleMod = skewSampleMod)
+      bucketCap = bucketCap, skewSampleMod = skewSampleMod, buildIndex = baseIndex)
+
+  // ---- persisted band index (the LSH side of the index story) ---------
+
+  /** The standing corpus's MinHash signature + band tables, persisted
+    * (VERDICT r6 #6 — the [[SimilarityQueries.ivfCentroids]] pattern's
+    * LSH mirror). An ingestion pipeline signs the standing corpus ONCE;
+    * every arriving batch (q16i, and q16j's streaming loop) reads
+    * `sigs` (doc_id, sig) and `bands` (doc_id, band) from the index
+    * instead of re-signing the corpus per batch. At 100 TB both tables
+    * live next to the corpus and are appended as batches are accepted;
+    * the base slice here is immutable, so build-once is the lifecycle. */
+  final case class BandIndex(sigs: DataFrame, bands: DataFrame)
+
+  /** Index builds actually executed in this JVM (observable by tests to
+    * prove the disk index is reused rather than rebuilt). */
+  val bandBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, BandIndex)]
+  def clearBandIndexCache(): Unit = bandCache.clear()
+
+  /** Index location keyed by the FULL dataset path (the IVF rule: a
+    * `hashCode` key collides silently). */
+  private def bandIndexDir(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-lsh",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  /** Build-or-load the persisted band index of q16i's standing corpus
+    * (the base ingestion slice). Fingerprint (row count + id range of
+    * the raw base slice — no tokenization on the revalidation path) is
+    * stamped at build and revalidated on every load; an in-place corpus
+    * change rebuilds instead of serving stale bands. */
+  def baseBandIndex(spark: SparkSession, dir: String): BandIndex = {
+    graft.functions.MinHash.ensureRegistered(spark)
+    val fp = SimilarityQueries.corpusFingerprint(
+      Tables.load(spark, dir, "documents")
+        .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem), "doc_id")
+    bandCache.get(dir) match {
+      case Some((cachedFp, idx)) if cachedFp == fp => return idx
+      case _ => ()
+    }
+    val root = bandIndexDir(dir)
+    val sigPath  = root.resolve("sigs").toString
+    val bandPath = root.resolve("bands").toString
+    val metaPath = root.resolve("_META")
+    val onDiskFp =
+      if (java.nio.file.Files.exists(metaPath))
+        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8").trim
+      else ""
+    if (onDiskFp != fp) {
+      bandBuildCount.incrementAndGet()
+      java.nio.file.Files.createDirectories(root)
+      val base = wordShingleDocs(spark, dir)
+        .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem)
+      base.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+                call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
+        .write.mode("overwrite").parquet(sigPath)
+      // bands derive from the WRITTEN signatures — one signature pass
+      // total, and the band table shuffles nothing (pure map + explode)
+      spark.read.parquet(sigPath)
+        .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+        .write.mode("overwrite").parquet(bandPath)
+      java.nio.file.Files.write(metaPath, fp.getBytes("UTF-8"))
+    }
+    val idx = BandIndex(spark.read.parquet(sigPath), spark.read.parquet(bandPath))
+    bandCache.put(dir, (fp, idx))
+    idx
+  }
 
   /** q16i's deterministic ingestion slice: `doc_id % IngestSplitMod ==
     * IngestSplitRem` plays the incoming batch (the corpus has no
@@ -313,7 +389,10 @@ object DedupQueries {
       batch = side(id => id % IngestSplitMod === IngestSplitRem),
       sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
       payloadCol = col("sh"),
-      jacOf = arrayJaccard, threshold = 0.8)
+      jacOf = arrayJaccard, threshold = 0.8,
+      // the standing corpus's signatures/bands come from the persisted
+      // index (base stays as the exact-verify payload source)
+      baseIndex = Some(baseBandIndex(spark, dir)))
   }
 
   /** Exact Jaccard over two shingle-array payload columns. */

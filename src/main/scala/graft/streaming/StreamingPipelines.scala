@@ -548,7 +548,7 @@ object StreamingPipelines {
   def replayCached(spark: SparkSession, dir: String): SinkState =
     cache.getOrElseUpdate(dir, replay(spark, dir))
   private val wireCache = TrieMap.empty[String, String]
-  def clearCache(): Unit = { cache.clear(); wireCache.clear() }
+  def clearCache(): Unit = { cache.clear(); wireCache.clear(); ingestCache.clear() }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
 
@@ -612,6 +612,101 @@ object StreamingPipelines {
     }
     out
   }
+
+  // ---- streaming incremental near-dup ingestion (q16j) -----------------
+
+  /** VERDICT r6 #4: the production LLM-ingest loop end-to-end. The q16i
+    * ingestion slice replays as a document STREAM (one micro-batch per
+    * id-keyed chunk); each micro-batch runs the asymmetric band join
+    * against the standing corpus's PERSISTED band index
+    * ([[graft.operators.DedupQueries.baseBandIndex]] — signatures/bands
+    * are read, never recomputed per batch), and flagged pairs land in
+    * the durable idempotent epoch sink. Per-batch cost is
+    * O(batch × bucket-collisions); the standing corpus is scanned only
+    * for the exact-verify payload of screened candidates. Composition
+    * of two independently-green components (q16i's join, the durable
+    * sink), so the drained sink must equal the batch q16i answer —
+    * that is q16j's oracle. Returns the sink dir. */
+  def ingestNearDupReplay(spark: SparkSession, dir: String, nChunks: Int = 4): String = {
+    import graft.operators.DedupQueries
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, dir, "documents")
+    // stage the ingest slice as nChunks parquet chunks (id-keyed:
+    // deterministic, and every chunk is a scale-proportional batch)
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-ingest",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val chunkDir = root.resolve("chunks")
+    val doneFile = chunkDir.resolve("_DONE")
+    val slice = docs.where(
+      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem)
+    val fp = {
+      val r = slice.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+      s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+    }
+    if (!(Files.exists(doneFile) &&
+          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
+      deleteRecursively(root)
+      Files.createDirectories(chunkDir)
+      val staging = root.resolve("staging").toString
+      slice.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
+        .repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
+      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+        .sortBy(_.getFileName.toString)
+      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
+        val parts = Files.list(cDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (part, j) =>
+          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
+        }
+      }
+      Files.write(doneFile, fp.getBytes("UTF-8"))
+    }
+    val out  = Files.createTempDirectory("graft-ingest-out").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    // the index and the base payload frame are static across batches
+    val index = DedupQueries.baseBandIndex(spark, dir)
+    val base = DedupQueries.wordShingleDocs(spark, dir)
+      .where(col("doc_id") % DedupQueries.IngestSplitMod =!= DedupQueries.IngestSplitRem)
+    // the chunk value lives in the staged dir names and is dropped by
+    // the file moves — data files carry exactly the documents schema
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shingled = batch
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+        DedupQueries.nearDupPairsAcross(
+            base = base, batch = shingled,
+            sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+            payloadCol = col("sh"),
+            jacOf = DedupQueries.arrayJaccard, threshold = 0.8,
+            baseIndex = Some(index))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val ingestCache = TrieMap.empty[String, String]
+
+  /** Q16j — drained streaming-ingest near-dup pairs. Each ingest doc
+    * lands in exactly one micro-batch, so epochs are disjoint and the
+    * union read is the full answer; oracle = batch q16i. */
+  def q16jStreamIngestNearDup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ingestCache.getOrElseUpdate(dir, ingestNearDupReplay(spark, dir)))
+      .select("new_id", "old_id", "jac")
+      .orderBy("new_id", "old_id")
 
   /** Q20k — streamed tumbling counts off the executed WIRE path; oracle
     * = the batch q5 SQL, identical to q20's (proving the Kafka frame

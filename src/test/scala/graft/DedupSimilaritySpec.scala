@@ -245,6 +245,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(incremental == expected)
   }
 
+  test("band index persists to disk: a fresh session reuses it without re-signing") {
+    val dir = "/root/testdata/sf0.001"
+    DedupQueries.q16iIncrementalNearDup(spark, dir).collect()
+    val builtBefore = DedupQueries.bandBuildCount.get()
+    // simulate a fresh JVM: empty in-memory memo, separate session state
+    DedupQueries.clearBandIndexCache()
+    val s2 = spark.newSession()
+    val viaIndex = DedupQueries.q16iIncrementalNearDup(s2, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(DedupQueries.bandBuildCount.get() == builtBefore,
+      "second session must LOAD the persisted band index, not re-sign the corpus")
+    // and the indexed path must equal signing from scratch
+    val fromScratch = DedupQueries.nearDupPairsAcross(
+        base = DedupQueries.wordShingleDocs(spark, dir)
+          .where(col("doc_id") % DedupQueries.IngestSplitMod =!= DedupQueries.IngestSplitRem),
+        batch = DedupQueries.wordShingleDocs(spark, dir)
+          .where(col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem),
+        sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+        payloadCol = col("sh"),
+        jacOf = DedupQueries.arrayJaccard, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == fromScratch)
+  }
+
   test("large-star/small-star CC equals min-label propagation on randomized graphs") {
     for (trial <- 0 until 8) {
       val rnd = new scala.util.Random(7000 + trial)

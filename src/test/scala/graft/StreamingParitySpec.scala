@@ -329,6 +329,22 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q16j streaming ingest: drained near-dup sink equals batch q16i, over multiple micro-batches") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingPipelines.ingestNearDupReplay(spark, dir)
+    // one micro-batch per staged chunk, not one mega-batch
+    val epochs = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert(epochs >= 2, s"expected multiple epochs, got $epochs")
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "old_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.DedupQueries.q16iIncrementalNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("wire stream: corrupt frames mid-stream drop permissively under micro-batch execution") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Array[Byte]](
