@@ -56,6 +56,7 @@ object SparkEntry {
     "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
     "q16i_incremental_neardup" -> (DedupQueries.q16iIncrementalNearDup _),
     "q16j_stream_ingest_neardup" -> (graft.streaming.StreamingPipelines.q16jStreamIngestNearDup _),
+    "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
@@ -1012,5 +1013,10 @@ object SparkEntry {
     "q21_skew_agg" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the value-salted two-phase distinct is exact: salt buckets
+    // partition the value space, disjoint bucket counts sum
+    "q21b_salted_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -70,6 +70,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaSum == direct.view.mapValues(_._2).toMap)
   }
 
+  test("salted exact-distinct and collect_set equal direct aggregation (hot key, duplicate values)") {
+    import spark.implicits._
+    // hot key with heavy value duplication (the non-combinable case
+    // salting actually exists for), plus nulls that both paths must drop
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 20000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 50}" else "HOT"
+      val v: java.lang.Long = if (i % 97 == 0) null else java.lang.Long.valueOf(rnd.nextInt(300).toLong)
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k").agg(count_distinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewOps.saltedCountDistinct(df, col("k"), col("v"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+    val directSets = df.where(col("v").isNotNull).groupBy("k").agg(collect_set(col("v")).as("s"))
+      .as[(String, Seq[Long])].collect().map { case (k, s) => k -> s.sorted }.toMap
+    val saltedSets = SkewOps.saltedCollectSet(df, col("k"), col("v"), 8)
+      .as[(String, Seq[Long])].collect().map { case (k, s) => k -> s.sorted }.toMap
+    assert(saltedSets == directSets)
+    // disjointness means no re-dedup was needed: sizes must also agree
+    assert(saltedSets.view.mapValues(_.size).toMap == directSets.view.mapValues(_.size).toMap)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft-warehouse").toString

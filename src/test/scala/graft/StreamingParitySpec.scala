@@ -382,6 +382,86 @@ class StreamingParitySpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2024-01-01 00:01:00") -> 1L))
   }
 
+  test("ForeachWriter failure path: a throwing process fails the query and close sees the error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    FailingWriterProbe.reset()
+    val source = MemoryStream[Int](org.apache.spark.sql.Encoders.scalaInt, spark.sqlContext)
+    val ckpt = Files.createTempDirectory("fw-fail-ckpt").toString
+    val q = source.toDS()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreach(new FailingWriter)
+      .start()
+    source.addData(1, 2, 3)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    // the injected fault is the query's failure cause…
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => Option(c.getMessage).exists(_.contains("poisoned"))),
+      s"expected the injected fault in the cause chain, got: $ex")
+    // …and the sink's close() observed a NON-NULL error (the reference's
+    // connection-teardown path, S:218-232, that r6 never exercised)
+    assert(FailingWriterProbe.closedWith.get() != null,
+      "close(errorOrNull) must receive the failure")
+    assert(Option(FailingWriterProbe.closedWith.get().getMessage).exists(_.contains("poisoned")))
+  }
+
+  test("durable sink failure path: retried epoch idempotently overwrites its half-written dir") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val chunkDir = StreamingPipelines.chunkEvents(spark, dir)
+    val ckpt = Files.createTempDirectory("epoch-fail-ckpt").toString
+    val out = Files.createTempDirectory("epoch-fail-out").toString
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(inject: Boolean): Unit = {
+      val q = spark.readStream.schema(StreamingPipelines.eventSchema)
+        .option("maxFilesPerTrigger", 10).parquet(chunkDir.toString)
+        .where(col("event_type") =!= StreamingPipelines.SentinelType)
+        .withWatermark("ts", "300 seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("time"), col("event_type").as("tag"), col("cnt"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (inject && id == 1 && injected.getAndSet(false)) {
+            // half-write THEN die: exactly the torn state a crashed
+            // writer leaves behind mid-epoch
+            batch.limit(3).write.mode("overwrite").parquet(s"$out/batch_id=$id")
+            throw new RuntimeException("injected epoch failure")
+          }
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }.start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run(inject = true) }
+    val tornRows = spark.read.parquet(s"$out/batch_id=1").count()
+    assert(tornRows == 3, s"expected the torn 3-row epoch dir, got $tornRows")
+    // restart on the same checkpoint: epoch 1's offsets are in the WAL
+    // but not the commit log, so it re-executes with identical data and
+    // the overwrite REPLACES the torn dir instead of appending to it
+    run(inject = false)
+    assert(spark.read.parquet(s"$out/batch_id=1").count() > 3,
+      "retried epoch must overwrite the half-written dir")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("time", "tag").orderBy(col("batch_id").desc)
+    val latest = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("time"), col("tag"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    val batch = graft.core.Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (t, g, v) => ((t, g), v) }.toMap
+    assert(latest == batch)
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
@@ -389,4 +469,23 @@ class StreamingParitySpec extends AnyFunSuite {
       m
     }
   }
+}
+
+/** JVM-static probe for [[FailingWriter]] (writers serialize to
+  * executors; in local mode statics are shared, the same pattern as
+  * StreamingPipelines.WriterRegistry). */
+object FailingWriterProbe {
+  val closedWith = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+  def reset(): Unit = closedWith.set(null)
+}
+
+/** O16/O17 failure-path writer: `process` throws on a poisoned record;
+  * `close(errorOrNull)` must observe the error (the external-connection
+  * teardown contract the reference's InfluxDB writers rely on). */
+class FailingWriter extends org.apache.spark.sql.ForeachWriter[Int] {
+  override def open(partitionId: Long, epochId: Long): Boolean = true
+  override def process(value: Int): Unit =
+    if (value == 2) throw new RuntimeException("poisoned record")
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull != null) FailingWriterProbe.closedWith.set(errorOrNull)
 }
