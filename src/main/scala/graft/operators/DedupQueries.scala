@@ -503,10 +503,13 @@ object DedupQueries {
     *    at the minimum of the node's closed neighborhood;
     *  - small-star: every ≤-neighbor (and the node itself) re-points at
     *    the neighborhood minimum.
-    * Both are the same two-shuffle shape as one propagation iteration
-    * (a per-node min aggregate + an edge join, then pair-dedup), and
-    * each is MATERIALIZED to storage exactly like the propagation
-    * variant (bounded lineage). A component's fixed point is a star
+    * Each star is a single pass — the per-node minimum rides a
+    * node-partitioned window function instead of an aggregate-plus-
+    * self-join (which would reference the edge set twice per star: the
+    * cross-join CSE trap), so one round = two keyed shuffles + the
+    * pair-dedup aggregate, MATERIALIZED to storage once per round
+    * exactly like the propagation variant (bounded lineage). A
+    * component's fixed point is a star
     * centered at its minimum node, so labels fall out of the final
     * edge list directly. Convergence = edge-set fingerprint (count +
     * xxhash64 sum) stable across a full round; fixed points are
@@ -520,20 +523,18 @@ object DedupQueries {
   /** [[connectedComponentsStar]] exposing the round count (the spec
     * asserts the log bound on a deep chain graph). */
   def connectedComponentsStarWithRounds(pairs: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
     val spark = pairs.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft-ccs").toString
-    // materialize the input once: both the canonical edge set and the
-    // node universe derive from it (two references to an unmaterialized
+    // materialize the input once: the round-1 edge set and the node
+    // universe both derive from it (two references to an unmaterialized
     // `pairs` would recompute the upstream LSH pipeline twice)
     pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
     val p = spark.read.parquet(s"$tmp/pairs")
-    p.select(
-        greatest(col("doc_i"), col("doc_j")).as("u"),
-        least(col("doc_i"), col("doc_j")).as("v"))
+    // round-1 input: self-loops dropped; duplicates are fine (window
+    // minima ignore them, the per-round dedup aggregate removes them)
+    var edges = p.select(col("doc_i").as("u"), col("doc_j").as("v"))
       .where(col("u") =!= col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
-      .write.mode("overwrite").parquet(s"$tmp/edges")
-    var edges = spark.read.parquet(s"$tmp/edges")
     def fingerprint(e: DataFrame): (Long, String) = {
       // hash sum in decimal(38,0): a long sum would overflow under ANSI
       // arithmetic on a handful of ±2^63-scale hashes
@@ -542,32 +543,38 @@ object DedupQueries {
                              lit(0).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
     }
-    var fp = fingerprint(edges)
+    // sentinel: round 1 always runs; convergence is fingerprint-stable
+    // across consecutive rounds
+    var fp = (-1L, "")
     var rounds = 0
-    var converged = fp._1 == 0L
+    var converged = false
     while (!converged && rounds < maxIter) {
-      // large-star (one per-node min shuffle + the pair-dedup shuffle)
+      // Both stars as single-pass window forms — no per-node min
+      // self-join, no intermediate materialization, ONE write per round
+      // (at this stage the tables are cluster-sized but each round is
+      // dominated by fixed job cost locally; one job per round is the
+      // honest shape at both scales).
+      // large-star: every strictly-larger neighbor of a re-points at
+      // min(Γ⁺(a)); output rows (b, m) with b > a ≥ m stay canonical.
       val sym = edges.select(col("u").as("a"), col("v").as("b"))
         .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-      val mins = sym.groupBy("a").agg(min("b").as("mn"))
-        .select(col("a"), least(col("a"), col("mn")).as("m"))
-      sym.where(col("b") > col("a"))
-        .join(mins, "a")
-        .select(col("b").as("u"), col("m").as("v")) // b > a ≥ m: canonical
-        .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
-        .write.mode("overwrite").parquet(s"$tmp/large_$rounds")
-      val afterLarge = spark.read.parquet(s"$tmp/large_$rounds")
-      // small-star (same shape; edges already point large → small, so
-      // the closed-neighborhood min is just min(v))
-      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
-      afterLarge.join(minsS, "u")
-        .select(col("v").as("n"), col("m"))
-        .unionAll(minsS.select(col("u").as("n"), col("m")))
-        .where(col("n") =!= col("m")) // the minimum's own self-loop
+      val large = sym
+        .withColumn("m", least(min(col("b")).over(Window.partitionBy("a")), col("a")))
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+      // small-star: edges already point large → small, so the closed-
+      // neighborhood min is min(v) per u; one generator emits both the
+      // re-pointed neighbor (v, m) and the node's own (u, m) — the
+      // duplicate (u, m) copies and the minimum's self-loop die in the
+      // dedup aggregate
+      large
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("_c")).select("u", "v")
-        .write.mode("overwrite").parquet(s"$tmp/small_$rounds")
-      edges = spark.read.parquet(s"$tmp/small_$rounds")
+        .write.mode("overwrite").parquet(s"$tmp/round_$rounds")
+      edges = spark.read.parquet(s"$tmp/round_$rounds")
       val nfp = fingerprint(edges)
       converged = nfp == fp
       fp = nfp

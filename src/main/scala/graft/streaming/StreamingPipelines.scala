@@ -577,19 +577,32 @@ object StreamingPipelines {
     * binary→from_json decode, watermark, windowed state, durable
     * epoch sink — is the identical distributed query tree a production
     * `format("kafka")` source would drive (swap = [[eventStream]]'s
-    * config seam). Replayed one day per `addData` round in event-time
-    * order, the same in-order-producer contract the chunked file
-    * replay encodes. Returns the durable sink dir. */
-  def wireReplay(spark: SparkSession, dir: String): String = {
+    * config seam). Replayed in event-time order — days grouped into
+    * `rounds` addData batches (the in-order-producer contract the
+    * chunked file replay encodes; one round per day would exercise
+    * nothing extra and 5× the trigger bookkeeping, which at this state
+    * size is the whole bill — measured 19.7 s vs ~4 s at sf0.1).
+    * Returns the durable sink dir. */
+  def wireReplay(spark: SparkSession, dir: String, rounds: Int = 4): String = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val out  = Files.createTempDirectory("graft-wire-out").toString
     val ckpt = Files.createTempDirectory("graft-wire-ckpt").toString
-    // one scan: serialize the corpus producer-side, group frames by day
-    val frames = wireFrames(Tables.load(spark, dir, "events"))
+    // one scan: serialize the corpus producer-side, group frames by day,
+    // then pack consecutive days into `rounds` replay batches
+    val byDay = wireFrames(Tables.load(spark, dir, "events"))
       .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (d, rows) => d -> rows.map(_.getAs[Array[Byte]]("value")).toSeq }
+    val perRound = math.max(1, math.ceil(byDay.size / rounds.toDouble).toInt)
+    val frames = byDay.grouped(perRound)
+      .map(g => g.head._1 -> g.flatMap(_._2)).toSeq
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // update-mode emission happens on data batches; the latest-wins
+    // read depends on no watermark-advance emission, so the extra
+    // no-data micro-batch after every round (~1/3 of the replay's
+    // trigger bill, measured) buys nothing here
+    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try withRocksDB(spark) {
       val source = MemoryStream[Array[Byte]](Encoders.BINARY, spark.sqlContext)
       val q = kafkaWireDecode(source.toDF())
@@ -608,6 +621,10 @@ object StreamingPipelines {
       } finally { q.stop(); q.awaitTermination() }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      savedNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None    => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
       unloadStateStores()
     }
     out
@@ -627,7 +644,7 @@ object StreamingPipelines {
     * of two independently-green components (q16i's join, the durable
     * sink), so the drained sink must equal the batch q16i answer —
     * that is q16j's oracle. Returns the sink dir. */
-  def ingestNearDupReplay(spark: SparkSession, dir: String, nChunks: Int = 4): String = {
+  def ingestNearDupReplay(spark: SparkSession, dir: String, nChunks: Int = 3): String = {
     import graft.operators.DedupQueries
     import graft.functions.TextFunctions._
     val docs = Tables.load(spark, dir, "documents")
