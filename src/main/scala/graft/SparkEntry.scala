@@ -56,6 +56,7 @@ object SparkEntry {
     "q16f_dedup_clusters"  -> (DedupQueries.q16fDedupClusters _),
     "q16i_incremental_neardup" -> (DedupQueries.q16iIncrementalNearDup _),
     "q16j_stream_ingest_neardup" -> (graft.streaming.StreamingPipelines.q16jStreamIngestNearDup _),
+    "q16k_stream_ingest_growing" -> (graft.streaming.StreamingPipelines.q16kStreamIngestGrowing _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
@@ -487,6 +488,27 @@ object SparkEntry {
         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         |      FROM nz a JOIN nz b ON (b.doc_id % 5 = 4) AND (a.doc_id % 5 <> 4))
+        |SELECT new_id, old_id, jac FROM p WHERE jac >= 0.8
+        |ORDER BY new_id, old_id""".stripMargin,
+    // q16k: the GROWING-corpus streamed ingestion loop — accepted
+    // batches join the standing index, so the answer is q16i's cross
+    // pairs PLUS within-slice pairs whose old side arrived in a
+    // strictly earlier chunk (chunk = doc_id % 3, DedupQueries
+    // .IngestChunks; same-chunk pairs arrive together and are the
+    // symmetric q16b's job)
+    "q16k_stream_ingest_growing" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |           THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |           ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |       FROM tk),
+        |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+        |p AS (SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |      FROM nz a JOIN nz b ON (b.doc_id % 5 = 4)
+        |       AND ((a.doc_id % 5 <> 4) OR (a.doc_id % 3 < b.doc_id % 3)))
         |SELECT new_id, old_id, jac FROM p WHERE jac >= 0.8
         |ORDER BY new_id, old_id""".stripMargin,
     // q16j: the STREAMED ingestion loop (chunked micro-batches probing

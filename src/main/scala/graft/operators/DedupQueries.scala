@@ -376,6 +376,13 @@ object DedupQueries {
   val IngestSplitMod = 5
   val IngestSplitRem = 4
 
+  /** Micro-batch count for the STREAMED ingest replays (q16j/q16k):
+    * chunk = doc_id mod IngestChunks, replayed in chunk order. The
+    * q16k ORACLE SQL hard-codes the same modulus (its "strictly
+    * earlier chunk" condition is `a.doc_id % 3 < b.doc_id % 3`) —
+    * change both together. */
+  val IngestChunks = 3
+
   /** Q16i — incremental near-dup against the standing corpus, word-3-
     * shingles at Jaccard ≥ 0.8 (q16b's contract, asymmetric). */
   def q16iIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -548,7 +548,8 @@ object StreamingPipelines {
   def replayCached(spark: SparkSession, dir: String): SinkState =
     cache.getOrElseUpdate(dir, replay(spark, dir))
   private val wireCache = TrieMap.empty[String, String]
-  def clearCache(): Unit = { cache.clear(); wireCache.clear(); ingestCache.clear() }
+  def clearCache(): Unit =
+    { cache.clear(); wireCache.clear(); ingestCache.clear(); growCache.clear() }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
 
@@ -644,12 +645,14 @@ object StreamingPipelines {
     * of two independently-green components (q16i's join, the durable
     * sink), so the drained sink must equal the batch q16i answer —
     * that is q16j's oracle. Returns the sink dir. */
-  def ingestNearDupReplay(spark: SparkSession, dir: String, nChunks: Int = 3): String = {
+  /** Stage the q16i ingestion slice as `nChunks` mtime-ordered parquet
+    * chunk files (chunk = doc_id mod nChunks — deterministic, every
+    * chunk a scale-proportional batch), fingerprint-revalidated like
+    * [[chunkEvents]]. Shared by the base-only (q16j) and growing
+    * (q16k) ingest replays. */
+  def stageIngestChunks(spark: SparkSession, dir: String, nChunks: Int): Path = {
     import graft.operators.DedupQueries
-    import graft.functions.TextFunctions._
     val docs = Tables.load(spark, dir, "documents")
-    // stage the ingest slice as nChunks parquet chunks (id-keyed:
-    // deterministic, and every chunk is a scale-proportional batch)
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft-ingest",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     val chunkDir = root.resolve("chunks")
@@ -660,29 +663,46 @@ object StreamingPipelines {
       val r = slice.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
       s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
     }
-    if (!(Files.exists(doneFile) &&
-          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
-      deleteRecursively(root)
-      Files.createDirectories(chunkDir)
-      val staging = root.resolve("staging").toString
-      slice.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
-        .repartition(col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
-      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+    if (Files.exists(doneFile) &&
+        new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp) return chunkDir
+    deleteRecursively(root)
+    Files.createDirectories(chunkDir)
+    val staging = root.resolve("staging").toString
+    slice.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
+      .repartition(col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(staging)
+    val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+      .sortBy(_.getFileName.toString)
+    chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
+      val parts = Files.list(cDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         .sortBy(_.getFileName.toString)
-      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
-        val parts = Files.list(cDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          .sortBy(_.getFileName.toString)
-        parts.zipWithIndex.foreach { case (part, j) =>
-          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
-        }
+      parts.zipWithIndex.foreach { case (part, j) =>
+        val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
       }
-      Files.write(doneFile, fp.getBytes("UTF-8"))
     }
+    Files.write(doneFile, fp.getBytes("UTF-8"))
+    chunkDir
+  }
+
+  /** The word-3-shingle projection of a raw micro-batch of documents
+    * (q16b's shingling contract, batch-side). */
+  private def shingleBatch(batch: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    batch
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
+  }
+
+  def ingestNearDupReplay(spark: SparkSession, dir: String,
+                          nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.DedupQueries
+    val docs = Tables.load(spark, dir, "documents")
+    val chunkDir = stageIngestChunks(spark, dir, nChunks)
     val out  = Files.createTempDirectory("graft-ingest-out").toString
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
     // the index and the base payload frame are static across batches
@@ -699,12 +719,8 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val shingled = batch
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .where(size(col("toks")) >= 3)
-          .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
         DedupQueries.nearDupPairsAcross(
-            base = base, batch = shingled,
+            base = base, batch = shingleBatch(batch),
             sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
             payloadCol = col("sh"),
             jacOf = DedupQueries.arrayJaccard, threshold = 0.8,
@@ -714,6 +730,83 @@ object StreamingPipelines {
     q.awaitTermination()
     out
   }
+
+  /** The GROWING-corpus ingest loop (q16k) — what a production pipeline
+    * actually runs: each accepted batch's signatures/bands are APPENDED
+    * to the standing index, so later batches dedup against the base
+    * corpus AND every earlier batch. Per micro-batch:
+    *  1. probe the standing index (persisted base tables ∪ the accepted
+    *     batches' accumulated tables) through the asymmetric band join;
+    *  2. durable-sink the flagged pairs (idempotent epoch overwrite);
+    *  3. accept the batch: write its (doc_id, sig) and (doc_id, band)
+    *     tables under `batch_id=N` dirs — overwrite, so a retried epoch
+    *     re-accepts idempotently instead of duplicating index rows.
+    * Pairs inside one batch are NOT flagged (they arrived together;
+    * batch self-dedup is q16b's symmetric job), so the contract —
+    * old ∈ base ∪ strictly-earlier chunks — is SQL-expressible and
+    * q16k is fully hash-checked, not rows-only. The exact-verify
+    * payload side is the whole-corpus shingle frame (screened
+    * candidate ids restrict what it touches). */
+  def ingestNearDupGrowingReplay(spark: SparkSession, dir: String,
+                                 nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.DedupQueries
+    val docs = Tables.load(spark, dir, "documents")
+    val chunkDir = stageIngestChunks(spark, dir, nChunks)
+    val out  = Files.createTempDirectory("graft-grow-out").toString
+    val ckpt = Files.createTempDirectory("graft-grow-ckpt").toString
+    val grow = Files.createTempDirectory("graft-grow-idx")
+    val sigDir  = grow.resolve("sigs").toString
+    val bandDir = grow.resolve("bands").toString
+    val baseIdx = DedupQueries.baseBandIndex(spark, dir)
+    val payload = DedupQueries.wordShingleDocs(spark, dir)
+    val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shingled = shingleBatch(batch)
+        val standing =
+          if (accepted.get() == 0) baseIdx
+          else DedupQueries.BandIndex(
+            // partition discovery surfaces batch_id — project it away
+            // so the union matches the base tables' (doc_id, …) schema
+            baseIdx.sigs.unionAll(spark.read.parquet(sigDir).select("doc_id", "sig")),
+            baseIdx.bands.unionAll(spark.read.parquet(bandDir).select("doc_id", "band")))
+        DedupQueries.nearDupPairsAcross(
+            base = payload, batch = shingled,
+            sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+            payloadCol = col("sh"),
+            jacOf = DedupQueries.arrayJaccard, threshold = 0.8,
+            baseIndex = Some(standing))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        // accept: this batch's sig/band tables join the standing index.
+        // `sigs` is referenced twice (sig write, band derivation) —
+        // batch-sized, so the recompute is cheaper than a read-back.
+        val sigs = shingled.select(col("doc_id"),
+          call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
+        sigs.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+        sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
+          .write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+        accepted.incrementAndGet()
+        ()
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val growCache = TrieMap.empty[String, String]
+
+  /** Q16k — drained growing-corpus streaming-ingest pairs. Oracle: the
+    * q16i cross pairs PLUS within-slice pairs whose old side sits in a
+    * strictly earlier chunk (chunk = doc_id mod [[graft.operators.DedupQueries.IngestChunks]]). */
+  def q16kStreamIngestGrowing(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(growCache.getOrElseUpdate(dir, ingestNearDupGrowingReplay(spark, dir)))
+      .select("new_id", "old_id", "jac")
+      .orderBy("new_id", "old_id")
 
   private val ingestCache = TrieMap.empty[String, String]
 

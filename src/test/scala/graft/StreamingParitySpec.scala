@@ -345,6 +345,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q16k growing ingest: later batches also dedup against earlier accepted batches") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingPipelines.q16kStreamIngestGrowing(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // expected from the symmetric full pair set: cross-split pairs
+    // re-oriented (q16i's contract) PLUS within-slice pairs whose old
+    // side sits in a strictly earlier chunk
+    import graft.operators.DedupQueries.{IngestSplitMod, IngestSplitRem, IngestChunks}
+    def inSlice(id: Long) = id % IngestSplitMod == IngestSplitRem
+    def chunk(id: Long) = id % IngestChunks
+    val expected = graft.operators.DedupQueries.q16bNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect().flatMap {
+        case (i, j, jac) if inSlice(i) != inSlice(j) =>
+          Some(if (inSlice(i)) (i, j, jac) else (j, i, jac))
+        case (i, j, jac) if inSlice(i) && inSlice(j) && chunk(i) != chunk(j) =>
+          Some(if (chunk(i) > chunk(j)) (i, j, jac) else (j, i, jac))
+        case _ => None
+      }.toSet
+    assert(streamed == expected)
+    // the growing part must be load-bearing on this corpus: at least
+    // one flagged pair has BOTH sides in the ingest slice
+    assert(streamed.exists { case (n, o, _) => inSlice(n) && inSlice(o) },
+      "expected a within-slice pair found via the accumulated index")
+  }
+
   test("wire stream: corrupt frames mid-stream drop permissively under micro-batch execution") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Array[Byte]](
