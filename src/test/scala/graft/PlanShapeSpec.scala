@@ -75,6 +75,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "candidates must come from equi-joins on band keys")
   }
 
+  test("q16j/q16k batch probe: the persisted band index is SCANNED, never re-signed") {
+    import org.apache.spark.sql.functions._
+    // the exact per-micro-batch plan the streaming ingest loops build:
+    // an incoming chunk probing the standing corpus through the index
+    val idx = DedupQueries.baseBandIndex(spark, dir)
+    val batch = DedupQueries.wordShingleDocs(spark, dir)
+      .where(col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem
+          && pmod(col("doc_id"), lit(DedupQueries.IngestChunks)) === 0)
+    val base = DedupQueries.wordShingleDocs(spark, dir)
+      .where(col("doc_id") % DedupQueries.IngestSplitMod =!= DedupQueries.IngestSplitRem)
+    val df = DedupQueries.nearDupPairsAcross(
+      base = base, batch = batch,
+      sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+      payloadCol = col("sh"),
+      jacOf = DedupQueries.arrayJaccard, threshold = 0.8,
+      baseIndex = Some(idx))
+    val plan = finalPlan(df) // one execution serves both checks
+    val scans = allNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.rootPaths.mkString(",")
+    }
+    // both persisted tables (sigs + bands) appear as parquet scans …
+    assert(scans.count(_.contains("graft-lsh")) >= 2,
+      s"expected the persisted sig+band tables in the scan list: $scans")
+    // … and the minhash signature expression is evaluated ONLY for the
+    // incoming batch side: every sig computation in the plan sits above
+    // a scan of documents filtered to the batch slice, so the number of
+    // sig-computing projections must not exceed the probe references
+    val sigExprProjections = allNodes(plan).count(
+      _.expressions.exists(_.find(_.isInstanceOf[graft.functions.MinHashSig]).isDefined))
+    assert(sigExprProjections <= 2, // probe sig for bands + screen reference
+      s"base-side signatures must come from the index, found $sigExprProjections sig projections")
+  }
+
   test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
     val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
     // one execution serves all three checks
