@@ -309,6 +309,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"phase-1 shuffle must be keyed by (key, salt): $shuffled")
   }
 
+  test("q21b: salted distinct is two-phase and the distinct never collapses to one reducer per key") {
+    val plan = finalPlan(SkewOps.q21bSaltedDistinct(spark, dir))
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    // the value-salt must cross the first shuffle: each (key, salt)
+    // bucket dedups its own disjoint value slice before the per-key sum
+    assert(shuffled.exists(_.contains("__salt")),
+      s"phase-1 shuffle must be keyed by (key, salt): $shuffled")
+  }
+
   test("q16e: adaptive LSH key width — no cartesian, no cache residency, wide keys") {
     val df = SimilarityQueries.q16eEmbeddingNearDup(spark, dir)
     val plan = finalPlan(df)
