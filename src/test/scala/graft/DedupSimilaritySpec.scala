@@ -269,6 +269,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaIndex == fromScratch)
   }
 
+  test("band index revalidates the corpus fingerprint: in-place data change rebuilds") {
+    // stage a private copy of the sf0.001 documents under its own path
+    val dataDir = java.nio.file.Files.createTempDirectory("band-fp-data")
+    val src = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tgt = dataDir.resolve("documents.parquet")
+    src.write.mode("overwrite").parquet(tgt.toString)
+    DedupQueries.baseBandIndex(spark, dataDir.toString)
+    val builtAfter = DedupQueries.bandBuildCount.get()
+    // same data, same path → memo/disk hit, no re-sign
+    DedupQueries.baseBandIndex(spark, dataDir.toString)
+    assert(DedupQueries.bandBuildCount.get() == builtAfter)
+    // mutate the corpus IN PLACE (drop half the docs, same path)
+    val tmp = dataDir.resolve("docs2.parquet").toString
+    graft.core.Tables.load(spark, dataDir.toString, "documents")
+      .where(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    tgt.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgt)
+    // fingerprint mismatch must force a rebuild, not serve stale bands
+    DedupQueries.baseBandIndex(spark, dataDir.toString)
+    assert(DedupQueries.bandBuildCount.get() == builtAfter + 1,
+      "mutated corpus must rebuild the band index")
+  }
+
   test("large-star/small-star CC equals min-label propagation on randomized graphs") {
     for (trial <- 0 until 8) {
       val rnd = new scala.util.Random(7000 + trial)
