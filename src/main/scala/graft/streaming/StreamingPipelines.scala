@@ -759,7 +759,6 @@ object StreamingPipelines {
     val bandDir = grow.resolve("bands").toString
     val baseIdx = DedupQueries.baseBandIndex(spark, dir)
     val payload = DedupQueries.wordShingleDocs(spark, dir)
-    val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = spark.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -769,8 +768,11 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val shingled = shingleBatch(batch)
+        // "any batch accepted yet?" is read from the filesystem, not a
+        // driver counter — a query restarted from its checkpoint mid-
+        // replay must still see the batches accepted before the failure
         val standing =
-          if (accepted.get() == 0) baseIdx
+          if (!Files.exists(Paths.get(sigDir))) baseIdx
           else DedupQueries.BandIndex(
             // partition discovery surfaces batch_id — project it away
             // so the union matches the base tables' (doc_id, …) schema
@@ -791,7 +793,6 @@ object StreamingPipelines {
         sigs.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
         sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
           .write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
-        accepted.incrementAndGet()
         ()
       }.start()
     q.awaitTermination()
