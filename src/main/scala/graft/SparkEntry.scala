@@ -57,6 +57,7 @@ object SparkEntry {
     "q16i_incremental_neardup" -> (DedupQueries.q16iIncrementalNearDup _),
     "q16j_stream_ingest_neardup" -> (graft.streaming.StreamingPipelines.q16jStreamIngestNearDup _),
     "q16k_stream_ingest_growing" -> (graft.streaming.StreamingPipelines.q16kStreamIngestGrowing _),
+    "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
@@ -663,6 +664,21 @@ object SparkEntry {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_i, vec_j, cos_sim FROM p WHERE cos_sim >= 0.9
         |ORDER BY vec_i, vec_j""".stripMargin,
+    // q16l: the EMBEDDING streaming-ingest loop — the planted copies
+    // (re-ingested duplicates) replayed as chunked micro-batches
+    // probing the persisted LSH key index must drain to the batch
+    // all-pairs copies×base answer
+    "q16l_stream_ingest_embdup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp AS (SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |       FROM base WHERE vec_id < 50),
+        |a AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base),
+        |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM cp),
+        |p AS (SELECT b.vec_id AS new_id, a.vec_id AS old_id,
+        |        ROUND(list_inner_product(b.v, a.v) / (b.nrm * a.nrm), 6) AS cos_sim
+        |      FROM b CROSS JOIN a)
+        |SELECT new_id, old_id, cos_sim FROM p WHERE cos_sim >= 0.9
+        |ORDER BY new_id, old_id""".stripMargin,
     "q17_cosine_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

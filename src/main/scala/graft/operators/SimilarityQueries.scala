@@ -97,6 +97,84 @@ object SimilarityQueries {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** Asymmetric embedding near-dup: which vectors of an INCOMING batch
+    * duplicate the EXISTING corpus (the embedding twin of
+    * [[graft.operators.DedupQueries.nearDupPairsAcross]]). The standing
+    * corpus's LSH sign-bit keys come from the PERSISTED
+    * [[embKeyIndex]]; the batch pays O(batch × bucket-collisions) —
+    * key width is sized to the BASE corpus (constant bucket
+    * population), and exact/near-exact duplicates share every sign
+    * bit, so dedup recall is width-independent. Output
+    * (new_id, old_id, cos_sim ≥ threshold). */
+  def embeddingNearDupAcross(base: DataFrame, batch: DataFrame, threshold: Double,
+                             bits: Int, baseKeys: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    graft.functions.HyperplaneLsh.ensureRegistered(spark)
+    val batchKeys = batch
+      .select(col("vec_id").as("new_id"),
+        posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+          col("v"), lit(bits))).as(Seq("table_id", "key")))
+    val cand = batchKeys
+      .join(baseKeys.select(col("id").as("old_id"), col("table_id"), col("key")),
+            Seq("table_id", "key"))
+      .select("new_id", "old_id").distinct()
+    val bi = batch.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("new_id"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val bj = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("old_id"), col("v").as("v_j"), col("nrm").as("n_j"))
+    cand.join(bi, "new_id").join(bj, "old_id")
+      .withColumn("cos_sim", round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select("new_id", "old_id", "cos_sim")
+      .orderBy("new_id", "old_id")
+  }
+
+  /** Persisted hyperplane-LSH key index of the RAW embedding corpus —
+    * the vector-side mirror of [[graft.operators.DedupQueries.baseBandIndex]]
+    * (and the materialization the [[embeddingNearDup]] scaladoc names
+    * as the 100 TB path): (id, table_id, key) sign-bit keys build once
+    * into a fingerprint-stamped parquet dir and every ingest batch
+    * reads them instead of re-keying the corpus. Key width rides the
+    * fingerprint (it is a function of corpus size), so a grown corpus
+    * rebuilds with the right width. Returns (bits, keys). */
+  val embKeyBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val embKeyCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+  def clearEmbKeyCache(): Unit = embKeyCache.clear()
+
+  def embKeyIndex(spark: SparkSession, dir: String): (Int, DataFrame) = {
+    graft.functions.HyperplaneLsh.ensureRegistered(spark)
+    val raw = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = raw.count()
+    val bits = graft.functions.HyperplaneLsh.bitsFor(n)
+    val fpBase = corpusFingerprint(raw.select(col("vec_id").as("id")), "id")
+    val fp = s"$fpBase:bits=$bits"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-emblsh",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val keyPath = root.resolve("keys").toString
+    val metaPath = root.resolve("_META")
+    val cached = embKeyCache.get(dir).exists(_._1 == fp)
+    if (!cached) {
+      val onDiskFp =
+        if (java.nio.file.Files.exists(metaPath))
+          new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8").trim
+        else ""
+      if (onDiskFp != fp) {
+        embKeyBuildCount.incrementAndGet()
+        java.nio.file.Files.createDirectories(root)
+        raw.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"),
+            posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+              col("v"), lit(bits))).as(Seq("table_id", "key")))
+          .write.mode("overwrite").parquet(keyPath)
+        java.nio.file.Files.write(metaPath, fp.getBytes("UTF-8"))
+      }
+      embKeyCache.put(dir, (fp, bits))
+    }
+    (bits, spark.read.parquet(keyPath))
+  }
+
   /** The planted near-dup fixture (an explicit test VIEW, not the raw
     * corpus): the raw embeddings have no pair above cos ≈ 0.51, which
     * made the r3 oracle row vacuous (both engines agreed on the empty

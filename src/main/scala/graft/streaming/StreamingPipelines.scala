@@ -548,8 +548,10 @@ object StreamingPipelines {
   def replayCached(spark: SparkSession, dir: String): SinkState =
     cache.getOrElseUpdate(dir, replay(spark, dir))
   private val wireCache = TrieMap.empty[String, String]
-  def clearCache(): Unit =
-    { cache.clear(); wireCache.clear(); ingestCache.clear(); growCache.clear() }
+  def clearCache(): Unit = {
+    cache.clear(); wireCache.clear(); ingestCache.clear()
+    growCache.clear(); embIngestCache.clear()
+  }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
 
@@ -798,6 +800,84 @@ object StreamingPipelines {
     q.awaitTermination()
     out
   }
+
+  /** The EMBEDDING side of the streaming ingest story (q16l): the
+    * planted duplicate vectors (q16e's fixture — exact ×2-scaled
+    * copies of existing corpus vectors, i.e. literally re-ingested
+    * duplicates) replay as a vector stream; each micro-batch probes
+    * the standing corpus's PERSISTED hyperplane-LSH key index
+    * ([[graft.operators.SimilarityQueries.embKeyIndex]]) and flagged
+    * (new_id, old_id, cos) pairs land in the durable epoch sink. The
+    * vector twin of [[ingestNearDupReplay]] — same chunked micro-batch
+    * machinery, same O(batch × collisions) posture. */
+  def embIngestReplay(spark: SparkSession, dir: String,
+                      nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.SimilarityQueries
+    // stage the incoming duplicates (the planted copies) as chunks
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-embingest",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val chunkDir = root.resolve("chunks")
+    val doneFile = chunkDir.resolve("_DONE")
+    val copies = SimilarityQueries.plantedEmbeddings(spark, dir)
+      .where(col("vec_id") >= 1000000L)
+    val fp = {
+      val r = copies.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+      s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+    }
+    if (!(Files.exists(doneFile) &&
+          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
+      deleteRecursively(root)
+      Files.createDirectories(chunkDir)
+      val staging = root.resolve("staging").toString
+      copies.withColumn("chunk", pmod(col("vec_id"), lit(nChunks)))
+        .repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
+      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+        .sortBy(_.getFileName.toString)
+      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
+        val parts = Files.list(cDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (part, j) =>
+          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
+        }
+      }
+      Files.write(doneFile, fp.getBytes("UTF-8"))
+    }
+    val out  = Files.createTempDirectory("graft-embingest-out").toString
+    val ckpt = Files.createTempDirectory("graft-embingest-ckpt").toString
+    val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = spark.readStream
+      .schema(copies.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SimilarityQueries
+          .embeddingNearDupAcross(base, batch, threshold = 0.9,
+            bits = bits, baseKeys = baseKeys)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val embIngestCache = TrieMap.empty[String, String]
+
+  /** Q16l — drained embedding-ingest duplicate pairs; oracle = the
+    * batch all-pairs cosine join (copies × base) at threshold 0.9 in
+    * DuckDB. */
+  def q16lStreamIngestEmbDup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(embIngestCache.getOrElseUpdate(dir, embIngestReplay(spark, dir)))
+      .select("new_id", "old_id", "cos_sim")
+      .orderBy("new_id", "old_id")
 
   private val growCache = TrieMap.empty[String, String]
 

@@ -371,6 +371,28 @@ class StreamingParitySpec extends AnyFunSuite {
       "expected a within-slice pair found via the accumulated index")
   }
 
+  test("q16l embedding ingest: drained duplicate pairs equal batch all-pairs; key index reused") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingPipelines.embIngestReplay(spark, dir)
+    val epochs = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert(epochs >= 2, s"expected multiple epochs, got $epochs")
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "old_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // every planted copy must flag exactly its original at cos 1.0
+    // (the raw corpus has no pair above ~0.51, pinned by q16e_raw)
+    val expected = (0L until 50L).map(k => (k + 1000000L, k, 1.0)).toSet
+    assert(streamed == expected)
+    // a second session must LOAD the persisted key index, not re-key
+    val built = graft.operators.SimilarityQueries.embKeyBuildCount.get()
+    graft.operators.SimilarityQueries.clearEmbKeyCache()
+    val (_, keys2) = graft.operators.SimilarityQueries.embKeyIndex(spark.newSession(), dir)
+    assert(keys2.count() > 0)
+    assert(graft.operators.SimilarityQueries.embKeyBuildCount.get() == built,
+      "fresh session must reuse the persisted LSH key index")
+  }
+
   test("wire stream: corrupt frames mid-stream drop permissively under micro-batch execution") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Array[Byte]](
