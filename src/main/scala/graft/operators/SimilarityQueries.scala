@@ -110,16 +110,21 @@ object SimilarityQueries {
                              bits: Int, baseKeys: DataFrame): DataFrame = {
     val spark = base.sparkSession
     graft.functions.HyperplaneLsh.ensureRegistered(spark)
-    val batchKeys = batch
+    // broadcast hints pin the BATCH-sized sides as the build side at
+    // any scale: left to statistics, the local optimizer would happily
+    // broadcast the corpus-sized key/payload tables (tiny at test SF,
+    // an OOM at 100 TB); the batch and its candidate list are the
+    // sides that stay small by construction
+    val batchKeys = broadcast(batch
       .select(col("vec_id").as("new_id"),
         posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
-          col("v"), lit(bits))).as(Seq("table_id", "key")))
+          col("v"), lit(bits))).as(Seq("table_id", "key"))))
     val cand = batchKeys
       .join(baseKeys.select(col("id").as("old_id"), col("table_id"), col("key")),
             Seq("table_id", "key"))
       .select("new_id", "old_id").distinct()
-    val bi = batch.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .select(col("vec_id").as("new_id"), col("v").as("v_i"), col("nrm").as("n_i"))
+    val bi = broadcast(batch.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("new_id"), col("v").as("v_i"), col("nrm").as("n_i")))
     val bj = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id").as("old_id"), col("v").as("v_j"), col("nrm").as("n_j"))
     cand.join(bi, "new_id").join(bj, "old_id")
