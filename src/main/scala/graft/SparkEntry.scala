@@ -86,6 +86,7 @@ object SparkEntry {
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
     "q19d_frame_sample"        -> (MultimodalQueries.q19dFrameSample _),
+    "q19e_stream_media"        -> (graft.streaming.StreamingPipelines.q19eStreamMedia _),
     "q20_stream_tumbling"  -> (graft.streaming.StreamingPipelines.q20StreamTumbling _),
     "q20b_stream_top1"     -> (graft.streaming.StreamingPipelines.q20bStreamTop1 _),
     "q20c_stream_running"  -> (graft.streaming.StreamingPipelines.q20cStreamRunning _),
@@ -610,6 +611,28 @@ object SparkEntry {
     // integer or a single IEEE double op (min/div/mul/floor), bit-exact
     // cross-engine, so the whole multimodal plumbing is hash-checked
     "q19d_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) AS n, ascii(substring(text, 1, 1)) AS head
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(64 + head % 64 AS INT) AS w0,
+        |    CAST(64 + n % 64 AS INT) AS h0,
+        |    CAST(1 + n % 8 AS INT) AS nf
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, nf, w0, h0,
+        |    least(CAST(1 AS DOUBLE), least(CAST(96 AS DOUBLE) / w0, CAST(96 AS DOUBLE) / h0)) AS scale
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(GREATEST(1, CAST(floor(w0 * scale) AS INT)) AS INT) AS width,
+        |  CAST(GREATEST(1, CAST(floor(h0 * scale) AS INT)) AS INT) AS height,
+        |  CAST(u.idx AS INT) AS frame_idx
+        |FROM r, UNNEST(range(0, nf, 2)) AS u(idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // q19e: the STREAMED media decode/resize/frame-sample must drain to
+    // the batch q19d answer — same oracle
+    "q19e_stream_media" ->
       """WITH m AS (
         |  SELECT doc_id, strlen(text) AS n, ascii(substring(text, 1, 1)) AS head
         |  FROM documents),

@@ -550,7 +550,7 @@ object StreamingPipelines {
   private val wireCache = TrieMap.empty[String, String]
   def clearCache(): Unit = {
     cache.clear(); wireCache.clear(); ingestCache.clear()
-    growCache.clear(); embIngestCache.clear()
+    growCache.clear(); embIngestCache.clear(); mediaCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -878,6 +878,84 @@ object StreamingPipelines {
     spark.read.parquet(embIngestCache.getOrElseUpdate(dir, embIngestReplay(spark, dir)))
       .select("new_id", "old_id", "cos_sim")
       .orderBy("new_id", "old_id")
+
+  /** The MEDIA side of the streaming ingest story (q19e): media rows
+    * (opaque binary + typed metadata) replay as chunked micro-batches;
+    * each batch runs the batched per-partition decode → resize →
+    * frame-sample pipeline (the typed mapPartitions seam a real codec
+    * plugs into — its per-partition init happens per batch partition,
+    * exactly the production streaming-decode shape) and drains to the
+    * durable epoch sink. Oracle = batch q19d. */
+  def mediaIngestReplay(spark: SparkSession, dir: String,
+                        nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.MultimodalQueries
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-mediaingest",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val chunkDir = root.resolve("chunks")
+    val doneFile = chunkDir.resolve("_DONE")
+    val fp = {
+      val r = media.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+      s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+    }
+    if (!(Files.exists(doneFile) &&
+          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
+      deleteRecursively(root)
+      Files.createDirectories(chunkDir)
+      val staging = root.resolve("staging").toString
+      media.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
+        .repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
+      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+        .sortBy(_.getFileName.toString)
+      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
+        val parts = Files.list(cDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (part, j) =>
+          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
+          Files.move(part, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
+        }
+      }
+      Files.write(doneFile, fp.getBytes("UTF-8"))
+    }
+    val out  = Files.createTempDirectory("graft-media-out").toString
+    val ckpt = Files.createTempDirectory("graft-media-ckpt").toString
+    val q = spark.readStream
+      .schema(media.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        MultimodalQueries.resizeAndSample(
+            MultimodalQueries.extractFeatures(
+              batch.as[graft.operators.MultimodalQueries.MediaRecord]), 96, 96, 2)
+          .toDF("doc_id", "width", "height", "frames")
+          .select(col("doc_id"), col("width"), col("height"),
+                  explode(col("frames")).as("frame_idx"))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val mediaCache = TrieMap.empty[String, String]
+
+  /** Q19e — drained streaming media decode/resize/frame-sample; each
+    * doc lands in exactly one micro-batch, so the union read is the
+    * full answer; oracle = batch q19d. */
+  def q19eStreamMedia(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(mediaCache.getOrElseUpdate(dir, mediaIngestReplay(spark, dir)))
+      .select("doc_id", "width", "height", "frame_idx")
+      .orderBy("doc_id", "frame_idx")
 
   private val growCache = TrieMap.empty[String, String]
 

@@ -393,6 +393,21 @@ class StreamingParitySpec extends AnyFunSuite {
       "fresh session must reuse the persisted LSH key index")
   }
 
+  test("q19e media ingest: drained decode/resize/frame-sample equals batch q19d, multi-epoch") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingPipelines.mediaIngestReplay(spark, dir)
+    val epochs = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert(epochs >= 2, s"expected multiple epochs, got $epochs")
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "width", "height", "frame_idx")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val batch = graft.operators.MultimodalQueries.q19dFrameSample(spark, dir)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("wire stream: corrupt frames mid-stream drop permissively under micro-batch execution") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Array[Byte]](
