@@ -647,22 +647,21 @@ object StreamingPipelines {
     * of two independently-green components (q16i's join, the durable
     * sink), so the drained sink must equal the batch q16i answer —
     * that is q16j's oracle. Returns the sink dir. */
-  /** Stage the q16i ingestion slice as `nChunks` mtime-ordered parquet
-    * chunk files (chunk = doc_id mod nChunks — deterministic, every
-    * chunk a scale-proportional batch), fingerprint-revalidated like
-    * [[chunkEvents]]. Shared by the base-only (q16j) and growing
-    * (q16k) ingest replays. */
-  def stageIngestChunks(spark: SparkSession, dir: String, nChunks: Int): Path = {
-    import graft.operators.DedupQueries
-    val docs = Tables.load(spark, dir, "documents")
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-ingest",
+  /** Stage any id-keyed frame as `nChunks` mtime-ordered parquet chunk
+    * files (chunk = id mod nChunks — deterministic, every chunk a
+    * scale-proportional batch), fingerprint-revalidated like
+    * [[chunkEvents]]. One staging engine for all three ingest replays
+    * (text q16j/q16k, vectors q16l, media q19e). The chunk value lives
+    * only in the staged dir names and is dropped by the file moves —
+    * data files carry exactly `frame`'s schema. */
+  def stageChunksByIdMod(frame: DataFrame, idCol: String, rootName: String,
+                         dir: String, nChunks: Int): Path = {
+    val root = Paths.get(sys.props("java.io.tmpdir"), rootName,
       dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     val chunkDir = root.resolve("chunks")
     val doneFile = chunkDir.resolve("_DONE")
-    val slice = docs.where(
-      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem)
     val fp = {
-      val r = slice.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+      val r = frame.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head()
       s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
     }
     if (Files.exists(doneFile) &&
@@ -670,7 +669,7 @@ object StreamingPipelines {
     deleteRecursively(root)
     Files.createDirectories(chunkDir)
     val staging = root.resolve("staging").toString
-    slice.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
+    frame.withColumn("chunk", pmod(col(idCol), lit(nChunks)))
       .repartition(col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(staging)
     val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
@@ -688,6 +687,15 @@ object StreamingPipelines {
     }
     Files.write(doneFile, fp.getBytes("UTF-8"))
     chunkDir
+  }
+
+  /** The q16i ingestion slice staged for the text ingest replays. */
+  def stageIngestChunks(spark: SparkSession, dir: String, nChunks: Int): Path = {
+    import graft.operators.DedupQueries
+    stageChunksByIdMod(
+      Tables.load(spark, dir, "documents").where(
+        col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem),
+      "doc_id", "graft-ingest", dir, nChunks)
   }
 
   /** The word-3-shingle projection of a raw micro-batch of documents
@@ -711,8 +719,6 @@ object StreamingPipelines {
     val index = DedupQueries.baseBandIndex(spark, dir)
     val base = DedupQueries.wordShingleDocs(spark, dir)
       .where(col("doc_id") % DedupQueries.IngestSplitMod =!= DedupQueries.IngestSplitRem)
-    // the chunk value lives in the staged dir names and is dropped by
-    // the file moves — data files carry exactly the documents schema
     val q = spark.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -814,39 +820,9 @@ object StreamingPipelines {
                       nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
     import graft.operators.SimilarityQueries
     // stage the incoming duplicates (the planted copies) as chunks
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-embingest",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val chunkDir = root.resolve("chunks")
-    val doneFile = chunkDir.resolve("_DONE")
     val copies = SimilarityQueries.plantedEmbeddings(spark, dir)
       .where(col("vec_id") >= 1000000L)
-    val fp = {
-      val r = copies.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
-      s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
-    }
-    if (!(Files.exists(doneFile) &&
-          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
-      deleteRecursively(root)
-      Files.createDirectories(chunkDir)
-      val staging = root.resolve("staging").toString
-      copies.withColumn("chunk", pmod(col("vec_id"), lit(nChunks)))
-        .repartition(col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
-      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
-        .sortBy(_.getFileName.toString)
-      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
-        val parts = Files.list(cDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          .sortBy(_.getFileName.toString)
-        parts.zipWithIndex.foreach { case (part, j) =>
-          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
-        }
-      }
-      Files.write(doneFile, fp.getBytes("UTF-8"))
-    }
+    val chunkDir = stageChunksByIdMod(copies, "vec_id", "graft-embingest", dir, nChunks)
     val out  = Files.createTempDirectory("graft-embingest-out").toString
     val ckpt = Files.createTempDirectory("graft-embingest-ckpt").toString
     val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
@@ -893,37 +869,7 @@ object StreamingPipelines {
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("media"),
         octet_length(col("text")).cast("long").as("n_bytes"))
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-mediaingest",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val chunkDir = root.resolve("chunks")
-    val doneFile = chunkDir.resolve("_DONE")
-    val fp = {
-      val r = media.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
-      s"v1:$nChunks:${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
-    }
-    if (!(Files.exists(doneFile) &&
-          new String(Files.readAllBytes(doneFile), "UTF-8").trim == fp)) {
-      deleteRecursively(root)
-      Files.createDirectories(chunkDir)
-      val staging = root.resolve("staging").toString
-      media.withColumn("chunk", pmod(col("doc_id"), lit(nChunks)))
-        .repartition(col("chunk"))
-        .write.mode("overwrite").partitionBy("chunk").parquet(staging)
-      val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
-        .sortBy(_.getFileName.toString)
-      chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
-        val parts = Files.list(cDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          .sortBy(_.getFileName.toString)
-        parts.zipWithIndex.foreach { case (part, j) =>
-          val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 1000L))
-        }
-      }
-      Files.write(doneFile, fp.getBytes("UTF-8"))
-    }
+    val chunkDir = stageChunksByIdMod(media, "doc_id", "graft-mediaingest", dir, nChunks)
     val out  = Files.createTempDirectory("graft-media-out").toString
     val ckpt = Files.createTempDirectory("graft-media-ckpt").toString
     val q = spark.readStream
