@@ -315,41 +315,22 @@ object DedupQueries {
   /** Index builds actually executed in this JVM (observable by tests to
     * prove the disk index is reused rather than rebuilt). */
   val bandBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val bandCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, BandIndex)]
-  def clearBandIndexCache(): Unit = bandCache.clear()
-
-  /** Index location keyed by the FULL dataset path (the IVF rule: a
-    * `hashCode` key collides silently). */
-  private def bandIndexDir(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-lsh",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+  private val BandFamily = "graft-lsh"
+  def clearBandIndexCache(): Unit = graft.core.IndexStore.clearMemo(BandFamily)
 
   /** Build-or-load the persisted band index of q16i's standing corpus
-    * (the base ingestion slice). Fingerprint (row count + id range of
-    * the raw base slice — no tokenization on the revalidation path) is
-    * stamped at build and revalidated on every load; an in-place corpus
-    * change rebuilds instead of serving stale bands. */
+    * (the base ingestion slice), through the shared
+    * [[graft.core.IndexStore]] lifecycle. Fingerprint = row count + id
+    * range of the raw base slice (no tokenization on the revalidation
+    * path; see IndexStore's scaladoc for the content-edit tradeoff). */
   def baseBandIndex(spark: SparkSession, dir: String): BandIndex = {
     graft.functions.MinHash.ensureRegistered(spark)
     val fp = SimilarityQueries.corpusFingerprint(
       Tables.load(spark, dir, "documents")
         .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem), "doc_id")
-    bandCache.get(dir) match {
-      case Some((cachedFp, idx)) if cachedFp == fp => return idx
-      case _ => ()
-    }
-    val root = bandIndexDir(dir)
-    val sigPath  = root.resolve("sigs").toString
-    val bandPath = root.resolve("bands").toString
-    val metaPath = root.resolve("_META")
-    val onDiskFp =
-      if (java.nio.file.Files.exists(metaPath))
-        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8").trim
-      else ""
-    if (onDiskFp != fp) {
-      bandBuildCount.incrementAndGet()
-      java.nio.file.Files.createDirectories(root)
+    val root = graft.core.IndexStore.buildOrLoad(
+        BandFamily, dir, fp, Seq("sigs", "bands"), bandBuildCount) { root =>
+      val sigPath = root.resolve("sigs").toString
       val base = wordShingleDocs(spark, dir)
         .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem)
       base.repartition(spark.sparkContext.defaultParallelism)
@@ -360,12 +341,10 @@ object DedupQueries {
       // total, and the band table shuffles nothing (pure map + explode)
       spark.read.parquet(sigPath)
         .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
-        .write.mode("overwrite").parquet(bandPath)
-      java.nio.file.Files.write(metaPath, fp.getBytes("UTF-8"))
+        .write.mode("overwrite").parquet(root.resolve("bands").toString)
     }
-    val idx = BandIndex(spark.read.parquet(sigPath), spark.read.parquet(bandPath))
-    bandCache.put(dir, (fp, idx))
-    idx
+    BandIndex(spark.read.parquet(root.resolve("sigs").toString),
+              spark.read.parquet(root.resolve("bands").toString))
   }
 
   /** q16i's deterministic ingestion slice: `doc_id % IngestSplitMod ==

@@ -143,41 +143,28 @@ object SimilarityQueries {
     * fingerprint (it is a function of corpus size), so a grown corpus
     * rebuilds with the right width. Returns (bits, keys). */
   val embKeyBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val embKeyCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
-  def clearEmbKeyCache(): Unit = embKeyCache.clear()
+  private val EmbKeyFamily = "graft-emblsh"
+  def clearEmbKeyCache(): Unit = graft.core.IndexStore.clearMemo(EmbKeyFamily)
 
   def embKeyIndex(spark: SparkSession, dir: String): (Int, DataFrame) = {
     graft.functions.HyperplaneLsh.ensureRegistered(spark)
     val raw = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val n = raw.count()
+    // key width rides the fingerprint: it is a function of corpus size,
+    // so a grown corpus rebuilds at the right width (the width-refit
+    // policy — see ingestEmbGrowingReplay for the streaming variant)
     val bits = graft.functions.HyperplaneLsh.bitsFor(n)
     val fpBase = corpusFingerprint(raw.select(col("vec_id").as("id")), "id")
-    val fp = s"$fpBase:bits=$bits"
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-emblsh",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val keyPath = root.resolve("keys").toString
-    val metaPath = root.resolve("_META")
-    val cached = embKeyCache.get(dir).exists(_._1 == fp)
-    if (!cached) {
-      val onDiskFp =
-        if (java.nio.file.Files.exists(metaPath))
-          new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8").trim
-        else ""
-      if (onDiskFp != fp) {
-        embKeyBuildCount.incrementAndGet()
-        java.nio.file.Files.createDirectories(root)
-        raw.repartition(spark.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"),
-            posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
-              col("v"), lit(bits))).as(Seq("table_id", "key")))
-          .write.mode("overwrite").parquet(keyPath)
-        java.nio.file.Files.write(metaPath, fp.getBytes("UTF-8"))
-      }
-      embKeyCache.put(dir, (fp, bits))
+    val root = graft.core.IndexStore.buildOrLoad(
+        EmbKeyFamily, dir, s"$fpBase:bits=$bits", Seq("keys"), embKeyBuildCount) { root =>
+      raw.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"),
+          posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+            col("v"), lit(bits))).as(Seq("table_id", "key")))
+        .write.mode("overwrite").parquet(root.resolve("keys").toString)
     }
-    (bits, spark.read.parquet(keyPath))
+    (bits, spark.read.parquet(root.resolve("keys").toString))
   }
 
   /** The planted near-dup fixture (an explicit test VIEW, not the raw
@@ -379,12 +366,7 @@ object SimilarityQueries {
   /** Trainings actually executed in this JVM (observable by tests to
     * prove the disk index is reused rather than rebuilt). */
   val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Index location is keyed by the FULL dataset path (a `hashCode` key
-    * collides silently — VERDICT r5 wrong #3). */
-  private def ivfIndexDir(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-ivf",
-      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+  private val IvfFamily = "graft-ivf"
 
   /** Corpus fingerprint (row count + id range) stamped into the index
     * at build and REVALIDATED on every load — in-place data changes
@@ -399,42 +381,35 @@ object SimilarityQueries {
   def ivfCentroids(spark: SparkSession, dir: String, unit: DataFrame): IvfIndex = {
     import spark.implicits._
     val fp = corpusFingerprint(unit, "id")
+    // the loaded-value memo (centroid matrix stays driver-resident
+    // between calls); the disk lifecycle below is IndexStore's
     centroidCache.get(dir) match {
       case Some((cachedFp, idx)) if cachedFp == fp => return idx
       case _ => ()
     }
-    val idx = ivfIndexDir(dir)
-    val centPath = idx.resolve("centroids").toString
-    val assignPath = idx.resolve("assignments").toString
-    val metaPath = idx.resolve("_META")
-    val onDiskFp =
-      if (java.nio.file.Files.exists(metaPath) &&
-          java.nio.file.Files.exists(idx.resolve("assignments")))
-        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8").trim
-      else ""
-    val built =
-      if (onDiskFp == fp) {
-        val cents = spark.read.parquet(centPath)
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
-        IvfIndex(cents.size, ivfNProbeFor(cents.size), cents, assignPath)
-      } else {
-        val k = ivfKFor(fp.split(":")(0).toLong) // count is the fp's first field
-        val cents = ivfTrain(spark, unit, k)
-        ivfTrainCount.incrementAndGet()
-        java.nio.file.Files.createDirectories(idx)
-        cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite").parquet(centPath)
-        // the inverted lists ARE the index: persist id→cid so queries
-        // read a 2-column table instead of recomputing N×k inner
-        // products per execution (FAISS add() happens at build time)
-        assignToCentroids(unit, cents.toDF("cid", "cvec"))
-          .write.mode("overwrite").parquet(assignPath)
-        java.nio.file.Files.write(metaPath, fp.getBytes("UTF-8"))
-        IvfIndex(k, ivfNProbeFor(k), cents, assignPath)
-      }
+    val root = graft.core.IndexStore.buildOrLoad(
+        IvfFamily, dir, fp, Seq("centroids", "assignments"), ivfTrainCount) { root =>
+      val k = ivfKFor(fp.split(":")(0).toLong) // count is the fp's first field
+      val cents = ivfTrain(spark, unit, k)
+      cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
+        .parquet(root.resolve("centroids").toString)
+      // the inverted lists ARE the index: persist id→cid so queries
+      // read a 2-column table instead of recomputing N×k inner
+      // products per execution (FAISS add() happens at build time)
+      assignToCentroids(unit, cents.toDF("cid", "cvec"))
+        .write.mode("overwrite").parquet(root.resolve("assignments").toString)
+    }
+    val cents = spark.read.parquet(root.resolve("centroids").toString)
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val built = IvfIndex(cents.size, ivfNProbeFor(cents.size), cents,
+      root.resolve("assignments").toString)
     centroidCache.put(dir, (fp, built))
     built
   }
-  def clearIvfCache(): Unit = centroidCache.clear()
+  def clearIvfCache(): Unit = {
+    centroidCache.clear()
+    graft.core.IndexStore.clearMemo(IvfFamily)
+  }
 
   /** Q17b's IVF sibling (Q17c) — approximate top-5 cosine neighbors via
     * inverted lists: vectors are bucketed by nearest coarse centroid;
