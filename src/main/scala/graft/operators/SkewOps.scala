@@ -52,9 +52,10 @@ object SkewOps {
     * SUM of disjoint bucket counts. No reducer ever holds the hot key's
     * full value set; per-reducer state is that key's distinct values ÷
     * saltBuckets. Result is identical to
-    * `df.groupBy(key).agg(count_distinct(value))` (nulls excluded by
-    * both, since a null value hashes to a null salt and count_distinct
-    * ignores it). */
+    * `df.groupBy(key).agg(count_distinct(value))`: null values land in
+    * a real salt bucket (`xxhash64(NULL)` returns the seed, 42, not
+    * null — ADVICE r7 #3) and are then ignored by the bucket's
+    * count_distinct, exactly as the unsalted aggregate ignores them. */
   def saltedCountDistinct(df: DataFrame, key: Column, value: Column,
                           saltBuckets: Int): DataFrame =
     df.withColumn("__salt", pmod(xxhash64(value), lit(saltBuckets)))

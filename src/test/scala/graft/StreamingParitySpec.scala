@@ -371,6 +371,62 @@ class StreamingParitySpec extends AnyFunSuite {
       "expected a within-slice pair found via the accumulated index")
   }
 
+  test("q16k retried epoch: a batch whose accept writes survived a crash does not probe itself") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    // crash model (ADVICE r7 #1): the JVM died AFTER epoch 0's sig/band
+    // accept writes but BEFORE its checkpoint commit — the re-executed
+    // epoch finds its own signatures already in the accumulated index
+    val grow = Files.createTempDirectory("grow-retry")
+    val sigDir  = grow.resolve("sigs").toString
+    val bandDir = grow.resolve("bands").toString
+    val baseIdx = DedupQueries.baseBandIndex(spark, dir)
+    val payload = DedupQueries.wordShingleDocs(spark, dir)
+    def sliceChunk(c: Int) = payload.where(
+      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem &&
+      pmod(col("doc_id"), lit(DedupQueries.IngestChunks)) === c)
+    val batch0 = sliceChunk(0)
+    val sigs = batch0.select(col("doc_id"),
+      call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
+    sigs.write.mode("overwrite").parquet(s"$sigDir/batch_id=0")
+    sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
+      .write.mode("overwrite").parquet(s"$bandDir/batch_id=0")
+    // the retried epoch (batchId = 0) must ignore its own accepted rows:
+    // no self/same-batch pairs, and exactly the first execution's answer
+    val retried = StreamingPipelines.growingIngestProbe(
+        spark, baseIdx, payload, batch0, 0L, sigDir, bandDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val fresh = StreamingPipelines.growingIngestProbe(
+        spark, baseIdx, payload, batch0, 0L,
+        grow.resolve("no-sigs").toString, grow.resolve("no-bands").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!retried.exists { case (n, o, _) => n == o },
+      "retried epoch flagged itself (self-pairs at jac=1.0)")
+    assert(retried == fresh,
+      "a retried epoch must reproduce its first execution exactly")
+    // and the filter must NOT hide genuinely earlier batches: epoch 1's
+    // probe through the filtered read equals an explicit base ∪ batch-0
+    // standing index
+    val batch1 = sliceChunk(1)
+    val viaFilter = StreamingPipelines.growingIngestProbe(
+        spark, baseIdx, payload, batch1, 1L, sigDir, bandDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = DedupQueries.nearDupPairsAcross(
+        base = payload, batch = batch1,
+        sigCol = call_function(graft.functions.MinHash.sigFnName, col("sh")),
+        payloadCol = col("sh"),
+        jacOf = DedupQueries.arrayJaccard, threshold = 0.8,
+        baseIndex = Some(DedupQueries.BandIndex(
+          baseIdx.sigs.unionAll(
+            spark.read.parquet(s"$sigDir/batch_id=0").select("doc_id", "sig")),
+          baseIdx.bands.unionAll(
+            spark.read.parquet(s"$bandDir/batch_id=0").select("doc_id", "band")))))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaFilter == explicit,
+      "epoch 1 must still see epoch 0's accepted index rows")
+  }
+
   test("q16l embedding ingest: drained duplicate pairs equal batch all-pairs; key index reused") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
