@@ -58,6 +58,7 @@ object SparkEntry {
     "q16j_stream_ingest_neardup" -> (graft.streaming.StreamingPipelines.q16jStreamIngestNearDup _),
     "q16k_stream_ingest_growing" -> (graft.streaming.StreamingPipelines.q16kStreamIngestGrowing _),
     "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
+    "q16m_stream_ingest_embgrow" -> (graft.streaming.StreamingPipelines.q16mStreamIngestEmbGrowing _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
@@ -700,6 +701,28 @@ object SparkEntry {
         |p AS (SELECT b.vec_id AS new_id, a.vec_id AS old_id,
         |        ROUND(list_inner_product(b.v, a.v) / (b.nrm * a.nrm), 6) AS cos_sim
         |      FROM b CROSS JOIN a)
+        |SELECT new_id, old_id, cos_sim FROM p WHERE cos_sim >= 0.9
+        |ORDER BY new_id, old_id""".stripMargin,
+    // q16m: the GROWING embedding ingest — accepted vector batches join
+    // the standing index, so each incoming copy (two planted
+    // generations: ×2 at +1000000, ×4 at +2000000) flags duplicates in
+    // the base corpus AND in strictly-earlier chunks (chunk = vec_id
+    // mod 3 of the NEW id, DedupQueries.IngestChunks); same-chunk pairs
+    // arrive together and are the symmetric job's
+    "q16m_stream_ingest_embgrow" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cp1 AS (SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |        FROM base WHERE vec_id < 50),
+        |cp2 AS (SELECT vec_id + 2000000 AS vec_id, list_transform(v, x -> x * 4.0) AS v
+        |        FROM base WHERE vec_id < 50),
+        |newv AS (SELECT vec_id, v FROM cp1 UNION ALL SELECT vec_id, v FROM cp2),
+        |oldv AS (SELECT vec_id, v, 0 AS gen FROM base
+        |         UNION ALL SELECT vec_id, v, 1 AS gen FROM newv),
+        |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM newv),
+        |a AS (SELECT vec_id, v, gen, sqrt(list_inner_product(v, v)) AS nrm FROM oldv),
+        |p AS (SELECT b.vec_id AS new_id, a.vec_id AS old_id,
+        |        ROUND(list_inner_product(b.v, a.v) / (b.nrm * a.nrm), 6) AS cos_sim
+        |      FROM b JOIN a ON (a.gen = 0 OR (a.vec_id % 3 < b.vec_id % 3)))
         |SELECT new_id, old_id, cos_sim FROM p WHERE cos_sim >= 0.9
         |ORDER BY new_id, old_id""".stripMargin,
     "q17_cosine_topk" ->

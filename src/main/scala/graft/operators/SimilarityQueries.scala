@@ -186,6 +186,22 @@ object SimilarityQueries {
     base.unionAll(planted)
   }
 
+  /** Second-GENERATION planted copies for the growing embedding-ingest
+    * fixture (q16m): ×4-scaled copies of the same vec_id < 50 originals
+    * at vec_id + 2000000. ×4 is exact in binary FP like ×2, so a gen-2
+    * copy has cos = 1.0 (and identical LSH sign bits) against BOTH the
+    * base original and its gen-1 twin — and the two generations
+    * interleave across replay chunks (new ids differ by 1000000 ≡ 1
+    * mod 3), so cross-generation pairs are reachable ONLY through the
+    * ACCUMULATED index: exactly what the growing-ingest contract must
+    * prove it probes. */
+  def plantedEmbeddingsGen2(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") < 50)
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+              transform(col("v"), x => x * lit(4.0)).as("v"))
+
   /** Q16e — [[embeddingNearDup]] at threshold 0.9 over the documented
     * [[plantedEmbeddings]] fixture (oracle non-vacuous by design). */
   def q16eEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =

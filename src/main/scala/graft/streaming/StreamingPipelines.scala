@@ -550,7 +550,7 @@ object StreamingPipelines {
   private val wireCache = TrieMap.empty[String, String]
   def clearCache(): Unit = {
     cache.clear(); wireCache.clear(); ingestCache.clear()
-    growCache.clear(); embIngestCache.clear(); mediaCache.clear()
+    growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -906,6 +906,98 @@ object StreamingPipelines {
     q.awaitTermination()
     out
   }
+
+  /** One micro-batch's PROBE of the GROWING embedding ingest (q16m):
+    * standing keys/vectors = the persisted base index ∪ accepted
+    * batches STRICTLY BEFORE this epoch (`batch_id < batchId`, kept
+    * from partition discovery — the same crash-retry rule as
+    * [[growingIngestProbe]]: an epoch re-executed after its accept
+    * writes must not probe itself). */
+  def embGrowingProbe(spark: SparkSession, bits: Int, baseKeys: DataFrame,
+                      base: DataFrame, batch: DataFrame, batchId: Long,
+                      keysDir: String, vecsDir: String): DataFrame = {
+    val standingKeys =
+      if (!Files.exists(Paths.get(keysDir))) baseKeys
+      else baseKeys.unionAll(spark.read.parquet(keysDir)
+        .where(col("batch_id") < batchId).select("id", "table_id", "key"))
+    val standingVecs =
+      if (!Files.exists(Paths.get(vecsDir))) base
+      else base.unionAll(spark.read.parquet(vecsDir)
+        .where(col("batch_id") < batchId).select("vec_id", "v"))
+    graft.operators.SimilarityQueries
+      .embeddingNearDupAcross(standingVecs, batch, threshold = 0.9,
+        bits = bits, baseKeys = standingKeys)
+  }
+
+  /** The GROWING-corpus EMBEDDING ingest loop (q16m — the q16k symmetry
+    * VERDICT r7 missing #2 named): two planted copy GENERATIONS
+    * (×2-scaled at +1000000, ×4-scaled at +2000000 — both
+    * FP-exact-direction duplicates of vec_id < 50) replay as a vector
+    * stream; each accepted batch's LSH keys AND payload vectors are
+    * appended to the standing index under `batch_id=N` dirs (overwrite
+    * = retry-idempotent), so later batches flag duplicates against the
+    * base corpus AND every earlier accepted batch. The contract — old ∈
+    * base ∪ strictly-earlier chunks — is SQL-expressible, so q16m is
+    * fully hash-checked like q16k.
+    *
+    * Width-refit policy (documented): ingest batches key at the
+    * STANDING index's stamped width — probe and index keys must agree
+    * bit-for-bit, and dedup recall for exact/near-exact copies (cos →
+    * 1) is width-independent, so a temporarily-undersized key only
+    * costs candidate precision, never recall. The refit itself is the
+    * index REBUILD [[graft.operators.SimilarityQueries.embKeyIndex]]
+    * already performs when the grown corpus re-registers: key width
+    * rides the corpus-size fingerprint, so the stamp mismatches as soon
+    * as ⌈log2 N⌉+2 drifts (pinned in StreamingParitySpec: growing
+    * sf0.001's 500 vectors past 512 rebuilds at 12 bits). */
+  def ingestEmbGrowingReplay(spark: SparkSession, dir: String,
+                             nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.SimilarityQueries
+    val incoming = SimilarityQueries.plantedEmbeddings(spark, dir)
+      .where(col("vec_id") >= 1000000L)
+      .unionAll(SimilarityQueries.plantedEmbeddingsGen2(spark, dir))
+    val chunkDir = stageChunksByIdMod(incoming, "vec_id", "graft-embgrow", dir, nChunks)
+    val out  = Files.createTempDirectory("graft-embgrow-out").toString
+    val ckpt = Files.createTempDirectory("graft-embgrow-ckpt").toString
+    val grow = Files.createTempDirectory("graft-embgrow-idx")
+    val keysDir = grow.resolve("keys").toString
+    val vecsDir = grow.resolve("vecs").toString
+    val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = spark.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embGrowingProbe(spark, bits, baseKeys, base, batch, batchId, keysDir, vecsDir)
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        // accept: this batch's keys (at the standing width) and payload
+        // vectors join the accumulated index
+        batch.select(col("vec_id").as("id"),
+            posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+              col("v"), lit(bits))).as(Seq("table_id", "key")))
+          .write.mode("overwrite").parquet(s"$keysDir/batch_id=$batchId")
+        batch.select("vec_id", "v")
+          .write.mode("overwrite").parquet(s"$vecsDir/batch_id=$batchId")
+        ()
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val embGrowCache = TrieMap.empty[String, String]
+
+  /** Q16m — drained growing-corpus embedding-ingest pairs. Oracle: each
+    * incoming copy × (base ∪ strictly-earlier-chunk copies) at cos ≥
+    * 0.9 — SQL-expressible, fully hash-checked. */
+  def q16mStreamIngestEmbGrowing(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(embGrowCache.getOrElseUpdate(dir, ingestEmbGrowingReplay(spark, dir)))
+      .select("new_id", "old_id", "cos_sim")
+      .orderBy("new_id", "old_id")
 
   private val embIngestCache = TrieMap.empty[String, String]
 

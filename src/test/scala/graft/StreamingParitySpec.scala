@@ -449,6 +449,78 @@ class StreamingParitySpec extends AnyFunSuite {
       "fresh session must reuse the persisted LSH key index")
   }
 
+  test("q16m growing embedding ingest: copies flag base AND earlier accepted batches") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingPipelines.ingestEmbGrowingReplay(spark, dir)
+    val epochs = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert(epochs >= 2, s"expected multiple epochs, got $epochs")
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "old_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // expected: every copy → its base original (cos 1.0), plus for each
+    // original exactly ONE cross-generation pair, oriented toward the
+    // generation landing in the strictly later chunk (chunk = new id
+    // mod 3; the two generations' ids differ by 1000000 ≡ 1 mod 3, so
+    // they never share a chunk)
+    val expected = (0L until 50L).flatMap { v =>
+      val g1 = v + 1000000L; val g2 = v + 2000000L
+      val cross = if (g1 % 3 < g2 % 3) (g2, g1, 1.0) else (g1, g2, 1.0)
+      Seq((g1, v, 1.0), (g2, v, 1.0), cross)
+    }.toSet
+    assert(streamed == expected)
+  }
+
+  test("q16m differential: without the accumulated index, cross-generation pairs are missed") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
+    val base = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the last chunk's batch, probed WITHOUT any accumulated state
+    // (nonexistent grow dirs → base index only): it must still flag its
+    // base originals but CANNOT see the earlier generations' copies —
+    // proving the accumulated index in the real loop is load-bearing
+    val incoming = SimilarityQueries.plantedEmbeddings(spark, dir)
+      .where(col("vec_id") >= 1000000L)
+      .unionAll(SimilarityQueries.plantedEmbeddingsGen2(spark, dir))
+    val lastChunk = incoming.where(pmod(col("vec_id"), lit(3)) === 2)
+    val none = java.nio.file.Files.createTempDirectory("embgrow-none")
+    val baseOnly = StreamingPipelines.embGrowingProbe(spark, bits, baseKeys, base,
+        lastChunk, 2L, none.resolve("keys").toString, none.resolve("vecs").toString)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(baseOnly.nonEmpty && baseOnly.forall { case (_, o, _) => o < 1000000L },
+      "base-only probe must flag only base originals")
+    // the full loop found cross-generation pairs for this chunk
+    val full = StreamingPipelines.q16mStreamIngestEmbGrowing(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.exists { case (n, o, _) => n % 3 == 2 && o >= 1000000L },
+      "the real loop must flag earlier-generation copies for the last chunk")
+  }
+
+  test("embedding key index width-refit: a corpus grown past a power of two rebuilds wider") {
+    import graft.operators.SimilarityQueries
+    import graft.functions.HyperplaneLsh
+    // stage a private copy of the sf0.001 embeddings (500 vectors)
+    val dataDir = java.nio.file.Files.createTempDirectory("embkey-refit")
+    val src = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    src.write.mode("overwrite").parquet(dataDir.resolve("embeddings.parquet").toString)
+    val (bits1, _) = SimilarityQueries.embKeyIndex(spark, dataDir.toString)
+    assert(bits1 == HyperplaneLsh.bitsFor(500))
+    val built = SimilarityQueries.embKeyBuildCount.get()
+    // grow the corpus in place past 512: ⌈log2 N⌉ + 2 steps, so the
+    // width-refit policy must REBUILD the key index at the wider key,
+    // not serve the stale narrow one (width rides the fingerprint)
+    src.withColumn("vec_id", col("vec_id") + 10000L).limit(100)
+      .write.mode("append").parquet(dataDir.resolve("embeddings.parquet").toString)
+    val (bits2, keys2) = SimilarityQueries.embKeyIndex(spark, dataDir.toString)
+    assert(bits2 == bits1 + 1, s"expected a 1-bit width refit, got $bits1 -> $bits2")
+    assert(SimilarityQueries.embKeyBuildCount.get() == built + 1,
+      "grown corpus must rebuild the key index at the new width")
+    assert(keys2.select("id").distinct().count() == 600)
+  }
+
   test("q19e media ingest: drained decode/resize/frame-sample equals batch q19d, multi-epoch") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
