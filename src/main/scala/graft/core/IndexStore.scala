@@ -64,6 +64,15 @@ object IndexStore {
   def clearMemo(family: String): Unit =
     memo.keysIterator.filter(_._1 == family).foreach(memo.remove)
 
+  /** Remove a path tree (used by builders to clear state a rebuild
+    * invalidates, e.g. incremental appendices scored against a
+    * superseded index). */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
   /** Build-or-load: returns the index root, running `build` (and
     * bumping `buildCounter`) only when the on-disk index is absent,
     * torn, or stamped with a different fingerprint. `build` must write

@@ -187,6 +187,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "mutated corpus must rebuild the IVF index")
   }
 
+  test("IVF add-vs-train: a delta assigns to existing centroids; standing assignments untouched") {
+    import org.apache.spark.sql.functions._
+    // private corpus copy so the index dirs are this test's own
+    val dataDir = java.nio.file.Files.createTempDirectory("ivf-inc-data")
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .write.mode("overwrite").parquet(dataDir.resolve("embeddings.parquet").toString)
+    val emb = graft.core.Tables.load(spark, dataDir.toString, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf = SimilarityQueries.ivfCentroids(spark, dataDir.toString, unit)
+    val baseAssign = spark.read.parquet(ivf.assignPath)
+      .as[(Long, Int)].collect().toMap
+    val trainedBefore = SimilarityQueries.ivfTrainCount.get()
+    // a 10% "grown corpus" delta: copies of the first 50 unit vectors
+    // under new ids — their argmax centroid must equal their original's.
+    // Arrives as an in-memory frame (the real ingest shape: the delta
+    // comes from OUTSIDE the indexed corpus), so any FileScan in the
+    // assign plan would be a corpus rescan.
+    val delta = unit.where(col("id") < 50)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id + 10000L, v) }.toSeq.toDF("id", "v")
+    // only the delta is scored: the assign plan's inputs are the delta
+    // frame and the broadcast centroid matrix — no table scan anywhere
+    val planStr = SimilarityQueries.ivfAssignDelta(ivf, delta)
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("FileScan") && !planStr.toLowerCase.contains("parquet"),
+      s"delta assignment must not rescan any persisted table:\n$planStr")
+    val inc = SimilarityQueries.ivfAssignIncremental(spark, ivf, delta, 0L)
+      .as[(Long, Int)].collect().toMap
+    // no retrain, standing assignments byte-identical
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore,
+      "incremental assignment must not retrain the quantizer")
+    val afterAssign = spark.read.parquet(ivf.assignPath)
+      .as[(Long, Int)].collect().toMap
+    assert(afterAssign == baseAssign, "standing assignments must be untouched")
+    // the delta landed, one row per vector, co-assigned with its original
+    assert(inc.size == 50)
+    assert(inc.forall { case (id, cid) => baseAssign(id - 10000L) == cid },
+      "an identical delta vector must land in its original's cluster")
+    // the read view is base ∪ delta; a retrain clears the appendix
+    assert(SimilarityQueries.ivfAssignments(spark, ivf).count() ==
+      baseAssign.size + 50)
+    SimilarityQueries.clearIvfCache()
+    val tmp = dataDir.resolve("emb2.parquet").toString
+    graft.core.Tables.load(spark, dataDir.toString, "embeddings")
+      .where(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(tmp)
+    val tgt = dataDir.resolve("embeddings.parquet")
+    tgt.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgt)
+    val emb2 = graft.core.Tables.load(spark, dataDir.toString, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+    val unit2 = emb2.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf2 = SimilarityQueries.ivfCentroids(spark, dataDir.toString, unit2)
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore + 1)
+    assert(SimilarityQueries.ivfAssignments(spark, ivf2).count() == unit2.count(),
+      "a retrain must clear delta assignments scored against the old centroids")
+  }
+
   test("IVF k scales ~sqrt(N) with a floor, nprobe keeps the scan fraction constant") {
     assert(SimilarityQueries.ivfKFor(100) == 16)   // floor
     assert(SimilarityQueries.ivfKFor(10000) == 100)
