@@ -127,7 +127,12 @@ object SimilarityQueries {
       .select(col("vec_id").as("new_id"), col("v").as("v_i"), col("nrm").as("n_i")))
     val bj = base.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id").as("old_id"), col("v").as("v_j"), col("nrm").as("n_j"))
-    cand.join(bi, "new_id").join(bj, "old_id")
+    // the candidate×batch-payload composite stays batch-sized
+    // (O(batch × collisions)) — hint it as the build side of the
+    // corpus-payload join too; left to statistics the local planner
+    // happily broadcasts the CORPUS payload instead (tiny at test SF,
+    // an OOM at 100 TB; pinned batch-sided in PlanShapeSpec)
+    broadcast(cand.join(bi, "new_id")).join(bj, "old_id")
       .withColumn("cos_sim", round(dot(col("v_i"), col("v_j")) / (col("n_i") * col("n_j")), 6))
       .where(col("cos_sim") >= threshold)
       .select("new_id", "old_id", "cos_sim")

@@ -108,6 +108,103 @@ class PlanShapeSpec extends AnyFunSuite {
       s"base-side signatures must come from the index, found $sigExprProjections sig projections")
   }
 
+  test("q16k growing probe: accumulated index is scanned batch_id-filtered, corpus never re-signed") {
+    import org.apache.spark.sql.functions._
+    // the exact per-micro-batch plan the GROWING text ingest builds for
+    // epoch 1, with epoch 0's accept writes already on disk
+    val grow = java.nio.file.Files.createTempDirectory("pin-grow")
+    val sigDir  = grow.resolve("sigs").toString
+    val bandDir = grow.resolve("bands").toString
+    val idx = DedupQueries.baseBandIndex(spark, dir)
+    val payload = DedupQueries.wordShingleDocs(spark, dir)
+    def chunkOf(c: Int) = payload.where(
+      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem
+        && pmod(col("doc_id"), lit(DedupQueries.IngestChunks)) === c)
+    val sigs0 = chunkOf(0).select(col("doc_id"),
+      call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
+    sigs0.write.mode("overwrite").parquet(s"$sigDir/batch_id=0")
+    sigs0.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
+      .write.mode("overwrite").parquet(s"$bandDir/batch_id=0")
+    val df = graft.streaming.StreamingPipelines.growingIngestProbe(
+      spark, idx, payload, chunkOf(1), 1L, sigDir, bandDir)
+    val plan = finalPlan(df)
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "growing-probe candidates must come from the band equi-join")
+    assert(!broadcastOutputs(plan).exists(_.startsWith("sig")),
+      "signature columns must cross shuffle joins, not broadcasts")
+    val scans = allNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","), f.partitionFilters.mkString(","))
+    }
+    // persisted base tables AND the accumulated batch dirs are scanned…
+    assert(scans.count(_._1.contains("graft-lsh")) >= 2,
+      s"expected the persisted base sig+band tables in the scan list: $scans")
+    val accScans = scans.filter(s => s._1.contains("pin-grow"))
+    assert(accScans.size >= 2,
+      s"expected the accumulated sig+band dirs in the scan list: $scans")
+    // …with the strictly-earlier-epoch condition as a PARTITION filter
+    // (directory pruning — a retried epoch's own dir is never even read)
+    assert(accScans.forall(_._2.contains("batch_id")),
+      s"accumulated scans must partition-filter on batch_id: $accScans")
+    // and the corpus is never re-signed: sig expressions only for the
+    // incoming batch (bands + screen reference)
+    val sigExprProjections = allNodes(plan).count(
+      _.expressions.exists(_.find(_.isInstanceOf[graft.functions.MinHashSig]).isDefined))
+    assert(sigExprProjections <= 2,
+      s"standing signatures must come from the index, found $sigExprProjections sig projections")
+  }
+
+  test("q16l/q16m embedding probes: persisted key index scanned, corpus never re-keyed, broadcasts batch-sided") {
+    import org.apache.spark.sql.functions._
+    val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
+    val base = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val incoming = SimilarityQueries.plantedEmbeddings(spark, dir)
+      .where(col("vec_id") >= 1000000L)
+      .unionAll(SimilarityQueries.plantedEmbeddingsGen2(spark, dir))
+    def chunkOf(c: Int) = incoming.where(pmod(col("vec_id"), lit(3)) === c)
+    // q16m's epoch-1 probe with epoch 0 already accepted
+    val grow = java.nio.file.Files.createTempDirectory("pin-embgrow")
+    val keysDir = grow.resolve("keys").toString
+    val vecsDir = grow.resolve("vecs").toString
+    chunkOf(0).select(col("vec_id").as("id"),
+        posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+          col("v"), lit(bits))).as(Seq("table_id", "key")))
+      .write.mode("overwrite").parquet(s"$keysDir/batch_id=0")
+    chunkOf(0).select("vec_id", "v").write.mode("overwrite").parquet(s"$vecsDir/batch_id=0")
+    // both loops' probes: q16l (fixed corpus) and q16m (growing)
+    val probes = Seq(
+      "q16l" -> SimilarityQueries.embeddingNearDupAcross(
+        base, chunkOf(0), threshold = 0.9, bits = bits, baseKeys = baseKeys),
+      "q16m" -> graft.streaming.StreamingPipelines.embGrowingProbe(
+        spark, bits, baseKeys, base, chunkOf(1), 1L, keysDir, vecsDir))
+    for ((name, df) <- probes) {
+      val plan = finalPlan(df)
+      val p = plan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: candidates must come from the (table_id, key) equi-join")
+      // every broadcast build side must be batch-sized (carries the
+      // batch's new_id) — a corpus-side broadcast OOMs at scale
+      val bcasts = allNodes(plan).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.output.map(_.name)
+      }
+      assert(bcasts.nonEmpty && bcasts.forall(_.contains("new_id")),
+        s"$name: only batch-sided builds may broadcast, got $bcasts")
+      val scans = allNodes(plan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.exists(_.contains("graft-emblsh")),
+        s"$name: the persisted key index must be scanned: $scans")
+      // the standing corpus is never re-keyed: exactly one wide-key
+      // projection (the incoming batch's)
+      val keyProjections = allNodes(plan).count(
+        _.expressions.exists(_.find(_.isInstanceOf[graft.functions.HyperplaneKeysWide]).isDefined))
+      assert(keyProjections == 1,
+        s"$name: standing keys must come from the index, found $keyProjections key projections")
+    }
+  }
+
   test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
     val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
     // one execution serves all three checks
