@@ -52,6 +52,20 @@ object IndexStore {
       .map(Paths.get(_))
       .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
 
+  /** Content-hash strict mode (`SPARK_GRAFT_INDEX_STRICT` env /
+    * `graft.index.strict` prop): when on, builders extend the cheap
+    * (count, id-range) fingerprint with an order-independent content
+    * hash of the columns the index derives from, so an in-place edit
+    * that preserves row count and id range STILL rebuilds — at the cost
+    * of a full scan of those columns per validation. Off by default:
+    * the corpora here are immutable-once-staged, and the cheap
+    * fingerprint keeps revalidation metadata-priced. Read per call so a
+    * deployment (or test) can toggle it without a JVM restart. */
+  def strict: Boolean =
+    sys.env.get("SPARK_GRAFT_INDEX_STRICT")
+      .orElse(sys.props.get("graft.index.strict"))
+      .exists(_.equalsIgnoreCase("true"))
+
   /** Location of one index family's instance for one dataset path. */
   def root(family: String, dir: String): Path =
     baseRoot.resolve(family).resolve(dir.replaceAll("[^A-Za-z0-9._-]", "_"))

@@ -322,12 +322,15 @@ object DedupQueries {
     * (the base ingestion slice), through the shared
     * [[graft.core.IndexStore]] lifecycle. Fingerprint = row count + id
     * range of the raw base slice (no tokenization on the revalidation
-    * path; see IndexStore's scaladoc for the content-edit tradeoff). */
+    * path; see IndexStore's scaladoc for the content-edit tradeoff —
+    * `graft.index.strict` folds a text content hash into the
+    * fingerprint when a deployment mutates corpora in place). */
   def baseBandIndex(spark: SparkSession, dir: String): BandIndex = {
     graft.functions.MinHash.ensureRegistered(spark)
     val fp = SimilarityQueries.corpusFingerprint(
       Tables.load(spark, dir, "documents")
-        .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem), "doc_id")
+        .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem),
+      "doc_id", Seq(col("text")))
     val root = graft.core.IndexStore.buildOrLoad(
         BandFamily, dir, fp, Seq("sigs", "bands"), bandBuildCount) { root =>
       val sigPath = root.resolve("sigs").toString

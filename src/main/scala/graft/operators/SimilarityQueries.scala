@@ -160,7 +160,8 @@ object SimilarityQueries {
     // so a grown corpus rebuilds at the right width (the width-refit
     // policy — see ingestEmbGrowingReplay for the streaming variant)
     val bits = graft.functions.HyperplaneLsh.bitsFor(n)
-    val fpBase = corpusFingerprint(raw.select(col("vec_id").as("id")), "id")
+    val fpBase = corpusFingerprint(
+      raw.select(col("vec_id").as("id"), col("v")), "id", Seq(col("v")))
     val root = graft.core.IndexStore.buildOrLoad(
         EmbKeyFamily, dir, s"$fpBase:bits=$bits", Seq("keys"), embKeyBuildCount) { root =>
       raw.repartition(spark.sparkContext.defaultParallelism)
@@ -393,15 +394,28 @@ object SimilarityQueries {
     * at build and REVALIDATED on every load — in-place data changes
     * rebuild the index instead of silently serving stale lists. One
     * column-pruned agg over the corpus: metadata-cheap next to a train
-    * or even a probe. */
-  def corpusFingerprint(df: DataFrame, idCol: String): String = {
+    * or even a probe. An in-place CONTENT edit that preserves count and
+    * id range evades this by design (no payload scan on the
+    * revalidation path); under [[graft.core.IndexStore.strict]] the
+    * fingerprint additionally folds in an order-independent hash of
+    * `contentCols` — sum of per-row xxhash64 over (id, content), summed
+    * as decimal(38,0) because an ANSI bigint sum of 2^63-range hashes
+    * overflows — so such edits rebuild too, at one full scan of those
+    * columns per validation. */
+  def corpusFingerprint(df: DataFrame, idCol: String,
+                        contentCols: Seq[Column] = Nil): String = {
     val r = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head()
-    s"${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+    val fp = s"${r.getLong(0)}:${r.get(1)}:${r.get(2)}"
+    if (graft.core.IndexStore.strict && contentCols.nonEmpty) {
+      val h = df.agg(sum(xxhash64((col(idCol) +: contentCols): _*)
+        .cast("decimal(38,0)"))).head().get(0)
+      s"$fp:c=$h"
+    } else fp
   }
 
   def ivfCentroids(spark: SparkSession, dir: String, unit: DataFrame): IvfIndex = {
     import spark.implicits._
-    val fp = corpusFingerprint(unit, "id")
+    val fp = corpusFingerprint(unit, "id", Seq(col("v")))
     // the loaded-value memo (centroid matrix stays driver-resident
     // between calls); the disk lifecycle below is IndexStore's
     centroidCache.get(dir) match {

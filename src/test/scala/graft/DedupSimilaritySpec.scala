@@ -354,6 +354,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "mutated corpus must rebuild the band index")
   }
 
+  test("strict mode catches the in-place CONTENT edit the cheap fingerprint misses") {
+    // stage a private copy of the sf0.001 documents under its own path
+    val dataDir = java.nio.file.Files.createTempDirectory("band-strict-data")
+    val src = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tgt = dataDir.resolve("documents.parquet")
+    src.write.mode("overwrite").parquet(tgt.toString)
+    DedupQueries.baseBandIndex(spark, dataDir.toString)
+    val built = DedupQueries.bandBuildCount.get()
+    // content-only in-place edit: every base-slice text changes, but row
+    // count and doc_id range are exactly preserved
+    val tmp = dataDir.resolve("docs2.parquet").toString
+    graft.core.Tables.load(spark, dataDir.toString, "documents")
+      .withColumn("text",
+        when(col("doc_id") % DedupQueries.IngestSplitMod === 0,
+             concat(col("text"), lit(" EDITED"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(tmp)
+    tgt.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgt)
+    // cheap fingerprint (the default): the documented tradeoff — the
+    // stale index is served, because revalidation scans no payloads
+    DedupQueries.clearBandIndexCache()
+    DedupQueries.baseBandIndex(spark, dataDir.toString)
+    assert(DedupQueries.bandBuildCount.get() == built,
+      "the (count, id-range) fingerprint cannot see a content-only edit — documented")
+    // strict mode folds a content hash into the fingerprint → rebuild
+    sys.props("graft.index.strict") = "true"
+    try {
+      DedupQueries.clearBandIndexCache()
+      DedupQueries.baseBandIndex(spark, dataDir.toString)
+      assert(DedupQueries.bandBuildCount.get() == built + 1,
+        "strict mode must rebuild on a content-only in-place edit")
+      // unchanged content under strict mode revalidates without rebuilding
+      DedupQueries.clearBandIndexCache()
+      DedupQueries.baseBandIndex(spark, dataDir.toString)
+      assert(DedupQueries.bandBuildCount.get() == built + 1,
+        "strict revalidation of unchanged content must reuse the index")
+    } finally sys.props.remove("graft.index.strict")
+  }
+
   test("large-star/small-star CC equals min-label propagation on randomized graphs") {
     for (trial <- 0 until 8) {
       val rnd = new scala.util.Random(7000 + trial)
