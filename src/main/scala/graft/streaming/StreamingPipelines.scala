@@ -869,6 +869,59 @@ object StreamingPipelines {
     out
   }
 
+  /** Compact a growing-ingest appendix (the accumulated `batch_id=N`
+    * dirs under one index table's root) into the single highest-id
+    * partition — the small-files maintenance op a long-lived ingest
+    * loop needs: every accepted epoch adds one dir of
+    * shuffle-partition-many files, and at 100 TB the probe's file
+    * listing (and the namenode) pays for all of them on every
+    * micro-batch. Generic over the appendix schema (`dataCols`):
+    * q16k's (doc_id, sig)/(doc_id, band) and q16m's
+    * (id, table_id, key)/(vec_id, v) alike.
+    *
+    * Contract: run QUIESCED — after the ingest query has stopped with
+    * its last epoch checkpoint-committed (the same offline-maintenance
+    * slot as an IVF retrain). Relabeling every row to the HIGHEST
+    * accepted id M is then exact for every future probe: a future
+    * epoch's `batch_id < batchId` filter has batchId > M, and the
+    * "old ∈ base ∪ strictly-earlier batches" contract only ever
+    * compares against the committed frontier, never inside it.
+    * (Relabeling to the LOWEST id would instead resurrect the
+    * retried-epoch self-probe bug the filter exists to prevent.)
+    *
+    * Crash-safe without a table format, by per-file rename atomicity
+    * plus the probe's duplicate tolerance (candidate pairs collapse in
+    * the screen's pair-dedup aggregate before anything is scored):
+    *  1. rows to move = dirs < M EXCEPT what `batch_id=M` already
+    *     holds, so a re-run after any crash never re-appends;
+    *  2. append them to `batch_id=M` — task files land by rename, so a
+    *     crash leaves complete duplicate files, never torn rows;
+    *  3. delete the superseded dirs — a crash here leaves duplicate
+    *     rows the next run's steps 1+3 converge away.
+    * Every intermediate state probes identically to the uncompacted
+    * appendix, and re-running after any crash converges; both pinned
+    * in StreamingParitySpec. */
+  def compactIngestAppendix(spark: SparkSession, dirStr: String,
+                            dataCols: Seq[String]): Unit = {
+    val root = Paths.get(dirStr)
+    if (!Files.exists(root)) return
+    val batchDirs = Files.list(root).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("batch_id="))
+      .sortBy(_.getFileName.toString.stripPrefix("batch_id=").toLong)
+    if (batchDirs.size <= 1) return
+    val m = batchDirs.last.getFileName.toString.stripPrefix("batch_id=").toLong
+    val cols = dataCols.map(col)
+    val already = spark.read.parquet(s"$dirStr/batch_id=$m").select(cols: _*)
+    // partition pruning keeps the < M read off the target dir, so the
+    // append never reads its own output
+    val toMove = spark.read.parquet(dirStr)
+      .where(col("batch_id") < m).select(cols: _*)
+      .except(already)
+    toMove.coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("append").parquet(s"$dirStr/batch_id=$m")
+    batchDirs.init.foreach(graft.core.IndexStore.deleteRecursively)
+  }
+
   /** The EMBEDDING side of the streaming ingest story (q16l): the
     * planted duplicate vectors (q16e's fixture — exact ×2-scaled
     * copies of existing corpus vectors, i.e. literally re-ingested

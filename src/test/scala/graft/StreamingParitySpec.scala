@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -425,6 +426,57 @@ class StreamingParitySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(viaFilter == explicit,
       "epoch 1 must still see epoch 0's accepted index rows")
+  }
+
+  test("appendix compaction: one dir remains, probes unchanged, crash states converge") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    val grow = Files.createTempDirectory("grow-compact")
+    val sigDir  = grow.resolve("sigs").toString
+    val bandDir = grow.resolve("bands").toString
+    val baseIdx = DedupQueries.baseBandIndex(spark, dir)
+    val payload = DedupQueries.wordShingleDocs(spark, dir)
+    def sliceChunk(c: Int) = payload.where(
+      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem &&
+      pmod(col("doc_id"), lit(DedupQueries.IngestChunks)) === c)
+    def accept(c: Int): Unit = {
+      val sigs = sliceChunk(c).select(col("doc_id"),
+        call_function(graft.functions.MinHash.sigFnName, col("sh")).as("sig"))
+      sigs.write.mode("overwrite").parquet(s"$sigDir/batch_id=$c")
+      sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
+        .write.mode("overwrite").parquet(s"$bandDir/batch_id=$c")
+    }
+    accept(0); accept(1) // the drained, checkpoint-committed appendix
+    def probe() = StreamingPipelines.growingIngestProbe(
+        spark, baseIdx, payload, sliceChunk(2), 2L, sigDir, bandDir)
+      .as[(Long, Long, Double)].collect().toSet
+    def partDirs(p: String) = Files.list(Paths.get(p)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq.sorted
+    val before = probe()
+    assert(before.nonEmpty, "chunk 2 must flag pairs against the accumulated index")
+    def compactBoth(): Unit = {
+      StreamingPipelines.compactIngestAppendix(spark, sigDir, Seq("doc_id", "sig"))
+      StreamingPipelines.compactIngestAppendix(spark, bandDir, Seq("doc_id", "band"))
+    }
+    compactBoth()
+    assert(partDirs(sigDir) == Seq("batch_id=1") && partDirs(bandDir) == Seq("batch_id=1"),
+      "compaction must leave only the highest-id partition")
+    assert(probe() == before, "a compacted appendix must probe identically")
+    val sigRows = spark.read.parquet(s"$sigDir/batch_id=1").count()
+    // worst crash window: the append committed but the superseded-dir
+    // deletes never ran — every pre-compaction row of epoch 0 is now
+    // duplicated between its own dir and the compacted one
+    accept(0)
+    assert(probe() == before,
+      "the probe's pair-dedup must collapse the crash window's duplicates")
+    // a re-run converges: nothing re-appends (except vs the target dir),
+    // the leftover dir goes away, and probes are still identical
+    compactBoth()
+    assert(partDirs(sigDir) == Seq("batch_id=1") && partDirs(bandDir) == Seq("batch_id=1"))
+    assert(spark.read.parquet(s"$sigDir/batch_id=1").count() == sigRows,
+      "a crash-recovery re-run must not re-append rows the target already holds")
+    assert(probe() == before)
   }
 
   test("q16l embedding ingest: drained duplicate pairs equal batch all-pairs; key index reused") {
