@@ -898,9 +898,13 @@ object StreamingPipelines {
     *     crash leaves complete duplicate files, never torn rows;
     *  3. delete the superseded dirs — a crash here leaves duplicate
     *     rows the next run's steps 1+3 converge away.
-    * Every intermediate state probes identically to the uncompacted
-    * appendix, and re-running after any crash converges; both pinned
-    * in StreamingParitySpec. */
+    * Re-running after any crash converges, and for CANDIDATE tables
+    * (sigs/bands/keys — whatever feeds a screen with a pair-dedup)
+    * every intermediate state even probes identically to the
+    * uncompacted appendix; both pinned in StreamingParitySpec. A
+    * PAYLOAD table (q16m's vecs) joins 1:1 into scored results, so its
+    * crash-window duplicates would duplicate output rows — there the
+    * quiesce contract is load-bearing, not just advisable. */
   def compactIngestAppendix(spark: SparkSession, dirStr: String,
                             dataCols: Seq[String]): Unit = {
     val root = Paths.get(dirStr)

@@ -479,6 +479,45 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(probe() == before)
   }
 
+  test("appendix compaction is generic: the embedding keys/vecs appendix compacts too") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    val grow = Files.createTempDirectory("embgrow-compact")
+    val keysDir = grow.resolve("keys").toString
+    val vecsDir = grow.resolve("vecs").toString
+    val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
+    val base = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val incoming = SimilarityQueries.plantedEmbeddings(spark, dir)
+      .where(col("vec_id") >= 1000000L)
+      .unionAll(SimilarityQueries.plantedEmbeddingsGen2(spark, dir))
+    def chunkOf(c: Int) = incoming.where(pmod(col("vec_id"),
+      lit(graft.operators.DedupQueries.IngestChunks)) === c)
+    for (c <- 0 to 1) {
+      val batch = chunkOf(c)
+      batch.select(col("vec_id").as("id"),
+          posexplode(call_function(graft.functions.HyperplaneLsh.wideFnName,
+            col("v"), lit(bits))).as(Seq("table_id", "key")))
+        .write.mode("overwrite").parquet(s"$keysDir/batch_id=$c")
+      batch.select("vec_id", "v")
+        .write.mode("overwrite").parquet(s"$vecsDir/batch_id=$c")
+    }
+    def probe() = StreamingPipelines.embGrowingProbe(
+        spark, bits, baseKeys, base, chunkOf(2), 2L, keysDir, vecsDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val before = probe()
+    assert(before.exists { case (n, o, _) => o >= 1000000L },
+      "chunk 2 must flag a cross-generation pair via the accumulated index")
+    // vecs carries an array<double> payload column through except()
+    StreamingPipelines.compactIngestAppendix(spark, keysDir, Seq("id", "table_id", "key"))
+    StreamingPipelines.compactIngestAppendix(spark, vecsDir, Seq("vec_id", "v"))
+    def partDirs(p: String) = Files.list(Paths.get(p)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq.sorted
+    assert(partDirs(keysDir) == Seq("batch_id=1") && partDirs(vecsDir) == Seq("batch_id=1"))
+    assert(probe() == before, "a compacted embedding appendix must probe identically")
+  }
+
   test("q16l embedding ingest: drained duplicate pairs equal batch all-pairs; key index reused") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
