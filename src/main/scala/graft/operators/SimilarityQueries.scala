@@ -469,7 +469,10 @@ object SimilarityQueries {
     * retry-idempotent, the ingest-loop accept pattern); standing
     * assignments are never touched. Returns the accepted (id, cid)
     * rows. A retrain clears the `_inc` appendix (those rows were scored
-    * against the superseded centroids). */
+    * against the superseded centroids); between retrains,
+    * [[graft.streaming.StreamingPipelines.compactIngestAppendix]] folds
+    * the accumulated batch dirs into one (the view has no batch-order
+    * semantics, so compaction is trivially exact here). */
   def ivfAssignIncremental(spark: SparkSession, ivf: IvfIndex,
                            delta: DataFrame, batchId: Long): DataFrame = {
     ivfAssignDelta(ivf, delta).write.mode("overwrite")

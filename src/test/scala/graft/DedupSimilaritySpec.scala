@@ -231,6 +231,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the read view is base ∪ delta; a retrain clears the appendix
     assert(SimilarityQueries.ivfAssignments(spark, ivf).count() ==
       baseAssign.size + 50)
+    // the appendix compaction op applies here too (the read view has no
+    // batch-order semantics): a second delta batch, then fold to one dir
+    val delta2 = unit.where(col("id") >= 50 && col("id") < 60)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id + 20000L, v) }.toSeq.toDF("id", "v")
+    SimilarityQueries.ivfAssignIncremental(spark, ivf, delta2, 1L)
+    val viewBefore = SimilarityQueries.ivfAssignments(spark, ivf)
+      .as[(Long, Int)].collect().toSet
+    graft.streaming.StreamingPipelines.compactIngestAppendix(
+      spark, s"${ivf.assignPath}_inc", Seq("id", "cid"))
+    import scala.jdk.CollectionConverters._
+    val incDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"${ivf.assignPath}_inc")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+    assert(incDirs == Seq("batch_id=1"))
+    assert(SimilarityQueries.ivfAssignments(spark, ivf)
+      .as[(Long, Int)].collect().toSet == viewBefore,
+      "compacting the _inc appendix must not change the inverted-list view")
     SimilarityQueries.clearIvfCache()
     val tmp = dataDir.resolve("emb2.parquet").toString
     graft.core.Tables.load(spark, dataDir.toString, "embeddings")
