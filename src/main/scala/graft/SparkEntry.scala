@@ -60,6 +60,7 @@ object SparkEntry {
     "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
     "q16m_stream_ingest_embgrow" -> (graft.streaming.StreamingPipelines.q16mStreamIngestEmbGrowing _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
+    "q21c_salted_join"     -> (SkewOps.q21cSaltedJoin _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
     "q16g_semantic_dedup"  -> (SimilarityQueries.q16gSemanticDedup _),
     "q17_cosine_topk"      -> (SimilarityQueries.q17CosineTopK _),
@@ -1102,5 +1103,13 @@ object SparkEntry {
     "q21b_salted_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the salted shuffle join is result-identical to the plain join:
+    // each fact row meets exactly the dim replica matching its salt
+    "q21c_salted_join" ->
+      """SELECT e.event_id, e.event_type, d.type_n
+        |FROM events e
+        |JOIN (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1) d
+        |  USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

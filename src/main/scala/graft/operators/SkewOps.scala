@@ -81,6 +81,45 @@ object SkewOps {
       .groupBy("key")
       .agg(flatten(collect_list("partial")).as("values"))
 
+  /** Salted shuffle JOIN — the skew-join escape hatch for the cases
+    * AQE's runtime skew splitting cannot reach (streaming joins, plans
+    * pinned non-adaptive) with a dim too big to broadcast. Fact rows
+    * tag an arbitrary salt in [0, S); dim rows replicate S times, once
+    * per salt; the join key becomes (key, salt), so a hot key's fact
+    * stream spreads over S reducers, each meeting ONE replica of the
+    * dim row instead of funneling through a single reducer. Result is
+    * identical to the plain inner join for any data: every fact row
+    * meets exactly the one replica that matches its salt. Cost: the
+    * dim shuffles S× — the deliberate trade (S stays small; a hot-key
+    * straggler does not). The per-row salt VALUE never affects the
+    * result, so the cheap id-derived salt is safe; `shuffle_hash` pins
+    * the replicated dim as a per-task hash build (statistics on a
+    * test-sized dim would broadcast, which is exactly the plan this
+    * op exists to avoid when the dim outgrows the driver). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    sf.join(sd.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Q21c — per-row enrichment through the salted shuffle join on the
+    * hot key: every event row picks up its type's total, where the
+    * plain shuffle join would funnel each of the 5 types through one
+    * reducer. The 5-row derived dim here stands in for the
+    * unbroadcastable dimension of the real shape (a user or document
+    * table); the hint pins the shuffle path the op exists to provide.
+    * Oracle = the plain join (result-identical by construction). */
+  def q21cSaltedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val dim = events.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+    saltedJoin(events.select("event_id", "event_type"), dim, "event_type", 8)
+      .select(col("event_id"), col("event_type"), col("type_n"))
+      .orderBy("event_id")
+  }
+
   /** Q21 — hot-key aggregation through the salted two-phase plan,
     * declared end-to-end: `event_type` has 5 values over the whole
     * table, the canonical hot-key shape where a single-phase groupBy

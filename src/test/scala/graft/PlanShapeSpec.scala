@@ -418,6 +418,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"phase-1 shuffle must be keyed by (key, salt): $shuffled")
   }
 
+  test("q21c: the salted join shuffles on (key, salt) and never broadcasts the dim") {
+    val plan = finalPlan(SkewOps.q21cSaltedJoin(spark, dir))
+    val planStr = plan.toString
+    assert(!planStr.contains("BroadcastHashJoin"),
+      s"the salted join must stay on the shuffle path (broadcast is the plan this op replaces):\n$planStr")
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    // the hot key's fact stream must spread over salt buckets: the join
+    // input shuffles carry the salt column
+    assert(shuffled.exists(_.contains("__salt")),
+      s"join-side shuffles must be keyed by (key, salt): $shuffled")
+    assert(planStr.contains("ShuffledHashJoin"),
+      s"replicated-dim build must be a per-task hash build:\n$planStr")
+  }
+
   test("q16e: adaptive LSH key width — no cartesian, no cache residency, wide keys") {
     val df = SimilarityQueries.q16eEmbeddingNearDup(spark, dir)
     val plan = finalPlan(df)

@@ -95,6 +95,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(saltedSets.view.mapValues(_.size).toMap == directSets.view.mapValues(_.size).toMap)
   }
 
+  test("salted join equals the plain inner join (hot fact key, unmatched keys both sides)") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key; "orphan" has no dim row and
+    // "unused" no fact row — inner-join semantics must hold exactly
+    val fact = (1 to 10000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 50}" else if (i % 97 == 0) "orphan" else "HOT"
+      (i.toLong, k)
+    }.toDF("id", "k")
+    val dim = (Seq("HOT", "unused") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 100L) }.toDF("k", "payload")
+    val direct = fact.join(dim, "k").select("id", "k", "payload")
+      .as[(Long, String, Long)].collect().toSet
+    val salted = SkewOps.saltedJoin(fact, dim, "k", 8)
+      .select("id", "k", "payload")
+      .as[(Long, String, Long)].collect().toSet
+    assert(salted == direct)
+    assert(!direct.exists(_._2 == "orphan"), "orphan fact rows must not match")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import java.nio.file.Files
     val wh = Files.createTempDirectory("graft-warehouse").toString
