@@ -142,6 +142,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("partitioned+sorted layout: directory pruning engages, file count bounded, files sorted") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft-layout").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    graft.sources.Layout.writePartitioned(events, out, Seq("event_type"), Seq("ts"))
+    // the repartition-first guard: each partition dir holds a bounded
+    // file count (without it: one file per write task per dir)
+    val typeDirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type=")).toSeq
+    assert(typeDirs.nonEmpty)
+    typeDirs.foreach { d =>
+      val files = Files.list(d).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files <= 2, s"write amplification: $files files in $d")
+    }
+    // a partition-column filter must become directory pruning, and the
+    // pruned read must equal filtering the unpartitioned table
+    val someType = events.select("event_type").limit(1).collect()(0).getString(0)
+    val pruned = spark.read.parquet(out).where(col("event_type") === someType)
+    val rows = pruned.collect()
+    val scanStr = pruned.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("event_type"),
+      s"expected a PartitionFilters entry on the scan:\n$scanStr")
+    assert(rows.length ==
+      events.where(col("event_type") === someType).count())
+    // sortWithinPartitions clustered each file on ts (what row-group
+    // min/max pruning rides): a single file must read back ts-sorted
+    val oneFile = Files.list(typeDirs.head).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    val ts = spark.read.parquet(oneFile).select(col("ts").cast("long"))
+      .collect().map(_.getLong(0))
+    assert(ts.zip(ts.drop(1)).forall { case (a, b) => a <= b },
+      "file not clustered on the sort key")
+  }
+
   test("binned band join: equals the naive range join, including boundaries and zero-neighbor rows") {
     import spark.implicits._
     import java.sql.Timestamp
