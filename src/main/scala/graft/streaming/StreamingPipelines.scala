@@ -915,12 +915,20 @@ object StreamingPipelines {
     if (batchDirs.size <= 1) return
     val m = batchDirs.last.getFileName.toString.stripPrefix("batch_id=").toLong
     val cols = dataCols.map(col)
-    val already = spark.read.parquet(s"$dirStr/batch_id=$m").select(cols: _*)
     // partition pruning keeps the < M read off the target dir, so the
     // append never reads its own output
-    val toMove = spark.read.parquet(dirStr)
+    val lower = spark.read.parquet(dirStr)
       .where(col("batch_id") < m).select(cols: _*)
-      .except(already)
+    // an accepted-but-EMPTY batch writes a dir with no parquet files
+    // (reachable: a chunk whose docs all fall below the shingle
+    // minimum) — reading it for the except() would fail schema
+    // inference; except-nothing keeps the same distinct semantics
+    val targetHasFiles = Files.list(batchDirs.last).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+    val toMove =
+      if (targetHasFiles)
+        lower.except(spark.read.parquet(s"$dirStr/batch_id=$m").select(cols: _*))
+      else lower.distinct()
     toMove.coalesce(spark.sparkContext.defaultParallelism)
       .write.mode("append").parquet(s"$dirStr/batch_id=$m")
     batchDirs.init.foreach(graft.core.IndexStore.deleteRecursively)

@@ -477,6 +477,15 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sigDir/batch_id=1").count() == sigRows,
       "a crash-recovery re-run must not re-append rows the target already holds")
     assert(probe() == before)
+    // accepted-but-EMPTY newest batch (a chunk whose docs all fall
+    // below the shingle minimum writes a dir with no parquet files):
+    // compaction must fold into it without tripping schema inference
+    val empty2 = java.nio.file.Paths.get(s"$sigDir/batch_id=2")
+    Files.createDirectories(empty2)
+    StreamingPipelines.compactIngestAppendix(spark, sigDir, Seq("doc_id", "sig"))
+    assert(partDirs(sigDir) == Seq("batch_id=2"))
+    assert(spark.read.parquet(s"$sigDir/batch_id=2").count() == sigRows,
+      "folding into an empty newest batch must carry every row")
   }
 
   test("appendix compaction is generic: the embedding keys/vecs appendix compacts too") {
