@@ -112,6 +112,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(salted == direct)
     assert(!direct.exists(_._2 == "orphan"), "orphan fact rows must not match")
+    // null join keys must keep inner-join semantics (dropped on both
+    // paths), and the degenerate bucket counts must stay exact
+    val factN = fact.unionAll(Seq((99990L, null: String), (99991L, null: String)).toDF("id", "k"))
+    val dimN  = dim.unionAll(Seq((null: String, 777L)).toDF("k", "payload"))
+    val directN = factN.join(dimN, "k").select("id", "k", "payload")
+      .as[(Long, String, Long)].collect().toSet
+    assert(directN == direct, "null keys must not join")
+    for (s <- Seq(1, 3, 16)) {
+      val viaS = SkewOps.saltedJoin(factN, dimN, "k", s)
+        .select("id", "k", "payload").as[(Long, String, Long)].collect().toSet
+      assert(viaS == directN, s"saltBuckets=$s diverged")
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
