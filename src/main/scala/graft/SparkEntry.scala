@@ -95,6 +95,7 @@ object SparkEntry {
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
+    "q20l_stream_left_join" -> (graft.streaming.StreamingPipelines.q20lStreamLeftJoin _),
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
     "q20i_stream_session"  -> (graft.streaming.StreamingPipelines.q20iStreamSession _),
@@ -1049,6 +1050,19 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // drained LEFT OUTER stream-stream join == batch LEFT JOIN (matched
+    // rows emit on arrival; NULL-extended rows emit when the watermark
+    // passes the click's join window — the sentinel flushes the tail)
+    "q20l_stream_left_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  COALESCE(p.event_id, -1) AS purchase_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
     // drained streaming dropDuplicates state == batch DISTINCT
     "q20f_stream_dedup" ->

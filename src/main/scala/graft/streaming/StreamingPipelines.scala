@@ -101,6 +101,7 @@ object StreamingPipelines {
     @volatile var perTypeSinkDir: String = _   // O11 input, update mode
     @volatile var top1SinkDir: String = _      // O11 in-stream argmax (q20h), update mode
     @volatile var joinSinkDir: String = _      // stream-stream join, append mode
+    @volatile var leftJoinSinkDir: String = _  // stream-stream LEFT OUTER join (q20l), append mode
     @volatile var enrichSinkDir: String = _    // stream-static join (q20j), update mode
     @volatile var dedupSinkDir: String = _     // dropDuplicates (q20f), append mode
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
@@ -326,6 +327,7 @@ object StreamingPipelines {
     sink.perTypeSinkDir  = Files.createTempDirectory("graft-out-pertype").toString
     sink.top1SinkDir     = Files.createTempDirectory("graft-out-top1").toString
     sink.joinSinkDir     = Files.createTempDirectory("graft-out-join").toString
+    sink.leftJoinSinkDir = Files.createTempDirectory("graft-out-leftjoin").toString
     sink.dedupSinkDir    = Files.createTempDirectory("graft-out-dedup").toString
     sink.enrichSinkDir   = Files.createTempDirectory("graft-out-enrich").toString
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
@@ -459,6 +461,54 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.joinSinkDir)).start()
 
+    // Stream-stream LEFT OUTER interval join (q20l) — the outer mode the
+    // inner join above can't express: every click resolves exactly once
+    // — matched rows emit as matches arrive, unmatched clicks emit
+    // NULL-extended only once the watermark proves no matching purchase
+    // can still arrive (emitting earlier would be wrong; never emitting
+    // is what the inner join does). Same bounded state as the inner
+    // join (range condition + 300 s watermark, both sides).
+    //
+    // Sentinel routing is THE correctness subtlety here (the q20i
+    // lesson, outer-join edition): an `event_type === 'click'` filter
+    // is pushed BELOW EventTimeWatermark by PushDownPredicates, so the
+    // flush sentinel would be dropped before the watermark node ever
+    // saw it — the final watermark then stalls 300 s behind the last
+    // REAL event and every click inside that tail horizon waits for a
+    // flush that never comes (observed: exactly the corpus-tail click
+    // stranded in state). The per-side filters therefore KEEP the
+    // sentinel (`isin(type, SentinelType)`); it joins only its own
+    // mirror (user_id -1, same instant), and the sink edge drops
+    // user_id < 0 — semantics over real events are untouched while the
+    // sentinel walks through both watermark nodes and closes every
+    // join window at drain. NULL purchase_id materializes as -1 (q9c's
+    // COALESCE convention) so the durable parquet column is non-null.
+    val clicksF = source
+      .withWatermark("ts", "300 seconds")
+      .where(col("event_type").isin("click", SentinelType))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchasesF = source
+      .withWatermark("ts", "300 seconds")
+      .where(col("event_type").isin("purchase", SentinelType))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    // NOTE the sentinel drop lives INSIDE foreachBatch (outside the
+    // streaming plan): as a plan-side filter, `user_id >= 0` references
+    // only left-side columns and PushDownPredicates would push it
+    // through the join into the click side — below the watermark node —
+    // re-creating exactly the stall the isin() filters prevent.
+    val leftJoined = clicksF.join(purchasesF,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 5 minutes"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+              coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/leftjoined")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col("user_id") >= 0)
+          .write.mode("overwrite").parquet(s"${sink.leftJoinSinkDir}/batch_id=$batchId")
+      }.start()
+
     // Stream-STATIC enrichment join (q20j) — the dimension-join mode the
     // reference never exercises but every production stream runs: each
     // event joined to the static customer table (user_id → market
@@ -526,7 +576,8 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.sessionSinkDir)).start()
 
-    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, enrich, dedup, session)
+    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
+            enrich, dedup, session)
       .foreach(_.awaitTermination())
     finally {
       WriterRegistry.queues.remove(runId)
@@ -1399,6 +1450,18 @@ object StreamingPipelines {
     * precision on both engines). */
   def q20eStreamJoin(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(replayCached(spark, dir).joinSinkDir)
+      .select("user_id", "click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
+
+  /** Q20l — stream-stream LEFT OUTER interval join result from the
+    * durable sink (append-mode epochs: matched rows emit on arrival,
+    * NULL-extended unmatched clicks emit once the watermark proves no
+    * match can arrive — the sentinel walks through both sides'
+    * watermark nodes, closing every join window by drain); oracle =
+    * the batch LEFT JOIN with the same interval condition in DuckDB,
+    * purchase_id coalesced to -1 on both engines. */
+  def q20lStreamLeftJoin(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(replayCached(spark, dir).leftJoinSinkDir)
       .select("user_id", "click_id", "purchase_id")
       .orderBy("click_id", "purchase_id")
 

@@ -91,6 +91,35 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamedPairs == batchPairs)
   }
 
+  test("q20l drained left-outer stream-stream join equals the batch left join") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20lStreamLeftJoin(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20l must be fed by the durable sink, not driver memory")
+    val got = df.as[(Long, Long, Long)].collect().toSet
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val want = c.join(p,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 5 minutes"),
+        "left_outer")
+      .select(col("c_user"), col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"streamed left join != batch left join (got ${got.size}, want ${want.size})")
+    // the outer mode must actually add NULL-extended rows (else it
+    // degenerates to the inner join and proves nothing)
+    assert(got.exists(_._3 == -1L), "expected at least one unmatched click")
+    assert(got.size > got.count(_._3 == -1L), "expected at least one matched click")
+    // every click resolves exactly once per matching purchase, and an
+    // unmatched click exactly once total
+    val unmatched = got.filter(_._3 == -1L).map(_._2)
+    assert(got.count(t => unmatched.contains(t._2)) == unmatched.size,
+      "an unmatched click must not also emit a matched row")
+  }
+
   test("q20i drained session windows equal batch session_window aggregation") {
     import spark.implicits._
     val df = StreamingPipelines.q20iStreamSession(spark, "/root/testdata/sf0.001")
