@@ -47,6 +47,7 @@ object SparkEntry {
     "q15c_quantiles"       -> (RelationalQueries.q15cQuantiles _),
     "q15d_sketch_union"    -> (RelationalQueries.q15dSketchUnion _),
     "q15e_approx_quantiles" -> (RelationalQueries.q15eApproxQuantiles _),
+    "q15f_cms_heavy_hitters" -> (RelationalQueries.q15fCmsHeavyHitters _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q17e_int8_topk"       -> (SimilarityQueries.q17eInt8TopK _),
     "q17f_ivf_int8_topk"   -> (SimilarityQueries.q17fIvfInt8TopK _),
     "q17g_filtered_topk"   -> (SimilarityQueries.q17gFilteredTopK _),
+    "q17h_hybrid_rrf"      -> (SimilarityQueries.q17hHybridRrf _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q18l_corpus_mix"      -> (TextQueries.q18lCorpusMix _),
     "q18m_rarity_score"    -> (TextQueries.q18mRarityScore _),
     "q18n_token_budget_sample" -> (TextQueries.q18nTokenBudgetSample _),
+    "q18o_bm25_search"     -> (TextQueries.q18oBm25Search _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -727,6 +730,26 @@ object SparkEntry {
         |      FROM b JOIN a ON (a.gen = 0 OR (a.vec_id % 3 < b.vec_id % 3)))
         |SELECT new_id, old_id, cos_sim FROM p WHERE cos_sim >= 0.9
         |ORDER BY new_id, old_id""".stripMargin,
+    // q15f: the CMS is pure 64-bit integer arithmetic, so the oracle
+    // recomputes sketch + estimates + threshold bit-for-bit (the q19d
+    // recompute-the-pipeline pattern) — a fully hash-checked sketch
+    "q15f_cms_heavy_hitters" ->
+      """WITH h(r, a, b) AS (VALUES (0, 1103, 12345), (1, 12289, 54321),
+        |                          (2, 786433, 1299709), (3, 10007, 7919)),
+        |e AS (SELECT user_id FROM events),
+        |st AS (SELECT COUNT(*) AS n FROM e),
+        |cells AS (SELECT h.r, (e.user_id * h.a + h.b) % 1000000007 % 256 AS cell,
+        |            COUNT(*) AS c
+        |          FROM e CROSS JOIN h GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT user_id FROM e),
+        |est AS (SELECT k.user_id, MIN(c.c) AS est
+        |        FROM k CROSS JOIN h
+        |        JOIN cells c ON c.r = h.r
+        |          AND c.cell = (k.user_id * h.a + h.b) % 1000000007 % 256
+        |        GROUP BY 1)
+        |SELECT est.user_id, CAST(est.est AS BIGINT) AS est
+        |FROM est CROSS JOIN st WHERE est.est * 128 >= st.n
+        |ORDER BY est DESC, user_id""".stripMargin,
     "q17_cosine_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -752,6 +775,42 @@ object SparkEntry {
         |      FROM s)
         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cos_sim
         |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // q17h: RRF sums have ≤ 2 addends (FP addition is commutative →
+    // aggregation-order-proof); lexical Jaccard is integer sizes + one
+    // division, so both rank lists are bit-identical cross-engine
+    "q17h_hybrid_rrf" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |vs AS (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+        |         list_inner_product(p.v, c.v) / (p.nrm * c.nrm) AS score
+        |       FROM n p JOIN n c ON c.vec_id <> p.vec_id WHERE p.vec_id < 10),
+        |vr AS (SELECT probe_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS r
+        |       FROM vs QUALIFY r <= 20),
+        |tk AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS ts
+        |       FROM documents),
+        |ls AS (SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+        |         CAST(len(list_intersect(c.ts, p.ts)) AS DOUBLE) /
+        |           len(list_distinct(list_cat(c.ts, p.ts))) AS score
+        |       FROM tk p JOIN tk c ON c.doc_id <> p.doc_id WHERE p.doc_id < 10),
+        |lr AS (SELECT probe_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS r
+        |       FROM ls QUALIFY r <= 20),
+        |u AS (SELECT probe_id, doc_id, r, 'vec' AS ranker FROM vr
+        |      UNION ALL SELECT probe_id, doc_id, r, 'lex' AS ranker FROM lr),
+        |g AS (SELECT probe_id, doc_id, SUM(1.0 / (60 + r)) AS raw,
+        |        COALESCE(MAX(CASE WHEN ranker = 'vec' THEN r END), 0) AS vec_rank,
+        |        COALESCE(MAX(CASE WHEN ranker = 'lex' THEN r END), 0) AS lex_rank
+        |      FROM u GROUP BY 1, 2),
+        |rk AS (SELECT probe_id, doc_id, vec_rank, lex_rank, raw,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |           ORDER BY raw DESC, doc_id) AS BIGINT) AS rk
+        |       FROM g)
+        |SELECT probe_id, rk, doc_id,
+        |  CAST(vec_rank AS BIGINT) AS vec_rank, CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  ROUND(raw, 6) AS rrf
+        |FROM rk WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
     "q18_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents)
         |SELECT doc_id,
@@ -940,6 +999,35 @@ object SparkEntry {
         |       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
         |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
         |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // q18o: both engines rank by the 4-dp-ROUNDED BM25 score (then
+    // doc_id), so last-ulp sum-order noise cannot flip ranks; ln/÷/×
+    // run on identical doubles (integer tf/df/dl, exact avgdl)
+    "q18o_bm25_search" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM tk),
+        |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tk),
+        |tfr AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM dt
+        |        WHERE token IN ('stream','window','dup','filter','fast','join','sort')
+        |        GROUP BY 1, 2, 3),
+        |dfr AS (SELECT token, COUNT(*) AS df FROM tfr GROUP BY 1),
+        |q(query_id, token) AS (VALUES
+        |  ('q_stream','stream'), ('q_stream','window'),
+        |  ('q_dup','dup'), ('q_dup','filter'),
+        |  ('q_sort','fast'), ('q_sort','join'), ('q_sort','sort')),
+        |sc AS (SELECT q.query_id, tfr.doc_id,
+        |         ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+        |           (tfr.tf * 2.2) /
+        |           (tfr.tf + 1.2 * (0.25 + 0.75 * tfr.dl / s.avgdl)) AS contrib
+        |       FROM tfr JOIN q USING (token) JOIN dfr USING (token) CROSS JOIN stats s),
+        |bd AS (SELECT query_id, doc_id, COUNT(*) AS n_hit,
+        |         ROUND(SUM(contrib), 4) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, n_hit, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |       FROM bd)
+        |SELECT query_id, rk, doc_id, n_hit, score FROM rk
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -353,6 +353,68 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Count-min sketch geometry for q15f: d hash rows × w cells, row
+    * hashes h_r(u) = ((u·a_r + b_r) mod P) mod w with P = 1e9+7 and
+    * small fixed (a_r, b_r) — every op is exact 64-bit integer
+    * arithmetic, so the whole sketch (and everything derived from it)
+    * is bit-identical on any engine that can multiply and mod. */
+  val cmsHashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103L, 12345L), (1, 12289L, 54321L),
+    (2, 786433L, 1299709L), (3, 10007L, 7919L))
+  val cmsWidth = 256L
+  val cmsP = 1000000007L
+
+  /** Q15f — count-min-sketch HEAVY HITTERS, completing the mergeable-
+    * summary family (q15b/q15d cardinality, q15e quantiles): find every
+    * user whose event count clears 1/128 of the stream using a sketch
+    * of d×w = 4×256 integer cells — O(1) memory regardless of key
+    * cardinality, the frequency-summary path when distinct keys
+    * outgrow a groupBy at 100 TB.
+    *
+    * Stage 1 folds the stream into the sketch: each row increments one
+    * cell per hash row, so the sketch IS a (r, cell) → count grouped
+    * aggregate — map-side combine does the folding and cell counts
+    * merge by + (the CMS mergeability property, for free from the
+    * relational form). Stage 2 queries it: each candidate key reads its
+    * d cells and takes the MIN as its estimate (est ≥ true count,
+    * overestimate only — the CMS guarantee), keeping keys with
+    * est·128 ≥ N (integer compare, no FP threshold). The candidate set
+    * here is the distinct keys (exact at this cardinality); at true
+    * stream scale the candidate set comes from a bounded space-saving
+    * pass or the key dictionary.
+    *
+    * Unlike the HLL/KLL rows (estimates of a RANDOMIZED sketch —
+    * rows-only by design), every CMS number is a deterministic integer
+    * function of the data, so q15f is FULLY hash-checked: the DuckDB
+    * oracle recomputes sketch, estimates, and threshold bit-for-bit
+    * (the q19d recompute-the-pipeline pattern). The superset guarantee
+    * (no true heavy hitter missed, est ≥ exact) is pinned in
+    * ScaleOpsSpec. */
+  def q15fCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events").select(col("user_id"))
+    def cell(u: Column, a: Long, b: Long): Column =
+      pmod(pmod(u * lit(a) + lit(b), lit(cmsP)), lit(cmsWidth))
+    val rowStructs = cmsHashes.map { case (r, a, b) =>
+      struct(lit(r).as("r"), cell(col("user_id"), a, b).as("cell"))
+    }
+    val sketch = events
+      .select(explode(array(rowStructs: _*)).as("h"))
+      .groupBy(col("h.r").as("r"), col("h.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val stats = events.agg(count(lit(1)).as("n"))
+    val probes = events.distinct()
+      .select(col("user_id"), explode(array(rowStructs: _*)).as("h"))
+      .select(col("user_id"), col("h.r").as("r"), col("h.cell").as("cell"))
+    probes
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("user_id")
+      .agg(min(col("c")).as("est"))
+      .crossJoin(broadcast(stats))
+      .where(col("est") * lit(128L) >= col("n"))
+      .select(col("user_id"), col("est"))
+      .orderBy(col("est").desc, col("user_id"))
+  }
+
   /** Q25 — CDC latest-wins upsert compaction, the MERGE INTO shape a
     * lakehouse table maintenance job runs: a changelog keyed by entity
     * (events as the log; `error` rows play the delete tombstone)

@@ -651,6 +651,77 @@ object SimilarityQueries {
     rankedTopK(scored, 5, "cos_sim_q")
   }
 
+  /** Q17h — HYBRID retrieval: reciprocal-rank fusion (RRF, the rank
+    * combiner lexical+vector search engines ship) of two independent
+    * rankers over the id-aligned corpus (doc_id ≡ vec_id):
+    *
+    *  - VECTOR ranks: exact cosine top-20 per probe over `embeddings`
+    *    (the q17 scorer at fusion depth);
+    *  - LEXICAL ranks: token-set Jaccard top-20 per probe over
+    *    `documents` (|A∩B| / |A∪B| on distinct-token sets — integer
+    *    set sizes and ONE division, so every lexical score is
+    *    bit-identical cross-engine by construction).
+    *
+    * Fused score = Σ_lists 1/(60 + rank) (the standard RRF k = 60) over
+    * the lists a candidate appears in. Ranks are small integers, each
+    * addend is a single exact division, and a candidate contributes at
+    * most TWO addends — FP addition is commutative, so the sum is
+    * deterministic under any aggregation order and q17h is FULLY
+    * hash-checked (unlike the ANN rows, nothing here is probabilistic).
+    *
+    * Scale posture: both rankers end in the bounded [[rankedTopK]] tail
+    * (k rows per probe per partition cross the shuffle — never N scored
+    * candidates), fusion touches only 2 × k × probes rank rows (a
+    * union + one tiny keyed aggregate), and the two rankers share
+    * nothing upstream so they parallelize as independent stage trees.
+    * At 100 TB each ranker swaps in its sublinear index (IVF for the
+    * vector side, the term-partitioned posting layout for BM25) without
+    * the fusion layer changing — RRF consumes ranks, not scores. */
+  def q17hHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val fusionK = 20
+
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val vprobes = emb.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+      .where(col("probe_id") < 10)
+    val vecScored = emb.join(broadcast(vprobes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("probe"), col("vec_id").as("id"),
+        (dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))).as("score"))
+
+    val toked = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+    val lprobes = toked.select(col("doc_id").as("probe_id"), col("ts").as("pts"))
+      .where(col("probe_id") < 10)
+    val lexScored = toked.join(broadcast(lprobes), col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id").as("probe"), col("doc_id").as("id"),
+        (size(array_intersect(col("ts"), col("pts"))).cast("double") /
+          size(array_union(col("ts"), col("pts")))).as("score"))
+
+    val vecR = rankedTopK(vecScored, fusionK, "s")
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r"), lit("vec").as("ranker"))
+    val lexR = rankedTopK(lexScored, fusionK, "s")
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r"), lit("lex").as("ranker"))
+
+    val w = Window.partitionBy("probe_id").orderBy(col("raw").desc, col("doc_id"))
+    vecR.unionByName(lexR)
+      .groupBy("probe_id", "doc_id")
+      .agg(
+        sum(lit(1.0) / (lit(60L) + col("r"))).as("raw"),
+        coalesce(max(when(col("ranker") === "vec", col("r"))), lit(0L)).as("vec_rank"),
+        coalesce(max(when(col("ranker") === "lex", col("r"))), lit(0L)).as("lex_rank"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .select(col("probe_id"), col("rk"), col("doc_id"),
+        col("vec_rank"), col("lex_rank"), round(col("raw"), 6).as("rrf"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** Shared ranked-top-k tail: bounded per-probe aggregation (only k
     * rows per probe per partition cross the shuffle) → posexplode into
     * (probe_id, neighbor_id, rank, <scoreName>) rows rounded to 6dp. */

@@ -465,6 +465,87 @@ object TextQueries {
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .orderBy("source", "lang", "doc_id")
 
+  /** The BM25 query workload for q18o: fixed multi-term keyword
+    * queries over the documents corpus (one common-term query, one
+    * carrying the corpus-rare `dup` marker, one three-term query). The
+    * term lists are the retrieval contract — swap for user queries in
+    * production; the plan shape does not change with the query count
+    * because the query side is a broadcast literal. */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_stream" -> Seq("stream", "window"),
+    "q_dup"    -> Seq("dup", "filter"),
+    "q_sort"   -> Seq("fast", "join", "sort"))
+
+  /** BM25 keyword search (Robertson/Sparck Jones probabilistic
+    * relevance, the k1/b formulation every lexical search engine ships):
+    * for each query, rank documents by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(0.25 + 0.75·dl/avgdl))` with
+    * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`, k1 = 1.2, b = 0.75.
+    *
+    * Scale posture: the (doc, term, tf, dl) posting frame is derived
+    * WITHOUT a shuffle — per-doc term counts come from a codegen'd
+    * `transform(array_distinct…)` over the token array (the
+    * topTokenCount trick), so tokenization, tf, and dl all ride the one
+    * corpus scan, and the query-term `isin` filter drops every
+    * non-query posting before anything moves. What crosses the wire is
+    * only matched postings (|terms| ≤ a handful × df rows). The df and
+    * corpus-stats sides are one-row/few-row aggregates broadcast back;
+    * the only real shuffle is the final (query, doc) score combine,
+    * bounded by matched postings. At 100 TB the posting frame is
+    * materialized once as a term-partitioned layout
+    * ([[graft.sources.Layout]]) and queries touch only their terms'
+    * partitions — this operator is that layout's query side, expressed
+    * against the raw corpus.
+    *
+    * Determinism: ranking compares the 4-dp-ROUNDED score (then doc_id)
+    * in both engines, so docs whose scores agree to 4 dp order by id —
+    * last-ulp sum-order noise cannot flip ranks across engines. */
+  def bm25Search(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "token")
+
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // (doc, dl, token, tf) with zero shuffle: per-doc tf inside codegen
+    val postings = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(transform(array_distinct(col("toks")),
+          u => struct(u.as("token"),
+            size(filter(col("toks"), x => x === u)).cast("long").as("tf")))).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.token").as("token"), col("p.tf").as("tf"))
+      .where(col("token").isin(terms.map(lit): _*))
+
+    val dfFrame = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = toked.agg(count(lit(1)).as("n"),
+      avg(size(col("toks")).cast("long")).as("avgdl"))
+
+    val contrib =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    postings
+      .join(broadcast(qterms), "token")
+      .join(broadcast(dfFrame), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(contrib).as("raw"))
+      .withColumn("score", round(col("raw"), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"), col("score"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Q18o — [[bm25Search]] top-10 per fixed query over documents. */
+  def q18oBm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.load(spark, dir, "documents"), bm25Queries, 10)
+
   /** Q18f — sequence packing (concat-and-chunk pretraining layout):
     * documents concatenated in doc_id order; each doc's pack is the
     * 2048-token chunk its start offset falls in. The global running

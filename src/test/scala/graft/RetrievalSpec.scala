@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{RelationalQueries, SimilarityQueries, TextQueries}
+
+/** Retrieval surface (round 9): BM25 lexical search (q18o), hybrid
+  * reciprocal-rank fusion (q17h), and the count-min heavy-hitter
+  * sketch (q15f) — behavioral contracts plus the plan shapes the
+  * 100 TB posture depends on. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allNodes) ++ below)
+  }
+
+  // ---- BM25 (q18o) ---------------------------------------------------
+
+  test("bm25: a rare discriminative term outranks ubiquitous-term matches") {
+    import spark.implicits._
+    // "needle" appears in one doc; "filler" in all 40. With idf doing
+    // its job the needle doc must rank first for the two-term query
+    // even though its filler tf is the same as everyone else's.
+    val docs = ((1 to 39).map(i => (i.toLong, "filler words filler again filler")) :+
+      (40L, "filler words needle appears here")).toDF("doc_id", "text")
+    val top = TextQueries.bm25Search(docs, Seq("q" -> Seq("needle", "filler")), 5)
+      .select("rk", "doc_id", "n_hit").as[(Long, Long, Long)].collect()
+    assert(top.head == ((1L, 40L, 2L)), top.toSeq.toString)
+  }
+
+  test("bm25: length normalization — same tf prefers the shorter document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "term alpha beta"),
+      (2L, "term alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val r = TextQueries.bm25Search(docs, Seq("q" -> Seq("term")), 2)
+      .select("rk", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L), (2L, 2L)), r.toString)
+  }
+
+  test("bm25 plan: every join side broadcasts — no sort-merge join, bounded shuffles") {
+    val plan = finalPlan(TextQueries.q18oBm25Search(spark, dir))
+    val nodes = allNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "query/df/stats sides must broadcast, never shuffle the postings for a join")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    // final (query, doc) combine + ranking window + output sort, plus
+    // the two partial-aggregated side reductions (per-term df over the
+    // already-filtered postings; the one-row corpus stats) — nothing
+    // data-sized moves unaggregated
+    assert(shuffles <= 5, s"expected <= 5 shuffles, got $shuffles\n$plan")
+  }
+
+  // ---- hybrid RRF (q17h) ---------------------------------------------
+
+  test("rrf: fused scores are exactly the two-addend reciprocal-rank sum") {
+    import spark.implicits._
+    val rows = SimilarityQueries.q17hHybridRrf(spark, dir)
+      .select("probe_id", "rk", "vec_rank", "lex_rank", "rrf")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, vr, lr, rrf) =>
+      val expect = (if (vr > 0) 1.0 / (60 + vr) else 0.0) +
+        (if (lr > 0) 1.0 / (60 + lr) else 0.0)
+      assert(math.abs(BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble - rrf) < 1e-9, s"vr=$vr lr=$lr rrf=$rrf")
+      assert(vr >= 0 && vr <= 20 && lr >= 0 && lr <= 20 && (vr > 0 || lr > 0))
+    }
+    // 10 fused results per probe, ranks contiguous from 1
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 10L), s"probe $p")
+    }
+  }
+
+  test("rrf: both rankers are load-bearing in the fused top-10") {
+    import spark.implicits._
+    val rows = SimilarityQueries.q17hHybridRrf(spark, dir)
+      .select("vec_rank", "lex_rank").as[(Long, Long)].collect()
+    // fusion must surface candidates each ranker found alone AND
+    // consensus candidates — otherwise it degenerates to one ranker
+    assert(rows.exists { case (v, l) => v > 0 && l == 0 }, "no vector-only rows")
+    assert(rows.exists { case (v, l) => v == 0 && l > 0 }, "no lexical-only rows")
+    assert(rows.exists { case (v, l) => v > 0 && l > 0 }, "no consensus rows")
+  }
+
+  // ---- CMS heavy hitters (q15f) --------------------------------------
+
+  test("cms heavy hitters: superset of true heavy hitters, estimates never undercount") {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val n = events.count()
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val out = RelationalQueries.q15fCmsHeavyHitters(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // CMS can only overcount: est >= exact for every reported key
+    out.foreach { case (u, est) =>
+      assert(est >= exact(u), s"user $u est $est < exact ${exact(u)}")
+    }
+    // and every TRUE heavy hitter (count*128 >= n) is reported
+    val reported = out.map(_._1).toSet
+    exact.foreach { case (u, c) =>
+      if (c * 128 >= n) assert(reported.contains(u), s"missed true heavy hitter $u")
+    }
+  }
+
+  test("cms sketch: bounded summary — at most d*w cells regardless of key cardinality") {
+    import spark.implicits._
+    // 50k distinct keys fold into <= 4*256 cells; estimates stay
+    // overcounts under heavy collision load (the bounded-memory claim)
+    val wide = (1L to 50000L).toDF("user_id")
+    val cellCount = wide
+      .select(explode(array(RelationalQueries.cmsHashes.map { case (r, a, b) =>
+        struct(lit(r).as("r"),
+          pmod(pmod(col("user_id") * lit(a) + lit(b), lit(RelationalQueries.cmsP)),
+            lit(RelationalQueries.cmsWidth)).as("cell"))
+      }: _*)).as("h"))
+      .groupBy(col("h.r"), col("h.cell")).agg(count(lit(1)).as("c"))
+      .count()
+    assert(cellCount <= 4 * 256, s"sketch grew past d*w: $cellCount")
+  }
+}
