@@ -98,6 +98,7 @@ object SparkEntry {
     "q20d_stream_sliding"  -> (graft.streaming.StreamingPipelines.q20dStreamSliding _),
     "q20e_stream_join"     -> (graft.streaming.StreamingPipelines.q20eStreamJoin _),
     "q20f_stream_dedup"    -> (graft.streaming.StreamingPipelines.q20fStreamDedup _),
+    "q20m_stream_dedup_wm" -> (graft.streaming.StreamingPipelines.q20mStreamDedupWm _),
     "q20l_stream_left_join" -> (graft.streaming.StreamingPipelines.q20lStreamLeftJoin _),
     "q20g_stream_sharded"  -> (graft.streaming.StreamingPipelines.q20gStreamRunningSharded _),
     "q20h_stream_top1_instream" -> (graft.streaming.StreamingPipelines.q20hStreamTop1InStream _),
@@ -1155,6 +1156,14 @@ object SparkEntry {
     // drained streaming dropDuplicates state == batch DISTINCT
     "q20f_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    // bounded-state dedup (dropDuplicatesWithinWatermark): the
+    // (user_id, day) key + 25 h horizon pin the output to exactly
+    // DISTINCT (user_id, day) at any trigger granularity — state
+    // eviction (the point of the op) is asserted separately off the
+    // state-operator metrics in StreamingParitySpec
+    "q20m_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |ORDER BY user_id, day""".stripMargin,
     // sharded (scalable) running count sums to the same global total as
     // the single-key parity funnel (q20c)
     "q20g_stream_sharded" ->

@@ -13,10 +13,24 @@ object Verify {
     val spark = graft.core.GraftSession.build(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // The oracle (DuckDB) reads the corpus parquet verbatim, so its
+    // timestamp flavor follows the corpus's isAdjustedToUTC flag. The
+    // engine computes in LTZ either way (Tables.normalizeNtz); mirror the
+    // corpus flavor back onto outputs so the value compare is byte-exact
+    // whichever flavor the generator emitted this round.
+    val corpusNaive = {
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      try Seq("events", "orders").exists { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.fields
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
+    def flavor(df: org.apache.spark.sql.DataFrame) =
+      if (corpusNaive) graft.core.Tables.denormalizeNtz(df) else df
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try flavor(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

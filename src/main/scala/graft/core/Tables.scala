@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Catalog over the driver-generated parquet star schema (TESTDATA.md).
   *
@@ -23,13 +23,60 @@ object Tables {
     // column is surfaced as a raw long. Runtime conf so every session
     // (including driver-owned ones calling SparkEntry.entry) is covered.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // nanos → micros by truncation (integer DIV keeps 64-bit exactness;
-      // a double division would lose precision above 2^53 ns). DuckDB's
-      // TIMESTAMP(NANOS) → TIMESTAMP auto-cast truncates identically.
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        // nanos → micros by truncation (integer DIV keeps 64-bit exactness;
+        // a double division would lose precision above 2^53 ns). DuckDB's
+        // TIMESTAMP(NANOS) → TIMESTAMP auto-cast truncates identically.
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    normalizeNtz(df)
+  }
+
+  /** The generator has emitted timestamps both WITH and WITHOUT parquet's
+    * isAdjustedToUTC flag across rounds; a foreign session (the driver's
+    * smoke) reads the naive flavor as TIMESTAMP_NTZ under the default
+    * `inferTimestampNTZ`. The engine computes in LTZ (UTC session)
+    * regardless: an NTZ→LTZ cast under a UTC session keeps the same
+    * micros, and ops NTZ rejects (unix_micros, BIGINT casts, watermark
+    * arithmetic) keep working. Runtime normalization here — not only the
+    * GraftSession conf — so driver-owned sessions are covered too.
+    * Verify mirrors the corpus flavor back on output (oracle byte-parity). */
+  private def ltzify(dt: DataType): DataType = dt match {
+    case TimestampNTZType => TimestampType
+    case s: StructType    => StructType(s.fields.map(f => f.copy(dataType = ltzify(f.dataType))))
+    case a: ArrayType     => a.copy(elementType = ltzify(a.elementType))
+    case m: MapType       => m.copy(keyType = ltzify(m.keyType), valueType = ltzify(m.valueType))
+    case o                => o
+  }
+
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val needed = df.schema.fields.exists(f => ltzify(f.dataType) != f.dataType)
+    if (!needed) df
+    else df.select(df.schema.fields.map { f =>
+      val t = ltzify(f.dataType)
+      if (t == f.dataType) col(f.name) else col(f.name).cast(t).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Recursively swap LTZ→NTZ — Verify uses this to mirror a naive corpus
+    * flavor back onto query outputs before the parquet dump. */
+  def ntzify(dt: DataType): DataType = dt match {
+    case TimestampType => TimestampNTZType
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = ntzify(f.dataType))))
+    case a: ArrayType  => a.copy(elementType = ntzify(a.elementType))
+    case m: MapType    => m.copy(keyType = ntzify(m.keyType), valueType = ntzify(m.valueType))
+    case o             => o
+  }
+
+  def denormalizeNtz(df: DataFrame): DataFrame = {
+    val needed = df.schema.fields.exists(f => ntzify(f.dataType) != f.dataType)
+    if (!needed) df
+    else df.select(df.schema.fields.map { f =>
+      val t = ntzify(f.dataType)
+      if (t == f.dataType) col(f.name) else col(f.name).cast(t).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Register every table as a temp view (idempotent). */
@@ -51,6 +98,15 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // The corpus parquet may carry timestamps with or without the
+      // isAdjustedToUTC flag (the driver's generator has emitted both
+      // flavors across rounds). The engine computes in session-time
+      // TIMESTAMP (LTZ, UTC session) either way: naive micros read as
+      // the same UTC wall clock, so values are unchanged — and ops that
+      // require LTZ (unix_micros, BIGINT casts, watermarks) keep
+      // working. Verify mirrors the corpus flavor back on output so the
+      // oracle compare stays byte-exact in both worlds.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the 128-way MinHash aggregate exceeds the default 100-field

@@ -104,6 +104,9 @@ object StreamingPipelines {
     @volatile var leftJoinSinkDir: String = _  // stream-stream LEFT OUTER join (q20l), append mode
     @volatile var enrichSinkDir: String = _    // stream-static join (q20j), update mode
     @volatile var dedupSinkDir: String = _     // dropDuplicates (q20f), append mode
+    @volatile var dedupWmSinkDir: String = _   // dropDuplicatesWithinWatermark (q20m), append mode
+    @volatile var dedupWmFinalStateRows: Long = -1L // q20m: state rows at drain (bound proof)
+    @volatile var dedupWmRowsRemoved: Long = -1L    // q20m: evicted rows across the replay
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
     val shardPartials = TrieMap.empty[Int, Long] // q20g: ≤ shards rows/trigger
@@ -329,6 +332,7 @@ object StreamingPipelines {
     sink.joinSinkDir     = Files.createTempDirectory("graft-out-join").toString
     sink.leftJoinSinkDir = Files.createTempDirectory("graft-out-leftjoin").toString
     sink.dedupSinkDir    = Files.createTempDirectory("graft-out-dedup").toString
+    sink.dedupWmSinkDir  = Files.createTempDirectory("graft-out-dedupwm").toString
     sink.enrichSinkDir   = Files.createTempDirectory("graft-out-enrich").toString
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
 
@@ -553,6 +557,34 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.dedupSinkDir)).start()
 
+    // Bounded-state streaming dedup (q20m): `dropDuplicatesWithinWatermark`
+    // — the 100 TB posture q20f deliberately is not. q20f's keyed state
+    // is NEVER evicted (exact global first-occurrence), so its state
+    // grows with lifetime distinct keys — unbounded on an infinite
+    // stream. Here state expires once the watermark passes a key's
+    // event time + delay, so state is bounded by the key arrival rate ×
+    // horizon, not by stream lifetime.
+    //
+    // Determinism under arbitrary micro-batch boundaries is BY
+    // CONSTRUCTION: the key is (user_id, day) and the horizon (25 h)
+    // covers a full day, so every occurrence of a key falls within the
+    // delay of its first occurrence — the only case the API *guarantees*
+    // dedups — and a key never recurs after its day passes, so eviction
+    // can never re-admit one. Output ≡ DISTINCT (user_id, day) exactly,
+    // at any trigger granularity, while eviction still fires mid-replay
+    // (day-k state expires as day k+2 processes — asserted from the
+    // state-operator metrics below). Keys whose occurrences can strictly
+    // exceed the horizon belong in q20f's exact path or a batch dedup.
+    val dedupWm = data
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .select("user_id", "day")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/dedupwm")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(epochSink(sink.dedupWmSinkDir)).start()
+
     // Per-type session windows (q20i) — the gap-based windowing mode
     // (q5b's streaming twin, keyed by type so session state shards over
     // the key space instead of funneling one global session chain).
@@ -576,10 +608,20 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.sessionSinkDir)).start()
 
-    try Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
-            enrich, dedup, session)
-      .foreach(_.awaitTermination())
-    finally {
+    try {
+      Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
+          enrich, dedup, dedupWm, session)
+        .foreach(_.awaitTermination())
+      // q20m's scale contract is the state BOUND, not just the rows:
+      // record the drained state size and total evictions off the
+      // progress metrics (the spec asserts removed > 0 and final <
+      // lifetime distinct — i.e. the horizon actually evicted state).
+      val progresses = dedupWm.recentProgress.filter(_.stateOperators.nonEmpty)
+      sink.dedupWmFinalStateRows =
+        progresses.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      sink.dedupWmRowsRemoved =
+        progresses.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    } finally {
       WriterRegistry.queues.remove(runId)
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
       savedProvider.foreach {
@@ -1471,6 +1513,17 @@ object StreamingPipelines {
   def q20fStreamDedup(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(replayCached(spark, dir).dedupSinkDir)
       .select("user_id").orderBy("user_id")
+
+  /** Q20m — bounded-state streaming dedup
+    * (`dropDuplicatesWithinWatermark`) from the durable sink. The
+    * (user_id, day) key + 25 h horizon make the output exactly
+    * DISTINCT (user_id, day) at any trigger granularity (see the
+    * pipeline comment), so the oracle is fully SQL-expressible — while
+    * state, unlike q20f's, is horizon-bounded (eviction asserted in
+    * StreamingParitySpec off the state-operator metrics). */
+  def q20mStreamDedupWm(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(replayCached(spark, dir).dedupWmSinkDir)
+      .select("user_id", "day").orderBy("user_id", "day")
 
   /** Q20c — final running-count state; oracle = COUNT(*) over events.
     * (One row total — the bounded driver log is the O17 demo.) */

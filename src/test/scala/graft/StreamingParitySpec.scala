@@ -238,6 +238,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q20m bounded-state dedup equals batch DISTINCT (user_id, day) AND actually evicts") {
+    import spark.implicits._
+    val df = StreamingPipelines.q20mStreamDedupWm(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q20m must be fed by the durable parquet sink, not driver memory")
+    val got = df.as[(Long, java.sql.Date)].collect().toSeq
+    val want = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+      .sortBy(r => (r._1, r._2.getTime)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // The CONTRACT that distinguishes q20m from q20f: state must be
+    // bounded by the 25 h horizon, not by lifetime distinct keys —
+    // i.e. the watermark must have evicted day-k state while later
+    // days processed, and the drained store must hold strictly fewer
+    // rows than the lifetime key count.
+    val sink = StreamingPipelines.replayCached(spark, "/root/testdata/sf0.001")
+    assert(sink.dedupWmRowsRemoved > 0,
+      s"horizon eviction never fired (removed=${sink.dedupWmRowsRemoved})")
+    assert(sink.dedupWmFinalStateRows >= 0 &&
+           sink.dedupWmFinalStateRows < want.size,
+      s"drained state (${sink.dedupWmFinalStateRows} rows) must be below " +
+      s"lifetime distinct keys (${want.size}) — otherwise nothing was evicted")
+  }
+
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
     import spark.implicits._
     val df = StreamingPipelines.q20StreamTumbling(spark, "/root/testdata/sf0.001")
