@@ -73,9 +73,18 @@ object Bench {
       t
     }
 
-    def runPass(label: String): (Seq[(String, Double)], (String, String)) = {
+    // wall-clock anchor: per-query start offsets (sec since this) ride
+    // the artifact, so a contended host window shows up as a cluster of
+    // blips at one offset range instead of needing builder testimony
+    // (VERDICT r8 wrong #1 / next #7)
+    val benchT0 = System.nanoTime()
+
+    def runPass(label: String): (Seq[(String, (Double, Double))], (String, String)) = {
       val (gcMs0, gcN0) = gcStats()
-      val res = ordered.map { case (n, f) => n -> runOne(n, f) }
+      val res = ordered.map { case (n, f) =>
+        val startOff = (System.nanoTime() - benchT0) / 1e9
+        n -> (runOne(n, f), math.rint(startOff * 10) / 10)
+      }
       val (gcMs1, gcN1) = gcStats()
       // inter-pass hygiene: unload streaming state stores (native
       // RocksDB instances) and compact the heap so pass N+1 starts from
@@ -86,8 +95,12 @@ object Bench {
     }
 
     val (_, gcWarm) = runPass("warmup")
-    val (pass1, gc1) = runPass("pass1")
-    val (pass2, gc2) = runPass("pass2")
+    val (pass1t, gc1) = runPass("pass1")
+    val (pass2t, gc2) = runPass("pass2")
+    val pass1 = pass1t.map { case (n, (d, _)) => n -> d }
+    val pass2 = pass2t.map { case (n, (d, _)) => n -> d }
+    val starts1 = pass1t.map { case (n, (_, s)) => n -> s }
+    val starts2 = pass2t.map { case (n, (_, s)) => n -> s }
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       // a failure in either pass reports as failed; otherwise best-of-two
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -130,7 +143,7 @@ object Bench {
       .map { case (l, j) => "\"" + l + "\":" + j }.mkString("{", ",", "}")
     // raw passes + GC deltas are emitted alongside the min so the
     // min-of-two methodology and any memory pressure are auditable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"gc":$gcObj,"failed":$nFailed,"r2_subset_n":${results.count(r => r2Set(r._1))},"r2_subset_failed":$r2Failed,"r2_subset_total":$r2Total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pass1":${obj(pass1)},"pass2":${obj(pass2)},"starts1":${obj(starts1)},"starts2":${obj(starts2)},"gc":$gcObj,"failed":$nFailed,"r2_subset_n":${results.count(r => r2Set(r._1))},"r2_subset_failed":$r2Failed,"r2_subset_total":$r2Total,"sf":"$sfDir"}""")
     // the full line above has been tail-truncated in driver artifacts
     // (BENCH_r06 lost the min-of-two map and headline value); emit a
     // SECOND compact line so a tail-capped artifact still carries the
@@ -139,10 +152,14 @@ object Bench {
     // (a one-pass host spike vs a real regression is then readable off
     // the artifact) plus the index build counters (any per-pass index
     // rebuild, e.g. tmpdir eviction, shows as counts > 1 per family)
+    // s1/s2 = per-pass start offsets (sec since bench start): a pass-2
+    // blip whose s2 lands inside a known-contended window reads as host
+    // noise straight off the artifact
     val p1m = pass1.toMap; val p2m = pass2.toMap
+    val s1m = starts1.toMap; val s2m = starts2.toMap
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (n, v) =>
-        "\"" + n + s"""":{"min":$v,"p1":${p1m(n)},"p2":${p2m(n)}}"""
+        "\"" + n + s"""":{"min":$v,"p1":${p1m(n)},"p2":${p2m(n)},"s1":${s1m(n)},"s2":${s2m(n)}}"""
       }.mkString("{", ",", "}")
     val idxBuilds =
       s"""{"band":${graft.operators.DedupQueries.bandBuildCount.get},""" +

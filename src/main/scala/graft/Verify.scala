@@ -18,13 +18,20 @@ object Verify {
     // engine computes in LTZ either way (Tables.normalizeNtz); mirror the
     // corpus flavor back onto outputs so the value compare is byte-exact
     // whichever flavor the generator emitted this round.
-    val corpusNaive = {
+    // Probe every corpus table that exists (not just events/orders), and
+    // never let a missing/unreadable file abort the whole dump — a failed
+    // probe defaults to the LTZ flavor instead of zeroing the round
+    // (ADVICE r8 #2).
+    val corpusNaive = try {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      try Seq("events", "orders").exists { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").schema.fields
-          .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      try graft.core.Tables.names.exists { t =>
+        val p = s"$sfDir/$t.parquet"
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p)) &&
+          (try spark.read.parquet(p).schema.fields
+             .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+           catch { case _: Throwable => false })
       } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    }
+    } catch { case _: Throwable => false }
     def flavor(df: org.apache.spark.sql.DataFrame) =
       if (corpusNaive) graft.core.Tables.denormalizeNtz(df) else df
     SparkEntry.queries

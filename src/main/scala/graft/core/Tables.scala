@@ -23,6 +23,11 @@ object Tables {
     // column is surfaced as a raw long. Runtime conf so every session
     // (including driver-owned ones calling SparkEntry.entry) is covered.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalizeNtz's NTZ→LTZ cast is value-preserving ONLY under a UTC
+    // session (same micros ⟺ same wall clock); a driver-owned session on
+    // a non-UTC JVM would silently shift instants and break oracle
+    // parity. Pin it here, not just in GraftSession (ADVICE r8 #1).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
       if (name == "events" && raw.schema("ts").dataType == LongType)

@@ -575,12 +575,32 @@ object StreamingPipelines {
     // (day-k state expires as day k+2 processes — asserted from the
     // state-operator metrics below). Keys whose occurrences can strictly
     // exceed the horizon belong in q20f's exact path or a batch dedup.
+    // Eviction counting (ADVICE r8 #3): `recentProgress` is a bounded
+    // ring (spark.sql.streaming.numRecentProgressUpdates, default 100) —
+    // fine at today's 2-3 triggers, but a bigger corpus or smaller
+    // filesPerTrigger would silently undercount the evictions the spec
+    // asserts on. A listener registered BEFORE the query starts sees
+    // every progress event regardless of trigger count; matched by query
+    // name (the id is only known after start()).
+    val dedupWmName = s"graft_dedupwm_${java.util.UUID.randomUUID()}"
+    val dedupWmRemovedAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val dedupWmListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == dedupWmName)
+          dedupWmRemovedAcc.addAndGet(e.progress.stateOperators.map(_.numRowsRemoved).sum)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(dedupWmListener)
+
     val dedupWm = data
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
       .withWatermark("ts", "25 hours")
       .dropDuplicatesWithinWatermark("user_id", "day")
       .select("user_id", "day")
       .writeStream.outputMode("append")
+      .queryName(dedupWmName)
       .option("checkpointLocation", s"$ckpt/dedupwm")
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.dedupWmSinkDir)).start()
@@ -619,9 +639,14 @@ object StreamingPipelines {
       val progresses = dedupWm.recentProgress.filter(_.stateOperators.nonEmpty)
       sink.dedupWmFinalStateRows =
         progresses.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-      sink.dedupWmRowsRemoved =
-        progresses.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      // listener events post asynchronously — take the max of the
+      // listener accumulator and the (ring-bounded) recentProgress sum:
+      // at ≤100 triggers they agree; past the ring the listener wins
+      sink.dedupWmRowsRemoved = math.max(
+        dedupWmRemovedAcc.get,
+        progresses.map(_.stateOperators.map(_.numRowsRemoved).sum).sum)
     } finally {
+      spark.streams.removeListener(dedupWmListener)
       WriterRegistry.queues.remove(runId)
       spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
       savedProvider.foreach {
