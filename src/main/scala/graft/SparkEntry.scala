@@ -111,6 +111,9 @@ object SparkEntry {
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
+    "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
+    "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
+    "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1029,6 +1032,44 @@ object SparkEntry {
         |       FROM bd)
         |SELECT query_id, rk, doc_id, n_hit, score FROM rk
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // q18p answers the SAME queries as q18o from the materialized
+    // posting layout — identical formula, identical oracle (recomputed
+    // from the raw corpus, so it independently checks the layout round
+    // trip too)
+    "q18p_bm25_indexed" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM tk),
+        |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tk),
+        |tfr AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM dt
+        |        WHERE token IN ('stream','window','dup','filter','fast','join','sort')
+        |        GROUP BY 1, 2, 3),
+        |dfr AS (SELECT token, COUNT(*) AS df FROM tfr GROUP BY 1),
+        |q(query_id, token) AS (VALUES
+        |  ('q_stream','stream'), ('q_stream','window'),
+        |  ('q_dup','dup'), ('q_dup','filter'),
+        |  ('q_sort','fast'), ('q_sort','join'), ('q_sort','sort')),
+        |sc AS (SELECT q.query_id, tfr.doc_id,
+        |         ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+        |           (tfr.tf * 2.2) /
+        |           (tfr.tf + 1.2 * (0.25 + 0.75 * tfr.dl / s.avgdl)) AS contrib
+        |       FROM tfr JOIN q USING (token) JOIN dfr USING (token) CROSS JOIN stats s),
+        |bd AS (SELECT query_id, doc_id, COUNT(*) AS n_hit,
+        |         ROUND(SUM(contrib), 4) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, n_hit, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |       FROM bd)
+        |SELECT query_id, rk, doc_id, n_hit, score FROM rk
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // q26 reads the Layout-written partitioned copy; the oracle
+    // recomputes from the flat corpus — the layout must buy I/O, never
+    // change the answer
+    "q26_layout_scan" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -499,7 +499,13 @@ object SimilarityQueries {
     * is a broadcast-join, scan-within-list is the exact scorer). Probe
     * scope: vec_id < 10 like q17/q17b; rows-only check (recall is
     * measured against exact q17 in DedupSimilaritySpec). */
-  def q17cIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def q17cIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfRank(spark, dir, 5)
+
+  /** The IVF ranker at any depth k — q17c's body, reused at fusion
+    * depth by the indexed hybrid retrieval (q17i). Output
+    * (probe_id, neighbor_id, rank, cos_sim). */
+  def ivfRank(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val emb = normalized(spark, dir)
@@ -533,7 +539,7 @@ object SimilarityQueries {
       .withColumn("cos_sim", dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"), round(col("cos_sim"), 6).as("cos_sim"))
       .orderBy("probe_id", "rank")
   }

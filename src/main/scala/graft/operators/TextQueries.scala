@@ -502,37 +502,64 @@ object TextQueries {
     * last-ulp sum-order noise cannot flip ranks across engines. */
   def bm25Search(docs: DataFrame, queries: Seq[(String, Seq[String])],
                  k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val terms = queries.flatMap(_._2).distinct
     val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "token")
+    bm25Rank(bm25Postings(docs, Some(terms)), bm25Stats(docs), qterms, k)
+  }
 
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // (doc, dl, token, tf) with zero shuffle: per-doc tf inside codegen
-    val postings = toked
+  /** Zero-shuffle (doc_id, dl, token, tf) posting derivation: per-doc tf
+    * inside codegen (the topTokenCount trick), so tokenization, tf, and
+    * dl all ride the one corpus scan. With `termFilter` (q18o) every
+    * non-query posting is dropped before anything moves; `None` derives
+    * the FULL vocabulary — what the posting-layout build
+    * ([[LayoutQueries.postingsTable]]) materializes once, paying one
+    * bucket-partitioned write shuffle so queries never re-derive it. */
+  def bm25Postings(docs: DataFrame, termFilter: Option[Seq[String]]): DataFrame = {
+    val p = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(transform(array_distinct(col("toks")),
           u => struct(u.as("token"),
             size(filter(col("toks"), x => x === u)).cast("long").as("tf")))).as("p"))
       .select(col("doc_id"), col("dl"), col("p.token").as("token"), col("p.tf").as("tf"))
-      .where(col("token").isin(terms.map(lit): _*))
+    termFilter.fold(p)(ts => p.where(col("token").isin(ts.map(lit): _*)))
+  }
 
+  /** Corpus-level BM25 stats: doc count + average doc length (over ALL
+    * docs, matched or not). One row; broadcast by the scorer. */
+  def bm25Stats(docs: DataFrame): DataFrame =
+    docs.select(tokens(col("text")).as("toks"))
+      .agg(count(lit(1)).as("n"), avg(size(col("toks")).cast("long")).as("avgdl"))
+
+  /** The shared BM25 scoring tail over any (doc_id, dl, token, tf)
+    * posting frame — corpus-derived (q18o) or read back from the
+    * term-bucket-partitioned layout (q18p, q17i). `qterms` is the
+    * (query_id, token) want-list (broadcast); df comes from the posting
+    * frame itself (reading a term's postings IS how df is counted — no
+    * separate df table to keep in sync). `excludeSelf` drops
+    * doc_id = query_id rows for document-as-query workloads (q17i).
+    * Determinism: ranking compares the 4-dp-ROUNDED score (then doc_id)
+    * so last-ulp sum-order noise cannot flip ranks across engines. */
+  def bm25Rank(postings: DataFrame, stats: DataFrame, qterms: DataFrame,
+               k: Int, excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfFrame = postings.groupBy("token").agg(count(lit(1)).as("df"))
-    val stats = toked.agg(count(lit(1)).as("n"),
-      avg(size(col("toks")).cast("long")).as("avgdl"))
 
     val contrib =
       log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    postings
+    val joined = postings
       .join(broadcast(qterms), "token")
       .join(broadcast(dfFrame), "token")
       .crossJoin(broadcast(stats))
+    val base = if (excludeSelf) joined.where(col("doc_id") =!= col("query_id")) else joined
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    base
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hit"), sum(contrib).as("raw"))
       .withColumn("score", round(col("raw"), 4))

@@ -106,6 +106,49 @@ class RetrievalSpec extends AnyFunSuite {
 
   // ---- CMS heavy hitters (q15f) --------------------------------------
 
+  test("q18p posting layout: partition-pruned scan, answer identical to q18o") {
+    val q18o = TextQueries.q18oBm25Search(spark, dir).collect().toSeq
+    val q18p = graft.operators.LayoutQueries.q18pBm25Indexed(spark, dir)
+    val rows = q18p.collect().toSeq
+    // identical answer — the layout buys I/O, never semantics
+    assert(rows == q18o, "posting-layout BM25 diverged from the corpus-derived q18o")
+    // the posting scan must prune to the query terms' bucket partitions
+    val scans = allNodes(finalPlan(q18p)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.endsWith("/postings")) => f
+    }
+    assert(scans.nonEmpty, "no FileSourceScan over the posting layout found")
+    scans.foreach { f =>
+      val pf = f.partitionFilters.mkString(",")
+      assert(pf.contains("bucket"),
+        s"posting scan carries no bucket partition filter: $pf")
+      // pruning engaged: strictly fewer partition dirs selected than exist
+      val selected = f.selectedPartitions.partitionCount
+      assert(selected < graft.operators.LayoutQueries.PostingBuckets &&
+        selected > 0,
+        s"expected a pruned bucket scan, got $selected dirs selected")
+    }
+  }
+
+  test("q17i indexed hybrid: fuses the sublinear rankers, substantial overlap with exact q17h") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(2))
+    val exact = SimilarityQueries.q17hHybridRrf(spark, dir).collect().map(key).toSet
+    val idx = graft.operators.LayoutQueries.q17iHybridIndexed(spark, dir).collect()
+    assert(idx.length == 100, s"10 probes x top-10 expected, got ${idx.length}")
+    // both rankers must be load-bearing in the fused list
+    val vecOnly = idx.count(r => r.getLong(3) > 0 && r.getLong(4) == 0)
+    val lexOnly = idx.count(r => r.getLong(3) == 0 && r.getLong(4) > 0)
+    assert(vecOnly > 0, "no vector-only candidate survived fusion")
+    assert(lexOnly > 0, "no lexical-only candidate survived fusion")
+    // the sublinear pair (IVF + posting-layout BM25) must substantially
+    // agree with the exact pair (cosine + Jaccard): both sides changed
+    // ranker, so demand overlap on the fused (probe, doc) set
+    val overlap = idx.map(key).count(exact)
+    assert(overlap >= 40,
+      s"fused overlap with exact q17h too low: $overlap/100")
+  }
+
   test("cms heavy hitters: superset of true heavy hitters, estimates never undercount") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")

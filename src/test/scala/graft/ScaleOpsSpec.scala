@@ -190,6 +190,45 @@ class ScaleOpsSpec extends AnyFunSuite {
       "file not clustered on the sort key")
   }
 
+  test("q26: the layout is load-bearing — pruned scan reads strictly fewer files, same answer as flat") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.001"
+    val q26 = graft.operators.LayoutQueries.q26LayoutScan(spark, sf)
+    val rows = q26.collect()
+    // same answer as the identical query over the flat table
+    val flat = Tables.load(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("hour").collect()
+    assert(rows.toSeq == flat.toSeq, "layout scan diverged from the flat twin")
+    // the scan pruned: PartitionFilters engaged, and the files it read
+    // are strictly fewer than the layout table holds
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val scan = nodes(q26.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in the q26 plan"))
+    assert(scan.partitionFilters.mkString(",").contains("event_type"),
+      "q26 scan carries no event_type partition filter")
+    val filesRead = scan.selectedPartitions.totalNumberOfFiles
+    val layoutRoot = graft.core.IndexStore.root("graft-layout-events", sf).resolve("data")
+    val totalFiles = Files.walk(layoutRoot).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"expected a pruned read, got $filesRead of $totalFiles files")
+  }
+
   test("layout filesPerDir: a hot partition value spreads over n write tasks/files, each still sorted") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
