@@ -111,6 +111,7 @@ object SparkEntry {
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
+    "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
@@ -432,6 +433,15 @@ object SparkEntry {
         |  CAST(avg_v IS NULL AS BIGINT) AS is_gap
         |FROM j ORDER BY event_type, hour""".stripMargin,
     "q25_cdc_upsert" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q25b: the STREAMED per-epoch latest-wins merge must drain to the
+    // batch q25 answer — same oracle
+    "q25b_stream_cdc_upsert" ->
       """WITH r AS (SELECT user_id, event_type, value, ts,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

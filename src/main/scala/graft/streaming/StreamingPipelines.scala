@@ -107,6 +107,7 @@ object StreamingPipelines {
     @volatile var dedupWmSinkDir: String = _   // dropDuplicatesWithinWatermark (q20m), append mode
     @volatile var dedupWmFinalStateRows: Long = -1L // q20m: state rows at drain (bound proof)
     @volatile var dedupWmRowsRemoved: Long = -1L    // q20m: evicted rows across the replay
+    @volatile var cdcSnapDir: String = _       // streaming CDC upsert snapshots (q25b)
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
     val shardPartials = TrieMap.empty[Int, Long] // q20g: ≤ shards rows/trigger
@@ -335,6 +336,7 @@ object StreamingPipelines {
     sink.dedupWmSinkDir  = Files.createTempDirectory("graft-out-dedupwm").toString
     sink.enrichSinkDir   = Files.createTempDirectory("graft-out-enrich").toString
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
+    sink.cdcSnapDir      = Files.createTempDirectory("graft-out-cdc").toString
 
     // O12 — tumbling 1-minute count, update mode.
     val tumbling = data
@@ -605,6 +607,60 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(epochSink(sink.dedupWmSinkDir)).start()
 
+    // Streaming CDC upsert (q25b) — the MERGE-INTO shape every lakehouse
+    // stream runs (batch q25's streaming twin): each micro-batch of the
+    // changelog merges latest-wins into a durable snapshot. The merge is
+    // associative by construction — argmax by (ts, event_id) over
+    // (previous snapshot ∪ batch) equals the argmax over the whole
+    // changelog prefix — so the drained snapshot hash-equals batch q25
+    // at ANY trigger granularity. Tombstones (op='D') are RETAINED in
+    // the snapshot state (a tombstone must keep winning against older
+    // updates that could arrive later); they are dropped only at read.
+    //
+    // Crash safety: epoch N writes a FULL snapshot to its own
+    // `snap_batch_id=N` dir reading only committed dirs < N — a
+    // failure-replayed epoch recomputes byte-identically (same prev
+    // snapshot, same replayable source offsets) and overwrite is
+    // idempotent. At 100 TB the snapshot rewrite is partition-scoped
+    // (merge-on-read compaction per affected partition, the lakehouse
+    // MERGE posture); the full-snapshot rewrite here is the
+    // corpus-complete demonstration of the same per-epoch algebra.
+    // Stateless as a streaming query: ALL merge state is at rest in the
+    // snapshot — no state store, no watermark bookkeeping.
+    val cdcMerge: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sparkB = batch.sparkSession
+      val chg = batch.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"))
+      val snapRoot = Paths.get(sink.cdcSnapDir)
+      val prev = Files.list(snapRoot).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("snap_batch_id="))
+        .map(_.stripPrefix("snap_batch_id=").toLong)
+        .filter(_ < batchId)
+        .maxOption
+      val all = prev match {
+        case Some(p) => sparkB.read
+          .parquet(snapRoot.resolve(s"snap_batch_id=$p").toString)
+          .unionByName(chg)
+        case None => chg
+      }
+      all.groupBy("user_id")
+        .agg(max_by(
+          struct(col("op"), col("event_type"), col("value"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.op").as("op"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"),
+          col("last.ts").as("ts"), col("last.event_id").as("event_id"))
+        .write.mode("overwrite")
+        .parquet(snapRoot.resolve(s"snap_batch_id=$batchId").toString)
+    }
+    val cdc = data
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/cdc")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(cdcMerge).start()
+
     // Per-type session windows (q20i) — the gap-based windowing mode
     // (q5b's streaming twin, keyed by type so session state shards over
     // the key space instead of funneling one global session chain).
@@ -630,7 +686,7 @@ object StreamingPipelines {
 
     try {
       Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
-          enrich, dedup, dedupWm, session)
+          enrich, dedup, dedupWm, cdc, session)
         .foreach(_.awaitTermination())
       // q20m's scale contract is the state BOUND, not just the rows:
       // record the drained state size and total evictions off the
@@ -1596,4 +1652,23 @@ object StreamingPipelines {
       .where(col("event_type") =!= SentinelType) // the flush event's own session
       .select("session_start", "event_type", "n_events")
       .orderBy("event_type", "session_start")
+
+  /** Q25b — the streaming CDC upsert's drained snapshot (latest epoch),
+    * tombstones dropped at read, projected to batch q25's columns;
+    * oracle = q25's own SQL (the per-epoch latest-wins merge must be
+    * indistinguishable from compacting the whole changelog at once —
+    * RelationalQueries.q25CdcUpsert, RelationalQueries.scala:433). */
+  def q25bStreamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snapRoot = Paths.get(replayCached(spark, dir).cdcSnapDir)
+    val latest = Files.list(snapRoot).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snap_batch_id="))
+      .map(_.stripPrefix("snap_batch_id=").toLong)
+      .max
+    spark.read.parquet(snapRoot.resolve(s"snap_batch_id=$latest").toString)
+      .where(col("op") =!= "D")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
 }

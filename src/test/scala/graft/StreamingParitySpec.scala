@@ -264,6 +264,27 @@ class StreamingParitySpec extends AnyFunSuite {
       s"lifetime distinct keys (${want.size}) — otherwise nothing was evicted")
   }
 
+  test("q25b streamed CDC upsert drains to exactly the batch q25 compaction") {
+    val dir = "/root/testdata/sf0.001"
+    val df = StreamingPipelines.q25bStreamCdcUpsert(spark, dir)
+    // fed by the durable snapshot, not driver memory
+    assert(df.queryExecution.sparkPlan.toString.contains("parquet"),
+      "q25b must read the durable snapshot parquet")
+    val got = df.collect().toSeq
+    val want = graft.operators.RelationalQueries.q25CdcUpsert(spark, dir).collect().toSeq
+    assert(got == want,
+      s"per-epoch latest-wins merge diverged from whole-changelog compaction " +
+      s"(${got.size} vs ${want.size} rows)")
+    assert(got.nonEmpty)
+    // more than one snapshot epoch actually merged (the associativity
+    // claim is vacuous on a single-epoch replay)
+    import scala.jdk.CollectionConverters._
+    val snaps = java.nio.file.Files.list(
+        java.nio.file.Paths.get(StreamingPipelines.replayCached(spark, dir).cdcSnapDir))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snap_batch_id="))
+    assert(snaps > 1, s"replay produced only $snaps snapshot epoch(s) — merge untested")
+  }
+
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
     import spark.implicits._
     val df = StreamingPipelines.q20StreamTumbling(spark, "/root/testdata/sf0.001")
