@@ -490,6 +490,35 @@ object SimilarityQueries {
     else base.unionAll(spark.read.parquet(inc.toString).select("id", "cid"))
   }
 
+  /** The documented retrain TRIGGER (VERDICT r8 next #6) —
+    * [[ivfAssignIncremental]] accepts deltas forever, but every
+    * accepted batch is scored against centroids trained WITHOUT it, so
+    * recall decays as the appendix grows relative to the trained base.
+    * This maintenance op makes the policy explicit: when the `_inc`
+    * appendix exceeds `growthFactor` × base rows (FAISS-style re-add
+    * threshold; the width-refit analog of the embedding-ingest LSH
+    * rebuild), retrain over the GROWN corpus. The retrain routes
+    * through [[ivfCentroids]] unchanged: the grown corpus's fingerprint
+    * differs from the stamped one, so the standard build-or-load path
+    * rebuilds centroids + assignments and clears the `_inc` appendix
+    * (every delta row is re-scored against the fresh centroids as part
+    * of the full assignment). Below threshold: a two-count metadata
+    * check, nothing touched.
+    *
+    * `unitAll` is the standing corpus INCLUDING accepted deltas — at
+    * 100 TB this runs as the periodic offline compaction job next to
+    * [[graft.streaming.StreamingPipelines.compactIngestAppendix]],
+    * never inline with a query. Returns whether a retrain ran. */
+  def maybeRetrain(spark: SparkSession, dir: String, ivf: IvfIndex,
+                   unitAll: DataFrame, growthFactor: Double = 0.2): Boolean = {
+    val inc = java.nio.file.Paths.get(s"${ivf.assignPath}_inc")
+    if (!java.nio.file.Files.exists(inc)) return false
+    val incRows = spark.read.parquet(inc.toString).count()
+    val baseRows = spark.read.parquet(ivf.assignPath).count()
+    if (incRows <= growthFactor * baseRows) false
+    else { ivfCentroids(spark, dir, unitAll); true }
+  }
+
   /** Q17b's IVF sibling (Q17c) — approximate top-5 cosine neighbors via
     * inverted lists: vectors are bucketed by nearest coarse centroid;
     * probes score ONLY the vectors in their ivfNProbe nearest lists.

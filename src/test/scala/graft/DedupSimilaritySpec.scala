@@ -267,6 +267,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "a retrain must clear delta assignments scored against the old centroids")
   }
 
+  test("IVF retrain policy: below threshold nothing moves; above it the appendix clears and all rows re-score") {
+    import org.apache.spark.sql.functions._
+    val dataDir = java.nio.file.Files.createTempDirectory("ivf-retrain-data")
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .write.mode("overwrite").parquet(dataDir.resolve("embeddings.parquet").toString)
+    val emb = graft.core.Tables.load(spark, dataDir.toString, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf = SimilarityQueries.ivfCentroids(spark, dataDir.toString, unit)
+    val baseN = spark.read.parquet(ivf.assignPath).count()
+    val trainedBefore = SimilarityQueries.ivfTrainCount.get()
+
+    def mkDelta(offset: Long, n: Int) = unit.where(col("id") < n)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id + offset, v) }.toSeq.toDF("id", "v")
+
+    // one 10% delta: below the 20% threshold → a metadata check only
+    val d0 = mkDelta(10000L, (baseN / 10).toInt)
+    SimilarityQueries.ivfAssignIncremental(spark, ivf, d0, 0L)
+    assert(!SimilarityQueries.maybeRetrain(spark, dataDir.toString, ivf, unit.unionAll(d0)),
+      "10% appendix must not trigger a retrain at growthFactor=0.2")
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${ivf.assignPath}_inc")),
+      "below-threshold maybeRetrain must leave the appendix alone")
+
+    // a second delta pushes the appendix past 20% of base → retrain:
+    // fresh centroids over the grown corpus, appendix cleared, every
+    // row (base + both deltas) re-scored into the new assignments
+    val d1 = mkDelta(20000L, (baseN / 7).toInt)
+    SimilarityQueries.ivfAssignIncremental(spark, ivf, d1, 1L)
+    val unitAll = unit.unionAll(d0).unionAll(d1)
+    assert(SimilarityQueries.maybeRetrain(spark, dataDir.toString, ivf, unitAll),
+      "24% appendix must trigger a retrain at growthFactor=0.2")
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore + 1,
+      "retrain must actually train")
+    val ivf2 = SimilarityQueries.ivfCentroids(spark, dataDir.toString, unitAll)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${ivf2.assignPath}_inc")),
+      "retrain must clear the _inc appendix (its rows were scored against superseded centroids)")
+    assert(SimilarityQueries.ivfAssignments(spark, ivf2).count() == unitAll.count(),
+      "post-retrain assignments must cover base + all accepted deltas")
+    // idempotent: calling again trains nothing (fingerprint now current)
+    assert(SimilarityQueries.ivfTrainCount.get() == trainedBefore + 1)
+  }
+
   test("IVF k scales ~sqrt(N) with a floor, nprobe keeps the scan fraction constant") {
     assert(SimilarityQueries.ivfKFor(100) == 16)   // floor
     assert(SimilarityQueries.ivfKFor(10000) == 100)
