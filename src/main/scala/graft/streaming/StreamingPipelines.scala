@@ -1108,6 +1108,24 @@ object StreamingPipelines {
     batchDirs.init.foreach(graft.core.IndexStore.deleteRecursively)
   }
 
+  /** The q25b snapshot VACUUM (the lakehouse twin of
+    * [[compactIngestAppendix]], for the CDC sink): every epoch writes a
+    * FULL snapshot, so superseded `snap_batch_id<N` dirs are pure
+    * garbage once epoch N commits — readers only ever open the highest
+    * id. Deleting them bounds the sink's footprint at one snapshot (+
+    * any in-flight epoch) instead of one per epoch of stream lifetime.
+    * Crash-safe trivially: only non-latest dirs are removed, and the
+    * reader's max-id selection is unaffected by which subset of the
+    * garbage survives a mid-vacuum crash. */
+  def vacuumCdcSnapshots(snapDirStr: String): Unit = {
+    val root = Paths.get(snapDirStr)
+    if (!Files.exists(root)) return
+    val snaps = Files.list(root).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("snap_batch_id="))
+      .sortBy(_.getFileName.toString.stripPrefix("snap_batch_id=").toLong)
+    snaps.dropRight(1).foreach(graft.core.IndexStore.deleteRecursively)
+  }
+
   /** The EMBEDDING side of the streaming ingest story (q16l): the
     * planted duplicate vectors (q16e's fixture — exact ×2-scaled
     * copies of existing corpus vectors, i.e. literally re-ingested

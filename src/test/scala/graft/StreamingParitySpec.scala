@@ -279,10 +279,15 @@ class StreamingParitySpec extends AnyFunSuite {
     // more than one snapshot epoch actually merged (the associativity
     // claim is vacuous on a single-epoch replay)
     import scala.jdk.CollectionConverters._
-    val snaps = java.nio.file.Files.list(
-        java.nio.file.Paths.get(StreamingPipelines.replayCached(spark, dir).cdcSnapDir))
+    val snapDir = StreamingPipelines.replayCached(spark, dir).cdcSnapDir
+    def snapCount = java.nio.file.Files.list(java.nio.file.Paths.get(snapDir))
       .iterator().asScala.count(_.getFileName.toString.startsWith("snap_batch_id="))
-    assert(snaps > 1, s"replay produced only $snaps snapshot epoch(s) — merge untested")
+    assert(snapCount > 1, s"replay produced only $snapCount snapshot epoch(s) — merge untested")
+    // vacuum: superseded snapshots are garbage; the reader is unchanged
+    StreamingPipelines.vacuumCdcSnapshots(snapDir)
+    assert(snapCount == 1, "vacuum must keep exactly the latest snapshot")
+    assert(StreamingPipelines.q25bStreamCdcUpsert(spark, dir).collect().toSeq == got,
+      "vacuum must not change the q25b answer")
   }
 
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
