@@ -114,6 +114,7 @@ object SparkEntry {
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
+    "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
   )
 
@@ -1047,6 +1048,35 @@ object SparkEntry {
     // from the raw corpus, so it independently checks the layout round
     // trip too)
     "q18p_bm25_indexed" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM tk),
+        |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tk),
+        |tfr AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM dt
+        |        WHERE token IN ('stream','window','dup','filter','fast','join','sort')
+        |        GROUP BY 1, 2, 3),
+        |dfr AS (SELECT token, COUNT(*) AS df FROM tfr GROUP BY 1),
+        |q(query_id, token) AS (VALUES
+        |  ('q_stream','stream'), ('q_stream','window'),
+        |  ('q_dup','dup'), ('q_dup','filter'),
+        |  ('q_sort','fast'), ('q_sort','join'), ('q_sort','sort')),
+        |sc AS (SELECT q.query_id, tfr.doc_id,
+        |         ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+        |           (tfr.tf * 2.2) /
+        |           (tfr.tf + 1.2 * (0.25 + 0.75 * tfr.dl / s.avgdl)) AS contrib
+        |       FROM tfr JOIN q USING (token) JOIN dfr USING (token) CROSS JOIN stats s),
+        |bd AS (SELECT query_id, doc_id, COUNT(*) AS n_hit,
+        |         ROUND(SUM(contrib), 4) AS score
+        |       FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, n_hit, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |       FROM bd)
+        |SELECT query_id, rk, doc_id, n_hit, score FROM rk
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // q18q: the posting-INGEST loop — base layout ∪ streamed batch
+    // appendices must compose to exactly the full-corpus BM25 answer,
+    // so the oracle is q18o's SQL verbatim
+    "q18q_bm25_stream_ingest" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM tk),
         |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tk),

@@ -143,6 +143,111 @@ object LayoutQueries {
     TextQueries.bm25Rank(prunedPostings(spark, postings, terms), stats, qterms, 10)
   }
 
+  // ---- incremental posting maintenance --------------------------------
+
+  val postingBaseBuildCount = new AtomicInteger(0)
+  private val PostingBaseFamily = "graft-layout-postings-base"
+
+  /** Build-or-load the posting layout over the STANDING corpus only
+    * (q16i's ingest split: `doc_id % 5 != 4` is the base, the rest
+    * arrives as batches) — the starting state of the posting-ingest
+    * loop (q18q). Stats here persist (n, sum_dl): the sum is the
+    * MERGEABLE form (avgdl is not — you cannot average averages), so
+    * accepted batches can fold in exactly. A rebuild (fingerprint
+    * change) supersedes any appended batches — their postings were
+    * derived against a corpus that no longer exists — so it clears the
+    * `postings_inc`/`stats_inc` appendices, same contract as the IVF
+    * `_inc` lifecycle. */
+  def basePostingsRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.DedupQueries.{IngestSplitMod, IngestSplitRem}
+    val docs = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem)
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(docs, "doc_id", Seq(col("text")))
+    IndexStore.buildOrLoad(
+        PostingBaseFamily, dir, fp, Seq("postings", "stats"), postingBaseBuildCount) { r =>
+      val full = TextQueries.bm25Postings(docs, termFilter = None)
+        .withColumn("bucket", tokenBucket(col("token")))
+      Layout.writePartitioned(full, r.resolve("postings").toString,
+        partitionCols = Seq("bucket"), sortCols = Seq("token", "doc_id"))
+      docs.select(tokens(col("text")).as("toks"))
+        .agg(count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(r.resolve("stats").toString)
+      IndexStore.deleteRecursively(r.resolve("postings_inc"))
+      IndexStore.deleteRecursively(r.resolve("stats_inc"))
+    }
+  }
+
+  /** Accept one batch of NEW documents into the posting layout: the
+    * batch's postings (same shuffle-free derivation, bucket-keyed) land
+    * under `postings_inc/batch_id=N`, and its (n, sum_dl) partial under
+    * `stats_inc/batch_id=N` — both overwrite, so a failure-replayed
+    * epoch re-accepts idempotently (the q16k accept pattern). Nothing
+    * in the standing layout is touched; df and the corpus stats are
+    * VIEWS over base ∪ appendix, so they are correct the instant the
+    * batch lands — no stats table to rewrite, no double-count on
+    * retry. `compactIngestAppendix` folds both appendices between
+    * rebuilds (posting rows are unique across batches — disjoint
+    * doc_ids — and each stats partial carries its `src_batch` tag
+    * precisely so two batches with IDENTICAL (n, sum_dl) stay two rows
+    * through the compactor's distinct semantics); a base rebuild clears
+    * them. */
+  def postingsAppendIncremental(spark: SparkSession, root: java.nio.file.Path,
+                                batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.TextFunctions.tokens
+    TextQueries.bm25Postings(batch, termFilter = None)
+      .withColumn("bucket", tokenBucket(col("token")))
+      .write.mode("overwrite")
+      .parquet(root.resolve(s"postings_inc/batch_id=$batchId").toString)
+    batch.select(tokens(col("text")).as("toks"))
+      .agg(count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("sum_dl"))
+      .select(lit(batchId).as("src_batch"), col("n"), col("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(root.resolve(s"stats_inc/batch_id=$batchId").toString)
+  }
+
+  /** The composed read view after ingest: base ∪ appendix postings, and
+    * the merged one-row stats (Σn, Σsum_dl → avgdl as ONE long/long
+    * double division — dl sums are exact integers, so the composed
+    * avgdl is bit-identical to computing it over the full corpus at
+    * once, which is what makes q18q hash-checkable against q18o's
+    * oracle). */
+  def composedPostings(spark: SparkSession, root: java.nio.file.Path): (DataFrame, DataFrame) = {
+    val dataCols = Seq("doc_id", "dl", "token", "tf", "bucket").map(col)
+    val base = spark.read.parquet(root.resolve("postings").toString).select(dataCols: _*)
+    val incP = root.resolve("postings_inc")
+    val posts =
+      if (java.nio.file.Files.exists(incP))
+        base.unionAll(spark.read.parquet(incP.toString).select(dataCols: _*))
+      else base
+    val baseS = spark.read.parquet(root.resolve("stats").toString).select("n", "sum_dl")
+    val incS = root.resolve("stats_inc")
+    val statsAll =
+      (if (java.nio.file.Files.exists(incS))
+         baseS.unionAll(spark.read.parquet(incS.toString).select("n", "sum_dl"))
+       else baseS)
+        .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+        .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    (posts, statsAll)
+  }
+
+  /** Q18q's rank step: the q18o queries answered from the COMPOSED
+    * (base ∪ ingested) posting view — after the ingest loop drains this
+    * covers the full corpus, so the oracle is q18o's own SQL. The
+    * appendix side carries `bucket` as a data column (not a partition)
+    * until compaction, so pruning there is filter-only — bounded by
+    * the appendix size between compactions, which is the same
+    * trade every _inc appendix in the engine makes. */
+  def q18qAfterIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = basePostingsRoot(spark, dir)
+    val (posts, stats) = composedPostings(spark, root)
+    val terms = TextQueries.bm25Queries.flatMap(_._2).distinct
+    val qterms = TextQueries.bm25Queries
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "token")
+    TextQueries.bm25Rank(prunedPostings(spark, posts, terms), stats, qterms, 10)
+  }
+
   // ---- hybrid retrieval over the sublinear rankers --------------------
 
   /** Q17i — q17h's RRF fusion exercised over the SUBLINEAR rankers its

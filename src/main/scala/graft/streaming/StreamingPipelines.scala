@@ -725,6 +725,7 @@ object StreamingPipelines {
   def clearCache(): Unit = {
     cache.clear(); wireCache.clear(); ingestCache.clear()
     growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
+    postingestCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -1124,6 +1125,50 @@ object StreamingPipelines {
       .filter(_.getFileName.toString.startsWith("snap_batch_id="))
       .sortBy(_.getFileName.toString.stripPrefix("snap_batch_id=").toLong)
     snaps.dropRight(1).foreach(graft.core.IndexStore.deleteRecursively)
+  }
+
+  /** The posting layout's INGEST side (q18q) — the fourth index family
+    * gets the same streamed maintenance loop the band index (q16j/k),
+    * the LSH key index (q16l/m), and the IVF lists (`_inc`) have: the
+    * q16i ingestion slice (`doc_id % 5 == 4`) replays as mtime-ordered
+    * micro-batches; each epoch derives the batch's postings
+    * shuffle-free and accepts them (plus the mergeable (n, sum_dl)
+    * stats partial) under `batch_id=N` appendix dirs — overwrite, so a
+    * torn epoch re-accepts idempotently. No probe step: retrieval
+    * correctness needs the batch VISIBLE, not compared — df and corpus
+    * stats are views over base ∪ appendix, correct the instant a batch
+    * lands. After drain the composed view covers the full corpus, so
+    * q18q's oracle is q18o's own SQL — the whole ingest loop is fully
+    * hash-checked. */
+  def postingIngestReplay(spark: SparkSession, dir: String, nChunks: Int = 3): Unit = {
+    import graft.operators.{DedupQueries, LayoutQueries}
+    val root = LayoutQueries.basePostingsRoot(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val incoming = docs.where(
+      col("doc_id") % DedupQueries.IngestSplitMod === DedupQueries.IngestSplitRem)
+    val chunkDir = stageChunksByIdMod(incoming, "doc_id", "graft-postingest", dir, nChunks)
+    val ckpt = Files.createTempDirectory("graft-postingest-ckpt").toString
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LayoutQueries.postingsAppendIncremental(spark, root, batch, batchId)
+      }.start()
+    q.awaitTermination()
+  }
+
+  private val postingestCache = TrieMap.empty[String, Boolean]
+
+  /** Q18q — run (once per dataset per JVM) the posting ingest replay,
+    * then answer the q18o queries from the composed base ∪ ingested
+    * view; oracle = q18o's SQL over the full corpus. */
+  def q18qBm25StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    postingestCache.getOrElseUpdate(dir, { postingIngestReplay(spark, dir); true })
+    graft.operators.LayoutQueries.q18qAfterIngest(spark, dir)
   }
 
   /** The EMBEDDING side of the streaming ingest story (q16l): the

@@ -130,6 +130,33 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q18q posting ingest: streamed appendices compose to exactly the full-corpus answer, and compact") {
+    import scala.jdk.CollectionConverters._
+    val q18o = TextQueries.q18oBm25Search(spark, dir).collect().toSeq
+    val got = graft.streaming.StreamingPipelines.q18qBm25StreamIngest(spark, dir).collect().toSeq
+    assert(got == q18o,
+      "base layout ∪ streamed posting batches diverged from the full-corpus BM25 answer")
+    // the loop really ran multiple accept epochs
+    val root = graft.operators.LayoutQueries.basePostingsRoot(spark, dir)
+    def dirsIn(name: String) = java.nio.file.Files.list(root.resolve(name))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(dirsIn("postings_inc").size > 1,
+      s"expected multiple accepted batches, got ${dirsIn("postings_inc")}")
+    assert(dirsIn("stats_inc").size > 1)
+    // appendix compaction folds both appendices without changing the
+    // answer (stats partials survive distinct-compaction via src_batch)
+    graft.streaming.StreamingPipelines.compactIngestAppendix(
+      spark, root.resolve("postings_inc").toString,
+      Seq("doc_id", "dl", "token", "tf", "bucket"))
+    graft.streaming.StreamingPipelines.compactIngestAppendix(
+      spark, root.resolve("stats_inc").toString,
+      Seq("src_batch", "n", "sum_dl"))
+    assert(dirsIn("postings_inc").size == 1 && dirsIn("stats_inc").size == 1)
+    val afterCompact = graft.operators.LayoutQueries.q18qAfterIngest(spark, dir).collect().toSeq
+    assert(afterCompact == q18o, "compaction changed the composed answer")
+  }
+
   test("q17i indexed hybrid: fuses the sublinear rankers, substantial overlap with exact q17h") {
     import spark.implicits._
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(2))
