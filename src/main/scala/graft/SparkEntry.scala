@@ -112,6 +112,7 @@ object SparkEntry {
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
+    "q25c_stream_cdc_bucketed" -> (graft.streaming.StreamingPipelines.q25cStreamCdcBucketed _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
@@ -1073,6 +1074,15 @@ object SparkEntry {
         |       FROM bd)
         |SELECT query_id, rk, doc_id, n_hit, score FROM rk
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // q25c: the BUCKETED (partition-scoped) merge must also drain to
+    // the batch q25 answer — same oracle again
+    "q25c_stream_cdc_bucketed" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
     // q18q: the posting-INGEST loop — base layout ∪ streamed batch
     // appendices must compose to exactly the full-corpus BM25 answer,
     // so the oracle is q18o's SQL verbatim

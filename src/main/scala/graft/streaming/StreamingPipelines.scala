@@ -108,6 +108,7 @@ object StreamingPipelines {
     @volatile var dedupWmFinalStateRows: Long = -1L // q20m: state rows at drain (bound proof)
     @volatile var dedupWmRowsRemoved: Long = -1L    // q20m: evicted rows across the replay
     @volatile var cdcSnapDir: String = _       // streaming CDC upsert snapshots (q25b)
+    @volatile var cdcBucketDir: String = _     // bucketed (partition-scoped) CDC merge (q25c)
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
     val shardPartials = TrieMap.empty[Int, Long] // q20g: ≤ shards rows/trigger
@@ -337,6 +338,7 @@ object StreamingPipelines {
     sink.enrichSinkDir   = Files.createTempDirectory("graft-out-enrich").toString
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
     sink.cdcSnapDir      = Files.createTempDirectory("graft-out-cdc").toString
+    sink.cdcBucketDir    = Files.createTempDirectory("graft-out-cdcb").toString
 
     // O12 — tumbling 1-minute count, update mode.
     val tumbling = data
@@ -661,6 +663,21 @@ object StreamingPipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(cdcMerge).start()
 
+    // q25c — the same changelog through the BUCKETED (partition-scoped)
+    // merge: per epoch only the touched key-hash buckets are read and
+    // rewritten (see cdcBucketMergeEpoch). Same oracle as q25/q25b —
+    // three merge strategies, one answer.
+    val cdcBucketed = data
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/cdcb")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val chg = batch.select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("event_type"), col("value"))
+        cdcBucketMergeEpoch(chg, sink.cdcBucketDir, batchId)
+      }.start()
+
     // Per-type session windows (q20i) — the gap-based windowing mode
     // (q5b's streaming twin, keyed by type so session state shards over
     // the key space instead of funneling one global session chain).
@@ -686,7 +703,7 @@ object StreamingPipelines {
 
     try {
       Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
-          enrich, dedup, dedupWm, cdc, session)
+          enrich, dedup, dedupWm, cdc, cdcBucketed, session)
         .foreach(_.awaitTermination())
       // q20m's scale contract is the state BOUND, not just the rows:
       // record the drained state size and total evictions off the
@@ -1107,6 +1124,87 @@ object StreamingPipelines {
     toMove.coalesce(spark.sparkContext.defaultParallelism)
       .write.mode("append").parquet(s"$dirStr/batch_id=$m")
     batchDirs.init.foreach(graft.core.IndexStore.deleteRecursively)
+  }
+
+  // ---- the partition-scoped CDC merge (q25c) ---------------------------
+
+  /** Key-hash bucket count for the bucketed CDC snapshot. Local fixture
+    * sizing; at 100 TB this is the table's partition count and the whole
+    * point is buckets ≫ buckets-touched-per-epoch. */
+  val CdcBuckets = 8
+
+  private def cdcBucket = pmod(hash(col("user_id")), lit(CdcBuckets))
+
+  /** One epoch of the BUCKETED CDC merge — the partition-scoped
+    * MERGE-INTO that q25b's full-snapshot rewrite documents as the
+    * 100 TB posture, made load-bearing (q25c). The changelog batch
+    * determines which key-hash buckets it touches (a bounded ≤
+    * [[CdcBuckets]]-row driver read); ONLY those buckets' latest state
+    * is read back, merged latest-wins with the batch, and rewritten
+    * under `epoch=N/bucket=B` — untouched buckets are never read,
+    * never rewritten, their latest state simply stays in an earlier
+    * epoch dir. Per-epoch cost is O(touched buckets' keys), not
+    * O(all keys) — on a date-bucketed 100 TB table a CDC stream
+    * touching today's keys rewrites today's partitions only.
+    *
+    * Crash safety is q25b's, per epoch dir: the merge reads only
+    * epochs < N (a retried epoch N never reads its own torn output),
+    * and the `epoch=N` overwrite is idempotent. The reader composes
+    * each bucket's highest-epoch dir ([[readCdcBucketSnapshot]]), so a
+    * torn epoch-N write is simply superseded when N retries. */
+  def cdcBucketMergeEpoch(chg: DataFrame, rootStr: String, batchId: Long): Unit = {
+    val spark = chg.sparkSession
+    val root = Paths.get(rootStr)
+    val withBucket = chg.withColumn("bucket", cdcBucket)
+    // bounded driver metadata: buckets this batch touches + the committed
+    // epoch currently holding each one's latest state
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val epochsDesc =
+      if (!Files.exists(root)) Seq.empty
+      else Files.list(root).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+        .filter(_ < batchId).toSeq.sorted.reverse
+    val prevPaths = touched.flatMap { b =>
+      epochsDesc.collectFirst {
+        case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
+          root.resolve(s"epoch=$e/bucket=$b").toString
+      }
+    }
+    // leaf-dir reads drop the bucket partition column; it is a pure
+    // function of user_id, so recompute rather than persist twice
+    val prev =
+      if (prevPaths.isEmpty) None
+      else Some(spark.read.parquet(prevPaths: _*).withColumn("bucket", cdcBucket))
+    val all = prev.fold(withBucket)(_.unionByName(withBucket))
+    all.groupBy("bucket", "user_id")
+      .agg(max_by(
+        struct(col("op"), col("event_type"), col("value"), col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("bucket"), col("user_id"), col("last.op").as("op"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"),
+        col("last.ts").as("ts"), col("last.event_id").as("event_id"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(root.resolve(s"epoch=$batchId").toString)
+  }
+
+  /** The bucketed snapshot's read view: each bucket's HIGHEST-epoch dir
+    * (bounded driver metadata — [[CdcBuckets]] × epochs dir listings),
+    * composed as one union read. Tombstones still present; callers
+    * filter at their edge like q25b's reader. */
+  def readCdcBucketSnapshot(spark: SparkSession, rootStr: String): DataFrame = {
+    val root = Paths.get(rootStr)
+    val epochsDesc = Files.list(root).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+      .toSeq.sorted.reverse
+    val latest = (0 until CdcBuckets).flatMap { b =>
+      epochsDesc.collectFirst {
+        case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
+          root.resolve(s"epoch=$e/bucket=$b").toString
+      }
+    }
+    spark.read.parquet(latest: _*)
   }
 
   /** The q25b snapshot VACUUM (the lakehouse twin of
@@ -1734,4 +1832,16 @@ object StreamingPipelines {
         col("value").as("last_value"), col("ts").as("last_ts"))
       .orderBy("user_id")
   }
+
+  /** Q25c — the bucketed CDC snapshot composed per-bucket-latest
+    * ([[readCdcBucketSnapshot]]), tombstones dropped at read; oracle =
+    * q25's own SQL, identical to q25b's — the partition-scoped merge
+    * must be indistinguishable from both the whole-changelog compaction
+    * and the full-snapshot stream. */
+  def q25cStreamCdcBucketed(spark: SparkSession, dir: String): DataFrame =
+    readCdcBucketSnapshot(spark, replayCached(spark, dir).cdcBucketDir)
+      .where(col("op") =!= "D")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy("user_id")
 }

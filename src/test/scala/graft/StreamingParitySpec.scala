@@ -290,6 +290,43 @@ class StreamingParitySpec extends AnyFunSuite {
       "vacuum must not change the q25b answer")
   }
 
+  test("q25c bucketed CDC merge drains to the batch answer; a narrow epoch rewrites only its bucket") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = "/root/testdata/sf0.001"
+    // parity via the shared replay: three merge strategies, one answer
+    val got = StreamingPipelines.q25cStreamCdcBucketed(spark, dir).collect().toSeq
+    val want = graft.operators.RelationalQueries.q25CdcUpsert(spark, dir).collect().toSeq
+    assert(got == want, "bucketed merge diverged from whole-changelog compaction")
+
+    // the partition-scoping claim, unit-level: epoch 0 seeds many keys,
+    // epoch 1 carries ONE key — only that key's bucket dir may be
+    // rewritten in epoch 1, everything else stays where it was
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val root = java.nio.file.Files.createTempDirectory("cdcb-unit").toString
+    val wide = (1L to 64L).map(u => (u, ts(u), u, "U", "click", 1.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    StreamingPipelines.cdcBucketMergeEpoch(wide, root, 0L)
+    val narrow = Seq((7L, ts(1000), 999L, "U", "purchase", 2.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    StreamingPipelines.cdcBucketMergeEpoch(narrow, root, 1L)
+    import scala.jdk.CollectionConverters._
+    def bucketsIn(epoch: Long): Seq[String] = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, s"epoch=$epoch")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq.sorted
+    assert(bucketsIn(0L).size > 1, "seed epoch should span several buckets")
+    assert(bucketsIn(1L).size == 1,
+      s"a one-key epoch must rewrite exactly one bucket, got ${bucketsIn(1L)}")
+    // and the composed read is the correct latest-wins state across epochs
+    val composed = StreamingPipelines.readCdcBucketSnapshot(spark, root)
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (u, t, e) => u -> ((t, e)) }.toMap
+    assert(composed.size == 64, s"expected all 64 keys composed, got ${composed.size}")
+    assert(composed(7L) == (("purchase", 999L)),
+      s"epoch-1 update must win for its key, got ${composed(7L)}")
+  }
+
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
     import spark.implicits._
     val df = StreamingPipelines.q20StreamTumbling(spark, "/root/testdata/sf0.001")
