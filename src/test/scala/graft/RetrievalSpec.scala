@@ -153,8 +153,20 @@ class RetrievalSpec extends AnyFunSuite {
       spark, root.resolve("stats_inc").toString,
       Seq("src_batch", "n", "sum_dl"))
     assert(dirsIn("postings_inc").size == 1 && dirsIn("stats_inc").size == 1)
-    val afterCompact = graft.operators.LayoutQueries.q18qAfterIngest(spark, dir).collect().toSeq
+    val composed = graft.operators.LayoutQueries.q18qAfterIngest(spark, dir)
+    val afterCompact = composed.collect().toSeq
     assert(afterCompact == q18o, "compaction changed the composed answer")
+    // the bucket filter must push THROUGH the union into the base
+    // layout's scan: the composed read still partition-prunes the base
+    val baseScans = allNodes(finalPlan(composed)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.endsWith("/postings")) => f
+    }
+    assert(baseScans.nonEmpty, "no base posting scan in the composed plan")
+    baseScans.foreach { f =>
+      assert(f.partitionFilters.mkString(",").contains("bucket"),
+        "composed read lost the base layout's bucket partition filter")
+    }
   }
 
   test("q17i indexed hybrid: fuses the sublinear rankers, substantial overlap with exact q17h") {
