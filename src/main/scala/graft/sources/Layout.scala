@@ -39,13 +39,38 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
                        sortCols: Seq[String],
-                       filesPerDir: Int = 1): Unit = {
+                       filesPerDir: Int = 1): Unit =
+    write(df, path, partitionCols, sortCols, filesPerDir, dynamic = false)
+
+  /** Partition-scoped REWRITE — the daily-load / backfill pattern for a
+    * partitioned table: overwrite ONLY the partition directories present
+    * in `df` (Spark's dynamic partition-overwrite mode), leaving every
+    * other partition's files physically untouched. A 100 TB table takes
+    * today's load or a single-day backfill without rewriting (or even
+    * listing) the other partitions — the write-side twin of the q25c
+    * read-side bucket scoping. Same repartition-first and sort-within
+    * guarantees as [[writePartitioned]]. Pinned in ScaleOpsSpec:
+    * untouched partition files are bit-identical (same names, same
+    * mtimes) after an unrelated partition's overwrite. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String],
+                          sortCols: Seq[String],
+                          filesPerDir: Int = 1): Unit =
+    write(df, path, partitionCols, sortCols, filesPerDir, dynamic = true)
+
+  private def write(df: DataFrame, path: String,
+                    partitionCols: Seq[String], sortCols: Seq[String],
+                    filesPerDir: Int, dynamic: Boolean): Unit = {
     val dist =
       if (filesPerDir <= 1) partitionCols.map(col)
       else partitionCols.map(col) :+
         pmod(hash(sortCols.map(col): _*), lit(filesPerDir))
-    df.repartition(dist: _*)
+    val w = df.repartition(dist: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+    // session-conf-independent: the writer option scopes the dynamic
+    // overwrite to THIS write (no global conf mutation)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(path)
   }
 }

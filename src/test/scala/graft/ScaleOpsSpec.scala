@@ -266,6 +266,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 10100L)
   }
 
+  test("overwritePartitions: only the incoming partitions rewrite; others' files stay bit-identical") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-layout-dynamic").toString
+    val full = ((1 to 100).map(i => ("a", i.toLong, i.toLong)) ++
+        (1 to 100).map(i => ("b", i.toLong, i.toLong * 10)))
+      .toDF("k", "ts", "v")
+    graft.sources.Layout.writePartitioned(full, out, Seq("k"), Seq("ts"))
+    def filesOf(dir: String): Map[String, FileTime] =
+      Files.list(Paths.get(out, dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    val aBefore = filesOf("k=a")
+    // backfill partition b only — corrected values
+    val patch = (1 to 100).map(i => ("b", i.toLong, i.toLong * 100)).toDF("k", "ts", "v")
+    graft.sources.Layout.overwritePartitions(patch, out, Seq("k"), Seq("ts"))
+    // untouched partition: same files, same mtimes (never rewritten)
+    assert(filesOf("k=a") == aBefore,
+      "dynamic overwrite must not touch partitions absent from the incoming frame")
+    // touched partition: fully replaced; reads compose old a + new b
+    val got = spark.read.parquet(out).groupBy("k").sum("v")
+      .as[(String, Long)].collect().toMap
+    assert(got("a") == (1 to 100).map(_.toLong).sum)
+    assert(got("b") == (1 to 100).map(_.toLong * 100).sum,
+      "backfilled partition must serve the new values")
+  }
+
   test("binned band join: equals the naive range join, including boundaries and zero-neighbor rows") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -327,6 +327,34 @@ class StreamingParitySpec extends AnyFunSuite {
       s"epoch-1 update must win for its key, got ${composed(7L)}")
   }
 
+  test("q25c torn epoch: a retried merge converges (reads only epochs < N, overwrite idempotent)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val root = java.nio.file.Files.createTempDirectory("cdcb-retry").toString
+    val e0 = (1L to 32L).map(u => (u, ts(u), u, "U", "click", 1.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    StreamingPipelines.cdcBucketMergeEpoch(e0, root, 0L)
+    val e1 = Seq((5L, ts(500), 501L, "U", "purchase", 2.0),
+                 (6L, ts(501), 502L, "D", "error", 0.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    // epoch 1 runs, "crashes" before its checkpoint commits, and retries:
+    // the retry must read epoch 0's state (never its own torn epoch-1
+    // output) and overwrite to the identical result
+    StreamingPipelines.cdcBucketMergeEpoch(e1, root, 1L)
+    def state() = StreamingPipelines.readCdcBucketSnapshot(spark, root)
+      .select("user_id", "op", "event_type", "event_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    val afterFirst = state()
+    StreamingPipelines.cdcBucketMergeEpoch(e1, root, 1L)
+    assert(state() == afterFirst, "retried epoch diverged from its first run")
+    // and the state is right: 5 updated, 6 tombstoned (still in state), rest intact
+    val byUser = afterFirst.map(r => r._1 -> r).toMap
+    assert(byUser(5L) == ((5L, "U", "purchase", 501L)))
+    assert(byUser(6L) == ((6L, "D", "error", 502L)), "tombstone must be retained in state")
+    assert(afterFirst.size == 32)
+  }
+
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
     import spark.implicits._
     val df = StreamingPipelines.q20StreamTumbling(spark, "/root/testdata/sf0.001")
