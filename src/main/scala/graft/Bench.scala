@@ -166,7 +166,8 @@ object Bench {
       s""""ivf":${graft.operators.SimilarityQueries.ivfTrainCount.get},""" +
       s""""embkey":${graft.operators.SimilarityQueries.embKeyBuildCount.get},""" +
       s""""layout":${graft.operators.LayoutQueries.layoutBuildCount.get},""" +
-      s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get}}"""
+      s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
+      s""""postings_base":${graft.operators.LayoutQueries.postingBaseBuildCount.get}}"""
     println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
