@@ -227,6 +227,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(filesRead > 0 && filesRead < totalFiles,
       s"expected a pruned read, got $filesRead of $totalFiles files")
+    // the second pruning level: a ts-range predicate must reach the
+    // parquet reader as a pushed filter (riding the in-file ts sort for
+    // row-group min/max skipping), ON TOP of the directory pruning
+    val ranged = graft.operators.LayoutQueries.eventsByType(spark, sf)
+      .where(col("event_type") === "purchase" &&
+             col("ts") >= lit("2024-01-02").cast("timestamp"))
+    ranged.collect()
+    val rangedScan = nodes(ranged.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in the ranged plan"))
+    assert(rangedScan.partitionFilters.mkString(",").contains("event_type"))
+    assert(rangedScan.dataFilters.mkString(",").contains("ts"),
+      s"ts range must be a data filter on the scan: ${rangedScan.dataFilters}")
+    assert(rangedScan.metadata.getOrElse("PushedFilters", "").contains("ts"),
+      s"ts range must push to the parquet reader: ${rangedScan.metadata.get("PushedFilters")}")
   }
 
   test("layout filesPerDir: a hot partition value spreads over n write tasks/files, each still sorted") {
