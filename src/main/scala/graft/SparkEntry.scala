@@ -48,6 +48,7 @@ object SparkEntry {
     "q15d_sketch_union"    -> (RelationalQueries.q15dSketchUnion _),
     "q15e_approx_quantiles" -> (RelationalQueries.q15eApproxQuantiles _),
     "q15f_cms_heavy_hitters" -> (RelationalQueries.q15fCmsHeavyHitters _),
+    "q15g_bloom_semijoin"  -> (RelationalQueries.q15gBloomSemijoin _),
     "q16_exact_dedup"      -> (DedupQueries.q16ExactDedup _),
     "q16b_minhash_neardup" -> (DedupQueries.q16bNearDup _),
     "q16c_simhash_neardup" -> (DedupQueries.q16cSimhashNearDup _),
@@ -441,6 +442,15 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q15g: bloom pre-filter + exact semi-join verify is EXACT by
+    // construction, so the oracle is the plain semi-join aggregate
+    "q15g_bloom_semijoin" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer
+        |                  WHERE c_mktsegment = 'AUTOMOBILE')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q25b: the STREAMED per-epoch latest-wins merge must drain to the
     // batch q25 answer — same oracle
     "q25b_stream_cdc_upsert" ->

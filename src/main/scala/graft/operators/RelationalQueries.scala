@@ -415,6 +415,77 @@ object RelationalQueries {
       .orderBy(col("est").desc, col("user_id"))
   }
 
+  /** Bloom geometry for q15g: m bits, k=4 of the same exact-integer
+    * universal hashes the CMS uses (h(u) = ((u·a + b) mod P) mod m) —
+    * deterministic on any engine, no FP anywhere. */
+  val bloomBits = 8192L
+  val bloomHashes: Seq[(Long, Long)] = Seq(
+    (1103L, 12345L), (12289L, 54321L), (786433L, 1299709L), (10007L, 7919L))
+
+  private def bloomPos(u: Column, a: Long, b: Long): Column =
+    pmod(pmod(u * lit(a) + lit(b), lit(cmsP)), lit(bloomBits))
+
+  /** Build the Bloom filter over a key frame as a 64-bit-packed mask.
+    * The ONLY driver transfer is the distinct set-bit POSITION list —
+    * bounded by m (here 8 KB of longs), never by the key cardinality:
+    * a billion-row dim still collapses to ≤ m positions via the same
+    * distinct aggregate. At 100 TB the mask travels to every executor
+    * as ~1 KB of plan literal — the broadcast no-brainer that makes the
+    * pre-filter free next to a scan. */
+  def bloomMask(keys: DataFrame, keyCol: String): Seq[Long] = {
+    val posStructs = bloomHashes.map { case (a, b) => bloomPos(col(keyCol), a, b) }
+    val positions = keys.select(explode(array(posStructs: _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val mask = new Array[Long]((bloomBits / 64L).toInt)
+    positions.foreach(p => mask((p / 64L).toInt) |= (1L << (p % 64L).toInt))
+    mask.toIndexedSeq
+  }
+
+  /** Membership test against the literal mask — pure integer codegen
+    * (element_at + shifts + bitwise AND), no UDF, no lookup join: the
+    * key may be in the set iff ALL k bit positions are set. */
+  def bloomMayContain(u: Column, mask: Seq[Long]): Column = {
+    val maskLit = array(mask.map(lit): _*)
+    bloomHashes.map { case (a, b) =>
+      val p = bloomPos(u, a, b)
+      val word = element_at(maskLit, (call_function("shiftright", p, lit(6)) + 1).cast("int"))
+      val bit = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+      word.bitwiseAND(bit) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Q15g — broadcast-BLOOM semi-join pre-filter, the runtime-filter
+    * pattern as a first-class operator: aggregate events belonging to
+    * one customer segment's users by pre-filtering the fact scan with
+    * a Bloom mask built over the dim keys, then exact-verifying the
+    * survivors with the real semi-join (false positives — and only
+    * false positives — die there, so the composition is EXACT and q15g
+    * is fully hash-checked against the plain semi-join oracle).
+    *
+    * Why it matters at 100 TB: Spark's own runtime filters
+    * (InSubqueryExec / bloom pushdown) exist only where AQE can inject
+    * them — batch equi-joins it owns. This operator is the same
+    * pruning for the plans AQE cannot reach (streaming micro-batches,
+    * pinned plans, pre-filtering BEFORE an expensive derivation), the
+    * q21-salting story's sibling. The mask test is codegen'd integer
+    * arithmetic on the scan (no join, no shuffle); the semi-join then
+    * runs on the surviving fraction instead of the full fact table.
+    * Pruning and the superset guarantee (bloom passes ⊇ true matches,
+    * no false negatives) are pinned in ScaleOpsSpec. */
+  def q15gBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("user_id"))
+    val mask = bloomMask(dim, "user_id")
+    Tables.load(spark, dir, "events")
+      .where(bloomMayContain(col("user_id"), mask))
+      .join(dim, Seq("user_id"), "left_semi")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Q25 — CDC latest-wins upsert compaction, the MERGE INTO shape a
     * lakehouse table maintenance job runs: a changelog keyed by entity
     * (events as the log; `error` rows play the delete tombstone)

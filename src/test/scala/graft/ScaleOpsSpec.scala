@@ -190,6 +190,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       "file not clustered on the sort key")
   }
 
+  test("q15g bloom: no false negatives, real pruning, and the verified result is exact") {
+    import spark.implicits._
+    import graft.operators.RelationalQueries
+    val sf = "/root/testdata/sf0.001"
+    val dim = Tables.load(spark, sf, "customer")
+      .where(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("user_id"))
+    val mask = RelationalQueries.bloomMask(dim, "user_id")
+    // completeness: every dim key passes its own bloom (structural, but
+    // a packing bug would break exactly this)
+    assert(dim.where(!RelationalQueries.bloomMayContain(col("user_id"), mask)).count() == 0,
+      "a bloom must never reject a key it was built from")
+    val events = Tables.load(spark, sf, "events")
+    val total = events.count()
+    val passed = events.where(RelationalQueries.bloomMayContain(col("user_id"), mask)).count()
+    val exact = events.join(dim, Seq("user_id"), "left_semi").count()
+    // superset + pruning: bloom passes cover every true match, yet
+    // reject most of the fact table (the point of the pre-filter)
+    assert(passed >= exact, s"bloom passes ($passed) below true matches ($exact)")
+    assert(passed < total / 2,
+      s"bloom rejected too little: $passed of $total rows passed")
+    // the composed operator is exact
+    val got = RelationalQueries.q15gBloomSemijoin(spark, sf).collect().toSeq
+    val want = events.join(dim, Seq("user_id"), "left_semi")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == want, "bloom pre-filter + exact verify diverged from the plain semi-join")
+  }
+
   test("q26: the layout is load-bearing — pruned scan reads strictly fewer files, same answer as flat") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
