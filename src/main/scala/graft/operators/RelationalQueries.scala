@@ -393,7 +393,7 @@ object RelationalQueries {
   def q15fCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events").select(col("user_id"))
     def cell(u: Column, a: Long, b: Long): Column =
-      pmod(pmod(u * lit(a) + lit(b), lit(cmsP)), lit(cmsWidth))
+      pmod(pmod(pmod(u, lit(cmsP)) * lit(a) + lit(b), lit(cmsP)), lit(cmsWidth))
     val rowStructs = cmsHashes.map { case (r, a, b) =>
       struct(lit(r).as("r"), cell(col("user_id"), a, b).as("cell"))
     }
@@ -422,8 +422,15 @@ object RelationalQueries {
   val bloomHashes: Seq[(Long, Long)] = Seq(
     (1103L, 12345L), (12289L, 54321L), (786433L, 1299709L), (10007L, 7919L))
 
+  /** h(u) = (((u mod P)·a + b) mod P) mod m. The inner `pmod(u, P)`
+    * (ADVICE r9 #3) keeps the product within Long for ANY 64-bit key:
+    * (P−1)·max(a) ≈ 8·10^14 ≪ 2^63, where the bare `u·a` would overflow
+    * — and under Spark 4's ANSI default, THROW — at u ≥ ~1.17·10^13
+    * (plausible synthetic wide ids at 100 TB). Mathematically identical
+    * mod P (standard universal-hash formulation), so build/probe values
+    * are unchanged for every in-range key. */
   private def bloomPos(u: Column, a: Long, b: Long): Column =
-    pmod(pmod(u * lit(a) + lit(b), lit(cmsP)), lit(bloomBits))
+    pmod(pmod(pmod(u, lit(cmsP)) * lit(a) + lit(b), lit(cmsP)), lit(bloomBits))
 
   /** Build the Bloom filter over a key frame as a 64-bit-packed mask.
     * The ONLY driver transfer is the distinct set-bit POSITION list —

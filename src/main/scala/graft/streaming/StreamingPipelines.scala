@@ -92,6 +92,17 @@ object StreamingPipelines {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.GraftSqlShim.unloadStateStores()
 
+  /** Directory listing, materialized with the underlying stream CLOSED
+    * (ADVICE r9 #4): `Files.list` returns a stream backed by an open
+    * file descriptor that java.nio documents must be closed — the
+    * previous bare `.iterator()` walk leaked one fd per call until GC,
+    * and several of these listings run once per micro-batch epoch in
+    * long-lived streams (CDC merge, bucketed merge, snapshot reads). */
+  private[graft] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Sink state for one replay: durable per-epoch parquet sink dirs
     * (the "InfluxDB measurements" of the reference) plus the two
     * bounded-by-construction driver logs. */
@@ -186,12 +197,12 @@ object StreamingPipelines {
       .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
       .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(staging)
-    val dayDirs = Files.list(Paths.get(staging)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("day=")).toSeq
+    val dayDirs = listDir(Paths.get(staging))
+      .filter(p => p.getFileName.toString.startsWith("day="))
       .sortBy(_.getFileName.toString)
     dayDirs.zipWithIndex.foreach { case (dayDir, i) =>
-      val parts = Files.list(dayDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+      val parts = listDir(dayDir)
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
       parts.zipWithIndex.foreach { case (part, j) =>
         val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
         Files.move(part, dst)
@@ -209,8 +220,8 @@ object StreamingPipelines {
         lit(0.0).as("value"),
         lit("").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(sentStaging)
-    val sentPart = Files.list(Paths.get(sentStaging)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val sentPart = listDir(Paths.get(sentStaging))
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
     val sentDst = chunkDir.resolve("chunk_999_00.parquet")
     Files.move(sentPart, sentDst)
     Files.setLastModifiedTime(sentDst, FileTime.fromMillis(1700000000000L + 999000L))
@@ -635,7 +646,7 @@ object StreamingPipelines {
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
         col("event_type"), col("value"))
       val snapRoot = Paths.get(sink.cdcSnapDir)
-      val prev = Files.list(snapRoot).iterator().asScala
+      val prev = listDir(snapRoot)
         .map(_.getFileName.toString)
         .filter(_.startsWith("snap_batch_id="))
         .map(_.stripPrefix("snap_batch_id=").toLong)
@@ -823,8 +834,8 @@ object StreamingPipelines {
     // holds the partitions a consumer is about to poll.
     val roundDirs = {
       val data = stageWireRounds(spark, dir, rounds).resolve("data")
-      Files.list(data).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("round=")).toSeq
+      listDir(data)
+        .filter(_.getFileName.toString.startsWith("round="))
         // numeric round order — a lexicographic sort would replay
         // 0,1,10,11,2,… past 9 rounds (the stageChunksByIdMod lesson)
         .sortBy(_.getFileName.toString.stripPrefix("round=").toInt)
@@ -905,15 +916,15 @@ object StreamingPipelines {
     frame.withColumn("chunk", pmod(col(idCol), lit(nChunks)))
       .repartition(col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(staging)
-    val chunkDirs = Files.list(Paths.get(staging)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("chunk=")).toSeq
+    val chunkDirs = listDir(Paths.get(staging))
+      .filter(_.getFileName.toString.startsWith("chunk="))
       // numeric chunk order (ADVICE r7 #2): a lexicographic sort of
       // `chunk=N` names would stage 0,1,10,11,2,… at nChunks ≥ 10 and
       // silently break the "strictly earlier chunk" replay contract
       .sortBy(_.getFileName.toString.stripPrefix("chunk=").toInt)
     chunkDirs.zipWithIndex.foreach { case (cDir, i) =>
-      val parts = Files.list(cDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val parts = listDir(cDir)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString)
       parts.zipWithIndex.foreach { case (part, j) =>
         val dst = chunkDir.resolve(f"chunk_$i%03d_$j%02d.parquet")
@@ -1101,7 +1112,7 @@ object StreamingPipelines {
                             dataCols: Seq[String]): Unit = {
     val root = Paths.get(dirStr)
     if (!Files.exists(root)) return
-    val batchDirs = Files.list(root).iterator().asScala.toSeq
+    val batchDirs = listDir(root)
       .filter(_.getFileName.toString.startsWith("batch_id="))
       .sortBy(_.getFileName.toString.stripPrefix("batch_id=").toLong)
     if (batchDirs.size <= 1) return
@@ -1115,7 +1126,7 @@ object StreamingPipelines {
     // (reachable: a chunk whose docs all fall below the shingle
     // minimum) — reading it for the except() would fail schema
     // inference; except-nothing keeps the same distinct semantics
-    val targetHasFiles = Files.list(batchDirs.last).iterator().asScala
+    val targetHasFiles = listDir(batchDirs.last)
       .exists(_.getFileName.toString.endsWith(".parquet"))
     val toMove =
       if (targetHasFiles)
@@ -1162,9 +1173,9 @@ object StreamingPipelines {
       .collect().map(_.getInt(0)).toSeq.sorted
     val epochsDesc =
       if (!Files.exists(root)) Seq.empty
-      else Files.list(root).iterator().asScala.map(_.getFileName.toString)
+      else listDir(root).map(_.getFileName.toString)
         .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
-        .filter(_ < batchId).toSeq.sorted.reverse
+        .filter(_ < batchId).sorted.reverse
     val prevPaths = touched.flatMap { b =>
       epochsDesc.collectFirst {
         case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
@@ -1195,9 +1206,9 @@ object StreamingPipelines {
     * filter at their edge like q25b's reader. */
   def readCdcBucketSnapshot(spark: SparkSession, rootStr: String): DataFrame = {
     val root = Paths.get(rootStr)
-    val epochsDesc = Files.list(root).iterator().asScala.map(_.getFileName.toString)
+    val epochsDesc = listDir(root).map(_.getFileName.toString)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
-      .toSeq.sorted.reverse
+      .sorted.reverse
     val latest = (0 until CdcBuckets).flatMap { b =>
       epochsDesc.collectFirst {
         case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
@@ -1219,7 +1230,7 @@ object StreamingPipelines {
   def vacuumCdcSnapshots(snapDirStr: String): Unit = {
     val root = Paths.get(snapDirStr)
     if (!Files.exists(root)) return
-    val snaps = Files.list(root).iterator().asScala.toSeq
+    val snaps = listDir(root)
       .filter(_.getFileName.toString.startsWith("snap_batch_id="))
       .sortBy(_.getFileName.toString.stripPrefix("snap_batch_id=").toLong)
     snaps.dropRight(1).foreach(graft.core.IndexStore.deleteRecursively)
@@ -1821,7 +1832,7 @@ object StreamingPipelines {
     * RelationalQueries.q25CdcUpsert, RelationalQueries.scala:433). */
   def q25bStreamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
     val snapRoot = Paths.get(replayCached(spark, dir).cdcSnapDir)
-    val latest = Files.list(snapRoot).iterator().asScala
+    val latest = listDir(snapRoot)
       .map(_.getFileName.toString)
       .filter(_.startsWith("snap_batch_id="))
       .map(_.stripPrefix("snap_batch_id=").toLong)
