@@ -509,19 +509,41 @@ object TextQueries {
     bm25Rank(bm25Postings(docs, Some(terms)), bm25Stats(docs), qterms, k)
   }
 
-  /** Zero-shuffle (doc_id, dl, token, tf) posting derivation: per-doc tf
-    * inside codegen (the topTokenCount trick), so tokenization, tf, and
-    * dl all ride the one corpus scan. With `termFilter` (q18o) every
-    * non-query posting is dropped before anything moves; `None` derives
-    * the FULL vocabulary — what the posting-layout build
-    * ([[LayoutQueries.postingsTable]]) materializes once, paying one
-    * bucket-partitioned write shuffle so queries never re-derive it. */
+  /** Zero-shuffle (doc_id, dl, token, tf) posting derivation — LINEAR
+    * in doc length (VERDICT r9 #6): tf comes from run-length positions
+    * over the SORTED token array instead of the former per-distinct-term
+    * `size(filter(toks, _ === u))` rescan, which was
+    * O(|distinct| × |toks|) per doc — quadratic for long
+    * mostly-distinct documents. Here: sort once (O(n log n)), mark each
+    * run's END index (i is a run end iff it is the last index or
+    * s[i+1] ≠ s[i] — one linear pass), then each run's tf is the gap
+    * between consecutive run-end positions (O(1) `element_at` lookups).
+    * Tokenization, tf, and dl still all ride the one corpus scan with
+    * no shuffle. With `termFilter` (q18o) every non-query posting is
+    * dropped before anything moves; `None` derives the FULL vocabulary
+    * — what the posting-layout build ([[LayoutQueries.postingsTable]])
+    * materializes once, paying one bucket-partitioned write shuffle so
+    * queries never re-derive it. */
   def bm25Postings(docs: DataFrame, termFilter: Option[Seq[String]]): DataFrame = {
+    val s = col("s"); val ends = col("ends")
+    // run-end indices, 0-based; the size=0 guard matters because
+    // sequence(0, -1) is the DESCENDING [0, -1], not empty
+    val runEnds = when(size(s) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), size(s) - 1),
+        i => (i === size(s) - 1) || (element_at(s, i + 2) =!= element_at(s, i + 1))))
     val p = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(transform(array_distinct(col("toks")),
-          u => struct(u.as("token"),
-            size(filter(col("toks"), x => x === u)).cast("long").as("tf")))).as("p"))
+        array_sort(col("toks")).as("s"))
+      .select(col("doc_id"), col("dl"), s, runEnds.as("ends"))
+      // (element, index) transform: run j spans (ends[j-1], ends[j]],
+      // so tf = ends[j] − ends[j−1] with ends[−1] ≡ −1; empty `ends`
+      // (empty doc) yields an empty array and explode drops the row,
+      // matching the former array_distinct behavior
+      .select(col("doc_id"), col("dl"),
+        explode(transform(ends, (e, j) =>
+          struct(element_at(s, e + 1).as("token"),
+            (e - coalesce(when(j > 0, element_at(ends, j)), lit(-1)))
+              .cast("long").as("tf")))).as("p"))
       .select(col("doc_id"), col("dl"), col("p.token").as("token"), col("p.tf").as("tf"))
     termFilter.fold(p)(ts => p.where(col("token").isin(ts.map(lit): _*)))
   }

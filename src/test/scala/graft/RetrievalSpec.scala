@@ -59,6 +59,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r == Seq((1L, 1L), (2L, 2L)), r.toString)
   }
 
+  test("bm25 postings: linear run-length tf ≡ the explode/groupBy count oracle") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // real corpus docs + edge shapes: empty text, single token, all-equal
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .unionAll(Seq((900001L, ""), (900002L, "solo"),
+        (900003L, "rep rep rep rep")).toDF("doc_id", "text"))
+    val got = TextQueries.bm25Postings(docs, None)
+      .select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val oracle = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == oracle,
+      s"diff: ${(got diff oracle).take(5)} / ${(oracle diff got).take(5)}")
+    assert(got.exists(_._3 > 1), "fixture has no repeated token — tf untested")
+  }
+
   test("bm25 plan: every join side broadcasts — no sort-merge join, bounded shuffles") {
     val plan = finalPlan(TextQueries.q18oBm25Search(spark, dir))
     val nodes = allNodes(plan)
