@@ -115,6 +115,7 @@ object SparkEntry {
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
     "q25c_stream_cdc_bucketed" -> (graft.streaming.StreamingPipelines.q25cStreamCdcBucketed _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
+    "q26b_layout_backfill" -> (LayoutQueries.q26bLayoutBackfill _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
@@ -1130,6 +1131,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY hour""".stripMargin,
+    // q26b: partition-scoped backfill — one partition of the layout
+    // copy is physically rewritten, then the composed table (rewritten
+    // partition + an untouched one) must still equal the flat corpus
+    "q26b_layout_backfill" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -39,16 +39,20 @@ object LayoutQueries {
     * partition's files clustered on `ts` (row-group min/max pruning for
     * time ranges). The same table the flat FIXTURES parquet holds — the
     * physical layout is the only difference, which is the point. */
-  def eventsByType(spark: SparkSession, dir: String): DataFrame = {
+  def eventsByType(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(eventsByTypeRoot(spark, dir).resolve("data").toString)
+
+  /** The layout copy's persisted root (build-or-load) — exposed so the
+    * backfill op (q26b) can address partition directories inside it. */
+  def eventsByTypeRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
     val events = Tables.load(spark, dir, "events")
     val fp = SimilarityQueries.corpusFingerprint(events, "event_id",
       Seq(col("event_type"), col("ts"), col("value")))
-    val root = IndexStore.buildOrLoad(
+    IndexStore.buildOrLoad(
         EventsFamily, dir, fp, Seq("data"), layoutBuildCount) { r =>
       Layout.writePartitioned(events, r.resolve("data").toString,
         partitionCols = Seq("event_type"), sortCols = Seq("ts"))
     }
-    spark.read.parquet(root.resolve("data").toString)
   }
 
   /** Q26 — the layout made load-bearing: a type-selective hourly rollup
@@ -65,6 +69,40 @@ object LayoutQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy("hour")
+
+  /** Q26b — the BACKFILL path made load-bearing (VERDICT r9 next #7):
+    * [[graft.sources.Layout.overwritePartitions]] rewrites exactly ONE
+    * partition of the layout copy — the daily-load/backfill pattern,
+    * where a re-derived day (here: the 'click' event_type, recomputed
+    * from the flat corpus) replaces its directory while every other
+    * partition's files stay physically untouched (pinned bit-identical
+    * in ScaleOpsSpec). The rewrite is REAL, not cosmetic: the
+    * partition's files are replaced wholesale (fresh write-UUID names,
+    * pinned in ScaleOpsSpec), landing at `filesPerDir = 2` so a hot
+    * backfilled day spreads over two write tasks at scale. The query then
+    * answers an hourly rollup over the REWRITTEN partition plus an
+    * UNTOUCHED one, composed off the post-backfill table — if the
+    * rewrite dropped, duplicated, or mis-sorted anything, the
+    * flat-corpus oracle hash catches it (as would q26's, which shares
+    * the table). At 100 TB this is how a partitioned table takes a
+    * single-day correction without rewriting — or even listing — the
+    * other partitions; contract: run quiesced relative to readers of
+    * the partition being replaced (the same offline-slot contract as
+    * every maintenance op here). Idempotent: re-running re-derives the
+    * same rows and overwrites the same directory. */
+  def q26bLayoutBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsByTypeRoot(spark, dir)
+    val backfill = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "click")
+    Layout.overwritePartitions(backfill, root.resolve("data").toString,
+      partitionCols = Seq("event_type"), sortCols = Seq("ts"), filesPerDir = 2)
+    spark.read.parquet(root.resolve("data").toString)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
 
   // ---- BM25 postings: partition by token bucket -----------------------
 

@@ -275,6 +275,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"ts range must push to the parquet reader: ${rangedScan.metadata.get("PushedFilters")}")
   }
 
+  test("q26b: backfill rewrites exactly the click partition; untouched files bit-identical; answers hold") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    // ensure the layout exists, then snapshot the physical state of an
+    // UNTOUCHED partition and the pre-backfill q26 answer
+    val root = graft.operators.LayoutQueries.eventsByTypeRoot(spark, sf).resolve("data")
+    def filesOf(dir: String): Map[String, FileTime] =
+      Files.list(root.resolve(dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    val purchaseBefore = filesOf("event_type=purchase")
+    val clickBefore = filesOf("event_type=click")
+    val q26Before = graft.operators.LayoutQueries.q26LayoutScan(spark, sf).collect().toSeq
+    val got = graft.operators.LayoutQueries.q26bLayoutBackfill(spark, sf).collect().toSeq
+    // the rewrite really happened: fresh files in the click dir (names
+    // are write-UUID-stamped, so any rewrite changes them); file COUNT
+    // stays bounded by the filesPerDir knob (AQE may coalesce the tiny
+    // fixture to 1 — the spread mechanics are pinned in the
+    // filesPerDir spec below)
+    val clickFiles = filesOf("event_type=click")
+    assert(clickFiles.nonEmpty && clickFiles.size <= 2,
+      s"backfilled partition should hold 1..2 files, got ${clickFiles.keys}")
+    assert(clickFiles.keySet.intersect(clickBefore.keySet).isEmpty,
+      "backfill left the original click files in place — no rewrite happened")
+    // partitions absent from the backfill frame: same files, same mtimes
+    assert(filesOf("event_type=purchase") == purchaseBefore,
+      "backfill touched a partition absent from the incoming frame")
+    // the composed answer equals the flat corpus (rewritten + untouched)
+    val flat = Tables.load(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type", "hour").collect().toSeq
+    assert(got == flat, "post-backfill composed read diverged from the flat corpus")
+    // and q26 (same table, different partition) is unaffected
+    assert(graft.operators.LayoutQueries.q26LayoutScan(spark, sf).collect().toSeq == q26Before)
+  }
+
   test("layout filesPerDir: a hot partition value spreads over n write tasks/files, each still sorted") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
