@@ -164,11 +164,19 @@ object Bench {
     val idxBuilds =
       s"""{"band":${graft.operators.DedupQueries.bandBuildCount.get},""" +
       s""""ivf":${graft.operators.SimilarityQueries.ivfTrainCount.get},""" +
+      s""""ivf_ingest":${graft.operators.SimilarityQueries.ivfIngestTrainCount.get},""" +
       s""""embkey":${graft.operators.SimilarityQueries.embKeyBuildCount.get},""" +
       s""""layout":${graft.operators.LayoutQueries.layoutBuildCount.get},""" +
       s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
       s""""postings_base":${graft.operators.LayoutQueries.postingBaseBuildCount.get}}"""
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"slowest":$slowest,"sf":"$sfDir"}""")
+    // per-micro-batch decomposition of the LAST q16k replay (pass 2's):
+    // probe seconds + probe-side appendix dir/row counts per epoch, so
+    // a slow q16k reads as "which epoch, probing how much" straight off
+    // the artifact instead of needing a rerun (VERDICT r9 next #1)
+    val growStats = graft.streaming.StreamingPipelines.lastGrowStats
+      .map(s => s"""{"b":${s.batchId},"probe_s":${s.probeSec},"dirs":${s.appendixDirs},"rows":${s.appendixRows},"compacted":${s.compacted}}""")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

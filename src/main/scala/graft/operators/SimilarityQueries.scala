@@ -388,6 +388,10 @@ object SimilarityQueries {
   /** Trainings actually executed in this JVM (observable by tests to
     * prove the disk index is reused rather than rebuilt). */
   val ivfTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Trainings of the INGEST-LOOP-scoped IVF copy (q16m's maintenance
+    * lifecycle) — counted separately so the bench's `index_builds`
+    * audit distinguishes the query-serving index from the loop's. */
+  val ivfIngestTrainCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val IvfFamily = "graft-ivf"
 
   /** Corpus fingerprint (row count + id range) stamped into the index
@@ -413,7 +417,8 @@ object SimilarityQueries {
     } else fp
   }
 
-  def ivfCentroids(spark: SparkSession, dir: String, unit: DataFrame): IvfIndex = {
+  def ivfCentroids(spark: SparkSession, dir: String, unit: DataFrame,
+                   counter: java.util.concurrent.atomic.AtomicInteger = ivfTrainCount): IvfIndex = {
     import spark.implicits._
     val fp = corpusFingerprint(unit, "id", Seq(col("v")))
     // the loaded-value memo (centroid matrix stays driver-resident
@@ -423,7 +428,7 @@ object SimilarityQueries {
       case _ => ()
     }
     val root = graft.core.IndexStore.buildOrLoad(
-        IvfFamily, dir, fp, Seq("centroids", "assignments"), ivfTrainCount) { root =>
+        IvfFamily, dir, fp, Seq("centroids", "assignments"), counter) { root =>
       val k = ivfKFor(fp.split(":")(0).toLong) // count is the fp's first field
       val cents = ivfTrain(spark, unit, k)
       cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")

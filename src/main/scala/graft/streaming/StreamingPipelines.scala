@@ -667,6 +667,12 @@ object StreamingPipelines {
           col("last.ts").as("ts"), col("last.event_id").as("event_id"))
         .write.mode("overwrite")
         .parquet(snapRoot.resolve(s"snap_batch_id=$batchId").toString)
+      // in-loop GC policy (VERDICT r9 next #3): retain TWO snapshots —
+      // this epoch's (checkpoint not yet committed, so possibly
+      // replayed) and its committed predecessor, which a retry of this
+      // epoch must still find. Bounds the sink at 2 snapshots for
+      // stream lifetime; the offline slot may drop to 1 post-drain.
+      vacuumCdcSnapshots(sink.cdcSnapDir, retain = 2)
     }
     val cdc = data
       .writeStream.outputMode("append")
@@ -1035,6 +1041,25 @@ object StreamingPipelines {
       baseIndex = Some(standing))
   }
 
+  /** In-loop appendix-compaction cadence for the growing ingest loops
+    * (VERDICT r9 next #3): every K-th accepted epoch first folds the
+    * CANDIDATE appendix dirs strictly below itself into one
+    * (`compactIngestAppendix(…, uptoExclusive = batchId)`), bounding
+    * the probe-side dir listing at K + 1 dirs for stream lifetime
+    * instead of one dir per epoch. Candidate tables only — payload
+    * appendices compact in the post-drain quiesced slot. */
+  val CompactEveryEpochs = 2
+
+  /** One micro-batch's instrumentation record for the growing ingest
+    * loop — emitted into the bench summary (VERDICT r9 next #1) so a
+    * slow q16k decomposes into per-epoch probe cost + appendix state
+    * right in the artifact. */
+  final case class IngestBatchStat(batchId: Long, probeSec: Double,
+                                   appendixDirs: Int, appendixRows: Long,
+                                   compacted: Boolean)
+  /** Stats of the LAST growing text-ingest replay in this JVM. */
+  @volatile var lastGrowStats: List[IngestBatchStat] = Nil
+
   def ingestNearDupGrowingReplay(spark: SparkSession, dir: String,
                                  nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
     import graft.operators.DedupQueries
@@ -1047,6 +1072,7 @@ object StreamingPipelines {
     val bandDir = grow.resolve("bands").toString
     val baseIdx = DedupQueries.baseBandIndex(spark, dir)
     val payload = DedupQueries.wordShingleDocs(spark, dir)
+    lastGrowStats = Nil
     val q = spark.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
@@ -1055,9 +1081,25 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // maintenance policy: every K-th epoch folds the candidate
+        // appendices strictly below itself BEFORE probing (a retried
+        // epoch re-runs the fold, which converges and probes
+        // identically — pinned in StreamingParitySpec)
+        val compacted = batchId > 0 && batchId % CompactEveryEpochs == 0
+        if (compacted) {
+          compactIngestAppendix(spark, sigDir, Seq("doc_id", "sig"), uptoExclusive = batchId)
+          compactIngestAppendix(spark, bandDir, Seq("doc_id", "band"), uptoExclusive = batchId)
+        }
+        val (dirsNow, rowsNow) =
+          if (!Files.exists(Paths.get(sigDir))) (0, 0L)
+          else (listDir(Paths.get(sigDir))
+                  .count(_.getFileName.toString.startsWith("batch_id=")),
+                spark.read.parquet(sigDir).count())
+        val t0 = System.nanoTime()
         val shingled = shingleBatch(batch)
         growingIngestProbe(spark, baseIdx, payload, shingled, batchId, sigDir, bandDir)
           .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        val probeSec = (System.nanoTime() - t0) / 1e9
         // accept: this batch's sig/band tables join the standing index.
         // `sigs` is referenced twice (sig write, band derivation) —
         // batch-sized, so the recompute is cheaper than a read-back.
@@ -1066,6 +1108,8 @@ object StreamingPipelines {
         sigs.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
         sigs.select(col("doc_id"), explode(DedupQueries.bandKeys(col("sig"))).as("band"))
           .write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+        lastGrowStats = lastGrowStats :+
+          IngestBatchStat(batchId, math.rint(probeSec * 1000) / 1000, dirsNow, rowsNow, compacted)
         ()
       }.start()
     q.awaitTermination()
@@ -1082,15 +1126,26 @@ object StreamingPipelines {
     * q16k's (doc_id, sig)/(doc_id, band) and q16m's
     * (id, table_id, key)/(vec_id, v) alike.
     *
-    * Contract: run QUIESCED — after the ingest query has stopped with
-    * its last epoch checkpoint-committed (the same offline-maintenance
-    * slot as an IVF retrain). Relabeling every row to the HIGHEST
-    * accepted id M is then exact for every future probe: a future
-    * epoch's `batch_id < batchId` filter has batchId > M, and the
-    * "old ∈ base ∪ strictly-earlier batches" contract only ever
-    * compares against the committed frontier, never inside it.
-    * (Relabeling to the LOWEST id would instead resurrect the
-    * retried-epoch self-probe bug the filter exists to prevent.)
+    * Two invocation modes (VERDICT r9 next #3):
+    *  - OFFLINE (`uptoExclusive` defaulted): run QUIESCED — after the
+    *    ingest query has stopped with its last epoch
+    *    checkpoint-committed (the same offline-maintenance slot as an
+    *    IVF retrain). Relabeling every row to the HIGHEST accepted id M
+    *    is then exact for every future probe: a future epoch's
+    *    `batch_id < batchId` filter has batchId > M, and the "old ∈
+    *    base ∪ strictly-earlier batches" contract only ever compares
+    *    against the committed frontier, never inside it. (Relabeling to
+    *    the LOWEST id would instead resurrect the retried-epoch
+    *    self-probe bug the filter exists to prevent.)
+    *  - MID-STREAM (`uptoExclusive` = the executing epoch N, called
+    *    from inside the ingest loop under an every-K-epochs policy):
+    *    only dirs with id < N participate, folding into the highest id
+    *    M < N — the executing epoch's own accept dirs are never the
+    *    fold target, so a failure-retried epoch N (whose probe filters
+    *    `batch_id < N`) still sees every earlier batch's rows at M < N,
+    *    exactly as before the fold. Safe for CANDIDATE tables even
+    *    across a mid-compaction crash (see below); a PAYLOAD table
+    *    still belongs in the offline slot.
     *
     * Crash-safe without a table format, by per-file rename atomicity
     * plus the probe's duplicate tolerance (candidate pairs collapse in
@@ -1109,11 +1164,13 @@ object StreamingPipelines {
     * crash-window duplicates would duplicate output rows — there the
     * quiesce contract is load-bearing, not just advisable. */
   def compactIngestAppendix(spark: SparkSession, dirStr: String,
-                            dataCols: Seq[String]): Unit = {
+                            dataCols: Seq[String],
+                            uptoExclusive: Long = Long.MaxValue): Unit = {
     val root = Paths.get(dirStr)
     if (!Files.exists(root)) return
     val batchDirs = listDir(root)
       .filter(_.getFileName.toString.startsWith("batch_id="))
+      .filter(_.getFileName.toString.stripPrefix("batch_id=").toLong < uptoExclusive)
       .sortBy(_.getFileName.toString.stripPrefix("batch_id=").toLong)
     if (batchDirs.size <= 1) return
     val m = batchDirs.last.getFileName.toString.stripPrefix("batch_id=").toLong
@@ -1146,6 +1203,22 @@ object StreamingPipelines {
 
   private def cdcBucket = pmod(hash(col("user_id")), lit(CdcBuckets))
 
+  /** Per-epoch commit marker for the bucketed CDC sink (ADVICE r9 #2):
+    * written AFTER an epoch's parquet job completes, so readers and the
+    * vacuum see committed epochs only — a torn epoch-N write (some
+    * bucket dirs complete, others partial) is invisible until N retries
+    * and re-marks, instead of composing a cross-bucket-inconsistent
+    * view. Self-owned rather than relying on Hadoop's `_SUCCESS` (which
+    * a deployment can disable). */
+  val CdcEpochMarker = "_GRAFT_COMMITTED"
+
+  private def committedEpochs(root: Path): Seq[Long] =
+    if (!Files.exists(root)) Seq.empty
+    else listDir(root).map(_.getFileName.toString)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+      .filter(e => Files.exists(root.resolve(s"epoch=$e").resolve(CdcEpochMarker)))
+      .sorted
+
   /** One epoch of the BUCKETED CDC merge — the partition-scoped
     * MERGE-INTO that q25b's full-snapshot rewrite documents as the
     * 100 TB posture, made load-bearing (q25c). The changelog batch
@@ -1167,15 +1240,13 @@ object StreamingPipelines {
     val spark = chg.sparkSession
     val root = Paths.get(rootStr)
     val withBucket = chg.withColumn("bucket", cdcBucket)
-    // bounded driver metadata: buckets this batch touches + the committed
-    // epoch currently holding each one's latest state
+    // bounded driver metadata: buckets this batch touches + the
+    // COMMITTED (marker-gated) epoch currently holding each one's
+    // latest state — `< batchId` keeps a retried epoch off its own
+    // torn output, the marker keeps everyone off anyone else's
     val touched = withBucket.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val epochsDesc =
-      if (!Files.exists(root)) Seq.empty
-      else listDir(root).map(_.getFileName.toString)
-        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
-        .filter(_ < batchId).sorted.reverse
+    val epochsDesc = committedEpochs(root).filter(_ < batchId).reverse
     val prevPaths = touched.flatMap { b =>
       epochsDesc.collectFirst {
         case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
@@ -1198,17 +1269,28 @@ object StreamingPipelines {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(root.resolve(s"epoch=$batchId").toString)
+    // commit marker AFTER the job completes (the overwrite deleted any
+    // torn predecessor, so a retried epoch re-marks cleanly); then the
+    // in-loop GC policy bounds the sink to ~2 committed epoch dirs —
+    // folding strictly BELOW this epoch, so a post-crash retry of N
+    // still finds every bucket's pre-N latest at the fold target < N
+    Files.write(root.resolve(s"epoch=$batchId").resolve(CdcEpochMarker),
+      Array.emptyByteArray) // CREATE+TRUNCATE: idempotent across retries
+    vacuumCdcBuckets(rootStr, uptoExclusive = batchId)
   }
 
-  /** The bucketed snapshot's read view: each bucket's HIGHEST-epoch dir
-    * (bounded driver metadata — [[CdcBuckets]] × epochs dir listings),
-    * composed as one union read. Tombstones still present; callers
-    * filter at their edge like q25b's reader. */
+  /** The bucketed snapshot's read view: each bucket's HIGHEST
+    * COMMITTED-epoch dir (bounded driver metadata — [[CdcBuckets]] ×
+    * epochs dir listings), composed as one union read. Epoch visibility
+    * is gated on the per-epoch commit marker (ADVICE r9 #2): an
+    * in-flight or torn epoch's partial bucket dirs are never composed
+    * into a cross-bucket-inconsistent view — a concurrent reader sees
+    * the pre-epoch state until the marker lands. With the in-loop GC
+    * the listing is O(1) epoch dirs, not O(stream lifetime). Tombstones
+    * still present; callers filter at their edge like q25b's reader. */
   def readCdcBucketSnapshot(spark: SparkSession, rootStr: String): DataFrame = {
     val root = Paths.get(rootStr)
-    val epochsDesc = listDir(root).map(_.getFileName.toString)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
-      .sorted.reverse
+    val epochsDesc = committedEpochs(root).reverse
     val latest = (0 until CdcBuckets).flatMap { b =>
       epochsDesc.collectFirst {
         case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) =>
@@ -1218,22 +1300,67 @@ object StreamingPipelines {
     spark.read.parquet(latest: _*)
   }
 
+  /** Bucketed-CDC epoch GC (VERDICT r9 next #4 — the q25c twin of
+    * [[vacuumCdcSnapshots]]): fold each bucket's latest COMMITTED state
+    * into the highest committed epoch below `uptoExclusive` (per-bucket
+    * directory RENAME — the data never rewrites), then delete the fully
+    * superseded committed epochs below it. Bounds the sink at ~1 folded
+    * epoch (+ the frontier + any in-flight epoch) and
+    * [[readCdcBucketSnapshot]]'s listing at O(1) instead of O(stream
+    * lifetime).
+    *
+    * The reader is unchanged: max-committed-epoch-per-bucket selection
+    * is invariant under the fold (a moved bucket dir was its bucket's
+    * latest; at the higher epoch id it still is). Called in-loop by
+    * [[cdcBucketMergeEpoch]] with `uptoExclusive` = the executing epoch
+    * N, so the fold target is < N and a post-crash retry of N — which
+    * reads committed epochs < N — still finds every bucket's pre-N
+    * state; the torn N dir itself is never a fold target (no marker)
+    * and is replaced wholesale when N retries. Crash-safe standalone
+    * too: a partial fold leaves some buckets moved (reader unaffected
+    * either way), a partial delete leaves garbage dirs no reader
+    * selects; re-running converges. */
+  def vacuumCdcBuckets(rootStr: String, uptoExclusive: Long = Long.MaxValue): Unit = {
+    val root = Paths.get(rootStr)
+    val committed = committedEpochs(root).filter(_ < uptoExclusive)
+    if (committed.size <= 1) return
+    val m = committed.last
+    (0 until CdcBuckets).foreach { b =>
+      if (!Files.exists(root.resolve(s"epoch=$m/bucket=$b"))) {
+        committed.reverse.collectFirst {
+          case e if Files.exists(root.resolve(s"epoch=$e/bucket=$b")) => e
+        }.foreach { e =>
+          Files.move(root.resolve(s"epoch=$e/bucket=$b"),
+                     root.resolve(s"epoch=$m/bucket=$b"))
+        }
+      }
+    }
+    committed.init.foreach(e =>
+      graft.core.IndexStore.deleteRecursively(root.resolve(s"epoch=$e")))
+  }
+
   /** The q25b snapshot VACUUM (the lakehouse twin of
     * [[compactIngestAppendix]], for the CDC sink): every epoch writes a
     * FULL snapshot, so superseded `snap_batch_id<N` dirs are pure
     * garbage once epoch N commits — readers only ever open the highest
-    * id. Deleting them bounds the sink's footprint at one snapshot (+
-    * any in-flight epoch) instead of one per epoch of stream lifetime.
-    * Crash-safe trivially: only non-latest dirs are removed, and the
-    * reader's max-id selection is unaffected by which subset of the
-    * garbage survives a mid-vacuum crash. */
-  def vacuumCdcSnapshots(snapDirStr: String): Unit = {
+    * id. Deleting them bounds the sink's footprint at `retain`
+    * snapshots instead of one per epoch of stream lifetime.
+    *
+    * `retain` (ADVICE r9 #1): the in-loop policy calls this with
+    * retain = 2 — the highest dir may be an IN-FLIGHT epoch N whose
+    * checkpoint has not committed (or a torn dir a crash left behind);
+    * keeping the second-highest guarantees the last COMMITTED snapshot
+    * survives, so a retried N still finds its predecessor and no
+    * changelog prefix is ever lost. retain = 1 is exact only under the
+    * quiesce contract ([[compactIngestAppendix]]'s offline slot): the
+    * stream is stopped with its last epoch checkpoint-committed. */
+  def vacuumCdcSnapshots(snapDirStr: String, retain: Int = 1): Unit = {
     val root = Paths.get(snapDirStr)
     if (!Files.exists(root)) return
     val snaps = listDir(root)
       .filter(_.getFileName.toString.startsWith("snap_batch_id="))
       .sortBy(_.getFileName.toString.stripPrefix("snap_batch_id=").toLong)
-    snaps.dropRight(1).foreach(graft.core.IndexStore.deleteRecursively)
+    snaps.dropRight(math.max(1, retain)).foreach(graft.core.IndexStore.deleteRecursively)
   }
 
   /** The posting layout's INGEST side (q18q) — the fourth index family
@@ -1268,6 +1395,17 @@ object StreamingPipelines {
         LayoutQueries.postingsAppendIncremental(spark, root, batch, batchId)
       }.start()
     q.awaitTermination()
+    // post-drain QUIESCED maintenance slot: postings are PAYLOAD rows
+    // (they feed ranks 1:1 — a mid-crash duplicate would double a df
+    // count), so unlike the candidate appendices they compact only
+    // here, never mid-stream. The fold preserves the composed view
+    // exactly (disjoint doc_ids across batches; stats partials carry
+    // `src_batch` so identical (n, sum_dl) rows survive distinct) —
+    // pinned in RetrievalSpec.
+    compactIngestAppendix(spark, root.resolve("postings_inc").toString,
+      Seq("doc_id", "dl", "token", "tf", "bucket"))
+    compactIngestAppendix(spark, root.resolve("stats_inc").toString,
+      Seq("src_batch", "n", "sum_dl"))
   }
 
   private val postingestCache = TrieMap.empty[String, Boolean]
@@ -1376,6 +1514,18 @@ object StreamingPipelines {
     val (bits, baseKeys) = SimilarityQueries.embKeyIndex(spark, dir)
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // The LOOP-SCOPED IVF lifecycle (VERDICT r9 next #3): this ingest
+    // loop also maintains an IVF index copy under its OWN store key —
+    // each accepted batch lands in its `_inc` inverted-list appendix
+    // (ivfAssignIncremental), and the post-drain slot runs the
+    // `maybeRetrain` growth policy. A separate key because appendix
+    // rows are READ by IVF queries (ivfAssignments unions `_inc`):
+    // accepting re-ingested duplicates into the QUERY-SERVING index
+    // would inject cos≈1 planted copies into every q17c/q17f answer.
+    val ivfKey = dir + "#embgrow"
+    val loopIvf = SimilarityQueries.ivfCentroids(spark, ivfKey,
+      base.select(col("vec_id").as("id"), col("v")),
+      counter = SimilarityQueries.ivfIngestTrainCount)
     val q = spark.readStream
       .schema(incoming.schema)
       .option("maxFilesPerTrigger", 1)
@@ -1384,6 +1534,11 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // maintenance policy (candidate table only — the vecs PAYLOAD
+        // waits for the post-drain quiesced slot)
+        if (batchId > 0 && batchId % CompactEveryEpochs == 0)
+          compactIngestAppendix(spark, keysDir, Seq("id", "table_id", "key"),
+            uptoExclusive = batchId)
         embGrowingProbe(spark, bits, baseKeys, base, batch, batchId, keysDir, vecsDir)
           .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
         // accept: this batch's keys (at the standing width) and payload
@@ -1394,9 +1549,22 @@ object StreamingPipelines {
           .write.mode("overwrite").parquet(s"$keysDir/batch_id=$batchId")
         batch.select("vec_id", "v")
           .write.mode("overwrite").parquet(s"$vecsDir/batch_id=$batchId")
+        // IVF accept: score the batch against the loop index's frozen
+        // centroids only — O(|batch| × k), the FAISS add() split
+        SimilarityQueries.ivfAssignIncremental(spark, loopIvf,
+          batch.select(col("vec_id").as("id"), col("v")), batchId)
         ()
       }.start()
     q.awaitTermination()
+    // post-drain QUIESCED maintenance slot (the stream has stopped with
+    // its last epoch committed): fold the payload appendix, then apply
+    // the IVF growth policy — retrain over the grown corpus iff the
+    // accepted appendix exceeds 20% of the trained base (it routes
+    // through the standard build-or-load path and clears `_inc`)
+    compactIngestAppendix(spark, vecsDir, Seq("vec_id", "v"))
+    val grown = base.unionAll(spark.read.parquet(vecsDir).select("vec_id", "v"))
+      .select(col("vec_id").as("id"), col("v"))
+    SimilarityQueries.maybeRetrain(spark, ivfKey, loopIvf, grown)
     out
   }
 

@@ -157,23 +157,22 @@ class RetrievalSpec extends AnyFunSuite {
     val got = graft.streaming.StreamingPipelines.q18qBm25StreamIngest(spark, dir).collect().toSeq
     assert(got == q18o,
       "base layout ∪ streamed posting batches diverged from the full-corpus BM25 answer")
-    // the loop really ran multiple accept epochs
+    // the replay's post-drain quiesced slot already compacted both
+    // appendices; the fold target is the HIGHEST accepted batch id, so
+    // a single surviving `batch_id=2` dir proves both that THREE accept
+    // epochs ran and that the compaction folded them
     val root = graft.operators.LayoutQueries.basePostingsRoot(spark, dir)
     def dirsIn(name: String) = java.nio.file.Files.list(root.resolve(name))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(_.startsWith("batch_id=")).toSeq
-    assert(dirsIn("postings_inc").size > 1,
-      s"expected multiple accepted batches, got ${dirsIn("postings_inc")}")
-    assert(dirsIn("stats_inc").size > 1)
-    // appendix compaction folds both appendices without changing the
-    // answer (stats partials survive distinct-compaction via src_batch)
-    graft.streaming.StreamingPipelines.compactIngestAppendix(
-      spark, root.resolve("postings_inc").toString,
-      Seq("doc_id", "dl", "token", "tf", "bucket"))
-    graft.streaming.StreamingPipelines.compactIngestAppendix(
-      spark, root.resolve("stats_inc").toString,
-      Seq("src_batch", "n", "sum_dl"))
-    assert(dirsIn("postings_inc").size == 1 && dirsIn("stats_inc").size == 1)
+    assert(dirsIn("postings_inc") == Seq("batch_id=2"),
+      s"post-drain compaction should leave one highest-id dir, got ${dirsIn("postings_inc")}")
+    assert(dirsIn("stats_inc") == Seq("batch_id=2"))
+    // the three per-epoch stats partials survive the fold individually
+    // (distinct-compaction keyed by src_batch — two identical (n,
+    // sum_dl) partials must stay two rows or avgdl composes wrong)
+    assert(spark.read.parquet(root.resolve("stats_inc").toString).count() == 3,
+      "per-epoch stats partials lost in the fold")
     val composed = graft.operators.LayoutQueries.q18qAfterIngest(spark, dir)
     val afterCompact = composed.collect().toSeq
     assert(afterCompact == q18o, "compaction changed the composed answer")

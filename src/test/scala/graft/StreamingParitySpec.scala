@@ -282,8 +282,14 @@ class StreamingParitySpec extends AnyFunSuite {
     val snapDir = StreamingPipelines.replayCached(spark, dir).cdcSnapDir
     def snapCount = java.nio.file.Files.list(java.nio.file.Paths.get(snapDir))
       .iterator().asScala.count(_.getFileName.toString.startsWith("snap_batch_id="))
-    assert(snapCount > 1, s"replay produced only $snapCount snapshot epoch(s) — merge untested")
-    // vacuum: superseded snapshots are garbage; the reader is unchanged
+    // the in-loop retain-2 policy ran on every epoch: a multi-epoch
+    // replay drains to EXACTLY two snapshots (the final epoch's + the
+    // committed predecessor a retry of it would need) — not one per
+    // epoch of stream lifetime, and not fewer than a torn-epoch retry
+    // can survive
+    assert(snapCount == 2,
+      s"retain-2 in-loop vacuum should leave 2 snapshots, got $snapCount")
+    // offline vacuum (quiesced, post-drain): may drop to the latest only
     StreamingPipelines.vacuumCdcSnapshots(snapDir)
     assert(snapCount == 1, "vacuum must keep exactly the latest snapshot")
     assert(StreamingPipelines.q25bStreamCdcUpsert(spark, dir).collect().toSeq == got,
@@ -353,6 +359,50 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(byUser(5L) == ((5L, "U", "purchase", 501L)))
     assert(byUser(6L) == ((6L, "D", "error", 502L)), "tombstone must be retained in state")
     assert(afterFirst.size == 32)
+  }
+
+  test("q25c epoch GC: in-loop vacuum bounds dirs at 2, folds are read-invariant, torn epochs invisible") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import scala.jdk.CollectionConverters._
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val root = java.nio.file.Files.createTempDirectory("cdcb-gc").toString
+    def epochDirs: Seq[String] = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("epoch=")).toSeq.sorted
+    def state() = StreamingPipelines.readCdcBucketSnapshot(spark, root)
+      .select("user_id", "op", "event_type", "event_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    val wide = (1L to 64L).map(u => (u, ts(u), u, "U", "click", 1.0))
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    StreamingPipelines.cdcBucketMergeEpoch(wide, root, 0L)
+    (1L to 4L).foreach { n =>
+      val narrow = Seq((n, ts(1000 + n), 1000L + n, "U", "purchase", 2.0))
+        .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+      StreamingPipelines.cdcBucketMergeEpoch(narrow, root, n)
+      // the in-loop GC (uptoExclusive = n) bounds the sink: at most the
+      // fold target below n plus the frontier n itself
+      assert(epochDirs.size <= 2,
+        s"epoch $n left ${epochDirs.size} dirs ($epochDirs) — GC not engaged")
+    }
+    val drained = state()
+    assert(drained.size == 64)
+    (1L to 4L).foreach { n =>
+      assert(drained.contains((n, "U", "purchase", 1000L + n)),
+        s"key $n lost its epoch-$n update across folds")
+    }
+    // a TORN epoch (bucket dirs present, no commit marker) is invisible
+    // to the reader AND never a fold target for the vacuum
+    val torn = java.nio.file.Paths.get(root, "epoch=9", "bucket=0")
+    java.nio.file.Files.createDirectories(torn)
+    assert(state() == drained, "an unmarked (torn) epoch leaked into the composed read")
+    // offline vacuum (quiesced): everything folds into ONE committed
+    // epoch dir; the composed state is unchanged
+    StreamingPipelines.vacuumCdcBuckets(root)
+    assert(epochDirs.count(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, d, StreamingPipelines.CdcEpochMarker))) == 1,
+      s"offline GC should leave one committed epoch, got $epochDirs")
+    assert(state() == drained, "offline GC changed the composed state")
   }
 
   test("q20 tumbling: oracle path reads the durable parquet sink and matches batch") {
@@ -516,6 +566,18 @@ class StreamingParitySpec extends AnyFunSuite {
     // one flagged pair has BOTH sides in the ingest slice
     assert(streamed.exists { case (n, o, _) => inSlice(n) && inSlice(o) },
       "expected a within-slice pair found via the accumulated index")
+    // the MID-STREAM compaction policy ran inside the loop (VERDICT r9
+    // next #3) and the drained result above is still exact — and the
+    // per-batch instrumentation the bench emits saw it: every epoch's
+    // probe-side dir listing stays bounded by the cadence, and epoch 2
+    // (the K=2 trigger) folded the candidate appendix below itself
+    val stats = StreamingPipelines.lastGrowStats
+    assert(stats.nonEmpty, "growing replay left no instrumentation")
+    assert(stats.exists(_.compacted),
+      s"no epoch triggered the in-loop compaction policy: $stats")
+    assert(stats.forall(_.appendixDirs <= StreamingPipelines.CompactEveryEpochs),
+      s"probe-side appendix dirs exceeded the cadence bound: $stats")
+    assert(stats.forall(_.probeSec > 0))
   }
 
   test("q16k retried epoch: a batch whose accept writes survived a crash does not probe itself") {
