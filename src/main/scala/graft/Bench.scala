@@ -169,6 +169,40 @@ object Bench {
       s""""layout":${graft.operators.LayoutQueries.layoutBuildCount.get},""" +
       s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
       s""""postings_base":${graft.operators.LayoutQueries.postingBaseBuildCount.get}}"""
+    // measured recall/overlap for the rows-only ANN entries (VERDICT r9
+    // next #5): the correctness artifact can only say "50 rows" for
+    // q17b/c/f/i, so a recall regression inside the spec threshold is
+    // invisible round-over-round — stamp the measured value here.
+    // Driver-side set compares over bounded top-k results (50-100 rows
+    // each), OUTSIDE the timed window; exact baselines: q17 (cosine
+    // top-5) for the ANN variants, q17h (exact-ranker RRF) for the
+    // indexed hybrid's fused set.
+    val recallObj = {
+      import graft.operators.{LayoutQueries, SimilarityQueries}
+      def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+        df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def vs(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+        math.rint(1000.0 * (approx & exact).size / exact.size) / 1000
+      val entries =
+        try {
+          val exact = pairs(SimilarityQueries.q17CosineTopK(spark, sfDir), "probe_id", "neighbor_id")
+          val hExact = pairs(SimilarityQueries.q17hHybridRrf(spark, sfDir), "probe_id", "doc_id")
+          Seq(
+            "q17b_ann_topk" ->
+              vs(pairs(SimilarityQueries.q17bAnnTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17c_ivf_topk" ->
+              vs(pairs(SimilarityQueries.q17cIvfTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17f_ivf_int8_topk" ->
+              vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17i_hybrid_indexed" ->
+              vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
+            Seq.empty[(String, Double)]
+        }
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     // per-micro-batch decomposition of the LAST q16k replay (pass 2's):
     // probe seconds + probe-side appendix dir/row counts per epoch, so
     // a slow q16k reads as "which epoch, probing how much" straight off
@@ -176,7 +210,7 @@ object Bench {
     val growStats = graft.streaming.StreamingPipelines.lastGrowStats
       .map(s => s"""{"b":${s.batchId},"probe_s":${s.probeSec},"dirs":${s.appendixDirs},"rows":${s.appendixRows},"compacted":${s.compacted}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
