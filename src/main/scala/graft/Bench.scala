@@ -166,7 +166,9 @@ object Bench {
       s""""ivf":${graft.operators.SimilarityQueries.ivfTrainCount.get},""" +
       s""""ivf_ingest":${graft.operators.SimilarityQueries.ivfIngestTrainCount.get},""" +
       s""""embkey":${graft.operators.SimilarityQueries.embKeyBuildCount.get},""" +
+      s""""pq":${graft.operators.SimilarityQueries.pqBuildCount.get},""" +
       s""""layout":${graft.operators.LayoutQueries.layoutBuildCount.get},""" +
+      s""""zorder":${graft.operators.LayoutQueries.zorderBuildCount.get},""" +
       s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
       s""""postings_base":${graft.operators.LayoutQueries.postingBaseBuildCount.get}}"""
     // measured recall/overlap for the rows-only ANN entries (VERDICT r9
@@ -194,6 +196,8 @@ object Bench {
               vs(pairs(SimilarityQueries.q17cIvfTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17f_ivf_int8_topk" ->
               vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17j_pq_topk" ->
+              vs(pairs(SimilarityQueries.q17jPqTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17i_hybrid_indexed" ->
               vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact))
         } catch {

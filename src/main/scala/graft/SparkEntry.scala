@@ -61,6 +61,7 @@ object SparkEntry {
     "q16k_stream_ingest_growing" -> (graft.streaming.StreamingPipelines.q16kStreamIngestGrowing _),
     "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
     "q16m_stream_ingest_embgrow" -> (graft.streaming.StreamingPipelines.q16mStreamIngestEmbGrowing _),
+    "q16n_line_dedup"      -> (DedupQueries.q16nLineDedup _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q21c_salted_join"     -> (SkewOps.q21cSaltedJoin _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q17f_ivf_int8_topk"   -> (SimilarityQueries.q17fIvfInt8TopK _),
     "q17g_filtered_topk"   -> (SimilarityQueries.q17gFilteredTopK _),
     "q17h_hybrid_rrf"      -> (SimilarityQueries.q17hHybridRrf _),
+    "q17j_pq_topk"         -> (SimilarityQueries.q17jPqTopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -116,6 +118,7 @@ object SparkEntry {
     "q25c_stream_cdc_bucketed" -> (graft.streaming.StreamingPipelines.q25cStreamCdcBucketed _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q26b_layout_backfill" -> (LayoutQueries.q26bLayoutBackfill _),
+    "q26c_zorder_scan"     -> (LayoutQueries.q26cZorderScan _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
@@ -497,6 +500,32 @@ object SparkEntry {
     "q16_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // q16n: the oracle rebuilds the identical planted page fixture
+    // (fixed per-kind line positions, self-join plagiarism plant) and
+    // recomputes the keep-first-global-occurrence policy with a window
+    // function over RAW lines — the Spark side decides via line
+    // DIGESTS (never shuffling text), so the hash match also certifies
+    // the digest path loses nothing
+    "q16n_line_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'nav home about contact' AS line FROM base
+        |  UNION ALL SELECT doc_id, 1, text FROM base
+        |  UNION ALL SELECT a.doc_id, 2, b.text FROM base a
+        |    JOIN base b ON a.doc_id = b.doc_id + 3 WHERE a.doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id, 3, 'subscribe to our newsletter' FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 4, 'copyright acme corp all rights reserved' FROM base),
+        |r AS (
+        |  SELECT doc_id, pos, line,
+        |         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)) AS clean_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q16b_minhash_neardup" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         |sh AS (SELECT doc_id,
@@ -1139,6 +1168,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
+    // q26c reads the z-ordered copy; the oracle recomputes the 2-D box
+    // from the flat corpus — z-clustering buys two-dimensional file
+    // skipping, never a different answer
+    "q26c_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 30
+        |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -657,4 +657,94 @@ object DedupQueries {
       .select("doc_i", "doc_j", "hamming").distinct()
       .orderBy("doc_i", "doc_j")
   }
+
+  // ---- cross-document LINE-level dedup (boilerplate removal) ----------
+
+  /** Planted fixture for q16n (the q16h `casedVariants` pattern — the
+    * raw corpus is single-line with zero cross-document line repeats at
+    * any SF, so the operator would be vacuous on it): each document
+    * becomes a 3-5 line PAGE with web-crawl boilerplate — a nav header
+    * on every page, a newsletter banner on even pages, a copyright
+    * footer on every page — plus a plagiarized paragraph: every
+    * `doc_id % 10 == 3` page repeats the body text of `doc_id - 3`.
+    * Line positions are FIXED constants per line kind (no row_number),
+    * so both engines build the identical (doc_id, pos, line) frame with
+    * no window function. The boilerplate lines are the hot-key worst
+    * case on purpose: the header digest occurs once per document
+    * corpus-wide, which is exactly the skew profile a real crawl's
+    * cookie banner has. */
+  def linedPages(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val header = base.select(col("doc_id"), lit(0L).as("pos"),
+      lit("nav home about contact").as("line"))
+    val body = base.select(col("doc_id"), lit(1L).as("pos"), col("text").as("line"))
+    val plag = base.as("a")
+      .join(base.as("b"), col("a.doc_id") === col("b.doc_id") + 3)
+      .where(col("a.doc_id") % 10 === 3)
+      .select(col("a.doc_id").as("doc_id"), lit(2L).as("pos"),
+        col("b.text").as("line"))
+    val news = base.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit(3L).as("pos"),
+        lit("subscribe to our newsletter").as("line"))
+    val footer = base.select(col("doc_id"), lit(4L).as("pos"),
+      lit("copyright acme corp all rights reserved").as("line"))
+    header.unionAll(body).unionAll(plag).unionAll(news).unionAll(footer)
+  }
+
+  /** Library surface: C4/CCNet-style cross-document line dedup over any
+    * (doc_id, pos, line) frame — a line occurrence survives iff it is
+    * the GLOBAL first occurrence of that exact line, ordered by
+    * (doc_id, pos); every later repeat (boilerplate on other pages,
+    * plagiarized paragraphs, within-document repeats) is dropped. The
+    * per-document result reassembles the cleaned page (kept lines in
+    * original order) and reports kept/dropped counts.
+    *
+    * Scale shape (the q16 digest discipline, applied twice):
+    *  - the shuffle key is a (xxhash64, md5) digest of the line — ~24
+    *    bytes — never the line text; at 100 TB a `groupBy(line)` would
+    *    move the whole corpus, the digest moves fingerprints;
+    *  - the winner per line is a `min(struct(doc_id, pos))` PARTIAL
+    *    aggregate (map-side combine), then occurrences join the winner
+    *    table on the digest to learn their fate. GroupBy+join is chosen
+    *    over a window-min deliberately: the boilerplate hot key (a
+    *    cookie banner appearing on EVERY page) collapses to one row per
+    *    map task on the aggregate side, and the skewed probe side of
+    *    the join is exactly the shape AQE's skew-join split handles —
+    *    a window over the digest has neither escape hatch;
+    *  - reassembly shuffles (pos, line) once per KEPT occurrence,
+    *    grouped by doc_id — bounded by the cleaned corpus size. At
+    *    100 TB the exploded digest frame feeding both sides is
+    *    materialized once (the [[SimilarityQueries]] index-build
+    *    pattern) instead of re-derived per consumer. */
+  def lineDedup(lines: DataFrame): DataFrame = {
+    val occ = lines.select(col("doc_id"), col("pos"), col("line"),
+      length(col("line")).cast("long").as("n_chars"),
+      xxhash64(col("line")).as("h64"), md5(col("line")).as("h128"))
+    val winners = occ.groupBy("h64", "h128")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    occ.join(winners, Seq("h64", "h128"))
+      .select(col("doc_id"), col("pos"), col("line"), col("n_chars"),
+        (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")).as("keep"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped_lines"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        collect_list(when(col("keep"), struct(col("pos"), col("line")))).as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+        col("dropped_lines"), col("kept_chars"),
+        md5(array_join(transform(array_sort(col("kept")), _.getField("line")),
+          "\n")).as("clean_md5"))
+  }
+
+  /** Q16n — cross-document line-level exact dedup (the C4/CCNet/
+    * RefinedWeb boilerplate pass) over the planted page fixture: nav
+    * headers, newsletter banners, copyright footers and plagiarized
+    * paragraphs survive only at their first (doc_id, pos) occurrence;
+    * every page's cleaned reassembly is hash-checked against the
+    * oracle's window-function recomputation over raw lines. */
+  def q16nLineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(linedPages(Tables.load(spark, dir, "documents")))
+      .orderBy("doc_id")
 }

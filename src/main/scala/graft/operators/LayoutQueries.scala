@@ -104,6 +104,71 @@ object LayoutQueries {
       .orderBy("event_type", "hour")
   }
 
+  // ---- events: z-order clustering on (user_id, ts) --------------------
+
+  val zorderBuildCount = new AtomicInteger(0)
+  private val ZOrderFamily = "graft-layout-events-zorder"
+  /** File count for the z-ordered copy — each file covers one
+    * contiguous z-range, i.e. a rectangle-ish region of the
+    * (user_id, ts) plane. */
+  val ZOrderFiles = 16
+
+  /** Build-or-load the Z-ORDERED copy of `events`: rows sorted by the
+    * Morton interleave of 16-bit-quantized (user_id, ts), range-split
+    * into [[ZOrderFiles]] files. The q26 layout answers one-dimensional
+    * pruning (partition dirs on `event_type`, in-file sort on `ts`);
+    * this one answers the query the linear layout CANNOT serve at
+    * 100 TB — a 2-D box (`user_id` range × `ts` range) — because a
+    * table sorted on one key has file-level min/max spanning the whole
+    * domain of every OTHER key, so a second-dimension predicate prunes
+    * nothing. Z-clustering bounds BOTH dims per file (pinned in
+    * ScaleOpsSpec against the ts-sorted layout's per-file user_id
+    * spans), so both box edges skip files/row-groups via plain parquet
+    * stats — no new reader code, the z-value never appears in any
+    * predicate. Quantization bounds come from one min/max agg at build
+    * time; they shape only the physical order, never the answer. */
+  def eventsZOrdered(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(eventsZOrderedRoot(spark, dir).resolve("data").toString)
+
+  def eventsZOrderedRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "z1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("user_id"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        ZOrderFamily, dir, fp, Seq("data"), zorderBuildCount) { r =>
+      val b = events.agg(
+        min(col("user_id")), max(col("user_id")),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      def quant(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+        if (hi == lo) lit(0L)
+        else least(greatest(
+          (((c - lit(lo)).cast("double") * 65535.0) / (hi - lo).toDouble).cast("long"),
+          lit(0L)), lit(65535L))
+      val z = Layout.zorder2(
+        quant(col("user_id"), b.getLong(0), b.getLong(1)),
+        quant(unix_micros(col("ts")), b.getLong(2), b.getLong(3)))
+      Layout.writeClustered(events.withColumn("zv", z),
+        r.resolve("data").toString, "zv", ZOrderFiles)
+    }
+  }
+
+  /** Q26c — the z-ordered layout made load-bearing: a 2-D box query
+    * (user slice × time window) whose BOTH predicates reach the parquet
+    * reader as pushed filters over a table where both columns are
+    * simultaneously clustered. Answer ≡ the flat corpus (DuckDB oracle
+    * recomputes it there); the layout buys stats-based skipping on two
+    * dimensions at once, never semantics. */
+  def q26cZorderScan(spark: SparkSession, dir: String): DataFrame =
+    eventsZOrdered(spark, dir)
+      .where(col("user_id").between(10, 30) &&
+             col("ts") >= lit("2024-01-08").cast("timestamp") &&
+             col("ts") < lit("2024-01-13").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
   // ---- BM25 postings: partition by token bucket -----------------------
 
   val postingBuildCount = new AtomicInteger(0)

@@ -58,6 +58,42 @@ object Layout {
                           filesPerDir: Int = 1): Unit =
     write(df, path, partitionCols, sortCols, filesPerDir, dynamic = true)
 
+  /** Morton bit-spread: the low 16 bits of `x` move to the even bit
+    * positions (b15..b0 → bit 30,28,…,0) — the classic interleave mask
+    * cascade, expressed as native long shifts/ANDs so the whole z-value
+    * derivation stays inside whole-stage codegen. */
+  def spread16(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m1 = x.bitwiseAND(lit(0xFFFFL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val m3 = (m2.bitwiseOR(shiftleft(m2, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val m4 = (m3.bitwiseOR(shiftleft(m3, 2))).bitwiseAND(lit(0x33333333L))
+    (m4.bitwiseOR(shiftleft(m4, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Two-dimensional z-order (Morton) value over 16-bit quantized
+    * dimensions: interleaves a's bits into even and b's into odd
+    * positions, so z-proximity implies proximity in BOTH dims — sorting
+    * a table by this single key clusters it on two columns at once,
+    * which is what lets per-file min/max statistics prune 2-D box
+    * predicates (the Delta/Iceberg OPTIMIZE ZORDER BY mechanism). */
+  def zorder2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Flat (non-directory-partitioned) clustered write: range-partition
+    * on the cluster key into exactly `numFiles` write tasks, sort each
+    * within, write. Every file then holds a contiguous cluster-key
+    * range, so per-file (and per-row-group) min/max statistics on any
+    * column correlated with the key become tight — the at-rest shape
+    * for z-order and other space-filling-curve layouts where directory
+    * partitioning is the wrong tool (the key is synthetic and
+    * continuous, not a low-cardinality category). The explicit
+    * partition count pins the file count against AQE coalescing. */
+  def writeClustered(df: DataFrame, path: String,
+                     clusterCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+
   private def write(df: DataFrame, path: String,
                     partitionCols: Seq[String], sortCols: Seq[String],
                     filesPerDir: Int, dynamic: Boolean): Unit = {

@@ -549,4 +549,83 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pruned,
       s"fact scan must carry a dynamic pruning filter: ${factScans.map(_.partitionFilters).mkString(";")}")
   }
+
+  test("morton interleave: spread16 places bits on even positions; zorder2 bits are disjoint") {
+    import spark.implicits._
+    val r = spark.range(1).select(
+      graft.sources.Layout.spread16(lit(0xFFFFL)).as("all"),
+      graft.sources.Layout.spread16(lit(0x0001L)).as("one"),
+      graft.sources.Layout.zorder2(lit(0xFFFFL), lit(0L)).as("a_only"),
+      graft.sources.Layout.zorder2(lit(0L), lit(0xFFFFL)).as("b_only"),
+      graft.sources.Layout.zorder2(lit(0xFFFFL), lit(0xFFFFL)).as("both"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 == 0x55555555L)           // 16 bits → even positions
+    assert(r._2 == 1L)
+    assert(r._3 == 0x55555555L)           // dim A → even bits
+    assert(r._4 == 0xAAAAAAAAL)           // dim B → odd bits
+    assert((r._3 & r._4) == 0 && r._5 == 0xFFFFFFFFL) // disjoint, complete
+  }
+
+  test("q26c: z-order clusters BOTH dims per file — 2-D box skips files the linear layout cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.operators.LayoutQueries.q26cZorderScan(spark, sf)
+    val rows = q.collect()
+    // same answer as the identical box over the flat table
+    val flat = Tables.load(spark, sf, "events")
+      .where(col("user_id").between(10, 30) &&
+             col("ts") >= lit("2024-01-08").cast("timestamp") &&
+             col("ts") < lit("2024-01-13").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(rows.toSeq == flat.toSeq, "z-order scan diverged from the flat twin")
+    // both box edges reach the parquet reader as pushed filters
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val scan = nodes(q.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in the q26c plan"))
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("user_id") && pushed.contains("ts"),
+      s"both box dims must push to the parquet reader: $pushed")
+    // THE MECHANISM, measured: per-file (min,max) envelopes. In the
+    // z-ordered copy a file bounds BOTH user_id and ts, so each box
+    // edge disqualifies (= makes skippable) some files; in the
+    // ts-sorted q26 layout every file's user_id envelope spans the
+    // whole user domain and the user edge disqualifies nothing — the
+    // one-key sort cannot serve the second dimension.
+    def envelopes(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+           min(col("ts")).as("tlo"), max(col("ts")).as("thi"))
+      .collect()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-13 00:00:00")
+    def userSkips(env: Array[org.apache.spark.sql.Row]) =
+      env.count(r => r.getLong(r.fieldIndex("uhi")) < 10 || r.getLong(r.fieldIndex("ulo")) > 30)
+    def tsSkips(env: Array[org.apache.spark.sql.Row]) =
+      env.count(r => r.getTimestamp(r.fieldIndex("thi")).before(t0) ||
+                     !r.getTimestamp(r.fieldIndex("tlo")).before(t1))
+    val zEnv = envelopes(graft.operators.LayoutQueries.eventsZOrdered(spark, sf))
+    val linEnv = envelopes(graft.operators.LayoutQueries.eventsByType(spark, sf))
+    assert(zEnv.length == graft.operators.LayoutQueries.ZOrderFiles,
+      s"expected ${graft.operators.LayoutQueries.ZOrderFiles} z-files, got ${zEnv.length}")
+    assert(userSkips(zEnv) > 0,
+      s"z layout must skip files on the user_id edge: ${zEnv.map(r => (r.getLong(1), r.getLong(2))).mkString(",")}")
+    assert(tsSkips(zEnv) > 0, "z layout must skip files on the ts edge")
+    assert(userSkips(linEnv) == 0,
+      "the ts-sorted layout should not be user_id-skippable (else the A/B proves nothing)")
+    assert(userSkips(zEnv) + tsSkips(zEnv) < zEnv.length,
+      "some files must remain eligible — the box is not empty")
+  }
 }
