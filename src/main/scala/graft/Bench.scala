@@ -167,6 +167,7 @@ object Bench {
       s""""ivf_ingest":${graft.operators.SimilarityQueries.ivfIngestTrainCount.get},""" +
       s""""embkey":${graft.operators.SimilarityQueries.embKeyBuildCount.get},""" +
       s""""pq":${graft.operators.SimilarityQueries.pqBuildCount.get},""" +
+      s""""pq_ingest":${graft.operators.SimilarityQueries.pqIngestBuildCount.get},""" +
       s""""layout":${graft.operators.LayoutQueries.layoutBuildCount.get},""" +
       s""""zorder":${graft.operators.LayoutQueries.zorderBuildCount.get},""" +
       s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
@@ -198,6 +199,8 @@ object Bench {
               vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17j_pq_topk" ->
               vs(pairs(SimilarityQueries.q17jPqTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17k_ivfpq_topk" ->
+              vs(pairs(SimilarityQueries.q17kIvfPqTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17i_hybrid_indexed" ->
               vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact))
         } catch {

@@ -75,6 +75,8 @@ object SparkEntry {
     "q17g_filtered_topk"   -> (SimilarityQueries.q17gFilteredTopK _),
     "q17h_hybrid_rrf"      -> (SimilarityQueries.q17hHybridRrf _),
     "q17j_pq_topk"         -> (SimilarityQueries.q17jPqTopK _),
+    "q17k_ivfpq_topk"      -> (SimilarityQueries.q17kIvfPqTopK _),
+    "q17l_pq_stream_ingest" -> (graft.streaming.StreamingPipelines.q17lPqStreamIngest _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),

@@ -856,7 +856,21 @@ object SimilarityQueries {
     * at 100 TB the code table IS the searchable corpus (8 bytes/vector
     * in memory-bandwidth terms), the f64 vectors are cold storage the
     * re-ranker touches for shortlist rows only. */
-  def pqIndex(spark: SparkSession, dir: String, unit: DataFrame): PqIndex = {
+  /** Encode (id → packed m-code array) against a codebook — the step
+    * shared by the index build and the incremental delta accept, so
+    * batch-built and delta-encoded codes are identical by
+    * construction. Sub-major order via sorted struct collect. */
+  def pqEncode(unit: DataFrame, codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    pqAssign(pqExplode(unit), codebook.toDF("sub", "code", "cvec"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  def pqIndex(spark: SparkSession, dir: String, unit: DataFrame,
+              counter: java.util.concurrent.atomic.AtomicInteger = pqBuildCount): PqIndex = {
     import spark.implicits._
     val fp = corpusFingerprint(unit, "id", Seq(col("v")))
     pqCache.get(dir) match {
@@ -864,17 +878,15 @@ object SimilarityQueries {
       case _ => ()
     }
     val root = graft.core.IndexStore.buildOrLoad(
-        PqFamily, dir, fp, Seq("codebook", "codes"), pqBuildCount) { root =>
+        PqFamily, dir, fp, Seq("codebook", "codes"), counter) { root =>
       val cb = pqTrain(spark, unit)
       cb.toDF("sub", "code", "cvec").coalesce(1).write.mode("overwrite")
         .parquet(root.resolve("codebook").toString)
-      // encode: m code assignments per vector packed to one array row —
-      // sub-major order via sorted struct collect
-      pqAssign(pqExplode(unit), cb.toDF("sub", "code", "cvec"))
-        .groupBy("id")
-        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-          s => s.getField("code")).as("codes"))
+      pqEncode(unit, cb)
         .write.mode("overwrite").parquet(root.resolve("codes").toString)
+      // a retrain supersedes the codebook any incremental batches were
+      // encoded against — their appended codes go with it
+      graft.core.IndexStore.deleteRecursively(root.resolve("codes_inc"))
     }
     val cb = spark.read.parquet(root.resolve("codebook").toString)
       .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
@@ -902,19 +914,110 @@ object SimilarityQueries {
     * the re-rank is a broadcast semi-join on shortlist ids — the only
     * touch of full-precision data. */
   def q17jPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val pq = pqIndex(spark, dir, unit)
-    val codes = spark.read.parquet(pq.codesPath)
+    pqSearch(spark, emb, unit, pq, spark.read.parquet(pq.codesPath))
+  }
 
-    // 10 probes collected (bounded); LUT computed locally against the
-    // driver-resident codebook: lut[sub][code] = probe_sub · cvec
+  /** Exhaustive PQ-ADC search over a code table (ADC shortlist via the
+    * bounded top-k aggregator → exact re-rank) — shared by q17j (the
+    * query-serving index) and q17l (the ingest loop's composed view). */
+  def pqSearch(spark: SparkSession, emb: DataFrame, unit: DataFrame,
+               pq: PqIndex, codes: DataFrame): DataFrame = {
+    val luts = pqProbeLuts(spark, unit, pq)
+    // exhaustive ADC: every code row × every probe LUT
+    val scored = codes.join(broadcast(luts), col("id") =!= col("probe"))
+      .select(col("probe"), col("id"), pqAdcScore.as("score"))
+    val shortlist = rankedTopK(scored, pqShortlist, "adc")
+      .select(col("probe_id"), col("neighbor_id"))
+    pqExactRerank(emb, shortlist)
+  }
+
+  // ---- PQ ingest lifecycle (train-on-base / encode-delta / retrain) ---
+
+  /** Builds of the INGEST-LOOP-scoped PQ copy (q17l) — separate counter
+    * so the bench's `index_builds` audit distinguishes the loop's
+    * lifecycle (one base train + one growth retrain per staged replay)
+    * from the query-serving q17j index. */
+  val pqIngestBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Encode a DELTA of (id, v) unit vectors against the EXISTING
+    * codebook — the FAISS add()-vs-train() split for PQ: a growing
+    * corpus does not retrain codebooks per batch; new vectors quantize
+    * against the frozen subspace centroids at O(|delta| × m × ks), the
+    * standing codes are never touched. Codes land under
+    * `<codesPath>_inc/batch_id=N` (overwrite = retry-idempotent, the
+    * standard accept pattern); a retrain clears the appendix (those
+    * codes index a codebook that no longer exists). */
+  def pqEncodeIncremental(spark: SparkSession, pq: PqIndex,
+                          delta: DataFrame, batchId: Long): Unit =
+    pqEncode(delta, pq.codebook)
+      .write.mode("overwrite").parquet(s"${pq.codesPath}_inc/batch_id=$batchId")
+
+  /** The composed code view: persisted base codes ∪ incrementally
+    * encoded batches (with no appendix it is exactly the base table). */
+  def pqComposedCodes(spark: SparkSession, pq: PqIndex): DataFrame = {
+    val inc = java.nio.file.Paths.get(s"${pq.codesPath}_inc")
+    val base = spark.read.parquet(pq.codesPath).select("id", "codes")
+    if (!java.nio.file.Files.exists(inc)) base
+    else base.unionAll(spark.read.parquet(inc.toString).select("id", "codes"))
+  }
+
+  /** The PQ retrain policy — [[maybeRetrain]]'s twin for codebooks:
+    * when the encoded appendix exceeds `growthFactor` × base rows, the
+    * quantization error of appendix vectors (scored against centroids
+    * trained without them) matters enough to refit — retrain over the
+    * GROWN corpus through the standard build-or-load path (fingerprint
+    * differs → rebuild; the build clears `codes_inc`, re-encoding every
+    * vector against the fresh codebook). Below threshold: a two-count
+    * metadata check, nothing touched. Offline-slot contract as all
+    * maintenance ops. */
+  def maybePqRetrain(spark: SparkSession, key: String, pq: PqIndex,
+                     unitAll: DataFrame, growthFactor: Double = 0.2): Boolean = {
+    val inc = java.nio.file.Paths.get(s"${pq.codesPath}_inc")
+    if (!java.nio.file.Files.exists(inc)) return false
+    val incRows = spark.read.parquet(inc.toString).count()
+    val baseRows = spark.read.parquet(pq.codesPath).count()
+    if (incRows <= growthFactor * baseRows) false
+    else { pqIndex(spark, key, unitAll, pqIngestBuildCount); true }
+  }
+
+  /** Q17l's query step: the q17j search answered from the LOOP-
+    * maintained PQ index under its own store key — the composed
+    * base ∪ appendix code view. After the post-drain growth retrain
+    * the appendix is empty and the codebook is trained over the grown
+    * (= full) corpus; deterministic training then makes the drained
+    * result byte-identical to q17j's batch-built index, which the spec
+    * pins as the loop's correctness contract. */
+  def q17lAfterIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    // load the loop index's CURRENT on-disk state as-is (base ∪
+    // appendix mid-stream; retrained-full after the policy fires) —
+    // deliberately NOT the fingerprint-keyed builder, which would
+    // rebuild over whatever unit the caller passed and destroy the
+    // ingest state it is supposed to be reading
+    val root = graft.core.IndexStore.root(PqFamily, dir + "#pqingest")
+    val cb = spark.read.parquet(root.resolve("codebook").toString)
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
+    val idx = PqIndex(cb, root.resolve("codes").toString)
+    pqSearch(spark, emb, unit, idx, pqComposedCodes(spark, idx))
+  }
+
+  /** The per-probe ADC lookup tables as a local (probe, lut) frame:
+    * lut[sub][code] = probe_sub · cvec, computed DRIVER-side from the
+    * driver-resident codebook and the collected probe vectors — both
+    * bounded by probe count / codebook size, never the corpus. */
+  private def pqProbeLuts(spark: SparkSession, unit: DataFrame, pq: PqIndex): DataFrame = {
+    import spark.implicits._
     val probeVecs = unit.where(col("id") < 10)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val cbBySub = pq.codebook.groupBy(_._1)
-    val lutRows = probeVecs.map { case (pid, pv) =>
+    probeVecs.map { case (pid, pv) =>
       val lut: Seq[Seq[Double]] = (0 until pqSubspaces).map { s =>
         val psub = pv.slice(s * pqSubDim, (s + 1) * pqSubDim)
         cbBySub(s).sortBy(_._2).map { case (_, _, cvec) =>
@@ -922,23 +1025,21 @@ object SimilarityQueries {
         }
       }
       (pid, lut)
-    }.toSeq
-    val luts = lutRows.toDF("probe", "lut")
+    }.toSeq.toDF("probe", "lut")
+  }
 
-    // ADC: score = Σ_s lut[s][code_s] — m element_at lookups per row
-    val scored = codes.join(broadcast(luts), col("id") =!= col("probe"))
-      .select(col("probe"), col("id"),
-        aggregate(sequence(lit(1), lit(pqSubspaces)), lit(0.0),
-          (acc, s) => acc +
-            element_at(element_at(col("lut"), s), element_at(col("codes"), s) + 1))
-          .as("score"))
-    val shortlist = rankedTopK(scored, pqShortlist, "adc")
-      .select(col("probe_id"), col("neighbor_id"))
+  /** ADC score = Σ_s lut[s][code_s] — m `element_at` lookups per row
+    * over the joined (lut, codes) columns; no f64 vector touched. */
+  private def pqAdcScore: Column =
+    aggregate(sequence(lit(1), lit(pqSubspaces)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(col("lut"), s), element_at(col("codes"), s) + 1))
 
-    // exact cosine re-rank over the bounded shortlist only: the
-    // shortlist (with its probe vectors attached — ≤ probes×25 rows)
-    // broadcasts against the corpus scan, so full-precision vectors
-    // stream past exactly once and only matches surface
+  /** Exact cosine re-rank of a (probe_id, neighbor_id) shortlist: the
+    * shortlist (with its probe vectors attached — ≤ probes×shortlist
+    * rows) broadcasts against the corpus scan, so full-precision
+    * vectors stream past exactly once and only matches surface. */
+  private def pqExactRerank(emb: DataFrame, shortlist: DataFrame): DataFrame = {
     val ep = emb.select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val withPv = shortlist.join(ep, "probe_id")
     val exact = emb
@@ -947,6 +1048,50 @@ object SimilarityQueries {
       .select(col("probe_id").as("probe"), col("neighbor_id").as("id"),
         (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("score"))
     rankedTopK(exact, 5, "cos_sim")
+  }
+
+  /** Q17k — IVF×PQ (the full FAISS `IVF√N,PQ8x4 + refine` composition):
+    * candidate lists from the persisted IVF coarse quantizer (sublinear
+    * — ~nprobe/k of the corpus per probe), scored by ADC over the
+    * persisted 8-byte PQ codes (64× less bandwidth than f64), exact
+    * re-rank of the bounded shortlist. This is the configuration that
+    * actually serves billion-vector search: BOTH the candidate
+    * generator and the scorer are sublinear/compressed, and the only
+    * full-precision touch is the ≤ probes×shortlist re-rank. Rows-only
+    * like the other ANN rows; recall vs exact q17 pinned in spec and
+    * stamped into the bench artifact. */
+  def q17kIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val ivf = ivfCentroids(spark, dir, unit)
+    val index = ivfAssignments(spark, ivf)
+    val pq = pqIndex(spark, dir, unit)
+    val codes = spark.read.parquet(pq.codesPath)
+    val luts = pqProbeLuts(spark, unit, pq)
+
+    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
+    val probeLists = unit.where(col("id") < 10)
+      .join(broadcast(ivf.centroids.toDF("cid", "cvec")))
+      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(probeRank))
+      .where(col("rn") <= ivf.nprobe)
+      .select("probe_id", "cid")
+    val cand = probeLists.join(index, "cid")
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"))
+
+    // ADC over candidates only: the code table joins the (bounded)
+    // candidate set, each row scores as m array lookups
+    val scored = cand
+      .join(codes, "id")
+      .join(broadcast(luts), col("probe_id") === col("probe"))
+      .select(col("probe"), col("id"), pqAdcScore.as("score"))
+    val shortlist = rankedTopK(scored, pqShortlist, "adc")
+      .select(col("probe_id"), col("neighbor_id"))
+    pqExactRerank(emb, shortlist)
   }
 
   private def rankedTopK(scored: DataFrame, k: Int, scoreName: String): DataFrame = {

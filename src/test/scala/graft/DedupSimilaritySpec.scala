@@ -524,6 +524,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
 
+  test("pqEncodeIncremental: delta codes equal batch encode against the same codebook") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def unitOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("id"), transform(col("v"), x => x / col("n")).as("v"))
+    val baseUnit = unitOf(emb.where(col("vec_id") % 5 =!= 4))
+    val fullUnit = unitOf(emb)
+    val idx = SimilarityQueries.pqIndex(spark, sf + "#pqspec", baseUnit)
+    SimilarityQueries.pqEncodeIncremental(spark, idx, unitOf(emb.where(col("vec_id") % 5 === 4)), 0L)
+    val composed = SimilarityQueries.pqComposedCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().toMap
+    val batch = SimilarityQueries.pqEncode(fullUnit, idx.codebook)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(composed == batch,
+      "incremental delta encode must equal the batch encode against the same codebook")
+    graft.core.IndexStore.deleteRecursively(
+      java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
+  }
+
+  test("IVF x PQ top-k recall vs exact top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q = SimilarityQueries.q17kIvfPqTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall compounds the coarse quantizer's list misses (q17c ~0.9)
+    // with ADC distortion (q17j ~0.78); the floor matches the other
+    // IVF rows — random vectors are the worst case for both stages
+    val recall = (exact & q).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low (|exact|=${exact.size}, |q|=${q.size})")
+    assert(q.size <= 50)
+    assert(q.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
+  }
+
   test("lineDedup: global first occurrence survives, later repeats drop, reassembly preserves order") {
     // doc 1: A,B ; doc 2: A,C,B (A and B are repeats) ; doc 3: C,C,D
     // (cross-doc repeat of C plus a WITHIN-doc repeat)

@@ -757,6 +757,25 @@ class StreamingParitySpec extends AnyFunSuite {
       "fresh session must reuse the persisted LSH key index")
   }
 
+  test("q17l PQ ingest: retrain policy fires, appendix clears, drained search equals batch q17j") {
+    val dir = "/root/testdata/sf0.001"
+    val before = graft.operators.SimilarityQueries.pqIngestBuildCount.get
+    val streamed = StreamingPipelines.q17lPqStreamIngest(spark, dir).collect().toSeq
+    val delta = graft.operators.SimilarityQueries.pqIngestBuildCount.get - before
+    // a fresh staging pays exactly base-train + growth-retrain; a
+    // memoized same-JVM rerun pays nothing
+    assert(delta == 2 || delta == 0, s"unexpected pq_ingest build count delta $delta")
+    // the growth retrain cleared the appendix (25% > 20% threshold)
+    val root = graft.core.IndexStore.root("graft-pq", dir + "#pqingest")
+    assert(!java.nio.file.Files.exists(root.resolve("codes_inc")),
+      "post-retrain appendix must be cleared")
+    // deterministic training ⇒ the streamed-ingest-then-retrained index
+    // answers BYTE-IDENTICALLY to the batch-built q17j index — the
+    // strongest equality an un-oracle-able k-means artifact admits
+    val batch = graft.operators.SimilarityQueries.q17jPqTopK(spark, dir).collect().toSeq
+    assert(streamed == batch, "drained PQ-ingest search diverged from the batch-built index")
+  }
+
   test("q16m growing embedding ingest: copies flag base AND earlier accepted batches") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
