@@ -734,8 +734,13 @@ object DedupQueries {
         collect_list(when(col("keep"), struct(col("pos"), col("line")))).as("kept"))
       .select(col("doc_id"), col("n_lines"), col("kept_lines"),
         col("dropped_lines"), col("kept_chars"),
-        md5(array_join(transform(array_sort(col("kept")), _.getField("line")),
-          "\n")).as("clean_md5"))
+        // a fully-emptied page (every line was someone else's first —
+        // real at sf0.1, where exact-duplicate bodies exist) has no
+        // content to fingerprint: NULL, matching the oracle's
+        // aggregate-of-empty-set semantics
+        when(col("kept_lines") > 0,
+          md5(array_join(transform(array_sort(col("kept")), _.getField("line")),
+            "\n"))).as("clean_md5"))
   }
 
   /** Q16n — cross-document line-level exact dedup (the C4/CCNet/

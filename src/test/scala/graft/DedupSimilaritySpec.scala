@@ -561,23 +561,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("lineDedup: global first occurrence survives, later repeats drop, reassembly preserves order") {
     // doc 1: A,B ; doc 2: A,C,B (A and B are repeats) ; doc 3: C,C,D
-    // (cross-doc repeat of C plus a WITHIN-doc repeat)
+    // (cross-doc repeat of C plus a WITHIN-doc repeat) ; doc 4: A,B —
+    // every line already seen, so the page empties and its fingerprint
+    // is NULL (the aggregate-of-empty-set semantics the oracle has)
     val lines = Seq(
       (1L, 0L, "alpha"), (1L, 1L, "bravo"),
       (2L, 0L, "alpha"), (2L, 1L, "charlie"), (2L, 2L, "bravo"),
-      (3L, 0L, "charlie"), (3L, 1L, "charlie"), (3L, 2L, "delta"))
+      (3L, 0L, "charlie"), (3L, 1L, "charlie"), (3L, 2L, "delta"),
+      (4L, 0L, "alpha"), (4L, 1L, "bravo"))
       .toDF("doc_id", "pos", "line")
     val out = DedupQueries.lineDedup(lines).orderBy("doc_id")
       .select("doc_id", "n_lines", "kept_lines", "dropped_lines", "kept_chars", "clean_md5")
-      .as[(Long, Long, Long, Long, Long, String)].collect().toList
-    def m(s: String) = {
+      .as[(Long, Long, Long, Long, Long, Option[String])].collect().toList
+    def m(s: String): Option[String] = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString
+      Some(d.map("%02x".format(_)).mkString)
     }
     assert(out == List(
       (1L, 2L, 2L, 0L, 10L, m("alpha\nbravo")),
       (2L, 3L, 1L, 2L, 7L, m("charlie")),
-      (3L, 3L, 1L, 2L, 5L, m("delta"))))
+      (3L, 3L, 1L, 2L, 5L, m("delta")),
+      (4L, 2L, 0L, 2L, 0L, None)))
   }
 
   test("q16n fixture: boilerplate survives only on page 0; plagiarized paragraphs drop at their copy") {
