@@ -114,6 +114,7 @@ object SparkEntry {
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
     "q23_profile"          -> (RelationalQueries.q23Profile _),
+    "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
@@ -1181,6 +1182,28 @@ object SparkEntry {
         |WHERE user_id BETWEEN 10 AND 30
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-13'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q23b: TVD folded to present-tokens-only (absent tokens
+    // contribute 1 − Σ_present p_c); per-term doubles floored at 1e-15
+    // to integers so the sum is order-independent and the drift
+    // monitor hash-checks exactly
+    "q23b_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+        |            FROM documents),
+        |dt AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(cnt) AS stot FROM dt GROUP BY 1),
+        |gt AS (SELECT token, SUM(cnt) AS gcnt FROM dt GROUP BY 1),
+        |g AS (SELECT SUM(cnt) AS gtot FROM dt),
+        |terms AS (
+        |  SELECT dt.source, st.stot,
+        |         CAST(FLOOR((ABS(CAST(dt.cnt AS DOUBLE) / st.stot
+        |                         - CAST(gt.gcnt AS DOUBLE) / g.gtot)
+        |                     - CAST(gt.gcnt AS DOUBLE) / g.gtot) * 1e15) AS HUGEINT) AS term
+        |  FROM dt JOIN st USING (source) JOIN gt USING (token) CROSS JOIN g)
+        |SELECT source,
+        |  CAST(MAX(stot) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  ROUND((1.0 + CAST(SUM(term) AS DOUBLE) / 1e15) / 2.0, 6) AS tvd
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -628,4 +628,56 @@ object TextQueries {
       .withColumn("pack_id", expr(s"start_offset DIV $packTokens"))
       .orderBy("doc_id")
   }
+
+  /** Q23b — corpus DRIFT report: each source slice's token-distribution
+    * total-variation distance (TVD) from the whole corpus — the
+    * mixture-monitoring twin of q18l's quality mix (a souring crawl
+    * source or a mis-weighted mixture shows up as its TVD moving
+    * round-over-round). TVD is chosen over KL/JS deliberately: it
+    * needs no transcendentals, so the whole computation is IEEE-exact
+    * cross-engine and the row hash-checks — a drift MONITOR whose own
+    * numbers can drift with a libm version would be self-defeating.
+    *
+    * Exactness: TVD(S) = ½·Σ_V |p_s − p_c| over the full vocabulary
+    * folds to ½·(1 + Σ_{t∈S} (|p_s−p_c| − p_c)) — only tokens PRESENT
+    * in the source are summed (absent tokens contribute exactly their
+    * corpus mass, which totals 1 − Σ_{t∈S} p_c), so no source×vocab
+    * zero-fill is materialized. Each per-token term is an identical
+    * IEEE double in both engines (exact integer counts → two exact
+    * divisions), floored at 1e-15 to a LONG so the cross-partition SUM
+    * is exact integer arithmetic in any order (the q15f/q18m trick;
+    * truncation error ≤ |V|·1e-15, invisible at 6 dp).
+    *
+    * Scale shape: one explode + two hash aggregates (token counts per
+    * source, then global) + one token-keyed join of the two count
+    * frames + a per-source fold — every aggregate map-side-combines,
+    * the shuffled payload is (source, token-digest-sized) count rows,
+    * and the one-row corpus total rides a broadcast. */
+  def q23bSourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.load(spark, dir, "documents"))
+
+  /** Library surface behind q23b: the TVD drift report over any
+    * (source, text) frame. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val st = dt.groupBy("source").agg(sum(col("cnt")).as("stot"))
+    val gt = dt.groupBy("token").agg(sum(col("cnt")).as("gcnt"))
+    val g  = gt.agg(sum(col("gcnt")).as("gtot"))
+    val ps = col("cnt").cast("double") / col("stot")
+    val pc = col("gcnt").cast("double") / col("gtot")
+    dt.join(gt, "token")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(g))
+      .select(col("source"), col("stot"),
+        floor((abs(ps - pc) - pc) * lit(1e15)).cast("decimal(38,0)").as("term"))
+      .groupBy("source")
+      .agg(max(col("stot")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("term")).as("tsum"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        round((lit(1.0) + col("tsum").cast("double") / lit(1e15)) / 2.0, 6).as("tvd"))
+      .orderBy("source")
+  }
 }

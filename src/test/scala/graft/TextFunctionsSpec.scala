@@ -184,6 +184,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "s2").map(_._6).forall(_ == 1L))
   }
 
+  test("sourceDrift: hand-computed total-variation distances, absent-token mass included") {
+    // source A: tokens {x:2, y:1} → p = (2/3, 1/3, 0)
+    // source B: tokens {y:1, z:1} → p = (0, 1/2, 1/2)
+    // corpus:         {x:2, y:2, z:1} / 5 → p_c = (.4, .4, .2)
+    // TVD_A = ½(|2/3−.4| + |1/3−.4| + |0−.2|) = 0.266667 (absent z!)
+    // TVD_B = ½(|0−.4| + |.5−.4| + |.5−.2|)   = 0.4
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val out = TextQueries.sourceDrift(docs)
+      .select("source", "n_tokens", "n_distinct", "tvd")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out == List(("A", 3L, 2L, 0.266667), ("B", 2L, 2L, 0.4)))
+  }
+
   test("langId: argmax with first-listed-wins tie-break") {
     val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
     val pred = Seq("y z q", "x y", "q q q").toDF("text")
