@@ -122,6 +122,7 @@ object SparkEntry {
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q26b_layout_backfill" -> (LayoutQueries.q26bLayoutBackfill _),
     "q26c_zorder_scan"     -> (LayoutQueries.q26cZorderScan _),
+    "q26d_manifest_scan"   -> (LayoutQueries.q26dManifestScan _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
@@ -1204,6 +1205,16 @@ object SparkEntry {
         |  COUNT(*) AS n_distinct,
         |  ROUND((1.0 + CAST(SUM(term) AS DOUBLE) / 1e15) / 2.0, 6) AS tvd
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // q26d reads only manifest-selected files of the z-ordered copy;
+    // the oracle recomputes the box from the flat corpus — a manifest
+    // bug surfaces as a hash mismatch, not silent wrong answers
+    "q26d_manifest_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 5 AND 9
+        |  AND ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-25'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

@@ -132,10 +132,10 @@ object LayoutQueries {
 
   def eventsZOrderedRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
     val events = Tables.load(spark, dir, "events")
-    val fp = "z1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+    val fp = "z2:" + SimilarityQueries.corpusFingerprint(events, "event_id",
       Seq(col("user_id"), col("ts"), col("value")))
     IndexStore.buildOrLoad(
-        ZOrderFamily, dir, fp, Seq("data"), zorderBuildCount) { r =>
+        ZOrderFamily, dir, fp, Seq("data", "manifest"), zorderBuildCount) { r =>
       val b = events.agg(
         min(col("user_id")), max(col("user_id")),
         min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
@@ -149,6 +149,19 @@ object LayoutQueries {
         quant(unix_micros(col("ts")), b.getLong(2), b.getLong(3)))
       Layout.writeClustered(events.withColumn("zv", z),
         r.resolve("data").toString, "zv", ZOrderFiles)
+      // the data-skipping MANIFEST, written with the data under the
+      // same fingerprint (they can never drift apart): one scan of the
+      // fresh layout, per-file envelopes of the clustered dims — the
+      // Iceberg/Delta manifest pattern, where query planning prunes
+      // against a small metadata TABLE instead of listing directories
+      // or touching parquet footers
+      spark.read.parquet(r.resolve("data").toString)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+          min(col("ts")).as("tlo"), max(col("ts")).as("thi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(r.resolve("manifest").toString)
     }
   }
 
@@ -168,6 +181,36 @@ object LayoutQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy("event_type")
+
+  /** Q26d — MANIFEST-pruned scan (the data-skipping half of the
+    * lakehouse pattern, on top of q26c's clustering): query planning
+    * filters the per-file envelope MANIFEST first and hands the reader
+    * only intersecting files — at 100 TB this is the difference
+    * between planning against a small metadata table and
+    * listing-plus-footer-reading a million files (which is why
+    * Iceberg/Delta exist). The manifest filter runs distributed; only
+    * the MATCHING file names cross the driver (bounded by selectivity,
+    * never the table's file count). The residual predicate still
+    * applies on the read — the manifest prunes I/O, never semantics —
+    * so a manifest bug cannot produce extra rows, only a missed file,
+    * which the flat-corpus oracle hash would catch as missing rows.
+    * File-skipping measured in ScaleOpsSpec: the scan's file count ==
+    * the manifest selection, strictly fewer than the layout holds. */
+  def q26dManifestScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsZOrderedRoot(spark, dir)
+    val t0 = lit("2024-01-20").cast("timestamp")
+    val t1 = lit("2024-01-25").cast("timestamp")
+    val files = spark.read.parquet(root.resolve("manifest").toString)
+      .where(col("uhi") >= 5 && col("ulo") <= 9 &&
+             col("thi") >= t0 && col("tlo") < t1)
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .where(col("user_id").between(5, 9) && col("ts") >= t0 && col("ts") < t1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
 
   // ---- BM25 postings: partition by token bucket -----------------------
 

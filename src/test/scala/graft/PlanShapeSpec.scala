@@ -512,6 +512,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "every window must partition by user_id (a global window pulls the table into one task)")
   }
 
+  test("q17j: the ADC stage reads 8-byte codes only; LUT broadcasts are probe-bounded") {
+    val (_, plan) = executedRowsAndPlan(SimilarityQueries.q17jPqTopK(spark, dir))
+    val scans = allNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the scan feeding ADC is the persisted code table — and it reads
+    // (id, codes) ONLY: no f64 vector column crosses that stage (the
+    // 64× bandwidth claim, asserted on the plan)
+    val codeScans = scans.filter(_.metadata.getOrElse("Location", "").contains("graft-pq"))
+    assert(codeScans.nonEmpty, "q17j must scan the persisted PQ code table")
+    assert(codeScans.forall { s =>
+      val schema = s.schema.fieldNames.toSet
+      schema.contains("codes") && !schema.contains("embedding") && !schema.contains("v")
+    }, s"ADC scan must read codes only: ${codeScans.map(_.schema.fieldNames.mkString(","))}")
+    // the only nested-loop join is the deliberate probe-LUT cross (10
+    // broadcast rows); its broadcast side must be the local LUT
+    // relation, never a corpus-derived frame
+    val bnlj = allNodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 1, s"expected exactly the LUT cross join, got ${bnlj.size}")
+    val buildSide = (bnlj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bnlj.head.left
+      case _ => bnlj.head.right
+    }).toString
+    assert(buildSide.contains("LocalTableScan") || buildSide.contains("lut"),
+      s"LUT cross join must broadcast the bounded local LUT frame:\n$buildSide")
+  }
+
   test("q14b: explicit pivot values — single scan, single aggregate pass, no discovery job") {
     val df = RelationalQueries.q14bPivot(spark, dir)
     // plan shape is checkable BEFORE execution: value discovery would

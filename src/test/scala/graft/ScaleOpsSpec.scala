@@ -550,6 +550,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"fact scan must carry a dynamic pruning filter: ${factScans.map(_.partitionFilters).mkString(";")}")
   }
 
+  test("q26d: manifest selects strictly fewer files; the scan reads exactly those; answer matches flat") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.operators.LayoutQueries.q26dManifestScan(spark, sf)
+    val rows = q.collect()
+    val flat = Tables.load(spark, sf, "events")
+      .where(col("user_id").between(5, 9) &&
+             col("ts") >= lit("2024-01-20").cast("timestamp") &&
+             col("ts") < lit("2024-01-25").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(rows.toSeq == flat.toSeq, "manifest-pruned scan diverged from the flat twin")
+    // the manifest covers every file exactly once, and the box selects
+    // a strict subset
+    val root = graft.core.IndexStore.root("graft-layout-events-zorder", sf)
+    val mf = spark.read.parquet(root.resolve("manifest").toString)
+    assert(mf.count() == graft.operators.LayoutQueries.ZOrderFiles,
+      "manifest must hold one row per layout file")
+    val t0 = lit("2024-01-20").cast("timestamp")
+    val t1 = lit("2024-01-25").cast("timestamp")
+    val selected = mf.where(col("uhi") >= 5 && col("ulo") <= 9 &&
+      col("thi") >= t0 && col("tlo") < t1).count()
+    assert(selected > 0 && selected < graft.operators.LayoutQueries.ZOrderFiles,
+      s"expected a strict manifest subset, got $selected of ${graft.operators.LayoutQueries.ZOrderFiles}")
+    // the physical scan reads exactly the manifest selection — the
+    // planner never re-lists the table
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val scan = nodes(q.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in the q26d plan"))
+    assert(scan.selectedPartitions.totalNumberOfFiles == selected,
+      s"scan must read exactly the manifest selection: ${scan.selectedPartitions.totalNumberOfFiles} vs $selected")
+  }
+
   test("morton interleave: spread16 places bits on even positions; zorder2 bits are disjoint") {
     import spark.implicits._
     val r = spark.range(1).select(
