@@ -119,6 +119,7 @@ object SparkEntry {
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
     "q25c_stream_cdc_bucketed" -> (graft.streaming.StreamingPipelines.q25cStreamCdcBucketed _),
+    "q25d_stream_cdc_mv"   -> (graft.streaming.StreamingPipelines.q25dStreamCdcMvAgg _),
     "q26_layout_scan"      -> (LayoutQueries.q26LayoutScan _),
     "q26b_layout_backfill" -> (LayoutQueries.q26bLayoutBackfill _),
     "q26c_zorder_scan"     -> (LayoutQueries.q26cZorderScan _),
@@ -450,6 +451,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q25d: the incrementally-maintained aggregate (per-epoch delta
+    // algebra in exact decimal) must equal aggregating the fully
+    // upserted table once — live users only, tombstones excluded
+    "q25d_stream_cdc_mv" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |live AS (SELECT user_id, event_type, value FROM r WHERE rn = 1 AND op <> 'D')
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q15g: bloom pre-filter + exact semi-join verify is EXACT by
     // construction, so the oracle is the plain semi-join aggregate
     "q15g_bloom_semijoin" ->

@@ -120,6 +120,7 @@ object StreamingPipelines {
     @volatile var dedupWmRowsRemoved: Long = -1L    // q20m: evicted rows across the replay
     @volatile var cdcSnapDir: String = _       // streaming CDC upsert snapshots (q25b)
     @volatile var cdcBucketDir: String = _     // bucketed (partition-scoped) CDC merge (q25c)
+    @volatile var mvDir: String = _            // incremental MV maintenance (q25d): state/ + agg/
     @volatile var sessionSinkDir: String = _   // session windows (q20i), append mode
     val runningLog = new java.util.concurrent.ConcurrentLinkedQueue[CountUpdate]() // O13: 1 row/trigger
     val shardPartials = TrieMap.empty[Int, Long] // q20g: ≤ shards rows/trigger
@@ -350,6 +351,7 @@ object StreamingPipelines {
     sink.sessionSinkDir  = Files.createTempDirectory("graft-out-session").toString
     sink.cdcSnapDir      = Files.createTempDirectory("graft-out-cdc").toString
     sink.cdcBucketDir    = Files.createTempDirectory("graft-out-cdcb").toString
+    sink.mvDir           = Files.createTempDirectory("graft-out-mv").toString
 
     // O12 — tumbling 1-minute count, update mode.
     val tumbling = data
@@ -695,6 +697,93 @@ object StreamingPipelines {
         cdcBucketMergeEpoch(chg, sink.cdcBucketDir, batchId)
       }.start()
 
+    // q25d — INCREMENTAL MATERIALIZED-VIEW maintenance over the same
+    // changelog: the per-type aggregate (live users, exact decimal
+    // value sum) is maintained by DELTA ALGEBRA only — each epoch
+    // retracts the TOUCHED users' old contributions and applies their
+    // new ones; the aggregate is NEVER recomputed from the user state.
+    // agg_N = agg_{N-1} ⊕ Σ_touched (f(new) − f(old)) — per-epoch cost
+    // O(touched keys) on the delta side regardless of how many users
+    // the view covers, which is the entire point of a materialized
+    // view at 100 TB. Exactness across arbitrarily many epochs comes
+    // from doing the value algebra in DECIMAL(18,4) (associative,
+    // order-independent) — the drained aggregate must be bit-identical
+    // to the batch GROUP BY over the fully-upserted table, which the
+    // oracle checks. Handles the full transition matrix: U→U same
+    // group (retract+apply cancel), U→U group move (retract A, apply
+    // B), U→D (retract only), D→U (apply only); tombstones persist in
+    // the user state (late-arrival correctness) but never contribute.
+    // The user-state carry here is a full rewrite (the q25b
+    // demonstration shape); at 100 TB it is bucket-scoped exactly as
+    // q25c demonstrates — the NOVEL piece q25d adds is the aggregate
+    // delta algebra on top.
+    val mvMaintain: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sparkB = batch.sparkSession
+      val mvRoot = Paths.get(sink.mvDir)
+      val chg = batch.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"))
+      def latestWins(df: DataFrame): DataFrame = df
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("op"), col("event_type"), col("value"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.op").as("op"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"),
+          col("last.ts").as("ts"), col("last.event_id").as("event_id"))
+      val batchLatest = latestWins(chg)
+      def prevOf(sub: String): Option[DataFrame] = {
+        val p = mvRoot.resolve(sub)
+        if (!Files.exists(p)) None
+        else listDir(p).map(_.getFileName.toString)
+          .filter(_.startsWith("snap_batch_id="))
+          .map(_.stripPrefix("snap_batch_id=").toLong)
+          .filter(_ < batchId).maxOption
+          .map(n => sparkB.read.parquet(p.resolve(s"snap_batch_id=$n").toString))
+      }
+      val prevState = prevOf("state")
+      // old rows of TOUCHED users only (semi-join filter; bucket-scoped
+      // at scale) — reading committed dirs < batchId makes a
+      // failure-replayed epoch recompute byte-identically
+      val oldTouched = prevState match {
+        case Some(s) => s.join(batchLatest.select("user_id"), Seq("user_id"), "left_semi")
+        case None => batchLatest.limit(0)
+      }
+      val newTouched = latestWins(oldTouched.unionByName(batchLatest))
+      val dv = col("value").cast("decimal(18,4)")
+      val deltas = oldTouched.where(col("op") =!= "D")
+          .select(col("event_type"), lit(-1L).as("dn"), (-dv).as("dv"))
+        .unionByName(newTouched.where(col("op") =!= "D")
+          .select(col("event_type"), lit(1L).as("dn"), dv.as("dv")))
+      val aggAll = prevOf("agg") match {
+        case Some(a) => a.select(col("event_type"), col("n_users").as("dn"),
+          col("sum_value").as("dv")).unionByName(deltas)
+        case None => deltas
+      }
+      aggAll.groupBy("event_type")
+        .agg(sum(col("dn")).as("n_users"), sum(col("dv")).as("sum_value"))
+        .where(col("n_users") > 0)
+        .write.mode("overwrite")
+        .parquet(mvRoot.resolve(s"agg/snap_batch_id=$batchId").toString)
+      val carried = prevState match {
+        case Some(s) =>
+          s.join(batchLatest.select("user_id"), Seq("user_id"), "left_anti")
+            .unionByName(newTouched)
+        case None => newTouched
+      }
+      carried.write.mode("overwrite")
+        .parquet(mvRoot.resolve(s"state/snap_batch_id=$batchId").toString)
+      // same in-loop GC policy as q25b: this epoch + its committed
+      // predecessor (which a retry must still find)
+      vacuumCdcSnapshots(mvRoot.resolve("state").toString, retain = 2)
+      vacuumCdcSnapshots(mvRoot.resolve("agg").toString, retain = 2)
+    }
+    val mv = data
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckpt/mv")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(mvMaintain).start()
+
     // Per-type session windows (q20i) — the gap-based windowing mode
     // (q5b's streaming twin, keyed by type so session state shards over
     // the key space instead of funneling one global session chain).
@@ -720,7 +809,7 @@ object StreamingPipelines {
 
     try {
       Seq(tumbling, sliding, perType, top1, running, sharded, joined, leftJoined,
-          enrich, dedup, dedupWm, cdc, cdcBucketed, session)
+          enrich, dedup, dedupWm, cdc, cdcBucketed, mv, session)
         .foreach(_.awaitTermination())
       // q20m's scale contract is the state BOUND, not just the rows:
       // record the drained state size and total evictions off the
@@ -2094,4 +2183,23 @@ object StreamingPipelines {
       .select(col("user_id"), col("event_type").as("last_type"),
         col("value").as("last_value"), col("ts").as("last_ts"))
       .orderBy("user_id")
+
+  /** Q25d — the incrementally-maintained per-type aggregate at drain:
+    * read the latest agg snapshot (built purely from per-epoch deltas,
+    * never re-aggregated), cast the exact decimal sum to double at the
+    * edge. Oracle = the batch GROUP BY over the fully-upserted table —
+    * the delta algebra across every epoch must be indistinguishable
+    * from aggregating the final state once. */
+  def q25dStreamCdcMvAgg(spark: SparkSession, dir: String): DataFrame = {
+    val aggRoot = Paths.get(replayCached(spark, dir).mvDir).resolve("agg")
+    val latest = listDir(aggRoot)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snap_batch_id="))
+      .map(_.stripPrefix("snap_batch_id=").toLong)
+      .max
+    spark.read.parquet(aggRoot.resolve(s"snap_batch_id=$latest").toString)
+      .select(col("event_type"), col("n_users"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -757,6 +757,32 @@ class StreamingParitySpec extends AnyFunSuite {
       "fresh session must reuse the persisted LSH key index")
   }
 
+  test("q25d incremental MV: delta-maintained aggregate equals the batch GROUP BY, across epochs") {
+    val dir = "/root/testdata/sf0.001"
+    val mvAgg = StreamingPipelines.q25dStreamCdcMvAgg(spark, dir)
+      .select("event_type", "n_users", "sum_value").collect().toSeq
+    val batch = graft.operators.RelationalQueries.q25CdcUpsert(spark, dir)
+      .groupBy(col("last_type").as("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("last_value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+      .select("event_type", "n_users", "sum_value").collect().toSeq
+    assert(mvAgg == batch,
+      "delta-maintained aggregate diverged from aggregating the upserted table once")
+    // the deltas really composed across epochs (not one big batch):
+    // the drained agg snapshot carries a multi-epoch id, and the
+    // vacuum bounded the sink at two snapshots
+    val aggRoot = java.nio.file.Paths
+      .get(StreamingPipelines.replayCached(spark, dir).mvDir).resolve("agg")
+    val ids = java.nio.file.Files.list(aggRoot).iterator()
+    import scala.jdk.CollectionConverters._
+    val epochs = ids.asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("snap_batch_id="))
+      .map(_.stripPrefix("snap_batch_id=").toLong).toSeq
+    assert(epochs.max >= 1, s"expected a multi-epoch replay, got $epochs")
+    assert(epochs.size <= 2, s"vacuum must bound the agg sink: $epochs")
+  }
+
   test("q17l PQ ingest: retrain policy fires, appendix clears, drained search equals batch q17j") {
     val dir = "/root/testdata/sf0.001"
     val before = graft.operators.SimilarityQueries.pqIngestBuildCount.get
