@@ -116,6 +116,7 @@ object SparkEntry {
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
+    "q24b_interpolate"     -> (WindowQueries.q24bInterpolate _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
     "q25b_stream_cdc_upsert" -> (graft.streaming.StreamingPipelines.q25bStreamCdcUpsert _),
     "q25c_stream_cdc_bucketed" -> (graft.streaming.StreamingPipelines.q25cStreamCdcBucketed _),
@@ -451,6 +452,34 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q24b: interpolation on identical rounded anchors — the IEEE
+    // expression a0 + (na−a0)*k/n evaluates bit-identically
+    // cross-engine, so the fill itself hash-checks
+    "q24b_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h0,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6) AS a0
+        |  FROM events GROUP BY 1, 2),
+        |anchors AS (
+        |  SELECT event_type, h0, a0,
+        |         LEAD(h0) OVER w AS nh, LEAD(a0) OVER w AS na
+        |  FROM hourly WHERE a0 IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h0)),
+        |spine AS (
+        |  SELECT event_type, h0, a0, nh, na,
+        |         unnest(generate_series(h0,
+        |           COALESCE(nh - INTERVAL 1 HOUR, h0), INTERVAL 1 HOUR)) AS hour
+        |  FROM anchors),
+        |calc AS (
+        |  SELECT event_type, hour, a0, na,
+        |         date_diff('hour', h0, hour) AS k,
+        |         date_diff('hour', h0, nh) AS n
+        |  FROM spine)
+        |SELECT event_type, hour,
+        |  ROUND(CASE WHEN k = 0 THEN a0
+        |             ELSE a0 + (na - a0) * k / n END, 6) AS interp_avg,
+        |  CAST(k > 0 AS BIGINT) AS is_interp
+        |FROM calc ORDER BY event_type, hour""".stripMargin,
     // q25d: the incrementally-maintained aggregate (per-epoch delta
     // algebra in exact decimal) must equal aggregating the fully
     // upserted table once — live users only, tombstones excluded

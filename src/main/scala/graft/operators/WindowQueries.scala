@@ -227,6 +227,48 @@ object WindowQueries {
         (col("hour") =!= col("obs_hour") || col("avg_v").isNull).cast("long").as("is_gap"))
   }
 
+  /** Q24b — LINEAR INTERPOLATION across gaps (q24's second fill
+    * policy: forward-fill carries a stale reading flat, interpolation
+    * draws the line to the next one — what metric backfills and
+    * feature pipelines usually want): hours between consecutive
+    * non-null hourly anchors get a0 + (a1−a0)·k/n. Same in-plan spine
+    * trick as q24 (per-anchor `sequence` explode — no driver loop, no
+    * cross join against a global calendar); the interpolation
+    * arithmetic is the same IEEE expression both engines evaluate on
+    * identical rounded anchors, so the row is fully hash-checked.
+    * All-null observed hours count as gaps (no anchor), matching the
+    * q24 carried-average treatment of the same rows. */
+  def q24bInterpolate(spark: SparkSession, dir: String): DataFrame =
+    interpolate(Tables.load(spark, dir, "events")).orderBy("event_type", "hour")
+
+  /** Library surface behind q24b over any (event_type, ts, value)
+    * frame. */
+  def interpolate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Det._
+    val order = Window.partitionBy("event_type").orderBy("h0")
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h0"))
+      .agg(round(davg(col("value")), 6).as("a0"))
+      .where(col("a0").isNotNull)
+      .withColumn("nh", lead(col("h0"), 1).over(order))
+      .withColumn("na", lead(col("a0"), 1).over(order))
+      .select(col("event_type"), col("h0"), col("a0"), col("nh"), col("na"),
+        explode(sequence(
+          col("h0"),
+          coalesce(col("nh") - expr("INTERVAL 1 HOUR"), col("h0")),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      .withColumn("k",
+        ((unix_micros(col("hour")) - unix_micros(col("h0"))) / lit(3600000000L)).cast("long"))
+      .withColumn("n",
+        ((unix_micros(col("nh")) - unix_micros(col("h0"))) / lit(3600000000L)).cast("long"))
+      .select(col("event_type"), col("hour"),
+        round(when(col("k") === 0, col("a0"))
+          .otherwise(col("a0") + (col("na") - col("a0")) * col("k") / col("n")), 6)
+          .as("interp_avg"),
+        (col("k") > 0).cast("long").as("is_interp"))
+  }
+
   /** Library surface behind q8b: sessionize any (user_id, event_id, ts,
     * value) frame with a strict `> gapSeconds` inactivity cut. Session
     * ids start at 0 per user; a gap of exactly `gapSeconds` does NOT

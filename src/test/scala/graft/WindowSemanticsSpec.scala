@@ -131,4 +131,29 @@ class WindowSemanticsSpec extends AnyFunSuite {
       (2, 2L, Some(2.0), 1L),  // observed but all-NULL: carried + flagged
       (3, 1L, Some(5.0), 0L))) // observed
   }
+
+  test("interpolate: gap hours draw the line between anchors; all-NULL hours are gaps; tail keeps its anchor") {
+    // anchors at hour 00 (10.0) and hour 03 (16.0): hours 01/02
+    // interpolate to 12.0/14.0. Hour 01 is OBSERVED but all-NULL — it
+    // must interpolate like a missing hour, not anchor at NULL. Hour 05
+    // (22.0) is the last anchor: no successor, stays itself, and hour
+    // 04 interpolates on the 03→05 segment (19.0).
+    val df = Seq(
+      ("click", ts("2024-01-01 00:10:00"), Some(10.0)),
+      ("click", ts("2024-01-01 01:15:00"), None),
+      ("click", ts("2024-01-01 03:05:00"), Some(16.0)),
+      ("click", ts("2024-01-01 05:30:00"), Some(22.0))
+    ).toDF("event_type", "ts", "value")
+    val out = graft.operators.WindowQueries.interpolate(df)
+      .orderBy("hour")
+      .select(hour(col("hour")), col("interp_avg"), col("is_interp"))
+      .as[(Int, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 10.0, 0L),
+      (1, 12.0, 1L),
+      (2, 14.0, 1L),
+      (3, 16.0, 0L),
+      (4, 19.0, 1L),
+      (5, 22.0, 0L)))
+  }
 }
