@@ -125,6 +125,7 @@ object SparkEntry {
     "q26b_layout_backfill" -> (LayoutQueries.q26bLayoutBackfill _),
     "q26c_zorder_scan"     -> (LayoutQueries.q26cZorderScan _),
     "q26d_manifest_scan"   -> (LayoutQueries.q26dManifestScan _),
+    "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
@@ -1257,6 +1258,14 @@ object SparkEntry {
         |WHERE user_id BETWEEN 5 AND 9
         |  AND ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-25'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q26e answers from the manifest alone (no data file opened); the
+    // oracle recomputes count/extrema from the flat corpus — manifest
+    // drift hash-fails loudly
+    "q26e_metadata_count" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+        |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        |FROM events""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

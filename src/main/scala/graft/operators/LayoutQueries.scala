@@ -212,6 +212,26 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  /** Q26e — METADATA-ONLY aggregation: COUNT(*) and column min/max
+    * answered from the MANIFEST alone — zero data files opened (pinned
+    * in ScaleOpsSpec: the plan's only file scan is the manifest). The
+    * per-file envelopes compose exactly: Σ n_rows is the exact count,
+    * min(ulo)/max(uhi) are the true extrema (each file's envelope is
+    * exact over its rows). At 100 TB this answers the most common
+    * interactive queries — "how big is this table, what's its key
+    * range" — in manifest time instead of a full scan; it is why every
+    * lakehouse table format carries row counts and column stats in its
+    * metadata layer. The flat-corpus oracle recomputes the same
+    * numbers the hard way, so a manifest that drifted from the data
+    * hash-fails loudly. */
+  def q26eMetadataCount(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsZOrderedRoot(spark, dir)
+    spark.read.parquet(root.resolve("manifest").toString)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("ulo")).as("min_user"), max(col("uhi")).as("max_user"),
+        min(col("tlo")).as("min_ts"), max(col("thi")).as("max_ts"))
+  }
+
   // ---- BM25 postings: partition by token bucket -----------------------
 
   val postingBuildCount = new AtomicInteger(0)

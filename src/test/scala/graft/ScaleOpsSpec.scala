@@ -594,6 +594,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"scan must read exactly the manifest selection: ${scan.selectedPartitions.totalNumberOfFiles} vs $selected")
   }
 
+  test("q26e: metadata-only aggregate — the plan's only file scan is the manifest, answers exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.operators.LayoutQueries.q26eMetadataCount(spark, sf)
+    val row = q.collect().head
+    val flat = Tables.load(spark, sf, "events")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts")).collect().head
+    assert(row == flat, s"manifest aggregate diverged: $row vs $flat")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(qs.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val scans = nodes(q.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.metadata.getOrElse("Location", "").contains("manifest")),
+      s"metadata-only query must never open a data file: ${scans.map(_.metadata.get("Location"))}")
+  }
+
   test("morton interleave: spread16 places bits on even positions; zorder2 bits are disjoint") {
     import spark.implicits._
     val r = spark.range(1).select(
