@@ -545,6 +545,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
   }
 
+  test("pqEncodeIncremental: a failure-replayed epoch re-accepts idempotently") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def unitOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("id"), transform(col("v"), x => x / col("n")).as("v"))
+    val idx = SimilarityQueries.pqIndex(spark, sf + "#pqretry",
+      unitOf(emb.where(col("vec_id") % 5 =!= 4)))
+    val delta = unitOf(emb.where(col("vec_id") % 5 === 4))
+    SimilarityQueries.pqEncodeIncremental(spark, idx, delta, 0L)
+    val first = SimilarityQueries.pqComposedCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    // the crash-retry path: the epoch re-executes its accept after its
+    // writes survived — overwrite semantics must leave ONE copy
+    SimilarityQueries.pqEncodeIncremental(spark, idx, delta, 0L)
+    val second = SimilarityQueries.pqComposedCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(second == first, "a retried accept must be invisible to the composed view")
+    assert(first.map(_._1).distinct.size == first.size, "no duplicated ids after retry")
+    graft.core.IndexStore.deleteRecursively(
+      java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
+  }
+
   test("IVF x PQ top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
