@@ -204,7 +204,13 @@ object LayoutQueries {
       .where(col("uhi") >= 5 && col("ulo") <= 9 &&
              col("thi") >= t0 && col("tlo") < t1)
       .select("file").collect().map(_.getString(0))
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // an empty selection is a legitimate answer (no file intersects the
+    // box): return the empty aggregate the oracle computes instead of
+    // handing the reader zero paths (which throws)
+    val scan =
+      if (files.isEmpty) eventsZOrdered(spark, dir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    scan
       .where(col("user_id").between(5, 9) && col("ts") >= t0 && col("ts") < t1)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -536,34 +536,39 @@ object SimilarityQueries {
   def q17cIvfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfRank(spark, dir, 5)
 
+  /** Probe-side IVF candidate generation — THE sublinear step every
+    * IVF row shares (q17c/ivfRank, q17f, q17k): rank the broadcast
+    * centroid table per probe, keep the `nprobe` closest lists, join
+    * the PERSISTED inverted lists (built once in [[ivfCentroids]],
+    * ∪ incrementally-accepted deltas — never recomputed per query),
+    * exclude self. One definition so the nprobe semantics and the
+    * self-exclusion rule cannot silently diverge across the family.
+    * Output (probe_id, id). */
+  private def ivfCandidates(spark: SparkSession, unit: DataFrame, ivf: IvfIndex): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
+    val probeLists = unit.where(col("id") < 10)
+      .join(broadcast(ivf.centroids.toDF("cid", "cvec")))
+      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(probeRank))
+      .where(col("rn") <= ivf.nprobe)
+      .select("probe_id", "cid")
+    probeLists.join(ivfAssignments(spark, ivf), "cid")
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"))
+  }
+
   /** The IVF ranker at any depth k — q17c's body, reused at fusion
     * depth by the indexed hybrid retrieval (q17i). Output
     * (probe_id, neighbor_id, rank, cos_sim). */
   def ivfRank(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
-    val cdf = ivf.centroids.toDF("cid", "cvec")
-
-    // inverted lists: id → nearest centroid, READ from the persisted
-    // index (built once in ivfCentroids, ∪ incrementally-accepted
-    // deltas) — not recomputed per query
-    val index = ivfAssignments(spark, ivf)
-
-    // probes search their nprobe closest lists
-    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
-    val probeLists = unit.where(col("id") < 10)
-      .join(broadcast(cdf))
-      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
-      .withColumn("rn", row_number().over(probeRank))
-      .where(col("rn") <= ivf.nprobe)
-      .select("probe_id", "cid")
-
-    val cand = probeLists.join(index, "cid")
-      .where(col("id") =!= col("probe_id"))
+    val cand = ivfCandidates(spark, unit, ivf)
       .select(col("probe_id"), col("id").as("neighbor_id"))
 
     // exact cosine on the candidate lists only
@@ -611,22 +616,11 @@ object SimilarityQueries {
     * pinned in DedupSimilaritySpec. */
   def q17fIvfInt8TopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
-    val index = ivfAssignments(spark, ivf)
-
-    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
-    val probeLists = unit.where(col("id") < 10)
-      .join(broadcast(ivf.centroids.toDF("cid", "cvec")))
-      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
-      .withColumn("rn", row_number().over(probeRank))
-      .where(col("rn") <= ivf.nprobe)
-      .select("probe_id", "cid")
-    val cand = probeLists.join(index, "cid")
-      .where(col("id") =!= col("probe_id"))
+    val cand = ivfCandidates(spark, unit, ivf)
       .select(col("probe_id"), col("id").as("neighbor_id"))
 
     // int8 codes + de-scale constants (at scale: a precomputed code
@@ -888,11 +882,19 @@ object SimilarityQueries {
       // encoded against — their appended codes go with it
       graft.core.IndexStore.deleteRecursively(root.resolve("codes_inc"))
     }
-    val cb = spark.read.parquet(root.resolve("codebook").toString)
-      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
-    val built = PqIndex(cb, root.resolve("codes").toString)
+    val built = PqIndex(loadCodebook(spark, root), root.resolve("codes").toString)
     pqCache.put(dir, (fp, built))
     built
+  }
+
+  /** Deserialize a persisted codebook in (sub, code) order — the one
+    * place that defines the driver-resident layout [[pqProbeLuts]]
+    * indexes positionally. */
+  private def loadCodebook(spark: SparkSession,
+                           root: java.nio.file.Path): Seq[(Int, Int, Seq[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(root.resolve("codebook").toString)
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
   }
 
   /** Q17j — PQ-ADC search with exact re-rank (the FAISS
@@ -902,10 +904,10 @@ object SimilarityQueries {
     * and 10 collected probe vectors, all bounded by probe count, never
     * the corpus), then every corpus vector scores as m array lookups
     * over its 8-byte code — `aggregate(sequence(...))` over
-    * `element_at`, no f64 vector is read in the scan. The ADC top-25
+    * `element_at`, no f64 vector is read in the scan. The ADC top-[[pqShortlist]]
     * shortlist per probe (typed bounded [[graft.functions.TopKByScore]]
     * aggregator — never a full sort) is re-ranked with exact cosine,
-    * touching full vectors for ≤ probes×25 rows. Rows-only by design
+    * touching full vectors for ≤ probes×shortlist rows. Rows-only by design
     * (codebooks are k-means artifacts); recall vs exact q17 is pinned
     * in RetrievalSpec and stamped into the bench artifact.
     *
@@ -951,7 +953,7 @@ object SimilarityQueries {
     * `<codesPath>_inc/batch_id=N` (overwrite = retry-idempotent, the
     * standard accept pattern); a retrain clears the appendix (those
     * codes index a codebook that no longer exists). */
-  def pqEncodeIncremental(spark: SparkSession, pq: PqIndex,
+  def pqEncodeIncremental(pq: PqIndex,
                           delta: DataFrame, batchId: Long): Unit =
     pqEncode(delta, pq.codebook)
       .write.mode("overwrite").parquet(s"${pq.codesPath}_inc/batch_id=$batchId")
@@ -1002,9 +1004,7 @@ object SimilarityQueries {
     // rebuild over whatever unit the caller passed and destroy the
     // ingest state it is supposed to be reading
     val root = graft.core.IndexStore.root(PqFamily, dir + "#pqingest")
-    val cb = spark.read.parquet(root.resolve("codebook").toString)
-      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
-    val idx = PqIndex(cb, root.resolve("codes").toString)
+    val idx = PqIndex(loadCodebook(spark, root), root.resolve("codes").toString)
     pqSearch(spark, emb, unit, idx, pqComposedCodes(spark, idx))
   }
 
@@ -1061,31 +1061,17 @@ object SimilarityQueries {
     * like the other ANN rows; recall vs exact q17 pinned in spec and
     * stamped into the bench artifact. */
   def q17kIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
-    val index = ivfAssignments(spark, ivf)
     val pq = pqIndex(spark, dir, unit)
     val codes = spark.read.parquet(pq.codesPath)
     val luts = pqProbeLuts(spark, unit, pq)
 
-    val probeRank = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cid"))
-    val probeLists = unit.where(col("id") < 10)
-      .join(broadcast(ivf.centroids.toDF("cid", "cvec")))
-      .select(col("id").as("probe_id"), col("cid"), dot(col("v"), col("cvec")).as("score"))
-      .withColumn("rn", row_number().over(probeRank))
-      .where(col("rn") <= ivf.nprobe)
-      .select("probe_id", "cid")
-    val cand = probeLists.join(index, "cid")
-      .where(col("id") =!= col("probe_id"))
-      .select(col("probe_id"), col("id"))
-
     // ADC over candidates only: the code table joins the (bounded)
     // candidate set, each row scores as m array lookups
-    val scored = cand
+    val scored = ivfCandidates(spark, unit, ivf)
       .join(codes, "id")
       .join(broadcast(luts), col("probe_id") === col("probe"))
       .select(col("probe"), col("id"), pqAdcScore.as("score"))

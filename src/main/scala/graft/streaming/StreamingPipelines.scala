@@ -103,6 +103,21 @@ object StreamingPipelines {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Highest `snap_batch_id=` under `root` strictly below
+    * `beforeExclusive` — the ONE listing/parse the CDC and MV snapshot
+    * paths share (writers pass their epoch to see only committed
+    * predecessors; readers take the default to see the drained
+    * latest). None if the dir is absent or holds no snapshot. */
+  private[streaming] def latestSnapshotId(root: Path,
+                                          beforeExclusive: Long = Long.MaxValue): Option[Long] =
+    if (!Files.exists(root)) None
+    else listDir(root)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snap_batch_id="))
+      .map(_.stripPrefix("snap_batch_id=").toLong)
+      .filter(_ < beforeExclusive)
+      .maxOption
+
   /** Sink state for one replay: durable per-epoch parquet sink dirs
     * (the "InfluxDB measurements" of the reference) plus the two
     * bounded-by-construction driver logs. */
@@ -648,12 +663,7 @@ object StreamingPipelines {
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
         col("event_type"), col("value"))
       val snapRoot = Paths.get(sink.cdcSnapDir)
-      val prev = listDir(snapRoot)
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("snap_batch_id="))
-        .map(_.stripPrefix("snap_batch_id=").toLong)
-        .filter(_ < batchId)
-        .maxOption
+      val prev = latestSnapshotId(snapRoot, beforeExclusive = batchId)
       val all = prev match {
         case Some(p) => sparkB.read
           .parquet(snapRoot.resolve(s"snap_batch_id=$p").toString)
@@ -734,11 +744,7 @@ object StreamingPipelines {
       val batchLatest = latestWins(chg)
       def prevOf(sub: String): Option[DataFrame] = {
         val p = mvRoot.resolve(sub)
-        if (!Files.exists(p)) None
-        else listDir(p).map(_.getFileName.toString)
-          .filter(_.startsWith("snap_batch_id="))
-          .map(_.stripPrefix("snap_batch_id=").toLong)
-          .filter(_ < batchId).maxOption
+        latestSnapshotId(p, beforeExclusive = batchId)
           .map(n => sparkB.read.parquet(p.resolve(s"snap_batch_id=$n").toString))
       }
       val prevState = prevOf("state")
@@ -848,7 +854,7 @@ object StreamingPipelines {
   def clearCache(): Unit = {
     cache.clear(); wireCache.clear(); ingestCache.clear()
     growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
-    postingestCache.clear()
+    postingestCache.clear(); pqIngestReplayCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -1716,7 +1722,7 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SimilarityQueries.pqEncodeIncremental(spark, idx, unitOf(batch), batchId)
+        SimilarityQueries.pqEncodeIncremental(idx, unitOf(batch), batchId)
       }.start()
     q.awaitTermination()
     // post-drain QUIESCED maintenance slot: fold the payload appendix
@@ -2160,11 +2166,8 @@ object StreamingPipelines {
     * RelationalQueries.q25CdcUpsert, RelationalQueries.scala:433). */
   def q25bStreamCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
     val snapRoot = Paths.get(replayCached(spark, dir).cdcSnapDir)
-    val latest = listDir(snapRoot)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("snap_batch_id="))
-      .map(_.stripPrefix("snap_batch_id=").toLong)
-      .max
+    val latest = latestSnapshotId(snapRoot)
+      .getOrElse(sys.error(s"no committed CDC snapshot under $snapRoot"))
     spark.read.parquet(snapRoot.resolve(s"snap_batch_id=$latest").toString)
       .where(col("op") =!= "D")
       .select(col("user_id"), col("event_type").as("last_type"),
@@ -2192,11 +2195,8 @@ object StreamingPipelines {
     * from aggregating the final state once. */
   def q25dStreamCdcMvAgg(spark: SparkSession, dir: String): DataFrame = {
     val aggRoot = Paths.get(replayCached(spark, dir).mvDir).resolve("agg")
-    val latest = listDir(aggRoot)
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("snap_batch_id="))
-      .map(_.stripPrefix("snap_batch_id=").toLong)
-      .max
+    val latest = latestSnapshotId(aggRoot)
+      .getOrElse(sys.error(s"no committed MV snapshot under $aggRoot"))
     spark.read.parquet(aggRoot.resolve(s"snap_batch_id=$latest").toString)
       .select(col("event_type"), col("n_users"),
         col("sum_value").cast("double").as("sum_value"))

@@ -534,7 +534,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val baseUnit = unitOf(emb.where(col("vec_id") % 5 =!= 4))
     val fullUnit = unitOf(emb)
     val idx = SimilarityQueries.pqIndex(spark, sf + "#pqspec", baseUnit)
-    SimilarityQueries.pqEncodeIncremental(spark, idx, unitOf(emb.where(col("vec_id") % 5 === 4)), 0L)
+    SimilarityQueries.pqEncodeIncremental(idx, unitOf(emb.where(col("vec_id") % 5 === 4)), 0L)
     val composed = SimilarityQueries.pqComposedCodes(spark, idx)
       .as[(Long, Seq[Int])].collect().toMap
     val batch = SimilarityQueries.pqEncode(fullUnit, idx.codebook)
@@ -555,12 +555,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val idx = SimilarityQueries.pqIndex(spark, sf + "#pqretry",
       unitOf(emb.where(col("vec_id") % 5 =!= 4)))
     val delta = unitOf(emb.where(col("vec_id") % 5 === 4))
-    SimilarityQueries.pqEncodeIncremental(spark, idx, delta, 0L)
+    SimilarityQueries.pqEncodeIncremental(idx, delta, 0L)
     val first = SimilarityQueries.pqComposedCodes(spark, idx)
       .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
     // the crash-retry path: the epoch re-executes its accept after its
     // writes survived — overwrite semantics must leave ONE copy
-    SimilarityQueries.pqEncodeIncremental(spark, idx, delta, 0L)
+    SimilarityQueries.pqEncodeIncremental(idx, delta, 0L)
     val second = SimilarityQueries.pqComposedCodes(spark, idx)
       .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
     assert(second == first, "a retried accept must be invisible to the composed view")
