@@ -823,25 +823,42 @@ object SimilarityQueries {
     * subspace geometry even when the full vectors are unit. */
   def pqTrain(spark: SparkSession, unit: DataFrame): Seq[(Int, Int, Seq[Double])] = {
     import spark.implicits._
-    val subs = pqExplode(unit)
-    val init = unit.orderBy("id").limit(pqCodes).as[(Long, Seq[Double])].collect()
-    var codebook: Seq[(Int, Int, Seq[Double])] =
-      for {
-        s <- 0 until pqSubspaces
-        c <- 0 until math.min(pqCodes, init.length)
-      } yield (s, c, init(c)._2.slice(s * pqSubDim, (s + 1) * pqSubDim))
-    for (_ <- 0 until pqIters) {
-      val cb = codebook.toDF("sub", "code", "cvec")
-      val assigned = pqAssign(subs, cb)
-      val means = subs.join(assigned, Seq("id", "sub"))
-        .groupBy("sub", "code")
-        .agg(array((0 until pqSubDim).map(i => avg(element_at(col("subv"), i + 1))): _*).as("m"))
-        .as[(Int, Int, Seq[Double])].collect()
-        .map { case (s, c, m) => (s, c) -> m }.toMap
-      // empty codes keep their previous centroid
-      codebook = codebook.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
-    }
-    codebook
+    // the exploded subvector frame feeds every Lloyd iteration twice
+    // (assign side + mean side) — persist it for the TRAINING's scope
+    // only (unpersisted in finally), or each of the 2×iters consumers
+    // re-derives scan+normalize+explode from scratch. A build-scoped
+    // persist is not the r5 cache-residency trap: it cannot outlive
+    // the build call, and training runs once per corpus fingerprint.
+    val subs = pqExplode(unit).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = unit.orderBy("id").limit(pqCodes).as[(Long, Seq[Double])].collect()
+      var codebook: Seq[(Int, Int, Seq[Double])] =
+        for {
+          s <- 0 until pqSubspaces
+          c <- 0 until math.min(pqCodes, init.length)
+        } yield (s, c, init(c)._2.slice(s * pqSubDim, (s + 1) * pqSubDim))
+      for (_ <- 0 until pqIters) {
+        val cb = codebook.toDF("sub", "code", "cvec")
+        // assign + mean FUSED in one chain (two shuffles per iteration,
+        // one pass over subs): the subvector rides the argmin group —
+        // every row of an (id, sub) group carries the identical subv,
+        // so first() is deterministic by value — instead of a
+        // re-join against subs to fetch it back (which cost a third
+        // shuffle and a second pass per iteration)
+        val means = subs.join(broadcast(cb), "sub")
+          .select(col("id"), col("sub"), col("code"), col("subv"),
+            l2sq(col("subv"), col("cvec")).as("d"))
+          .groupBy("id", "sub")
+          .agg(min(struct(col("d"), col("code"))).as("m"), first(col("subv")).as("subv"))
+          .groupBy(col("sub"), col("m.code").as("code"))
+          .agg(array((0 until pqSubDim).map(i => avg(element_at(col("subv"), i + 1))): _*).as("m"))
+          .as[(Int, Int, Seq[Double])].collect()
+          .map { case (s, c, m) => (s, c) -> m }.toMap
+        // empty codes keep their previous centroid
+        codebook = codebook.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
+      }
+      codebook
+    } finally subs.unpersist(false)
   }
 
   /** Build-or-load the PQ index under the standard lifecycle (persisted
