@@ -112,6 +112,7 @@ object SparkEntry {
     "q20k_stream_wire"     -> (graft.streaming.StreamingPipelines.q20kStreamWire _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
+    "q22c_asof_tolerant"   -> (AsofJoin.q22cAsofTolerant _),
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
@@ -362,6 +363,17 @@ object SparkEntry {
         |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
         |           FROM events WHERE event_type = 'click')
         |SELECT c.click_id, c.user_id, p.purchase_id
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+    // q22c: the same ASOF pick, admissible only within the staleness
+    // horizon — the tolerance test runs on the MATCHED row's own ts
+    "q22c_asof_tolerant" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS purchase_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 172800 SECONDS THEN p.purchase_id END AS purchase_id
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
     // q18n: the naive per-slice window (one partition per slice) is the

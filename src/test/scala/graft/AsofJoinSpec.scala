@@ -38,6 +38,23 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == (0 until 6).map(i => (200L + i) -> (10L + i)).toMap)
   }
 
+  test("tolerant as-of: in-horizon matches join, stale matches NULL out, pick never differs from plain as-of") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 300L), // right 1h old → within 2h tolerance
+      (1L, ts("2024-01-01 13:00:00"), 301L), // same right now 4h old → stale, NULL
+      (2L, ts("2024-01-01 10:00:00"), 302L)  // no right at all → NULL
+    ).toDF("key", "ts", "left_id")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 7L)).toDF("key", "ts", "right_val")
+    val got = AsofJoin.asofTolerant(left, right, toleranceSec = 2 * 3600)
+      .select("left_id", "asof_val").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(300L -> Some(7L), 301L -> None, 302L -> None))
+    // admissibility is the ONLY difference: wherever tolerant is
+    // non-null it equals the plain as-of pick
+    val plain = AsofJoin.asof(left, right)
+      .select("left_id", "asof_val").as[(Long, Option[Long])].collect().toMap
+    got.foreach { case (id, v) => if (v.isDefined) assert(v == plain(id)) }
+  }
+
   test("q22 plan: no cartesian or nested-loop range join — one keyed window") {
     val df = AsofJoin.q22AsofJoin(spark, "/root/testdata/sf0.001")
     df.collect()
