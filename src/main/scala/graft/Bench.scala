@@ -163,6 +163,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val idxBuilds =
       s"""{"band":${graft.operators.DedupQueries.bandBuildCount.get},""" +
+      s""""linebase":${graft.operators.DedupQueries.lineBaseBuildCount.get},""" +
       s""""ivf":${graft.operators.SimilarityQueries.ivfTrainCount.get},""" +
       s""""ivf_ingest":${graft.operators.SimilarityQueries.ivfIngestTrainCount.get},""" +
       s""""embkey":${graft.operators.SimilarityQueries.embKeyBuildCount.get},""" +

@@ -62,6 +62,7 @@ object SparkEntry {
     "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
     "q16m_stream_ingest_embgrow" -> (graft.streaming.StreamingPipelines.q16mStreamIngestEmbGrowing _),
     "q16n_line_dedup"      -> (DedupQueries.q16nLineDedup _),
+    "q16o_stream_line_ingest" -> (graft.streaming.StreamingPipelines.q16oStreamLineIngest _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q21c_salted_join"     -> (SkewOps.q21cSaltedJoin _),
     "q16h_keep_best"       -> (DedupQueries.q16hKeepBest _),
@@ -585,6 +586,37 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars,
         |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)) AS clean_md5
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q16o: the STREAMED line-dedup loop drains to keep-first under
+    // ARRIVAL rank — base pages (doc_id % 5 <> 4) rank before every
+    // chunk, chunks arrive in doc_id % 3 order, (doc_id, pos) within —
+    // restricted to the incoming pages (the q16k chunk-order argument
+    // applied to lines; same fixture and aggregates as q16n)
+    "q16o_stream_line_ingest" ->
+      """WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |reposts AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM docs0 WHERE doc_id % 20 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 6000010, text FROM docs0 WHERE doc_id % 20 = 14),
+        |base AS (SELECT * FROM docs0 UNION ALL SELECT * FROM reposts),
+        |l AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'nav home about contact' AS line FROM base
+        |  UNION ALL SELECT doc_id, 1, text FROM base
+        |  UNION ALL SELECT a.doc_id, 2, b.text FROM base a
+        |    JOIN base b ON a.doc_id = b.doc_id + 3 WHERE a.doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id, 3, 'subscribe to our newsletter' FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, 4, 'copyright acme corp all rights reserved' FROM base),
+        |g AS (SELECT doc_id, pos, line,
+        |        CASE WHEN doc_id % 5 <> 4 THEN -1 ELSE doc_id % 3 END AS grp FROM l),
+        |r AS (SELECT doc_id, pos, line, grp,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY grp, doc_id, pos) AS rn
+        |      FROM g)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)) AS clean_md5
+        |FROM r WHERE grp >= 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q16b_minhash_neardup" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         |sh AS (SELECT doc_id,

@@ -752,4 +752,57 @@ object DedupQueries {
   def q16nLineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedup(linedPages(Tables.load(spark, dir, "documents")))
       .orderBy("doc_id")
+
+  // ---- line-digest index for the STREAMED line-dedup (q16o) -----------
+
+  val lineBaseBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val LineBaseFamily = "graft-linebase"
+
+  /** Build-or-load the STANDING corpus's line-digest set (the q16i
+    * split: `doc_id % 5 != 4` pages are the base; the rest arrives as
+    * batches): distinct (h64, h128) of every line the base pages
+    * contain — ~24 B per distinct line, the whole "what have we seen"
+    * state a crawl-ingest line-dedup needs. The fixture decomposes
+    * cleanly under the split: [[linedPages]]' plagiarism plant pairs
+    * `%10==3` pages with `%10==0` sources, both always in the base
+    * split, so base pages computed from base docs equal the global
+    * fixture restricted to base ids (and incoming pages carry no plant
+    * at all). Same lifecycle as every index here: fingerprint-stamped,
+    * revalidated, rebuild clears nothing extra (the accept appendix
+    * lives with the LOOP's sink, not this family). */
+  /** q16o's INCOMING side with planted REPOSTS (the fixture needs
+    * them: the raw corpus has no incoming-to-incoming duplicate lines
+    * at any SF, so without reposts neither the within-batch-first rule
+    * nor the accepted-appendix membership would ever fire and the
+    * oracle could not catch a bug in either):
+    *  - `doc_id % 20 == 4` pages repost at `doc_id + 3000000` — ≡0
+    *    (mod 3), so the copy lands in the SAME chunk and the
+    *    within-batch (doc_id, pos) first wins;
+    *  - `doc_id % 20 == 14` pages repost at `doc_id + 6000010` — ≡1
+    *    (mod 3), so the copy lands in a DIFFERENT chunk and whichever
+    *    arrives earlier blocks the other THROUGH THE ACCEPT APPENDIX.
+    * Both deltas keep `% 5 == 4` (still incoming) and land on even,
+    * non-%10==3 ids (newsletter yes, plagiarism plant never); the id
+    * ranges are disjoint. Both engines build the identical frame. */
+  def incomingWithReposts(docs: DataFrame): DataFrame = {
+    val incoming = docs.where(col("doc_id") % IngestSplitMod === IngestSplitRem)
+    incoming
+      .unionByName(incoming.where(col("doc_id") % 20 === 4)
+        .withColumn("doc_id", col("doc_id") + 3000000L))
+      .unionByName(incoming.where(col("doc_id") % 20 === 14)
+        .withColumn("doc_id", col("doc_id") + 6000010L))
+  }
+
+  def lineBaseRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val base = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % IngestSplitMod =!= IngestSplitRem)
+    val fp = "l1:" + SimilarityQueries.corpusFingerprint(base, "doc_id", Seq(col("text")))
+    graft.core.IndexStore.buildOrLoad(
+        LineBaseFamily, dir, fp, Seq("digests"), lineBaseBuildCount) { r =>
+      linedPages(base)
+        .select(xxhash64(col("line")).as("h64"), md5(col("line")).as("h128"))
+        .distinct()
+        .write.mode("overwrite").parquet(r.resolve("digests").toString)
+    }
+  }
 }

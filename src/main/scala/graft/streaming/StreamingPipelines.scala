@@ -854,7 +854,7 @@ object StreamingPipelines {
   def clearCache(): Unit = {
     cache.clear(); wireCache.clear(); ingestCache.clear()
     growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
-    postingestCache.clear(); pqIngestReplayCache.clear()
+    postingestCache.clear(); pqIngestReplayCache.clear(); lineIngestCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -1672,6 +1672,99 @@ object StreamingPipelines {
     spark.read.parquet(embGrowCache.getOrElseUpdate(dir, ingestEmbGrowingReplay(spark, dir)))
       .select("new_id", "old_id", "cos_sim")
       .orderBy("new_id", "old_id")
+
+  /** The LINE-DEDUP side of the streaming ingest story (q16o) — the
+    * C4/CCNet boilerplate pass AT INGEST, which is where production
+    * crawls actually run it: new pages arrive as chunked micro-batches,
+    * and a line occurrence survives iff its digest was never seen in
+    * the STANDING corpus ∪ batches accepted strictly earlier ∪ an
+    * earlier (doc_id, pos) of the same batch. Per epoch:
+    *  - probe: the batch's exploded line digests left-join the
+    *    persisted base digest set ([[graft.operators.DedupQueries
+    *    .lineBaseRoot]]) ∪ the accept appendix at `batch_id < batchId`
+    *    (the crash-retry self-probe guard), deduplicated before the
+    *    join so membership never multiplies occurrence rows;
+    *  - within-batch firsts resolve by `min(struct(doc_id, pos))` —
+    *    the same digest-keyed partial aggregate as batch q16n;
+    *  - cleaned pages (counts + reassembly md5, q16n's exact shape)
+    *    land in the durable epoch sink; the batch's distinct digests
+    *    are accepted under `batch_id=N` (overwrite = retry-idempotent);
+    *  - maintenance policy: digests are a CANDIDATE table (they gate
+    *    probes, they are not payload), so the appendix folds MID-STREAM
+    *    every [[CompactEveryEpochs]] epochs with the strictly-earlier
+    *    frontier, exactly like q16k's signature appendix.
+    * Drained result ≡ batch line-dedup under arrival order — the
+    * oracle recomputes keep-first with rank (chunk, doc_id, pos) over
+    * the full fixture (base ranked before every chunk), the q16k
+    * chunk-ordering argument applied to lines. */
+  def lineIngestReplay(spark: SparkSession, dir: String,
+                       nChunks: Int = graft.operators.DedupQueries.IngestChunks): String = {
+    import graft.operators.DedupQueries
+    val baseDigests = spark.read.parquet(
+      DedupQueries.lineBaseRoot(spark, dir).resolve("digests").toString)
+    val incoming = DedupQueries.incomingWithReposts(Tables.load(spark, dir, "documents"))
+    val chunkDir = stageChunksByIdMod(incoming, "doc_id", "graft-lineingest", dir, nChunks)
+    val out  = Files.createTempDirectory("graft-lineingest-out").toString
+    // the accept appendix path materializes at the FIRST accept write —
+    // an existing-but-empty dir would fail schema inference at epoch 0
+    val acc  = Files.createTempDirectory("graft-lineingest-acc").resolve("digests").toString
+    val ckpt = Files.createTempDirectory("graft-lineingest-ckpt").toString
+    val q = spark.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > 0 && batchId % CompactEveryEpochs == 0)
+          compactIngestAppendix(spark, acc, Seq("h64", "h128"), uptoExclusive = batchId)
+        val occ = DedupQueries.linedPages(batch)
+          .select(col("doc_id"), col("pos"), col("line"),
+            length(col("line")).cast("long").as("n_chars"),
+            xxhash64(col("line")).as("h64"), md5(col("line")).as("h128"))
+        val standing =
+          (if (!Files.exists(Paths.get(acc))) baseDigests
+           else baseDigests.unionAll(spark.read.parquet(acc)
+             .where(col("batch_id") < batchId).select("h64", "h128")))
+            .distinct().withColumn("seen", lit(1))
+        val winners = occ.groupBy("h64", "h128")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        occ.join(winners, Seq("h64", "h128"))
+          .join(standing, Seq("h64", "h128"), "left_outer")
+          .select(col("doc_id"), col("pos"), col("line"), col("n_chars"),
+            (col("seen").isNull &&
+             col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")).as("keep"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("kept_lines"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped_lines"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+            collect_list(when(col("keep"), struct(col("pos"), col("line")))).as("kept"))
+          .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+            col("dropped_lines"), col("kept_chars"),
+            when(col("kept_lines") > 0,
+              md5(array_join(transform(array_sort(col("kept")), _.getField("line")),
+                "\n"))).as("clean_md5"))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        // accept: every line digest this batch carried is now "seen"
+        occ.select("h64", "h128").distinct()
+          .write.mode("overwrite").parquet(s"$acc/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val lineIngestCache = TrieMap.empty[String, String]
+
+  /** Q16o — the drained per-page results of the streamed line-dedup
+    * loop; oracle = keep-first under arrival rank (base before chunks,
+    * (doc_id, pos) within), restricted to the incoming pages. */
+  def q16oStreamLineIngest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(lineIngestCache.getOrElseUpdate(dir, lineIngestReplay(spark, dir)))
+      .select("doc_id", "n_lines", "kept_lines", "dropped_lines", "kept_chars", "clean_md5")
+      .orderBy("doc_id")
 
   /** The PQ side of the streaming ingest story (q17l): the q16i split
     * of the EMBEDDINGS corpus (`vec_id % 5 != 4` is the standing base,

@@ -757,6 +757,47 @@ class StreamingParitySpec extends AnyFunSuite {
       "fresh session must reuse the persisted LSH key index")
   }
 
+  test("q16o line ingest: boilerplate blocked by base; reposts dedup within batch AND across chunks") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = StreamingPipelines.q16oStreamLineIngest(spark, dir)
+      .select("doc_id", "n_lines", "kept_lines", "dropped_lines")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every ORIGINAL incoming page without a cross-chunk repost:
+    // boilerplate (header/newsletter/footer) drops against the base
+    // index; the unique body survives. (Originals with a cross-chunk
+    // repost may lose their body to a twin that arrived earlier — the
+    // pair assertion below owns those.)
+    rows.filter(r => r._1 < 3000000L && r._1 % 20 != 14).foreach { case (id, n, kept, dropped) =>
+      assert(kept == 1L && dropped == n - 1,
+        s"original incoming page $id: n=$n kept=$kept dropped=$dropped")
+    }
+    // SAME-CHUNK reposts (+3000000): the original's smaller (doc_id,
+    // pos) wins within the batch — the repost keeps NOTHING
+    val same = rows.filter(r => r._1 >= 3000000L && r._1 < 6000000L)
+    assert(same.nonEmpty)
+    same.foreach { case (id, _, kept, _) =>
+      assert(kept == 0L, s"same-chunk repost $id must be fully deduplicated, kept=$kept")
+    }
+    // CROSS-CHUNK repost pairs (+6000010): exactly ONE of the pair
+    // keeps the body — whichever chunk arrived first — and the later
+    // one is blocked through the ACCEPTED APPENDIX, the path this
+    // plant exists to exercise
+    val cross = rows.filter(r => r._1 >= 6000000L)
+    assert(cross.nonEmpty)
+    cross.foreach { case (tid, _, keptTwin, _) =>
+      val orig = byId(tid - 6000010L)
+      assert(keptTwin + orig._3 == 1L,
+        s"cross-chunk pair (${tid - 6000010L}, $tid): kept ${orig._3}+$keptTwin != 1")
+    }
+    // both arrival directions occur (original-first and repost-first),
+    // so the appendix is probed in both roles
+    assert(cross.exists(_._3 == 0L) && cross.exists(_._3 == 1L),
+      "fixture should exercise both cross-chunk arrival orders")
+  }
+
   test("q25d incremental MV: delta-maintained aggregate equals the batch GROUP BY, across epochs") {
     val dir = "/root/testdata/sf0.001"
     val mvAgg = StreamingPipelines.q25dStreamCdcMvAgg(spark, dir)
