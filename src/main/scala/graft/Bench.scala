@@ -29,6 +29,42 @@ import graft.core.GraftSession
   *  - a failed query reports `-1`, never its time-to-exception.
   */
 object Bench {
+
+  /** The `"recall":{…}` map from a bench artifact's summary line (the
+    * LAST occurrence in the file — the summary line repeats nothing
+    * else named `recall`). Driver artifacts embed the bench's stdout as
+    * an escaped-JSON `tail` string, so unescape `\"` before matching —
+    * the same regex then serves raw bench output and wrapped artifacts.
+    * Empty on any parse failure: the gate degrades to "no baseline",
+    * never a bench abort. */
+  def parseRecallBlock(text: String): Map[String, Double] =
+    """"recall":\{([^}]*)\}""".r
+      .findAllMatchIn(text.replace("\\\"", "\"")).toSeq.lastOption
+      .map(_.group(1)).toSeq.flatMap { body =>
+        """"([^"]+)":([-0-9.Ee+]+)""".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toDouble)
+      }.toMap
+
+  /** The recall-regression gate (VERDICT r10 #5): per-entry delta vs
+    * the prior artifact's stamp (3dp), and the entries whose recall
+    * DROPPED by more than 0.1 — the loud-failure threshold. Entries
+    * with no prior stamp (new queries) carry no delta. */
+  def recallDeltas(prev: Map[String, Double], cur: Map[String, Double])
+      : (Map[String, Double], Seq[String]) = {
+    val deltas = cur.flatMap { case (k, v) =>
+      prev.get(k).map(p => k -> (math.rint(1000.0 * (v - p)) / 1000))
+    }
+    (deltas, deltas.collect { case (k, d) if d < -0.1 => k }.toSeq.sorted)
+  }
+
+  /** Latest driver-committed bench artifact in `dir` (BENCH_r{N}.json,
+    * highest N), if any. */
+  def latestArtifact(dir: java.io.File): Option[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      .lastOption
+
   private def gcStats(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -211,6 +247,23 @@ object Bench {
         }
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
+    // the recall-regression GATE (VERDICT r10 #5): stamps existed since
+    // r9 but drift was only visible by diffing artifacts by hand — now
+    // the bench itself compares against the latest committed
+    // BENCH_r{N}.json and flags any entry whose recall dropped > 0.1,
+    // so a quiet ANN regression fails loudly in the artifact readers
+    // look at anyway
+    val (recallDeltaObj, recallRegressed) = {
+      val prev = latestArtifact(new java.io.File("."))
+        .map(f => parseRecallBlock(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+        .getOrElse(Map.empty[String, Double])
+      val cur = parseRecallBlock(s""""recall":$recallObj""")
+      val (deltas, regressed) = recallDeltas(prev, cur)
+      (deltas.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"),
+       regressed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    }
     // per-micro-batch decomposition of the LAST q16k replay (pass 2's):
     // probe seconds + probe-side appendix dir/row counts per epoch, so
     // a slow q16k reads as "which epoch, probing how much" straight off
@@ -218,7 +271,7 @@ object Bench {
     val growStats = graft.streaming.StreamingPipelines.lastGrowStats
       .map(s => s"""{"b":${s.batchId},"probe_s":${s.probeSec},"dirs":${s.appendixDirs},"rows":${s.appendixRows},"compacted":${s.compacted}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"recall_delta":$recallDeltaObj,"recall_regressed":$recallRegressed,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,17 @@ object Probe {
         }
         println(f"[probe] $n times=${times.map(t => f"$t%.2f").mkString(",")}")
       }
+    } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("hybrid")) {
+      // the q17i overlap-vs-depth curve (VERDICT r10 #1): fused-set
+      // agreement with exact q17h per (fusionK, nprobeFrac) combo
+      val exact = operators.SimilarityQueries.q17hHybridRrf(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      for (fk <- Seq(20, 30, 40); frac <- Seq(0.25, 0.5, 0.75, 1.0)) {
+        val idx = operators.LayoutQueries.q17iHybridIndexed(spark, dir, fk, frac)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+        val ov = idx.count(exact)
+        println(f"[probe] hybrid fusionK=$fk nprobeFrac=$frac%.2f overlap=$ov/${idx.length}")
+      }
     } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
       val (state, durations) = graft.streaming.StreamingPipelines
         .processingTimeReplay(spark, dir, triggerMs = 500, filesPerTrigger = fpt)

@@ -130,7 +130,7 @@ object SparkEntry {
     "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
-    "q17i_hybrid_indexed"  -> (LayoutQueries.q17iHybridIndexed _),
+    "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -132,8 +132,11 @@ object LayoutQueries {
 
   def eventsZOrderedRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
     val events = Tables.load(spark, dir, "events")
+    // contentCols = EVERY column this layout's queries read: q26c/q26d
+    // group by event_type, so a strict-mode content edit touching only
+    // event_type must rebuild too (ADVICE r10 #1)
     val fp = "z2:" + SimilarityQueries.corpusFingerprint(events, "event_id",
-      Seq(col("user_id"), col("ts"), col("value")))
+      Seq(col("user_id"), col("ts"), col("value"), col("event_type")))
     IndexStore.buildOrLoad(
         ZOrderFamily, dir, fp, Seq("data", "manifest"), zorderBuildCount) { r =>
       val b = events.agg(
@@ -268,16 +271,32 @@ object LayoutQueries {
     val docs = Tables.load(spark, dir, "documents")
     val fp = SimilarityQueries.corpusFingerprint(docs, "doc_id", Seq(col("text")))
     val root = IndexStore.buildOrLoad(
-        PostingFamily, dir, fp, Seq("postings", "stats"), postingBuildCount) { r =>
+        PostingFamily, dir, fp, Seq("postings", "stats", "docstats"),
+        postingBuildCount) { r =>
       val full = TextQueries.bm25Postings(docs, termFilter = None)
         .withColumn("bucket", tokenBucket(col("token")))
       Layout.writePartitioned(full, r.resolve("postings").toString,
         partitionCols = Seq("bucket"), sortCols = Seq("token", "doc_id"))
       TextQueries.bm25Stats(docs).coalesce(1)
         .write.mode("overwrite").parquet(r.resolve("stats").toString)
+      // per-doc DISTINCT-token count (posting rows are unique per
+      // (doc, token), so nd = the doc's row count) — the doc-level norm
+      // the layout-served Jaccard ranker needs, materialized with the
+      // postings like dl is for BM25
+      spark.read.parquet(r.resolve("postings").toString)
+        .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        .write.mode("overwrite").parquet(r.resolve("docstats").toString)
     }
     (spark.read.parquet(root.resolve("postings").toString),
      spark.read.parquet(root.resolve("stats").toString))
+  }
+
+  /** The posting layout's per-doc distinct-token counts (built with the
+    * postings under the same fingerprint). */
+  def postingDocStats(spark: SparkSession, dir: String): DataFrame = {
+    postingsTable(spark, dir) // ensure built/validated
+    val root = IndexStore.root(PostingFamily, dir)
+    spark.read.parquet(root.resolve("docstats").toString)
   }
 
   /** The posting read path shared by q18p/q17i: prune to the query
@@ -389,13 +408,13 @@ object LayoutQueries {
     val base = spark.read.parquet(root.resolve("postings").toString).select(dataCols: _*)
     val incP = root.resolve("postings_inc")
     val posts =
-      if (java.nio.file.Files.exists(incP))
+      if (IndexStore.hasParquetFiles(incP))
         base.unionAll(spark.read.parquet(incP.toString).select(dataCols: _*))
       else base
     val baseS = spark.read.parquet(root.resolve("stats").toString).select("n", "sum_dl")
     val incS = root.resolve("stats_inc")
     val statsAll =
-      (if (java.nio.file.Files.exists(incS))
+      (if (IndexStore.hasParquetFiles(incS))
          baseS.unionAll(spark.read.parquet(incS.toString).select("n", "sum_dl"))
        else baseS)
         .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
@@ -422,46 +441,104 @@ object LayoutQueries {
 
   // ---- hybrid retrieval over the sublinear rankers --------------------
 
+  /** Fusion-time knobs for q17i, picked from the measured
+    * overlap-vs-depth curve (VERDICT r10 #1; the curve itself is
+    * printed by `graft.Probe` mode `hybrid` and asserted as a floor in
+    * RetrievalSpec): fusion depth stays at the q17h-matched 20 (RRF
+    * consumes ranks; deepening the lists mostly adds tail noise), while
+    * the IVF ranker probes k/2 lists at fusion time instead of the
+    * standalone k/4 — fused-set quality is bounded by the weaker list,
+    * and the vector list is the probabilistic one. Still sublinear
+    * (half the inverted lists per probe, each √N̄ long). */
+  val HybridFusionK = 20
+  val HybridNProbeFrac = 0.5
+
+  /** The layout-served JACCARD ranker — q17h's exact lexical ranker
+    * (distinct-token Jaccard) answered SUBLINEARLY from the posting
+    * layout: |A∩B| per candidate doc is the row count of the probe's
+    * terms' postings (reading ONLY those terms' bucket partitions —
+    * cost Σ df(term), never the corpus), |B| joins in from the per-doc
+    * `docstats` norm, |A| is the probe's own term count, and
+    * jacc = hits / (|A| + |B| − hits) over the SAME integers q17h's
+    * `array_intersect`/`array_union` sizes produce — identical IEEE
+    * doubles, identical ranks, identical (score desc, doc_id)
+    * tie-break. The only divergence from the brute-force ranker is the
+    * zero-score tail (docs sharing no token never surface here), which
+    * is exactly the part of a lexical top-k that carries no signal.
+    *
+    * Round-11 note (VERDICT r10 #1): q17i previously fused BM25 here.
+    * The measured overlap-vs-depth curve (Probe mode `hybrid`) capped
+    * at 0.62 even with the IVF side probing ALL lists — the ceiling was
+    * never IVF recall but the BM25-vs-Jaccard ranker mismatch against
+    * q17h's fixed lexical side. Serving the same Jaccard semantics from
+    * the layout removes that ceiling; BM25-from-postings stays
+    * load-bearing in q18p/q18q. */
+  def jaccardRankIndexed(spark: SparkSession, postings: DataFrame,
+                         docstats: DataFrame,
+                         probeTerms: Seq[(Long, Seq[String])],
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val terms = probeTerms.flatMap(_._2).distinct
+    val qterms = probeTerms
+      .flatMap { case (p, ts) => ts.map(p -> _) }.toDF("probe_id", "token")
+    val qsizes = probeTerms
+      .map { case (p, ts) => (p, ts.size.toLong) }.toDF("probe_id", "qn")
+    val hits = prunedPostings(spark, postings, terms)
+      .join(broadcast(qterms), "token")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("hits"))
+    // hits is bounded by Σ df(term) — broadcast it INTO the docstats
+    // scan so the corpus-sized norm table never shuffles
+    val scored = docstats.join(broadcast(hits), "doc_id")
+      .join(broadcast(qsizes), "probe_id")
+      .select(col("probe_id"), col("doc_id"),
+        (col("hits").cast("double") /
+          (col("qn") + col("nd") - col("hits"))).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= k)
+      .select("probe_id", "doc_id", "r")
+  }
+
   /** Q17i — q17h's RRF fusion exercised over the SUBLINEAR rankers its
     * scaladoc names as the 100 TB pair (VERDICT r8 missing #2): the
     * vector list is the IVF ranker at fusion depth
     * ([[SimilarityQueries.ivfRank]] — probes score nprobe/k of the
-    * corpus, candidates from the persisted inverted lists), and the
-    * lexical list is BM25 over the posting layout with each probe
-    * DOCUMENT's distinct tokens as its query (reading only those
-    * tokens' bucket partitions). Fusion is identical to q17h — RRF
+    * corpus, candidates from the persisted inverted lists, probing
+    * [[HybridNProbeFrac]] of the lists at fusion time), and the
+    * lexical list is [[jaccardRankIndexed]] — the SAME distinct-token
+    * Jaccard semantics as q17h, answered from the posting layout's
+    * term-bucket partitions. Fusion is identical to q17h — RRF
     * consumes ranks, not scores, which is exactly why the rankers swap
     * without the fusion layer changing. Rows-only check (the IVF side
     * is probabilistic); fusion overlap vs the exact q17h is pinned in
-    * RetrievalSpec.
+    * RetrievalSpec and stamped into the bench artifact.
     *
     * The probe want-list (10 docs × their distinct tokens) is collected
     * to the driver to become literal pruning predicates — bounded by
     * the probe count, never the corpus (same contract as the IVF
     * centroid matrix). */
-  def q17iHybridIndexed(spark: SparkSession, dir: String): DataFrame = {
+  def q17iHybridIndexed(spark: SparkSession, dir: String,
+                        fusionK: Int = HybridFusionK,
+                        nprobeFrac: Double = HybridNProbeFrac): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     import graft.functions.TextFunctions.tokens
-    val fusionK = 20
 
-    val vecR = SimilarityQueries.ivfRank(spark, dir, fusionK)
+    val vecR = SimilarityQueries.ivfRank(spark, dir, fusionK, Some(nprobeFrac))
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r"), lit("vec").as("ranker"))
 
-    val (postings, stats) = postingsTable(spark, dir)
+    val (postings, _) = postingsTable(spark, dir)
+    val docstats = postingDocStats(spark, dir)
     val probeTerms: Seq[(Long, Seq[String])] = Tables.load(spark, dir, "documents")
       .where(col("doc_id") < 10)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
       .as[(Long, Seq[String])].collect().toSeq.sortBy(_._1)
-    val terms = probeTerms.flatMap(_._2).distinct
-    val qterms = probeTerms
-      .flatMap { case (p, ts) => ts.map(p -> _) }.toDF("query_id", "token")
-    val lexR = TextQueries.bm25Rank(
-        prunedPostings(spark, postings, terms), stats, qterms,
-        fusionK, excludeSelf = true)
-      .select(col("query_id").as("probe_id"), col("doc_id"),
-        col("rk").as("r"), lit("lex").as("ranker"))
+    val lexR = jaccardRankIndexed(spark, postings, docstats, probeTerms, fusionK)
+      .select(col("probe_id"), col("doc_id"),
+        col("r"), lit("lex").as("ranker"))
 
     val w = Window.partitionBy("probe_id").orderBy(col("raw").desc, col("doc_id"))
     vecR.unionByName(lexR)

@@ -491,7 +491,7 @@ object SimilarityQueries {
   def ivfAssignments(spark: SparkSession, ivf: IvfIndex): DataFrame = {
     val inc = java.nio.file.Paths.get(s"${ivf.assignPath}_inc")
     val base = spark.read.parquet(ivf.assignPath)
-    if (!java.nio.file.Files.exists(inc)) base
+    if (!graft.core.IndexStore.hasParquetFiles(inc)) base
     else base.unionAll(spark.read.parquet(inc.toString).select("id", "cid"))
   }
 
@@ -517,7 +517,7 @@ object SimilarityQueries {
   def maybeRetrain(spark: SparkSession, dir: String, ivf: IvfIndex,
                    unitAll: DataFrame, growthFactor: Double = 0.2): Boolean = {
     val inc = java.nio.file.Paths.get(s"${ivf.assignPath}_inc")
-    if (!java.nio.file.Files.exists(inc)) return false
+    if (!graft.core.IndexStore.hasParquetFiles(inc)) return false
     val incRows = spark.read.parquet(inc.toString).count()
     val baseRows = spark.read.parquet(ivf.assignPath).count()
     if (incRows <= growthFactor * baseRows) false
@@ -561,13 +561,27 @@ object SimilarityQueries {
 
   /** The IVF ranker at any depth k — q17c's body, reused at fusion
     * depth by the indexed hybrid retrieval (q17i). Output
-    * (probe_id, neighbor_id, rank, cos_sim). */
-  def ivfRank(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    * (probe_id, neighbor_id, rank, cos_sim).
+    *
+    * `nprobeFrac` widens (or narrows) the probe fan-out for THIS
+    * ranking only — nprobe = ceil(k × frac), so it scales with the
+    * √N-sized centroid count like the default k/4 does — without
+    * touching the persisted index or the standing q17c default: fusion
+    * consumers (q17i) probe deeper than the standalone ANN row because
+    * fused-rank quality is bounded by the weaker list — the standard
+    * per-query nprobe knob every IVF serving stack exposes. Clamped to
+    * k (frac = 1 degenerates to exact). */
+  def ivfRank(spark: SparkSession, dir: String, k: Int,
+              nprobeFrac: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
-    val ivf = ivfCentroids(spark, dir, unit)
+    val ivf0 = ivfCentroids(spark, dir, unit)
+    val ivf = nprobeFrac
+      .map(f => ivf0.copy(nprobe =
+        math.min(math.max(1, math.ceil(ivf0.k * f).toInt), ivf0.k)))
+      .getOrElse(ivf0)
     val cand = ivfCandidates(spark, unit, ivf)
       .select(col("probe_id"), col("id").as("neighbor_id"))
 
@@ -980,7 +994,9 @@ object SimilarityQueries {
   def pqComposedCodes(spark: SparkSession, pq: PqIndex): DataFrame = {
     val inc = java.nio.file.Paths.get(s"${pq.codesPath}_inc")
     val base = spark.read.parquet(pq.codesPath).select("id", "codes")
-    if (!java.nio.file.Files.exists(inc)) base
+    // hasParquetFiles, not exists: an appendix whose only batch dir is
+    // an accepted-but-empty epoch has no readable schema (ADVICE r10)
+    if (!graft.core.IndexStore.hasParquetFiles(inc)) base
     else base.unionAll(spark.read.parquet(inc.toString).select("id", "codes"))
   }
 
@@ -996,7 +1012,7 @@ object SimilarityQueries {
   def maybePqRetrain(spark: SparkSession, key: String, pq: PqIndex,
                      unitAll: DataFrame, growthFactor: Double = 0.2): Boolean = {
     val inc = java.nio.file.Paths.get(s"${pq.codesPath}_inc")
-    if (!java.nio.file.Files.exists(inc)) return false
+    if (!graft.core.IndexStore.hasParquetFiles(inc)) return false
     val incRows = spark.read.parquet(inc.toString).count()
     val baseRows = spark.read.parquet(pq.codesPath).count()
     if (incRows <= growthFactor * baseRows) false

@@ -200,11 +200,15 @@ class RetrievalSpec extends AnyFunSuite {
     val lexOnly = idx.count(r => r.getLong(3) == 0 && r.getLong(4) > 0)
     assert(vecOnly > 0, "no vector-only candidate survived fusion")
     assert(lexOnly > 0, "no lexical-only candidate survived fusion")
-    // the sublinear pair (IVF + posting-layout BM25) must substantially
-    // agree with the exact pair (cosine + Jaccard): both sides changed
-    // ranker, so demand overlap on the fused (probe, doc) set
+    // the sublinear pair (IVF + layout-served Jaccard) must agree with
+    // the exact pair (brute cosine + brute Jaccard) on the fused
+    // (probe, doc) set. Same ranker SEMANTICS on both sides now (round
+    // 11): the only approximation left is IVF probing k/2 lists, and
+    // the measured curve (Probe mode `hybrid`) is 98/100 at sf0.001,
+    // 97/100 at sf0.01, 100/100 with nprobe=k — so 85 is a floor with
+    // real margin, not the r10 sat-at-the-floor 40
     val overlap = idx.map(key).count(exact)
-    assert(overlap >= 40,
+    assert(overlap >= 85,
       s"fused overlap with exact q17h too low: $overlap/100")
   }
 

@@ -830,8 +830,11 @@ class StreamingParitySpec extends AnyFunSuite {
     val streamed = StreamingPipelines.q17lPqStreamIngest(spark, dir).collect().toSeq
     val delta = graft.operators.SimilarityQueries.pqIngestBuildCount.get - before
     // a fresh staging pays exactly base-train + growth-retrain; a
-    // memoized same-JVM rerun pays nothing
-    assert(delta == 2 || delta == 0, s"unexpected pq_ingest build count delta $delta")
+    // memoized same-JVM rerun pays nothing; a prior JVM that persisted
+    // the base index and died before the growth retrain leaves state
+    // where this run loads the base and pays only the retrain (1) —
+    // all three are legitimate starting states (ADVICE r10 #2)
+    assert(delta >= 0 && delta <= 2, s"unexpected pq_ingest build count delta $delta")
     // the growth retrain cleared the appendix (25% > 20% threshold)
     val root = graft.core.IndexStore.root("graft-pq", dir + "#pqingest")
     assert(!java.nio.file.Files.exists(root.resolve("codes_inc")),
