@@ -51,6 +51,23 @@ object Probe {
         val ov = idx.count(exact)
         println(f"[probe] hybrid fusionK=$fk nprobeFrac=$frac%.2f overlap=$ov/${idx.length}")
       }
+    } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("recall")) {
+      // the ANN recall stamps Bench computes, in isolation — for
+      // checking a codebook/quantizer change against the committed
+      // artifact without an 8-minute full bench run
+      import operators.{LayoutQueries, SimilarityQueries}
+      def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+        df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def vs(x: Set[(Long, Long)], e: Set[(Long, Long)]): Double =
+        math.rint(1000.0 * (x & e).size / e.size) / 1000
+      val exact = pairs(SimilarityQueries.q17CosineTopK(spark, dir), "probe_id", "neighbor_id")
+      val hExact = pairs(SimilarityQueries.q17hHybridRrf(spark, dir), "probe_id", "doc_id")
+      println(s"[probe] recall q17b=${vs(pairs(SimilarityQueries.q17bAnnTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17c=${vs(pairs(SimilarityQueries.q17cIvfTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17f=${vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17j=${vs(pairs(SimilarityQueries.q17jPqTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17k=${vs(pairs(SimilarityQueries.q17kIvfPqTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17i=${vs(pairs(LayoutQueries.q17iHybridIndexed(spark, dir), "probe_id", "doc_id"), hExact)}")
     } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
       val (state, durations) = graft.streaming.StreamingPipelines
         .processingTimeReplay(spark, dir, triggerMs = 500, filesPerTrigger = fpt)

@@ -330,41 +330,73 @@ object SimilarityQueries {
       .agg(max(struct(col("score"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cid"))
 
-  /** Train the coarse quantizer: deterministic spherical k-means.
-    * Init = the ivfK smallest vec_ids (fully reproducible, no RNG);
-    * each iteration is a distributed broadcast-assign + element-wise
-    * mean, with only the ivfK×dim centroid matrix collected to the
-    * driver between iterations — the same small-model-state pattern
-    * MLlib's KMeans uses, never the data.
+  /** Training-sample cap for the coarse quantizer: 64 points per
+    * centroid — the FAISS `max_points_per_centroid` discipline
+    * (VERDICT r10 #2). With k = √N the cap is 64√N rows: at 100 TB a
+    * full-corpus Lloyd pass per iteration is the wrong plan no matter
+    * how well it distributes; k-means converges on a bounded sample and
+    * the full corpus is only touched once, at encode/assign time. */
+  def ivfSampleFor(ivfK: Int): Long = 64L * ivfK
+
+  /** Train the coarse quantizer: deterministic spherical k-means over a
+    * BOUNDED training set. When the corpus exceeds [[ivfSampleFor]],
+    * training runs on a deterministic content-hash-ordered sample
+    * (ordering by xxhash64(id) spreads it uniformly over the corpus
+    * independent of id layout; the id tie-break makes selection a total
+    * order) — below the cap the full corpus IS the sample and the plan
+    * is byte-identical to the unsampled trainer, so small-corpus
+    * indexes (and everything hash-checked downstream of their clusters,
+    * e.g. q16g) are unchanged.
+    *
+    * Init = the ivfK smallest vec_ids of the training set (fully
+    * reproducible, no RNG); each iteration is a distributed
+    * broadcast-assign + element-wise mean, with only the ivfK×dim
+    * centroid matrix collected to the driver between iterations — the
+    * same small-model-state pattern MLlib's KMeans uses, never the
+    * data.
     *
     * The per-cluster mean is ONE hash aggregate of dim `avg(v[i])`
     * columns over ivfK groups (map-side combine, one narrow shuffle of
     * ivfK×dim partials) — not a posexplode: exploding N×dim rows per
     * iteration shuffled the whole corpus ×dim and was ~half of q17c's
     * r3 runtime. */
-  def ivfTrain(spark: SparkSession, unit: DataFrame, ivfK: Int): Seq[(Int, Seq[Double])] = {
+  def ivfTrain(spark: SparkSession, unit: DataFrame, ivfK: Int,
+               totalRows: Long = -1L, sampleCap: Long = -1L): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
     val dim = graft.functions.HyperplaneLsh.Dim
     def normalize(a: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
     }
-    var centroids = unit.orderBy("id").limit(ivfK)
-      .as[(Long, Seq[Double])].collect()
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
-    for (_ <- 0 until ivfIters) {
-      val cdf = centroids.toDF("cid", "cvec")
-      val assigned = assignToCentroids(unit, cdf)
-      val means = unit.join(assigned, "id")
-        .groupBy("cid")
-        .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("m"))
-        .as[(Int, Seq[Double])].collect()
-        .map { case (cid, m) => (cid, normalize(m)) }
-        .toMap
-      // empty clusters keep their previous centroid
-      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    centroids
+    val cap = if (sampleCap > 0) sampleCap else ivfSampleFor(ivfK)
+    val n = if (totalRows >= 0) totalRows else unit.count()
+    val sampled = n > cap
+    // the sampled training set feeds 2 consumers per Lloyd iteration —
+    // persist for the TRAINING's scope only (the sort+limit would
+    // otherwise re-run 2×iters times); the unsampled path keeps the
+    // caller's frame untouched, exactly as before
+    val train =
+      if (!sampled) unit
+      else unit.orderBy(xxhash64(col("id")), col("id")).limit(cap.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = train.orderBy("id").limit(ivfK)
+        .as[(Long, Seq[Double])].collect()
+        .zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+      for (_ <- 0 until ivfIters) {
+        val cdf = centroids.toDF("cid", "cvec")
+        val assigned = assignToCentroids(train, cdf)
+        val means = train.join(assigned, "id")
+          .groupBy("cid")
+          .agg(array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("m"))
+          .as[(Int, Seq[Double])].collect()
+          .map { case (cid, m) => (cid, normalize(m)) }
+          .toMap
+        // empty clusters keep their previous centroid
+        centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      centroids
+    } finally if (sampled) train.unpersist(false)
   }
 
   /** A trained IVF index: k, the derived probe fan-out, the k×dim
@@ -429,8 +461,9 @@ object SimilarityQueries {
     }
     val root = graft.core.IndexStore.buildOrLoad(
         IvfFamily, dir, fp, Seq("centroids", "assignments"), counter) { root =>
-      val k = ivfKFor(fp.split(":")(0).toLong) // count is the fp's first field
-      val cents = ivfTrain(spark, unit, k)
+      val cnt = fp.split(":")(0).toLong // count is the fp's first field
+      val k = ivfKFor(cnt)
+      val cents = ivfTrain(spark, unit, k, totalRows = cnt)
       cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
         .parquet(root.resolve("centroids").toString)
       // the inverted lists ARE the index: persist id→cid so queries
@@ -828,51 +861,83 @@ object SimilarityQueries {
       .agg(min(struct(col("d"), col("code"))).as("m"))
       .select(col("id"), col("sub"), col("m.code").as("code"))
 
-  /** Train the m per-subspace codebooks: deterministic k-means in each
-    * subspace (init = the pqCodes smallest ids' subvectors, no RNG) —
-    * all subspaces per iteration in one distributed assign + one
-    * grouped mean, with only the m×ks×(d/m) codebook collected between
-    * iterations (the [[ivfTrain]] small-model-state pattern). Subspace
+  /** Training-sample bound for the codebooks: 256 vectors per code —
+    * the FAISS `max_points_per_centroid` discipline. 4096 rows
+    * REGARDLESS of corpus size: at 100 TB the codebook trains on the
+    * same bounded sample it trains on here. */
+  val pqTrainSampleRows: Int = 256 * pqCodes
+
+  /** Train the m per-subspace codebooks — on a BOUNDED, deterministic,
+    * content-hash-ordered SAMPLE of the corpus (VERDICT r10 #2: a
+    * full-corpus Lloyd pass per iteration is the wrong plan at scale no
+    * matter how well it distributes; FAISS trains PQ on a capped
+    * sample and only ever touches the full corpus at encode time,
+    * which [[pqEncode]] still does distributed).
+    *
+    * Ordering by xxhash64(id) spreads the sample uniformly over the
+    * corpus independent of id layout; the id tie-break makes selection
+    * a total order. Only [[pqTrainSampleRows]] × dim doubles reach the
+    * driver — ONE bounded job — and the k-means loop then runs
+    * in-memory with zero Spark jobs per iteration (previously two: the
+    * r10 bench's 15 s q17l was ~30 tiny-data shuffle jobs of pure
+    * scheduling overhead per staged replay). Fully deterministic:
+    * init = the pqCodes smallest-id sample rows (id order, so the init
+    * is stable under sample-cap changes), rows fold in id order,
+    * distance ties keep the smaller code — the same tie-break
+    * [[pqAssign]]'s struct-min applies at encode time. Subspace
     * centroids are plain means, NOT re-normalized — PQ quantizes in L2
     * subspace geometry even when the full vectors are unit. */
   def pqTrain(spark: SparkSession, unit: DataFrame): Seq[(Int, Int, Seq[Double])] = {
     import spark.implicits._
-    // the exploded subvector frame feeds every Lloyd iteration twice
-    // (assign side + mean side) — persist it for the TRAINING's scope
-    // only (unpersisted in finally), or each of the 2×iters consumers
-    // re-derives scan+normalize+explode from scratch. A build-scoped
-    // persist is not the r5 cache-residency trap: it cannot outlive
-    // the build call, and training runs once per corpus fingerprint.
-    val subs = pqExplode(unit).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val init = unit.orderBy("id").limit(pqCodes).as[(Long, Seq[Double])].collect()
-      var codebook: Seq[(Int, Int, Seq[Double])] =
-        for {
-          s <- 0 until pqSubspaces
-          c <- 0 until math.min(pqCodes, init.length)
-        } yield (s, c, init(c)._2.slice(s * pqSubDim, (s + 1) * pqSubDim))
-      for (_ <- 0 until pqIters) {
-        val cb = codebook.toDF("sub", "code", "cvec")
-        // assign + mean FUSED in one chain (two shuffles per iteration,
-        // one pass over subs): the subvector rides the argmin group —
-        // every row of an (id, sub) group carries the identical subv,
-        // so first() is deterministic by value — instead of a
-        // re-join against subs to fetch it back (which cost a third
-        // shuffle and a second pass per iteration)
-        val means = subs.join(broadcast(cb), "sub")
-          .select(col("id"), col("sub"), col("code"), col("subv"),
-            l2sq(col("subv"), col("cvec")).as("d"))
-          .groupBy("id", "sub")
-          .agg(min(struct(col("d"), col("code"))).as("m"), first(col("subv")).as("subv"))
-          .groupBy(col("sub"), col("m.code").as("code"))
-          .agg(array((0 until pqSubDim).map(i => avg(element_at(col("subv"), i + 1))): _*).as("m"))
-          .as[(Int, Int, Seq[Double])].collect()
-          .map { case (s, c, m) => (s, c) -> m }.toMap
-        // empty codes keep their previous centroid
-        codebook = codebook.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
+    val sample = unit
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(pqTrainSampleRows)
+      .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    // [row][sub][dim] subvector slices of the sample
+    val subv: Array[Array[Array[Double]]] = sample.map { case (_, v) =>
+      Array.tabulate(pqSubspaces)(s =>
+        v.slice(s * pqSubDim, (s + 1) * pqSubDim).toArray)
+    }
+    val ks = math.min(pqCodes, sample.length)
+    // codebook[sub][code][dim]
+    var codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(pqSubspaces)(s => Array.tabulate(ks)(c => subv(c)(s).clone()))
+    for (_ <- 0 until pqIters) {
+      val sums = Array.tabulate(pqSubspaces, ks)((_, _) => new Array[Double](pqSubDim))
+      val counts = Array.ofDim[Long](pqSubspaces, ks)
+      var i = 0
+      while (i < subv.length) {
+        var s = 0
+        while (s < pqSubspaces) {
+          val x = subv(i)(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            val cv = codebook(s)(c)
+            var d = 0.0
+            var j = 0
+            while (j < pqSubDim) { val t = x(j) - cv(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict <: ties keep the smaller code
+            c += 1
+          }
+          val acc = sums(s)(best)
+          var j = 0
+          while (j < pqSubDim) { acc(j) += x(j); j += 1 }
+          counts(s)(best) += 1
+          s += 1
+        }
+        i += 1
       }
-      codebook
-    } finally subs.unpersist(false)
+      codebook = Array.tabulate(pqSubspaces)(s => Array.tabulate(ks) { c =>
+        // empty codes keep their previous centroid
+        if (counts(s)(c) == 0) codebook(s)(c)
+        else sums(s)(c).map(_ / counts(s)(c))
+      })
+    }
+    for { s <- 0 until pqSubspaces; c <- 0 until ks }
+      yield (s, c, codebook(s)(c).toSeq)
   }
 
   /** Build-or-load the PQ index under the standard lifecycle (persisted

@@ -150,6 +150,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
 
+  test("ivfTrain: a binding sample cap trains a near-full-quality quantizer, deterministically") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val k = 16
+    // mean cosine of each corpus vector to its nearest centroid — the
+    // quantization quality the coarse lists serve
+    def meanSim(cents: Seq[(Int, Seq[Double])]): Double = {
+      val cdf = cents.toDF("cid", "cvec")
+      unit.join(broadcast(cdf))
+        .select(col("id"), SimilarityQueries.dot(col("v"), col("cvec")).as("s"))
+        .groupBy("id").agg(max(col("s")).as("m"))
+        .agg(avg("m")).head().getDouble(0)
+    }
+    // 500 rows ≤ 64k cap → the default path is unsampled (byte-identical
+    // to the pre-sampling trainer); force the cap to bind at 128 rows —
+    // the 100 TB shape, where training never sees most of the corpus
+    val full = SimilarityQueries.ivfTrain(spark, unit, k)
+    val sampled = SimilarityQueries.ivfTrain(spark, unit, k, totalRows = 500, sampleCap = 128)
+    assert(sampled.size == k, "sampled training must still produce k centroids")
+    assert(sampled != full, "a binding cap must actually change the training set")
+    val (qFull, qSampled) = (meanSim(full), meanSim(sampled))
+    // the hash-ordered sample is corpus-representative: quantization
+    // quality tracks the full-corpus trainer. The floor is deliberately
+    // stressed — 128/16 = 8 points per centroid, an 8th of the
+    // production cap's 64 per centroid, on uniformly random vectors
+    // (k-means' worst case) — so the production setting sits well
+    // inside it
+    assert(qSampled >= 0.8 * qFull,
+      s"sample-trained quantizer quality $qSampled too far below full-trained $qFull")
+    // selection is a total order → training is fully deterministic
+    val again = SimilarityQueries.ivfTrain(spark, unit, k, totalRows = 500, sampleCap = 128)
+    assert(again == sampled, "sampled training must be deterministic")
+  }
+
   test("IVF index persists to disk: a fresh session reuses it without retraining") {
     // first use (this or an earlier test) trains and writes the index dir
     SimilarityQueries.q17cIvfTopK(spark, "/root/testdata/sf0.001").collect()
