@@ -128,6 +128,7 @@ object SparkEntry {
     "q26c_zorder_scan"     -> (LayoutQueries.q26cZorderScan _),
     "q26d_manifest_scan"   -> (LayoutQueries.q26dManifestScan _),
     "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
+    "q26f_time_travel"     -> (LayoutQueries.q26fTimeTravel _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -1310,6 +1311,25 @@ object SparkEntry {
         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
         |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
         |FROM events""".stripMargin,
+    // q26f: time travel — snapshot v1 is BY CONSTRUCTION the rows
+    // before the cutoff, so the oracle recomputes both versions from
+    // the flat corpus; a reader that leaked post-cutoff files into the
+    // pinned v1 read (or served a stale HEAD) hash-fails on max_ts and
+    // the aggregates
+    "q26f_time_travel" ->
+      """SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS snap, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |  AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
     // q18m: integer sums until the final long/long division → the
     // doubles are IEEE-identical cross-engine before ROUND
     "q18m_rarity_score" ->

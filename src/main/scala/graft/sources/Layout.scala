@@ -58,6 +58,21 @@ object Layout {
                           filesPerDir: Int = 1): Unit =
     write(df, path, partitionCols, sortCols, filesPerDir, dynamic = true)
 
+  /** APPEND-mode partitioned write — the snapshot-table discipline
+    * ([[graft.core.SnapshotStore]]): new load's rows land as FRESH
+    * files in their partition directories and every existing file stays
+    * physically untouched, so a previously committed snapshot manifest
+    * keeps referencing exactly the bytes it referenced. Which files are
+    * "the table" is then the manifest's decision, not the directory
+    * listing's. Same repartition-first and sort-within guarantees as
+    * [[writePartitioned]]. */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCols: Seq[String],
+                        sortCols: Seq[String],
+                        filesPerDir: Int = 1): Unit =
+    write(df, path, partitionCols, sortCols, filesPerDir, dynamic = false,
+      mode = "append")
+
   /** Morton bit-spread: the low 16 bits of `x` move to the even bit
     * positions (b15..b0 → bit 30,28,…,0) — the classic interleave mask
     * cascade, expressed as native long shifts/ANDs so the whole z-value
@@ -96,14 +111,15 @@ object Layout {
 
   private def write(df: DataFrame, path: String,
                     partitionCols: Seq[String], sortCols: Seq[String],
-                    filesPerDir: Int, dynamic: Boolean): Unit = {
+                    filesPerDir: Int, dynamic: Boolean,
+                    mode: String = "overwrite"): Unit = {
     val dist =
       if (filesPerDir <= 1) partitionCols.map(col)
       else partitionCols.map(col) :+
         pmod(hash(sortCols.map(col): _*), lit(filesPerDir))
     val w = df.repartition(dist: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .write.mode(mode).partitionBy(partitionCols: _*)
     // session-conf-independent: the writer option scopes the dynamic
     // overwrite to THIS write (no global conf mutation)
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)

@@ -699,4 +699,102 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(userSkips(zEnv) + tsSkips(zEnv) < zEnv.length,
       "some files must remain eligible — the box is not empty")
   }
+
+  test("q26f snapshots: two-load history under one pointer; pinned v1 is exactly the pre-cutoff corpus") {
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsSnapRoot(spark, sf)
+    assert(SnapshotStore.headVersion(root).contains(2L), "build must leave HEAD at v2")
+    val events = Tables.load(spark, sf, "events")
+    val cut = lit(LayoutQueries.SnapCutoff).cast("timestamp")
+    val nPre = events.where(col("ts") < cut).count()
+    val nAll = events.count()
+    // metadata-only counts at both versions — no data file opened
+    assert(SnapshotStore.countAt(spark, root, Some(1L)) == nPre,
+      "v1 manifest row count must equal the initial load")
+    assert(SnapshotStore.countAt(spark, root) == nAll,
+      "HEAD manifest row count must equal the full corpus")
+    // the pinned read's CONTENT equals the pre-cutoff corpus exactly
+    val v1Ids = SnapshotStore.readAt(spark, root, Some(1L))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val preIds = events.where(col("ts") < cut)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(v1Ids == preIds, "pinned v1 read diverged from the pre-cutoff corpus")
+    // partition-dir columns survive the manifest read path: an
+    // event_type predicate still prunes as a PartitionFilters entry
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val pinnedScan = SnapshotStore.readAt(spark, root, Some(1L))
+      .where(col("event_type") === "purchase")
+    pinnedScan.collect()
+    val scan = nodes(pinnedScan.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScan in the pinned-read plan"))
+    assert(scan.partitionFilters.mkString(",").contains("event_type"),
+      "manifest-served read lost partition pruning")
+  }
+
+  test("snapshot isolation: a reader pinned at N is untouched by a concurrent commit; vacuum retires only unreferenced files") {
+    import graft.core.SnapshotStore
+    import graft.sources.Layout
+    // private table root — this test commits and vacuums destructively
+    val root = java.nio.file.Files.createTempDirectory("snap-iso")
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Layout.writePartitioned(events, root.resolve("data").toString,
+      partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+      .orderBy("event_type").collect().toSeq
+    val pinned = rollup(SnapshotStore.readAt(spark, root, Some(1L)))
+    val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+    // concurrent backfill: the click partition's content is REWRITTEN
+    // (values doubled — a real correction, not an idempotent re-derive)
+    // as fresh files; v2's manifest swaps the old click files out
+    Layout.appendPartitioned(
+      events.where(col("event_type") === "click")
+        .withColumn("value", col("value") * 2),
+      root.resolve("data").toString,
+      partitionCols = Seq("event_type"), sortCols = Seq("ts"))
+    val newFiles = SnapshotStore.dataFiles(root).filterNot(v1Files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("event_type=click")))
+    val oldClick = v1Files.filter(_.contains("event_type=click"))
+    SnapshotStore.commit(spark, root,
+      v1Files.filterNot(oldClick.toSet) ++ newFiles) // v2
+    assert(SnapshotStore.headVersion(root).contains(2L))
+    // the pinned reader: same answer, and the plan reads EXACTLY v1's files
+    val pinnedAfter = SnapshotStore.readAt(spark, root, Some(1L))
+    assert(rollup(pinnedAfter) == pinned,
+      "pinned v1 answer changed under a concurrent commit")
+    val readFiles = pinnedAfter.select(input_file_name()).distinct()
+      .collect().map(r => root.relativize(
+        java.nio.file.Paths.get(new java.net.URI(r.getString(0)))).toString)
+      .sorted.toSeq
+    assert(readFiles == v1Files, "pinned read touched files outside v1's manifest")
+    // HEAD reflects the correction
+    val head = rollup(SnapshotStore.readAt(spark, root))
+    val pinnedClick = pinned.find(_.getString(0) == "click").get
+    val headClick = head.find(_.getString(0) == "click").get
+    assert(headClick.getLong(1) == pinnedClick.getLong(1))
+    assert(math.abs(headClick.getDouble(2) - 2 * pinnedClick.getDouble(2)) < 1e-6,
+      "HEAD must serve the corrected click values")
+    // vacuum retain=1: v1 expires; exactly the replaced click files die
+    val dead = SnapshotStore.vacuum(spark, root, retain = 1)
+    assert(dead.sorted == oldClick.sorted,
+      s"vacuum must retire exactly the superseded click files, got $dead")
+    assert(rollup(SnapshotStore.readAt(spark, root)) == head,
+      "HEAD read must survive vacuum untouched")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
 }
