@@ -760,6 +760,26 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY h) AS n_members
         |  FROM nn) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q19c: REAL image decode — the engine synthesizes a valid binary
+    // P6 PPM per document, parses it with a real netpbm parser, and
+    // reduces the pixel buffer to per-channel means; the oracle derives
+    // the same statistics in CLOSED FORM from doc_id (pixel values are
+    // affine in (x, y, channel) with no mod-256 wrap, so the channel
+    // mean is a + (h-1) + (w-1)/2 + 48c exactly — integer-valued sums,
+    // one exact IEEE division). Any header/raster/channel-order bug in
+    // encode or decode hash-fails
+    "q19c_media_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + doc_id % 25 AS INT) AS height,
+        |    CAST(doc_id % 64 AS BIGINT) AS a
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  ROUND(a + (height - 1) + (width - 1) / 2.0, 6) AS mean_r,
+        |  ROUND(a + (height - 1) + (width - 1) / 2.0 + 48, 6) AS mean_g,
+        |  ROUND(a + (height - 1) + (width - 1) / 2.0 + 96, 6) AS mean_b
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q19d: the oracle recomputes the stub decode + resize + stride
     // sampling from the payload bytes; every arithmetic step is either
     // integer or a single IEEE double op (min/div/mul/floor), bit-exact
