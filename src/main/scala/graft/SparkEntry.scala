@@ -93,6 +93,7 @@ object SparkEntry {
     "q18m_rarity_score"    -> (TextQueries.q18mRarityScore _),
     "q18n_token_budget_sample" -> (TextQueries.q18nTokenBudgetSample _),
     "q18o_bm25_search"     -> (TextQueries.q18oBm25Search _),
+    "q18r_bpe_budget_sample" -> (TextQueries.q18rBpeBudgetSample _),
     "q19_multimodal_roundtrip" -> (MultimodalQueries.q19Roundtrip _),
     "q19b_binary_meta"         -> (MultimodalQueries.q19bBinaryMeta _),
     "q19c_media_features"      -> (MultimodalQueries.q19cFeatures _),
@@ -397,6 +398,62 @@ object SparkEntry {
         |SELECT source, lang, doc_id, n_tokens,
         |       CAST(slice_offset AS BIGINT) AS slice_offset,
         |       CAST(slice_offset < 150 AS BIGINT) AS sampled
+        |FROM c ORDER BY source, lang, doc_id""".stripMargin,
+    // q18r: the oracle RE-DERIVES the byte-pair tokenizer itself — a
+    // rank-indexed recursive CTE applies the spec-embedded merge table
+    // over the distinct vocabulary (list_reduce = the same leftmost
+    // non-overlapping fold the engine's native expression runs), then
+    // bills each doc in subword tokens and replays q18n's sampling
+    // arithmetic; bpe_sig folds every piece's (length, first byte), so
+    // piece BOUNDARIES hash-check, not just counts
+    "q18r_bpe_budget_sample" ->
+      """WITH RECURSIVE
+        |m(pri, a, b) AS (VALUES
+        |  (1,'a','n'),(2,'e','r'),(3,'t','h'),(4,'th','e'),(5,'i','n'),
+        |  (6,'o','r'),(7,'s','t'),(8,'a','r'),(9,'l','e'),(10,'r','o'),
+        |  (11,'o','w'),(12,'u','e'),(13,'s','c'),(14,'sc','an'),(15,'c','o'),
+        |  (16,'co','l'),(17,'u','m'),(18,'um','n'),(19,'col','umn'),
+        |  (20,'w','in'),(21,'win','d'),(22,'wind','ow'),(23,'j','o'),
+        |  (24,'jo','in'),(25,'q','u'),(26,'qu','er'),(27,'quer','y'),
+        |  (28,'v','a'),(29,'va','l'),(30,'val','ue'),(31,'s','p'),
+        |  (32,'sp','ar'),(33,'spar','k')),
+        |vocab AS (SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |          FROM documents),
+        |step(i, w, toks) AS (
+        |  SELECT 0, w, regexp_extract_all(w, '.') FROM vocab WHERE w <> ''
+        |  UNION ALL
+        |  SELECT s.i + 1, s.w,
+        |    list_reduce(list_transform(s.toks, t -> [t]),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = mm.a AND x[1] = mm.b
+        |                  THEN list_append(acc[1:len(acc)-1], mm.a || mm.b)
+        |                  ELSE list_concat(acc, x) END)
+        |  FROM step s JOIN m mm ON mm.pri = s.i + 1
+        |  WHERE s.i < 33),
+        |bpe AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_pieces,
+        |          CAST(list_reduce(list_transform(toks,
+        |              t -> CAST(length(t) * 131 + ascii(substring(t, 1, 1)) AS BIGINT)),
+        |            (a, b) -> a + b) AS BIGINT) AS sig
+        |        FROM step WHERE i = 33),
+        |dw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |       FROM documents),
+        |cnt AS (SELECT doc_id, CAST(SUM(b.n_pieces) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(b.sig) AS BIGINT) AS bpe_sig
+        |        FROM dw JOIN bpe b USING (w) GROUP BY doc_id),
+        |tk AS (SELECT d.doc_id, d.source, d.lang,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split_regex(d.text, '\s+'),
+        |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    c.n_tokens, c.bpe_sig
+        |  FROM documents d JOIN cnt c USING (doc_id)),
+        |c AS (SELECT source, lang, doc_id, n_tokens, bpe_sig,
+        |        SUM(n_tokens) OVER (PARTITION BY source, lang ORDER BY fp, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - n_tokens AS slice_offset
+        |      FROM tk)
+        |SELECT source, lang, doc_id, n_tokens, bpe_sig,
+        |       CAST(slice_offset AS BIGINT) AS slice_offset,
+        |       CAST(slice_offset < 400 AS BIGINT) AS sampled
         |FROM c ORDER BY source, lang, doc_id""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite

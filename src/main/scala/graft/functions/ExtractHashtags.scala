@@ -133,6 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(TextSim.jacFnName),
        new ExpressionInfo(classOf[CharNgramJaccard].getCanonicalName, TextSim.jacFnName),
        (exprs: Seq[Expression]) => CharNgramJaccard(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(Bpe.fnName),
+       new ExpressionInfo(classOf[BpeTokens].getCanonicalName, Bpe.fnName),
+       (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
     // whole-operator extension: the LSH similarity self-join logical
     // node, lowered to the band-join assembly inside the operator-
     // optimization fixed point (graft.plans.SimilarityJoin)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -431,12 +431,17 @@ object TextQueries {
     * through one task the way `Window.partitionBy(slice)` would, which
     * at 100 TB with a handful of sources × languages is the difference
     * between a job and a stall. */
-  def tokenBudgetSample(docs: DataFrame, budget: Long, nParts: Int): DataFrame = {
+  def tokenBudgetSample(docs: DataFrame, budget: Long, nParts: Int,
+                        nTokensOf: Column = null,
+                        extra: Seq[(String, Column)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the billing unit is pluggable (q18n: whitespace words; q18r: BPE
+    // subword tokens) — the sampling machinery is identical
+    val nTok = Option(nTokensOf).getOrElse(size(tokens(col("text"))).cast("long"))
     val ranged = docs
-      .select(col("doc_id"), col("source"), col("lang"),
+      .select(Seq(col("doc_id"), col("source"), col("lang"),
         fingerprint(tokens(col("text"))).as("fp"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        nTok.as("n_tokens")) ++ extra.map { case (n, c) => c.as(n) }: _*)
       .repartitionByRange(nParts, col("source"), col("lang"), col("fp"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val localW = Window.partitionBy("source", "lang", "pid").orderBy("fp", "doc_id")
@@ -452,8 +457,9 @@ object TextQueries {
       .agg(coalesce(sum(col("b.t")), lit(0L)).as("offset"))
     local
       .join(broadcast(offsets), Seq("source", "lang", "pid"))
-      .select(col("source"), col("lang"), col("doc_id"), col("n_tokens"),
-        (col("offset") + col("local_sum") - col("n_tokens")).as("slice_offset"))
+      .select(Seq(col("source"), col("lang"), col("doc_id"), col("n_tokens")) ++
+        extra.map { case (n, _) => col(n) } :+
+        (col("offset") + col("local_sum") - col("n_tokens")).as("slice_offset"): _*)
       .withColumn("sampled", (col("slice_offset") < budget).cast("long"))
   }
 
@@ -464,6 +470,38 @@ object TextQueries {
     tokenBudgetSample(Tables.load(spark, dir, "documents"), 150L,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .orderBy("source", "lang", "doc_id")
+
+  /** Q18r — q18n's budget sampling billed in SUBWORD tokens (VERDICT
+    * r10 next #6): real pipelines budget in tokenizer tokens, not
+    * whitespace words, and the two differ systematically (this corpus:
+    * ~3 pieces per word for non-vocabulary words, 1 for assembled
+    * ones). `n_tokens` is the [[graft.functions.Bpe]] piece count — a
+    * native codegen expression, so the billing projection is one
+    * whole-stage pass over the corpus; ordering (fp) and the sampling
+    * machinery are exactly q18n's, so the two queries differ ONLY in
+    * the billing unit. `bpe_sig` additionally folds every piece's
+    * (length, first byte) into an order-independent per-doc signature,
+    * so the ORACLE — which re-derives the merges rank by rank as a
+    * recursive DuckDB CTE over the distinct vocabulary — hash-checks
+    * the actual piece boundaries, not just the count. Budget 400
+    * subword tokens ≈ q18n's 150-word posture (some slices cut, some
+    * saturate). */
+  def q18rBpeBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Bpe.ensureRegistered(spark)
+    // materialized attribute per the tokens() performance contract —
+    // size() and the signature fold must share ONE encode per row
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("bpe", call_function(graft.functions.Bpe.fnName, col("text")))
+    tokenBudgetSample(docs, 400L,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      nTokensOf = size(col("bpe")).cast("long"),
+      extra = Seq("bpe_sig" ->
+        aggregate(
+          transform(col("bpe"),
+            t => (length(t) * lit(131L) + ascii(substring(t, 1, 1))).cast("long")),
+          lit(0L), (acc, v) => acc + v)))
+      .orderBy("source", "lang", "doc_id")
+  }
 
   /** The BM25 query workload for q18o: fixed multi-term keyword
     * queries over the documents corpus (one common-term query, one
