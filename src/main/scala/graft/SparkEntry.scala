@@ -130,6 +130,7 @@ object SparkEntry {
     "q26d_manifest_scan"   -> (LayoutQueries.q26dManifestScan _),
     "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
     "q26f_time_travel"     -> (LayoutQueries.q26fTimeTravel _),
+    "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -455,6 +456,17 @@ object SparkEntry {
         |       CAST(slice_offset AS BIGINT) AS slice_offset,
         |       CAST(slice_offset < 400 AS BIGINT) AS sampled
         |FROM c ORDER BY source, lang, doc_id""".stripMargin,
+    // q26h: the STREAMED snapshot table at HEAD — initial load + one
+    // commit per accepted epoch must compose to exactly the full
+    // corpus; the oracle recomputes the rollup from the flat corpus,
+    // so a lost epoch, a double-committed retry, or a manifest leak
+    // hash-fails on the counts/sums/max_ts
+    "q26h_stream_snap_ingest" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite
     "q22b_range_join" ->

@@ -130,17 +130,61 @@ object SnapshotStore {
   }
 
   /** Read the table AT a version (None = HEAD). The scan is handed
-    * exactly the manifest's files with `basePath` = the data root, so
-    * partition-dir columns (`event_type=...`) are still recovered and
-    * partition/pushed filters still prune — the manifest replaces the
-    * directory LISTING, never the reader's pruning machinery. */
-  def readAt(spark: SparkSession, root: Path, v: Option[Long] = None): DataFrame = {
+    * exactly the manifest's files; with `inferPartitions` (the default)
+    * `basePath` = the data root, so partition-dir columns
+    * (`event_type=...`) are still recovered and partition/pushed
+    * filters still prune — the manifest replaces the directory
+    * LISTING, never the reader's pruning machinery. Tables whose data
+    * tree is not key=value-shaped (e.g. the streamed-ingest epoch dirs)
+    * read with `inferPartitions = false` — every column is then a data
+    * column and the dir layout is storage-only. */
+  def readAt(spark: SparkSession, root: Path, v: Option[Long] = None,
+             inferPartitions: Boolean = true): DataFrame = {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver).map(f => root.resolve(f).toString)
     require(files.nonEmpty, s"snapshot v=$ver of $root is empty")
-    spark.read.option("basePath", root.resolve("data").toString)
-      .parquet(files: _*)
+    val r =
+      if (inferPartitions)
+        spark.read.option("basePath", root.resolve("data").toString)
+      else spark.read
+    r.parquet(files: _*)
+  }
+
+  /** Accept a streamed micro-batch as ONE snapshot commit — the
+    * Iceberg streaming-sink pattern, i.e. the engine's standard
+    * retry-idempotent epoch accept reshaped onto the snapshot seam.
+    * Every attempt writes FRESH immutable files under its own
+    * `data/epoch_<id>_a<attempt>` dir — nothing a committed manifest
+    * references is ever overwritten, so readers pinned at any version
+    * inside the retention horizon stay readable THROUGH a retry. The
+    * new manifest = HEAD's files MINUS every prior attempt of THIS
+    * epoch PLUS the fresh files: a failure-replayed epoch re-commits
+    * the same content instead of doubling it, and the superseded
+    * attempt's files become unreferenced (vacuum's job, on the
+    * retention policy). Readers never coordinate: the pointer swing is
+    * atomic. Returns the committed version. */
+  def commitEpoch(spark: SparkSession, root: Path, batch: DataFrame,
+                  epochId: Long): Long = {
+    val prevHead = headVersion(root)
+    // unique per commit on this single-writer table → attempt dirs
+    // never collide, prior attempts stay untouched on disk
+    val attempt = prevHead.getOrElse(0L) + 1
+    val epochRel = s"data/epoch_${epochId}_a$attempt"
+    batch.write.mode("overwrite").parquet(root.resolve(epochRel).toString)
+    val epochPrefix = s"data/epoch_${epochId}_"
+    val prevFiles = prevHead match {
+      case Some(v) => filesAt(spark, root, v).filterNot(_.startsWith(epochPrefix))
+      case None => Seq.empty
+    }
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(epochRel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, prevFiles ++ fresh)
   }
 
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
@@ -158,8 +202,14 @@ object SnapshotStore {
     * horizon are unaffected by construction. */
   def vacuum(spark: SparkSession, root: Path, retain: Int): Seq[String] = {
     val head = headVersion(root).getOrElse(return Seq.empty)
-    val keepVersions = (math.max(1, head - retain + 1)) to head
-    val expired = (1L until keepVersions.head)
+    // versions a PRIOR vacuum already expired have no manifest left —
+    // both sides of the live/dead split consider only manifests that
+    // still exist (an in-loop retain=2 followed by an offline retain=3
+    // is legal; the wider horizon simply has fewer versions to keep)
+    def live(vs: Seq[Long]): Seq[Long] =
+      vs.filter(v => Files.exists(manifestPath(root, v)))
+    val keepVersions = live((math.max(1, head - retain + 1)) to head)
+    val expired = live(1L until keepVersions.head)
     if (expired.isEmpty) return Seq.empty
     val keep = keepVersions.flatMap(v => filesAt(spark, root, v)).toSet
     val dead = expired.flatMap(v => filesAt(spark, root, v)).distinct

@@ -867,6 +867,7 @@ object StreamingPipelines {
     cache.clear(); wireCache.clear(); ingestCache.clear()
     growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
     postingestCache.clear(); pqIngestReplayCache.clear(); lineIngestCache.clear()
+    snapIngestCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -1777,6 +1778,87 @@ object StreamingPipelines {
     spark.read.parquet(lineIngestCache.getOrElseUpdate(dir, lineIngestReplay(spark, dir)))
       .select("doc_id", "n_lines", "kept_lines", "dropped_lines", "kept_chars", "clean_md5")
       .orderBy("doc_id")
+
+  // ---- streamed snapshot ingest (q26h): one commit per epoch ----------
+
+  val snapIngestBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val SnapIngestFamily = "graft-snap-ingest"
+
+  /** The STREAMING WRITE side of the [[graft.core.SnapshotStore]] seam
+    * (q26h): the events table's late tail (`ts >=` the q26f cutoff)
+    * replays as chunked micro-batches, and every accepted epoch is ONE
+    * snapshot COMMIT — epoch files overwritten under their own dir
+    * (failure-replayed epochs replace themselves), manifest swapped,
+    * HEAD swung atomically ([[graft.core.SnapshotStore.commitEpoch]]).
+    * This is the Iceberg streaming-sink pattern, and it closes the loop
+    * on "one commit seam": the same API that serves batch backfills
+    * (q26b-shape), time travel (q26f), and vacuum now carries the
+    * streaming ingest accept that q16k/q17l/q18q implement with ad-hoc
+    * `batch_id=N` appendices. Readers never block: each is pinned to
+    * the version it opened; in-loop vacuum retains 2 versions (this
+    * epoch's + its committed predecessor — the CDC GC policy), so a
+    * reader inside the horizon is isolated by construction.
+    *
+    * The base (initial load, ts < cutoff) builds once per corpus
+    * fingerprint under the IndexStore lifecycle and commits as v1; a
+    * rebuild resets history (the old versions described a corpus that
+    * no longer exists). Returns the table root. */
+  def snapIngestReplay(spark: SparkSession, dir: String,
+                       nChunks: Int = graft.operators.DedupQueries.IngestChunks): Path = {
+    import graft.core.{IndexStore, SnapshotStore}
+    import graft.operators.{LayoutQueries, SimilarityQueries}
+    val events = Tables.load(spark, dir, "events")
+    val cut = lit(LayoutQueries.SnapCutoff).cast("timestamp")
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    val root = IndexStore.buildOrLoad(
+        SnapIngestFamily, dir, fp, Seq("data", "_snapshots"), snapIngestBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      events.where(col("ts") < cut).repartition(4)
+        .write.mode("overwrite").parquet(r.resolve("data/base").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v1: the initial load
+    }
+    val incoming = events.where(col("ts") >= cut)
+    val chunkDir = stageChunksByIdMod(incoming, "event_id", "graft-snapingest", dir, nChunks)
+    val ckpt = Files.createTempDirectory("graft-snapingest-ckpt").toString
+    val q = spark.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotStore.commitEpoch(batch.sparkSession, root, batch, batchId)
+        // in-loop GC: this epoch's version + its committed predecessor
+        // (a retry of this epoch must still find it) — the q25b policy
+        SnapshotStore.vacuum(batch.sparkSession, root, retain = 2)
+        ()
+      }.start()
+    q.awaitTermination()
+    root
+  }
+
+  private val snapIngestCache = TrieMap.empty[String, Path]
+
+  /** Q26h — the drained streamed-snapshot table read AT HEAD: after the
+    * loop drains, HEAD's manifest must compose the initial load plus
+    * every accepted epoch to exactly the full corpus — one lost epoch,
+    * one double-committed retry, or one manifest leak and the rollup's
+    * counts/sums/max_ts hash-fail against the flat-corpus oracle. The
+    * epoch dirs are storage-only (no key=value shape), so the read
+    * takes `inferPartitions = false`. */
+  def q26hStreamSnapIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = snapIngestCache.getOrElseUpdate(dir, snapIngestReplay(spark, dir))
+    graft.core.SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .where(col("event_type").isin("click", "purchase", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
 
   /** The PQ side of the streaming ingest story (q17l): the q16i split
     * of the EMBEDDINGS corpus (`vec_id % 5 != 4` is the standing base,

@@ -1050,6 +1050,47 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(latest == batch)
   }
 
+  test("q26h snapshot ingest: drained HEAD composes to the full corpus; epoch retry idempotent; pinned reader isolated") {
+    import graft.core.SnapshotStore
+    val dir = "/root/testdata/sf0.001"
+    val root = StreamingPipelines.snapIngestReplay(spark, dir)
+    val events = graft.core.Tables.load(spark, dir, "events")
+    // drained HEAD = initial load + every accepted epoch = full corpus
+    val headIds = SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val allIds = events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(headIds == allIds, "drained snapshot table diverged from the corpus")
+    // metadata-only count agrees without opening a data file
+    assert(SnapshotStore.countAt(spark, root) == allIds.size)
+    // in-loop vacuum held the retention policy: ≤2 manifests remain
+    val ls = Files.list(root.resolve("_snapshots"))
+    val manifests =
+      try ls.iterator().asScala.count(_.getFileName.toString.startsWith("v="))
+      finally ls.close()
+    assert(manifests <= 2, s"in-loop vacuum must bound history, found $manifests manifests")
+
+    // epoch RETRY on a controlled twin table: re-committing the same
+    // epoch id replaces, never doubles
+    val t = Files.createTempDirectory("snap-retry")
+    val base = events.where(col("event_id") < 300)
+    base.write.mode("overwrite").parquet(t.resolve("data/base").toString)
+    SnapshotStore.commit(spark, t, SnapshotStore.dataFiles(t))
+    val epoch = events.where(col("event_id") >= 300 && col("event_id") < 400)
+    SnapshotStore.commitEpoch(spark, t, epoch, 0L)
+    val once = SnapshotStore.readAt(spark, t, inferPartitions = false).count()
+    val pinnedV = SnapshotStore.headVersion(t).get
+    val pinnedRows = SnapshotStore.readAt(spark, t, Some(pinnedV), inferPartitions = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    SnapshotStore.commitEpoch(spark, t, epoch, 0L) // the failure-replayed epoch
+    assert(SnapshotStore.readAt(spark, t, inferPartitions = false).count() == once,
+      "a replayed epoch must replace its own commit, not double it")
+    // a reader pinned before the retry still reads its exact version
+    assert(SnapshotStore.readAt(spark, t, Some(pinnedV), inferPartitions = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == pinnedRows,
+      "pinned reader must be unaffected by a concurrent epoch re-commit")
+    graft.core.IndexStore.deleteRecursively(t)
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
