@@ -130,6 +130,7 @@ object SparkEntry {
     "q26d_manifest_scan"   -> (LayoutQueries.q26dManifestScan _),
     "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
     "q26f_time_travel"     -> (LayoutQueries.q26fTimeTravel _),
+    "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
@@ -456,6 +457,18 @@ object SparkEntry {
         |       CAST(slice_offset AS BIGINT) AS slice_offset,
         |       CAST(slice_offset < 400 AS BIGINT) AS sampled
         |FROM c ORDER BY source, lang, doc_id""".stripMargin,
+    // q26g: version-pinned manifest skipping — the probe range reaches
+    // past the v1 horizon, so the oracle's explicit ts < cutoff clause
+    // IS the version pin: reading HEAD (or leaking a v2 file) adds
+    // post-cutoff rows the hash rejects
+    "q26g_snapshot_skip_scan" ->
+      """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-25'
+        |  AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     // q26h: the STREAMED snapshot table at HEAD — initial load + one
     // commit per accepted epoch must compose to exactly the full
     // corpus; the oracle recomputes the rollup from the flat corpus,

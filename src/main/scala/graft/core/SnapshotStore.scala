@@ -77,37 +77,57 @@ object SnapshotStore {
   }
 
   /** Commit a new version whose content is exactly `files` (paths
-    * relative to `root`). Per-file row counts are carried in the
-    * manifest so COUNT(*) at any version is metadata-only; counts for
-    * files already referenced by the PREVIOUS version are copied from
-    * its manifest — only genuinely new files are scanned, so a commit's
-    * cost is bounded by its delta, not the table. Returns the new
-    * version number. */
-  def commit(spark: SparkSession, root: Path, files: Seq[String]): Long = {
-    import spark.implicits._
+    * relative to `root`). Per-file row counts — and, when `statsCols`
+    * is given, per-file min/max envelopes of those columns
+    * (`min_<c>`/`max_<c>`) — are carried in the manifest, so COUNT(*)
+    * at any version is metadata-only and version-pinned scans can
+    * PRUNE FILES against the manifest (the Iceberg data-skipping
+    * layer, per version). Rows for files already referenced by the
+    * PREVIOUS version are copied from its manifest — only genuinely
+    * new files are scanned, so a commit's cost is bounded by its
+    * delta, not the table. A table's commits should use one statsCols
+    * shape for life; if a prior manifest lacks the requested columns,
+    * every file simply rescans once. Returns the new version. */
+  def commit(spark: SparkSession, root: Path, files: Seq[String],
+             statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.Row
     val prev = headVersion(root)
     val next = prev.getOrElse(0L) + 1
-    val carried: Map[String, Long] = prev match {
-      case Some(v) => manifest(spark, root, v)
-        .as[(String, Long)].collect().toMap
-      case None => Map.empty
+    val manifestCols: Seq[String] =
+      Seq("file", "n_rows") ++ statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    // carried rows keyed by file — full manifest shape, copied verbatim
+    val (carried: Map[String, Row], carriedSchema) = prev match {
+      case Some(v) =>
+        val m = spark.read.parquet(manifestPath(root, v).toString)
+        if (manifestCols.forall(m.columns.contains)) {
+          val sel = m.select(manifestCols.map(col): _*)
+          (sel.collect().map(r => r.getString(0) -> r).toMap, Some(sel.schema))
+        } else (Map.empty[String, Row], None)
+      case None => (Map.empty[String, Row], None)
     }
     val fresh = files.filterNot(carried.contains)
-    val freshCounts: Map[String, Long] =
-      if (fresh.isEmpty) Map.empty
+    val (freshRows: Map[String, Row], freshSchema) =
+      if (fresh.isEmpty) (Map.empty[String, Row], None)
       else {
         val abs = fresh.map(f => root.resolve(f).toString)
-        spark.read.parquet(abs: _*)
-          .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-          .as[(String, Long)].collect()
-          .map { case (f, n) =>
-            // input_file_name is a URI (file:/...); relativize to root
-            val p = java.nio.file.Paths.get(new java.net.URI(f))
-            root.relativize(p).toString -> n
-          }.toMap
+        val aggs = count(lit(1)).as("n_rows") +:
+          statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val df = spark.read.parquet(abs: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+        val rows = df.collect().map { r =>
+          // input_file_name is a URI (file:/...); relativize to root
+          val p = java.nio.file.Paths.get(new java.net.URI(r.getString(0)))
+          val rel = root.relativize(p).toString
+          rel -> Row.fromSeq(rel +: (1 until r.length).map(r.get))
+        }.toMap
+        (rows, Some(df.schema))
       }
-    files.map(f => (f, carried.getOrElse(f, freshCounts(f))))
-      .toDF("file", "n_rows")
+    val schema = freshSchema.orElse(carriedSchema).getOrElse(
+      throw new IllegalArgumentException(s"empty commit for $root"))
+    val manifestRows = files.map(f => carried.getOrElse(f, freshRows(f)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(manifestRows: _*), schema)
       .coalesce(1).write.mode("overwrite").parquet(manifestPath(root, next).toString)
     // the atomic pointer swing: readers see the old version or the new
     // one, never a torn state
@@ -118,9 +138,10 @@ object SnapshotStore {
     next
   }
 
-  /** Version N's manifest: (file, n_rows), file relative to root. */
+  /** Version N's manifest: (file, n_rows[, min_c/max_c envelopes]),
+    * file relative to root. */
   def manifest(spark: SparkSession, root: Path, v: Long): DataFrame =
-    spark.read.parquet(manifestPath(root, v).toString).select("file", "n_rows")
+    spark.read.parquet(manifestPath(root, v).toString)
 
   /** Version N's file list (driver-side, bounded by the version's file
     * count). */
@@ -128,6 +149,36 @@ object SnapshotStore {
     import spark.implicits._
     manifest(spark, root, v).select("file").as[String].collect().toSeq.sorted
   }
+
+  /** Version-pinned MANIFEST PRUNING: the files of version N whose
+    * manifest row satisfies `pred` — partition-dir pruning via the
+    * `file` path, data skipping via the `min_<c>`/`max_<c>` envelopes,
+    * both against the small manifest table instead of listings or
+    * parquet footers (the q26d argument, now per version). Pruning
+    * can only DROP files the predicate proves irrelevant; the residual
+    * predicate still applies on the read, so a manifest bug surfaces
+    * as missing rows against the oracle, never silent extras. */
+  def filesAtWhere(spark: SparkSession, root: Path, v: Long,
+                   pred: org.apache.spark.sql.Column): Seq[String] = {
+    import spark.implicits._
+    manifest(spark, root, v).where(pred)
+      .select("file").as[String].collect().toSeq.sorted
+  }
+
+  /** Read exactly `files` (relative paths) of a table root — the scan
+    * half of [[filesAtWhere]]; empty selections return an empty frame
+    * with the head schema instead of a zero-path reader error. */
+  def readFiles(spark: SparkSession, root: Path, files: Seq[String],
+                inferPartitions: Boolean = true): DataFrame =
+    if (files.isEmpty) readAt(spark, root, None, inferPartitions).where(lit(false))
+    else {
+      val abs = files.map(f => root.resolve(f).toString)
+      val r =
+        if (inferPartitions)
+          spark.read.option("basePath", root.resolve("data").toString)
+        else spark.read
+      r.parquet(abs: _*)
+    }
 
   /** Read the table AT a version (None = HEAD). The scan is handed
     * exactly the manifest's files; with `inferPartitions` (the default)

@@ -271,23 +271,36 @@ object LayoutQueries {
     * lifecycle (fingerprint-keyed rebuild on corpus change; a rebuild
     * resets history, because the old versions described a corpus that
     * no longer exists). */
+  /** Write tasks per snapshot load — range-partitioned over
+    * (event_type, ts), so each partition dir splits into ts-CONTIGUOUS
+    * files and the manifest's per-file ts envelopes actually prune
+    * (q26g). */
+  val SnapLoadTasks = 12
+
   def eventsSnapRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
     val events = Tables.load(spark, dir, "events")
-    val fp = "v1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+    // "v2:" — the v1-stamped layout predates manifest column stats and
+    // ranged files; a stale load would serve q26g a manifest without
+    // envelopes
+    val fp = "v2:" + SimilarityQueries.corpusFingerprint(events, "event_id",
       Seq(col("event_type"), col("ts"), col("value")))
     IndexStore.buildOrLoad(
         SnapFamily, dir, fp, Seq("data", "_snapshots"), snapBuildCount) { r =>
       IndexStore.deleteRecursively(r.resolve("data"))
       IndexStore.deleteRecursively(r.resolve("_snapshots"))
       val cut = lit(SnapCutoff).cast("timestamp")
-      Layout.writePartitioned(events.where(col("ts") < cut),
+      Layout.writePartitionedRanged(events.where(col("ts") < cut),
         r.resolve("data").toString,
-        partitionCols = Seq("event_type"), sortCols = Seq("ts"))
-      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v1
-      Layout.appendPartitioned(events.where(col("ts") >= cut),
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+        numTasks = SnapLoadTasks)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("ts")) // v1
+      Layout.writePartitionedRanged(events.where(col("ts") >= cut),
         r.resolve("data").toString,
-        partitionCols = Seq("event_type"), sortCols = Seq("ts"))
-      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v2 = HEAD
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+        numTasks = SnapLoadTasks, mode = "append")
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("ts")) // v2 = HEAD
     }
   }
 
@@ -313,6 +326,38 @@ object LayoutQueries {
     roll(SnapshotStore.readAt(spark, root, Some(1L)), "v1")
       .unionByName(roll(SnapshotStore.readAt(spark, root), "head"))
       .orderBy("snap", "event_type")
+  }
+
+  /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping
+    * argument and q26f's time travel composed on the ONE snapshot seam.
+    * The scan plans against snapshot v1's manifest alone: partition
+    * pruning by file PATH (`event_type=purchase/`), file skipping by
+    * the per-file ts envelopes the commit stamped (tight, because the
+    * loads are range-clustered on (event_type, ts)) — only intersecting
+    * files are handed to the reader, the residual predicate still
+    * applies, and the version pin is LOAD-BEARING in the hash: the
+    * probe range reaches past the v1 horizon, so reading HEAD (or
+    * leaking one v2 file) adds post-cutoff rows the oracle — which
+    * recomputes v1 as `ts < cutoff` from the flat corpus — rejects.
+    * At 100 TB this is the lakehouse planner's actual shape: "last
+    * week's snapshot, this key slice, this time box" costs one
+    * manifest read + the intersecting files, with no listing and no
+    * footer I/O, regardless of what today's loads are committing. */
+  def q26gSnapshotSkipScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapRoot(spark, dir)
+    val t0 = lit("2024-01-12").cast("timestamp")
+    val t1 = lit("2024-01-25").cast("timestamp") // past the v1 horizon, deliberately
+    val files = SnapshotStore.filesAtWhere(spark, root, 1L,
+      col("file").startsWith("data/event_type=purchase/") &&
+        col("max_ts") >= t0 && col("min_ts") < t1)
+    SnapshotStore.readFiles(spark, root, files)
+      // FULL residual predicate (type included): pruning may only DROP
+      // files — a manifest bug can cost rows (oracle-caught), never add
+      .where(col("event_type") === "purchase" && col("ts") >= t0 && col("ts") < t1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("day")
   }
 
   // ---- BM25 postings: partition by token bucket -----------------------

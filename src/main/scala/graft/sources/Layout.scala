@@ -58,6 +58,26 @@ object Layout {
                           filesPerDir: Int = 1): Unit =
     write(df, path, partitionCols, sortCols, filesPerDir, dynamic = true)
 
+  /** Partitioned write with RANGE-clustered files: tasks are
+    * range-partitioned on (partitionCols, sortCols), so within each
+    * partition directory every file covers a CONTIGUOUS sort-key range
+    * — the layout that makes per-file min/max envelopes on the sort
+    * key tight (and therefore manifest/stats skipping effective),
+    * where [[writePartitioned]]'s `filesPerDir` hash-spread
+    * deliberately trades that away for write balance. `numTasks` bounds
+    * total parallelism; files per directory follow each partition
+    * value's share of the range. Appendable (`mode = "append"`) for
+    * snapshot tables. */
+  def writePartitionedRanged(df: DataFrame, path: String,
+                             partitionCols: Seq[String],
+                             sortCols: Seq[String],
+                             numTasks: Int,
+                             mode: String = "overwrite"): Unit =
+    df.repartitionByRange(numTasks, (partitionCols ++ sortCols).map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** APPEND-mode partitioned write — the snapshot-table discipline
     * ([[graft.core.SnapshotStore]]): new load's rows land as FRESH
     * files in their partition directories and every existing file stays

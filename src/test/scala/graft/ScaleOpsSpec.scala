@@ -743,6 +743,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       "manifest-served read lost partition pruning")
   }
 
+  test("q26g: manifest prunes v1 to strictly fewer files; selected envelopes intersect the box; answer matches flat") {
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsSnapRoot(spark, sf)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val allPurchaseV1 = SnapshotStore.filesAtWhere(spark, root, 1L,
+      col("file").startsWith("data/event_type=purchase/"))
+    val selected = SnapshotStore.filesAtWhere(spark, root, 1L,
+      col("file").startsWith("data/event_type=purchase/") &&
+        col("max_ts") >= lit(t0) && col("min_ts") < lit(t1))
+    // the ranged layout must give the partition >1 ts-contiguous file,
+    // and the envelope filter must skip at least one of them
+    assert(allPurchaseV1.size > 1,
+      s"ranged load should split the purchase partition, got ${allPurchaseV1.size} file(s)")
+    assert(selected.nonEmpty && selected.size < allPurchaseV1.size,
+      s"envelope pruning must skip files: ${selected.size} of ${allPurchaseV1.size} selected")
+    // answer ≡ the flat corpus restricted to the v1 horizon
+    val got = LayoutQueries.q26gSnapshotSkipScan(spark, sf).collect().toSeq
+    val flat = Tables.load(spark, sf, "events")
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= lit(t0) && col("ts") < lit(t1) &&
+        col("ts") < lit(LayoutQueries.SnapCutoff).cast("timestamp"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("day").collect().toSeq
+    assert(got == flat, "version-pinned skipped scan diverged from the flat twin")
+  }
+
   test("snapshot isolation: a reader pinned at N is untouched by a concurrent commit; vacuum retires only unreferenced files") {
     import graft.core.SnapshotStore
     import graft.sources.Layout
