@@ -132,6 +132,7 @@ object SparkEntry {
     "q26f_time_travel"     -> (LayoutQueries.q26fTimeTravel _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
+    "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -479,6 +480,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(ts) AS max_ts
         |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q26i: the manifest diff v1→v2 must read exactly the late-tail
+    // loads — the oracle recomputes the delta as ts >= the v1 horizon
+    // from the flat corpus; a missed new file or a re-read standing
+    // file changes the counts/extrema
+    "q26i_snapshot_diff" ->
+      """SELECT event_type, COUNT(*) AS n_new,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-20'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite

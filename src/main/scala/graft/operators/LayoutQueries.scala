@@ -360,6 +360,30 @@ object LayoutQueries {
       .orderBy("day")
   }
 
+  /** Q26i — INCREMENTAL CONSUMPTION between snapshots (the Delta
+    * change-data-feed / Iceberg incremental-read pattern): a consumer
+    * that processed version A and wants "what's new through version B"
+    * reads exactly the files B's manifest references that A's does not
+    * — a MANIFEST diff, no row-level anti-join, no rescan of the
+    * standing table. Append-only history makes file-diff ≡ row-diff
+    * (files are immutable and never shared across loads); cost is
+    * bounded by the delta's files regardless of table size — the shape
+    * every incremental ETL consumer at 100 TB actually runs ("give me
+    * the new loads since my checkpoint"). The oracle recomputes the
+    * delta from the flat corpus (`ts >=` the v1 horizon), so a diff
+    * that misses a new file or re-reads a standing one hash-fails on
+    * the counts. */
+  def q26iSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapRoot(spark, dir)
+    val before = SnapshotStore.filesAt(spark, root, 1L).toSet
+    val newFiles = SnapshotStore.filesAt(spark, root, 2L).filterNot(before)
+    SnapshotStore.readFiles(spark, root, newFiles)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   // ---- BM25 postings: partition by token bucket -----------------------
 
   val postingBuildCount = new AtomicInteger(0)
