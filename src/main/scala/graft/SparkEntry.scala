@@ -118,6 +118,9 @@ object SparkEntry {
     "q22b_range_join"      -> (RangeJoin.q22bRangeJoin _),
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
+    "q23c_expectations"    -> (RelationalQueries.q23cExpectations _),
+    "q27_funnel"           -> (WindowQueries.q27Funnel _),
+    "q27b_retention"       -> (WindowQueries.q27bRetention _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
     "q24b_interpolate"     -> (WindowQueries.q24bInterpolate _),
     "q25_cdc_upsert"       -> (RelationalQueries.q25CdcUpsert _),
@@ -1405,6 +1408,67 @@ object SparkEntry {
         |  COUNT(*) AS n_distinct,
         |  ROUND((1.0 + CAST(SUM(term) AS DOUBLE) / 1e15) / 2.0, 6) AS tvd
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // q23c: the data-quality contract recomputed clause by clause —
+    // the report deliberately contains a failing row (event_type enum
+    // drift via the 'error' rows) so the surfacing path is checked
+    "q23c_expectations" ->
+      """WITH rep AS (
+        |  SELECT 'orders' AS tbl, 'orderkey_unique' AS expectation,
+        |    COUNT(*) AS n_checked,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'discount_in_policy', COUNT(*),
+        |    COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.05) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'quantity_in_range', COUNT(*),
+        |    COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'fk_orderkey_exists', COUNT(*),
+        |    COUNT(*) FILTER (o.o_orderkey IS NULL)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'events', 'event_type_in_enum', COUNT(*),
+        |    COUNT(*) FILTER (event_type NOT IN ('view','click','purchase','signup'))
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'value_nonneg_notnull', COUNT(*),
+        |    COUNT(*) FILTER (value IS NULL OR value < 0) FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'ts_in_freshness_window', COUNT(*),
+        |    COUNT(*) FILTER (ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-02-01')
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 'text_nonempty', COUNT(*),
+        |    COUNT(*) FILTER (text IS NULL OR length(text) = 0) FROM documents)
+        |SELECT tbl, expectation, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_violations = 0 AS BIGINT) AS passed
+        |FROM rep ORDER BY tbl, expectation""".stripMargin,
+    // q27: the ordered funnel recomputed stage by stage — each stage's
+    // cohort requires a strictly-later event than the user's previous
+    // stage completion
+    "q27_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    // q27b: the cohort/offset retention triangle from first principles
+    "q27b_retention" ->
+      """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     // q26d reads only manifest-selected files of the z-ordered copy;
     // the oracle recomputes the box from the flat corpus — a manifest
     // bug surfaces as a hash mismatch, not silent wrong answers

@@ -584,4 +584,72 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
+
+  /** Q23c — DECLARATIVE DATA-QUALITY EXPECTATIONS (the Great
+    * Expectations / dbt-tests operator): a fixed contract of
+    * constraints — key uniqueness, referential integrity, enum
+    * membership, range/null policy, freshness window, non-empty
+    * payloads — evaluated in bulk and reported as one violations table
+    * (tbl, expectation, n_checked, n_violations, passed). Every
+    * training-data pipeline gates ingestion on exactly this report.
+    *
+    * Plan shape for 100 TB: ALL of a table's predicate expectations
+    * fuse into ONE column-pruned scan with conditional partial
+    * aggregates (map-side combine, a 1-row result per table);
+    * uniqueness rides the same scan as `n − countDistinct`; the only
+    * shuffle is the referential-integrity anti-join, on the pruned key
+    * column alone. The report deliberately includes a FAILING row on
+    * this corpus — `event_type` enum membership, which the 'error'
+    * rows violate — so the surfacing path is exercised, not just the
+    * all-green path. */
+  def q23cExpectations(spark: SparkSession, dir: String): DataFrame = {
+    def fused(df: DataFrame, tbl: String, exps: Seq[(String, Column)],
+              unique: Option[(String, Column)] = None): DataFrame = {
+      val aggs =
+        (count(lit(1)).as("n_checked") +:
+          exps.map { case (n, viol) => sum(when(viol, 1L).otherwise(0L)).as(s"v_$n") }) ++
+          unique.map { case (n, key) => countDistinct(key).as(s"d_$n") }.toSeq
+      val rows =
+        exps.map { case (n, _) =>
+          struct(lit(tbl).as("tbl"), lit(n).as("expectation"),
+            col("n_checked"), col(s"v_$n").as("n_violations"))
+        } ++ unique.map { case (n, _) =>
+          struct(lit(tbl).as("tbl"), lit(n).as("expectation"),
+            col("n_checked"), (col("n_checked") - col(s"d_$n")).as("n_violations"))
+        }.toSeq
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("e")).select("e.*")
+    }
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val events = Tables.load(spark, dir, "events")
+    val docs = Tables.load(spark, dir, "documents")
+    // the one shuffled expectation: anti-join on the pruned key column
+    // alone; the 1-row × 1-row crossJoin is the broadcast-stats pattern
+    val fkViol = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem").as("tbl"), lit("fk_orderkey_exists").as("expectation"),
+        col("n_checked"), col("n_violations"))
+    val perTable = Seq(
+      fused(orders, "orders", Nil, unique = Some(("orderkey_unique", col("o_orderkey")))),
+      fused(lineitem, "lineitem", Seq(
+        "discount_in_policy" -> (col("l_discount") < 0 || col("l_discount") > 0.05),
+        "quantity_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50))),
+      fused(events, "events", Seq(
+        "event_type_in_enum" ->
+          !col("event_type").isin("view", "click", "purchase", "signup"),
+        "value_nonneg_notnull" -> (col("value").isNull || col("value") < 0),
+        "ts_in_freshness_window" ->
+          (col("ts") < lit("2024-01-01").cast("timestamp") ||
+           col("ts") >= lit("2024-02-01").cast("timestamp")))),
+      fused(docs, "documents", Seq(
+        "text_nonempty" -> (col("text").isNull || length(col("text")) === 0))))
+    (perTable :+ fkViol.select("tbl", "expectation", "n_checked", "n_violations"))
+      .reduce(_.unionByName(_))
+      .withColumn("passed", (col("n_violations") === 0).cast("long"))
+      .orderBy("tbl", "expectation")
+  }
 }

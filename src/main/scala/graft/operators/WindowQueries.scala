@@ -291,4 +291,49 @@ object WindowQueries {
            count(lit(1)).as("n_events"),
            dsum(col("value")).as("sum_value"))
   }
+
+  /** Q27 — ORDERED FUNNEL analysis (view → click → purchase, in event
+    * order per user): stage N's cohort is the users whose first
+    * stage-(N−1) completion precedes a stage-N event — the product
+    * analytics query every event warehouse serves. Three keyed
+    * aggregations on `user_id`: stage 1 is one conditional min; each
+    * later stage joins the previous stage's (user, ts) — all three
+    * shuffles share the `user_id` key, so a real cluster co-partitions
+    * them (one exchange reused), and per-stage state is one timestamp
+    * per user, never the event list. Counts only in the output (exact
+    * longs — cross-engine hash-stable without float ratios). */
+  def q27Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("user_id", "event_type", "ts")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view").unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Q27b — COHORT RETENTION matrix: users cohorted by their first
+    * active day, activity bucketed by day offset from that cohort day —
+    * the (cohort × offset) triangle every growth dashboard draws. Two
+    * keyed aggregations (first-day per user; distinct active days per
+    * user) and one join, all on `user_id`; the output is bounded by
+    * days² regardless of corpus size. Exact long counts only. */
+  def q27bRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val cohort = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

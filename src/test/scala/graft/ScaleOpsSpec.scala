@@ -774,6 +774,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == flat, "version-pinned skipped scan diverged from the flat twin")
   }
 
+  test("q23c expectations: the enum-drift row fails loudly, clean constraints pass, FK checked count is the fact table") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.RelationalQueries.q23cExpectations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the deliberately failing expectation: 'error' rows violate the enum
+    val (_, enumViol, enumPass) = rows(("events", "event_type_in_enum"))
+    assert(enumViol > 0 && enumPass == 0, "enum drift must surface as a failed expectation")
+    // clean constraints pass with zero violations
+    for (k <- Seq(("orders", "orderkey_unique"), ("lineitem", "fk_orderkey_exists"),
+                  ("events", "value_nonneg_notnull"), ("documents", "text_nonempty"))) {
+      val (_, v, p) = rows(k)
+      assert(v == 0 && p == 1, s"$k expected clean, got $v violations")
+    }
+    val li = Tables.load(spark, sf, "lineitem").count()
+    assert(rows(("lineitem", "fk_orderkey_exists"))._1 == li,
+      "FK expectation must report the fact table's row count as checked")
+  }
+
+  test("q27 funnel: stage cohorts are nested (monotone non-increasing) and order-sensitive") {
+    import graft.operators.WindowQueries
+    val sf = "/root/testdata/sf0.001"
+    val stages = WindowQueries.q27Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(stages("1_view") >= stages("2_click") &&
+           stages("2_click") >= stages("3_purchase"),
+      s"funnel must narrow: $stages")
+    assert(stages("3_purchase") > 0, "the fixture has complete funnels")
+    // order-sensitivity: stage 2 counts clicks AFTER the first view,
+    // so it must undercount the users who merely have both types
+    val both = Tables.load(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+           max(when(col("event_type") === "click", 1).otherwise(0)).as("c"))
+      .where(col("v") === 1 && col("c") === 1).count()
+    assert(stages("2_click") <= both)
+  }
+
+  test("q27b retention: offset-0 diagonal equals cohort sizes; cells sum to total user-days") {
+    import graft.operators.WindowQueries
+    val sf = "/root/testdata/sf0.001"
+    val cells = WindowQueries.q27bRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.keys.forall(_._2 >= 0), "offsets are non-negative by construction")
+    // every user is active on their cohort day → the offset-0 column
+    // sums to the distinct-user count
+    val nUsers = Tables.load(spark, sf, "events").select("user_id").distinct().count()
+    assert(cells.collect { case ((_, 0L), n) => n }.sum == nUsers)
+    // cells partition the distinct (user, day) activity set
+    val userDays = Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(cells.values.sum == userDays)
+  }
+
   test("snapshot isolation: a reader pinned at N is untouched by a concurrent commit; vacuum retires only unreferenced files") {
     import graft.core.SnapshotStore
     import graft.sources.Layout
