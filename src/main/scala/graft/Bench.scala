@@ -238,6 +238,8 @@ object Bench {
               vs(pairs(SimilarityQueries.q17jPqTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17k_ivfpq_topk" ->
               vs(pairs(SimilarityQueries.q17kIvfPqTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
+            "q17m_binary_topk" ->
+              vs(pairs(SimilarityQueries.q17mBinaryHammingTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17i_hybrid_indexed" ->
               vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact))
         } catch {

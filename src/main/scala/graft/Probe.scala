@@ -67,6 +67,7 @@ object Probe {
       println(s"[probe] recall q17f=${vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
       println(s"[probe] recall q17j=${vs(pairs(SimilarityQueries.q17jPqTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
       println(s"[probe] recall q17k=${vs(pairs(SimilarityQueries.q17kIvfPqTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
+      println(s"[probe] recall q17m=${vs(pairs(SimilarityQueries.q17mBinaryHammingTopK(spark, dir), "probe_id", "neighbor_id"), exact)}")
       println(s"[probe] recall q17i=${vs(pairs(LayoutQueries.q17iHybridIndexed(spark, dir), "probe_id", "doc_id"), hExact)}")
     } else if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("pt")) {
       val (state, durations) = graft.streaming.StreamingPipelines

@@ -78,6 +78,7 @@ object SparkEntry {
     "q17j_pq_topk"         -> (SimilarityQueries.q17jPqTopK _),
     "q17k_ivfpq_topk"      -> (SimilarityQueries.q17kIvfPqTopK _),
     "q17l_pq_stream_ingest" -> (graft.streaming.StreamingPipelines.q17lPqStreamIngest _),
+    "q17m_binary_topk"     -> (SimilarityQueries.q17mBinaryHammingTopK _),
     "q18_text_stats"       -> (TextQueries.q18TextStats _),
     "q18b_bigrams"         -> (TextQueries.q18bBigrams _),
     "q18c_langid"          -> (TextQueries.q18cLangId _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q23_profile"          -> (RelationalQueries.q23Profile _),
     "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
     "q23c_expectations"    -> (RelationalQueries.q23cExpectations _),
+    "q25e_scd2_history"    -> (RelationalQueries.q25eScd2History _),
     "q27_funnel"           -> (WindowQueries.q27Funnel _),
     "q27b_retention"       -> (WindowQueries.q27bRetention _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
@@ -1445,6 +1447,18 @@ object SparkEntry {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  CAST(n_violations = 0 AS BIGINT) AS passed
         |FROM rep ORDER BY tbl, expectation""".stripMargin,
+    // q25e: SCD2 validity intervals recomputed with the same window —
+    // a delete closes the standing version and opens nothing
+    "q25e_scd2_history" ->
+      """WITH chg AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value FROM events),
+        |v AS (SELECT user_id, event_id, op, event_type, value, ts AS eff_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |      FROM chg)
+        |SELECT user_id, event_id, event_type, value, eff_from, eff_to,
+        |  CAST(eff_to IS NULL AS BIGINT) AS is_current
+        |FROM v WHERE op = 'U' ORDER BY user_id, eff_from, event_id""".stripMargin,
     // q27: the ordered funnel recomputed stage by stage — each stage's
     // cohort requires a strictly-later event than the user's previous
     // stage completion

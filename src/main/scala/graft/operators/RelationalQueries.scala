@@ -585,6 +585,33 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Q25e — SCD TYPE 2 dimension history from the changelog: every
+    * upsert opens a validity interval `[eff_from, eff_to)` closed by
+    * the user's next change (update OR delete — a delete closes the
+    * standing version and opens nothing, so a deleted user simply has
+    * no current row), `is_current` marks the open intervals. This is
+    * the warehouse pattern the q25 CDC family's latest-wins snapshot
+    * deliberately discards — history — and the table the as-of join
+    * family (q22) would serve point-in-time lookups from. One keyed
+    * window (`lead` over (ts, event_id) per user): state is a single
+    * carried row per partition stream, key-sharded — no global funnel,
+    * the q13-family scale shape. Deterministic total order via the
+    * event_id tie-break, carried into the output for hash stability. */
+  def q25eScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"))
+      .withColumn("eff_to", lead(col("ts"), 1).over(w))
+      .where(col("op") === "U")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts").as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "eff_from", "event_id")
+  }
+
   /** Q23c — DECLARATIVE DATA-QUALITY EXPECTATIONS (the Great
     * Expectations / dbt-tests operator): a fixed contract of
     * constraints — key uniqueness, referential integrity, enum

@@ -1178,6 +1178,42 @@ object SimilarityQueries {
     pqExactRerank(emb, shortlist)
   }
 
+  /** Q17m — BINARY (sign-bit) quantization search, completing the
+    * compression ladder f64 → int8 (q17e) → PQ8x4 (q17j) → 1 bit/dim:
+    * each 64-dim unit vector packs to ONE 64-bit word (bit i = vᵢ > 0),
+    * candidate scoring is `bit_count(xor)` — a single XOR+POPCNT per
+    * pair, the cheapest similarity primitive there is and the reason
+    * binary embeddings serve billion-scale first-pass retrieval at
+    * 512× less bandwidth than f64. Recall comes back through the
+    * standard bounded-shortlist exact re-rank (the q17j recipe). The
+    * packing is a codegen-friendly fold (shiftleft/bitwiseOR inside
+    * `aggregate`), derived in the scan — at 100 TB the 8-byte codes
+    * persist exactly like the PQ code table; the derivation is shown
+    * inline because it costs one projection. Rows-only (sign
+    * quantization is lossy); recall vs exact q17 stamped in the bench
+    * artifact and floored in spec. */
+  def q17mBinaryHammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val dim = graft.functions.HyperplaneLsh.Dim
+    def signCode(v: Column): Column =
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          call_function("shiftleft",
+            when(element_at(v, i + 1) > 0, lit(1L)).otherwise(lit(0L)), i)))
+    val codes = unit.select(col("id"), signCode(col("v")).as("code"))
+    val probes = codes.where(col("id") < 10)
+      .select(col("id").as("probe"), col("code").as("pcode"))
+    val scored = codes.join(broadcast(probes), col("id") =!= col("probe"))
+      .select(col("probe"), col("id"),
+        (-call_function("bit_count",
+          col("code").bitwiseXOR(col("pcode"))).cast("double")).as("score"))
+    val shortlist = rankedTopK(scored, pqShortlist, "negham")
+      .select(col("probe_id"), col("neighbor_id"))
+    pqExactRerank(emb, shortlist)
+  }
+
   private def rankedTopK(scored: DataFrame, k: Int, scoreName: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._

@@ -607,6 +607,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
   }
 
+  test("binary sign-bit top-k recall vs exact top-k (sf0.001)") {
+    val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val b = SimilarityQueries.q17mBinaryHammingTopK(spark, "/root/testdata/sf0.001")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 1 bit/dim on uniformly random unit vectors is the lossiest rung
+    // of the compression ladder; the 10×-k shortlist + exact re-rank
+    // must still recover a meaningful fraction
+    val recall = (exact & b).size.toDouble / exact.size
+    assert(recall >= 0.3, s"binary recall $recall too low (|exact|=${exact.size})")
+    assert(b.size <= 50)
+  }
+
   test("IVF x PQ top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
