@@ -1194,15 +1194,26 @@ object SimilarityQueries {
     * artifact and floored in spec. */
   def q17mBinaryHammingTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = normalized(spark, dir)
+    // MATERIALIZE the normalized array before the packing fold (the
+    // tokens() performance-contract trap, worst case: ProjectCollapse
+    // inlines the normalize-transform into EVERY step of the 64-step
+    // fold, and the interpreted HOF tree re-derives it per bit —
+    // measured 46 s vs 1.0 s at sf0.1 for the same 2000 codes)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val dim = graft.functions.HyperplaneLsh.Dim
     def signCode(v: Column): Column =
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
         (acc, i) => acc.bitwiseOR(
           call_function("shiftleft",
             when(element_at(v, i + 1) > 0, lit(1L)).otherwise(lit(0L)), i)))
+    // second barrier: the code table the pair join reads is computed
+    // once per corpus row, not once per (candidate, probe) pair — the
+    // exchange stands in for the persisted code table the PQ family
+    // keeps on disk
     val codes = unit.select(col("id"), signCode(col("v")).as("code"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val probes = codes.where(col("id") < 10)
       .select(col("id").as("probe"), col("code").as("pcode"))
     val scored = codes.join(broadcast(probes), col("id") =!= col("probe"))
