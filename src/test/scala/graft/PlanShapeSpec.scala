@@ -550,4 +550,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"pivot with declared values must scan orders exactly once: ${p.take(400)}")
   }
+
+  test("q23c: one scan per predicate-expectation table; the FK anti-join reads key columns only") {
+    val p = planString(RelationalQueries.q23cExpectations(spark, dir))
+    // events carries 3 expectations, lineitem 2 — each table's
+    // predicate expectations must FUSE into one scan (events appears
+    // once; lineitem appears for the fused row AND the FK probe AND the
+    // checked-count — 3 scans total for 3 distinct jobs, never 1 per
+    // expectation)
+    assert("Scan parquet .*events".r.findAllIn(p).size == 1,
+      s"events' three expectations must fuse into one scan:\n${p.take(600)}")
+    assert("Scan parquet .*documents".r.findAllIn(p).size == 1)
+    // the referential-integrity join must read ONLY the key columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "FK probe must prune lineitem to the key column")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      "FK build must prune orders to the key column")
+  }
+
+  test("q27: funnel stages share the user_id shuffle key — no cartesian, no global sort") {
+    val p = planString(graft.operators.WindowQueries.q27Funnel(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "stage joins must stay keyed")
+    // every exchange in the funnel hashes on user_id (stage aggs + joins)
+    val exchanges = "hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("user_id")),
+      s"all funnel shuffles must key on user_id, got: $exchanges")
+  }
+
+  test("q26g: the scan reads exactly the manifest-selected files of pinned v1") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    val root = LayoutQueries.eventsSnapRoot(spark, dir)
+    val df = LayoutQueries.q26gSnapshotSkipScan(spark, dir)
+    val (_, plan) = executedRowsAndPlan(df)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val dataScan = nodes(plan).collect {
+      case f: FileSourceScanExec => f
+    }.find(_.relation.location.inputFiles.exists(_.contains(root.getFileName.toString)))
+      .getOrElse(fail("no pruned data scan in the q26g plan"))
+    val expected = SnapshotStore.filesAtWhere(spark, root, 1L,
+      org.apache.spark.sql.functions.col("file")
+        .startsWith("data/event_type=purchase/") &&
+      org.apache.spark.sql.functions.col("max_ts") >=
+        org.apache.spark.sql.functions.lit("2024-01-12").cast("timestamp") &&
+      org.apache.spark.sql.functions.col("min_ts") <
+        org.apache.spark.sql.functions.lit("2024-01-25").cast("timestamp")).size
+    assert(dataScan.selectedPartitions.totalNumberOfFiles == expected,
+      s"q26g must read exactly the $expected manifest-selected files")
+  }
 }
