@@ -121,6 +121,8 @@ object SparkEntry {
     "q23b_source_drift"    -> (TextQueries.q23bSourceDrift _),
     "q23c_expectations"    -> (RelationalQueries.q23cExpectations _),
     "q25e_scd2_history"    -> (RelationalQueries.q25eScd2History _),
+    "q25f_pit_lookup"      -> (RelationalQueries.q25fPitLookup _),
+    "q26j_snapshot_compact" -> (graft.streaming.StreamingPipelines.q26jSnapshotCompact _),
     "q27_funnel"           -> (WindowQueries.q27Funnel _),
     "q27b_retention"       -> (WindowQueries.q27bRetention _),
     "q24_gapfill"          -> (WindowQueries.q24GapFill _),
@@ -1459,6 +1461,32 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type, value, eff_from, eff_to,
         |  CAST(eff_to IS NULL AS BIGINT) AS is_current
         |FROM v WHERE op = 'U' ORDER BY user_id, eff_from, event_id""".stripMargin,
+    // q25f: every user's state as of three instants, recomputed from
+    // the same interval derivation — a version row serves instant T
+    // iff eff_from <= T < eff_to (current rows open-ended; a user
+    // deleted before T has no row)
+    "q25f_pit_lookup" ->
+      """WITH chg AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value FROM events),
+        |v AS (SELECT user_id, op, event_type, value, ts AS eff_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |      FROM chg),
+        |u AS (SELECT * FROM v WHERE op = 'U'),
+        |t(as_of) AS (VALUES ('2024-01-08'), ('2024-01-15'), ('2024-01-22'))
+        |SELECT t.as_of, u.event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(u.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM u JOIN t ON u.eff_from <= CAST(t.as_of AS TIMESTAMP)
+        |  AND (u.eff_to IS NULL OR u.eff_to > CAST(t.as_of AS TIMESTAMP))
+        |GROUP BY 1, 2 ORDER BY as_of, event_type""".stripMargin,
+    // q26j: the compacted snapshot table's HEAD must still be exactly
+    // the full corpus — a compaction that dropped, duplicated, or
+    // reordered anything changes the daily rollup
+    "q26j_snapshot_compact" ->
+      """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // q27: the ordered funnel recomputed stage by stage — each stage's
     // cohort requires a strictly-later event than the user's previous
     // stage completion

@@ -238,6 +238,66 @@ object SnapshotStore {
     commit(spark, root, prevFiles ++ fresh)
   }
 
+  /** ROLLBACK to a version (Iceberg `rollback_to_snapshot` — the
+    * disaster-recovery primitive, and the staged-replay harness's
+    * reset): delete every later manifest and every data file they
+    * reference that version `v` does not, then swing HEAD back to `v`
+    * atomically. After rollback the table is bit-identical to its
+    * state when `v` committed — later epochs, compactions, and
+    * backfills are gone as if they never ran. Single-writer offline
+    * op; `v` must still be inside the retention horizon (vacuum keeps
+    * what rollback needs). */
+  def rollbackTo(spark: SparkSession, root: Path, v: Long): Unit = {
+    val head = headVersion(root).getOrElse(return)
+    if (head <= v) return
+    require(Files.exists(manifestPath(root, v)),
+      s"rollback target v=$v of $root was vacuumed")
+    val keep = filesAt(spark, root, v).toSet
+    val later = (v + 1 to head).filter(n => Files.exists(manifestPath(root, n)))
+    later.flatMap(n => filesAt(spark, root, n)).distinct
+      .filterNot(keep)
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
+    val tmp = snapDir(root).resolve("_HEAD.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, headPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    later.foreach(n => IndexStore.deleteRecursively(manifestPath(root, n)))
+  }
+
+  /** OPTIMIZE/compaction — the small-files maintenance op every
+    * streamed-ingest table needs (Iceberg `rewrite_data_files`): read
+    * HEAD, rewrite its content as `numFiles` fresh files (range-
+    * clustered and sorted on `sortCol` when given, so compaction also
+    * restores stats-skipping tightness), and commit a version
+    * referencing ONLY the rewritten files. Content-preserving by
+    * construction — a HEAD reader before and after sees identical
+    * rows, which the caller's oracle hash-checks — and non-destructive
+    * like every commit here: the superseded per-epoch files stay on
+    * disk for readers pinned inside the retention horizon until
+    * [[vacuum]] retires them. Offline-slot contract (single writer).
+    * For flat tables (no partition-dir columns); `statsCols` re-stamps
+    * envelopes on the rewritten files. Returns the committed version. */
+  def compact(spark: SparkSession, root: Path, numFiles: Int,
+              sortCol: Option[String] = None,
+              statsCols: Seq[String] = Nil): Long = {
+    val attempt = headVersion(root).getOrElse(0L) + 1
+    val rel = s"data/compact_a$attempt"
+    val df = readAt(spark, root, inferPartitions = false)
+    val shaped = sortCol match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(numFiles)
+    }
+    shaped.write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, fresh, statsCols)
+  }
+
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
     * file opened (the q26e argument, per version). */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {

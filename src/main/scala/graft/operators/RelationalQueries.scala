@@ -597,19 +597,52 @@ object RelationalQueries {
     * carried row per partition stream, key-sharded — no global funnel,
     * the q13-family scale shape. Deterministic total order via the
     * event_id tie-break, carried into the output for hash stability. */
-  def q25eScd2History(spark: SparkSession, dir: String): DataFrame = {
+  /** The SCD2 interval derivation shared by q25e (the history table)
+    * and q25f (point-in-time lookups): one keyed `lead` window per
+    * user over the changelog. Keeps the delete rows (they CLOSE the
+    * predecessor's interval — dropping them first would extend it past
+    * the delete); callers filter to `op = 'U'` afterwards. */
+  private def scd2Intervals(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.load(spark, dir, "events")
+    events
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
         col("event_type"), col("value"))
       .withColumn("eff_to", lead(col("ts"), 1).over(w))
+  }
+
+  def q25eScd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.load(spark, dir, "events"))
       .where(col("op") === "U")
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
         col("ts").as("eff_from"), col("eff_to"),
         col("eff_to").isNull.cast("long").as("is_current"))
       .orderBy("user_id", "eff_from", "event_id")
+
+  /** Q25f — POINT-IN-TIME lookup against the SCD2 history: "every
+    * user's state AS OF T" = the version row whose validity interval
+    * contains T (`eff_from ≤ T < eff_to`, open current rows included;
+    * a user whose latest change before T was a delete has NO row) —
+    * the reproducible-training-features read (q22's as-of join answers
+    * one probe's nearest past row; this answers the whole dimension at
+    * an instant) and the reason SCD2 histories exist. Three as-of
+    * instants reported side by side: interval containment is a FILTER
+    * over the derived intervals — per instant one predicate, no join,
+    * no re-derivation of history (the window runs once; the three
+    * instants share it via one union over the same frame). */
+  def q25fPitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val iv = scd2Intervals(Tables.load(spark, dir, "events"))
+      .where(col("op") === "U")
+    val asOf = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+    asOf.map { t =>
+      val ts = lit(t).cast("timestamp")
+      iv.where(col("ts") <= ts && (col("eff_to").isNull || col("eff_to") > ts))
+        .groupBy(lit(t).as("as_of"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    }.reduce(_.unionByName(_))
+      .orderBy("as_of", "event_type")
   }
 
   /** Q23c — DECLARATIVE DATA-QUALITY EXPECTATIONS (the Great

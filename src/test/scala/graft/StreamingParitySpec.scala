@@ -1091,6 +1091,63 @@ class StreamingParitySpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(t)
   }
 
+  test("q26j compaction: content-preserving file collapse; a re-staged replay after compaction does NOT duplicate") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val nAll = events.count()
+    // drive the declared query: replay (if needed) + compact + rollup
+    val rolled = StreamingPipelines.q26jSnapshotCompact(spark, dir).collect().toSeq
+    val root = graft.core.IndexStore.root("graft-snap-ingest", dir)
+    val head = SnapshotStore.headVersion(root).get
+    assert(SnapshotStore.filesAt(spark, root, head).size ==
+      StreamingPipelines.SnapCompactFiles,
+      "compaction must collapse to the target file count")
+    assert(SnapshotStore.countAt(spark, root) == nAll,
+      "compacted HEAD must still hold the full corpus")
+    // the pre-compaction version stays readable inside the horizon
+    assert(SnapshotStore.readAt(spark, root, Some(head - 1), inferPartitions = false)
+      .count() == nAll)
+    // re-run is a no-op between ingests (already compact)
+    assert(StreamingPipelines.q26jSnapshotCompact(spark, dir).collect().toSeq == rolled)
+    assert(SnapshotStore.headVersion(root).contains(head), "no-op re-run must not commit")
+    // THE TRAP: a full re-staged replay after compaction re-accepts
+    // every epoch; without the initial-load reset those rows would
+    // duplicate the compactor's epoch-less files
+    StreamingPipelines.clearCache()
+    val ids = StreamingPipelines.q26hStreamSnapIngest(spark, dir)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val expected = events
+      .where(col("event_type").isin("click", "purchase", "view")).count()
+    assert(ids == expected,
+      "re-staged replay after compaction must not duplicate absorbed epochs")
+  }
+
+  test("snapshot rollback: later versions' files retire, HEAD returns to the target bit-identically") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("snap-rollback")
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.where(col("event_id") < 500)
+      .write.mode("overwrite").parquet(t.resolve("data/base").toString)
+    SnapshotStore.commit(spark, t, SnapshotStore.dataFiles(t)) // v1
+    val v1Rows = SnapshotStore.readAt(spark, t, inferPartitions = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    SnapshotStore.commitEpoch(spark, t,
+      events.where(col("event_id") >= 500), 0L) // v2
+    assert(SnapshotStore.headVersion(t).contains(2L))
+    SnapshotStore.rollbackTo(spark, t, 1L)
+    assert(SnapshotStore.headVersion(t).contains(1L))
+    assert(SnapshotStore.readAt(spark, t, inferPartitions = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == v1Rows,
+      "rolled-back table must be bit-identical to v1")
+    // the epoch's files are gone from disk, not just unreferenced
+    assert(!SnapshotStore.dataFiles(t).exists(_.contains("epoch_0")),
+      "rollback must delete the later version's files")
+    graft.core.IndexStore.deleteRecursively(t)
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[StreamingPipelines.CountUpdate]) {
     def asScalaMax: Long = {
       var m = 0L
