@@ -1124,6 +1124,32 @@ class StreamingParitySpec extends AnyFunSuite {
       "re-staged replay after compaction must not duplicate absorbed epochs")
   }
 
+  test("snapshot torn commit: a manifest without the pointer swing is invisible; the next commit overwrites it") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("snap-torn")
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.where(col("event_id") < 400)
+      .write.mode("overwrite").parquet(t.resolve("data/base").toString)
+    SnapshotStore.commit(spark, t, SnapshotStore.dataFiles(t)) // v1
+    val v1Count = SnapshotStore.readAt(spark, t, inferPartitions = false).count()
+    // simulate a writer killed BETWEEN manifest write and pointer
+    // swing: v2's manifest lands fully, HEAD never moves
+    events.where(col("event_id") >= 400 && col("event_id") < 500)
+      .write.mode("overwrite").parquet(t.resolve("data/torn").toString)
+    SnapshotStore.manifest(spark, t, 1L)
+      .write.mode("overwrite").parquet(t.resolve("_snapshots/v=2").toString)
+    // readers never observe the torn version
+    assert(SnapshotStore.headVersion(t).contains(1L))
+    assert(SnapshotStore.readAt(spark, t, inferPartitions = false).count() == v1Count)
+    // the next real commit simply overwrites the torn manifest and
+    // completes the swing
+    val v = SnapshotStore.commit(spark, t, SnapshotStore.dataFiles(t))
+    assert(v == 2L && SnapshotStore.headVersion(t).contains(2L))
+    assert(SnapshotStore.readAt(spark, t, inferPartitions = false).count() == 500)
+    graft.core.IndexStore.deleteRecursively(t)
+  }
+
   test("snapshot rollback: later versions' files retire, HEAD returns to the target bit-identically") {
     import graft.core.SnapshotStore
     import org.apache.spark.sql.functions._
