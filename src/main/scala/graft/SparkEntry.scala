@@ -140,6 +140,7 @@ object SparkEntry {
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
+    "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -497,6 +498,15 @@ object SparkEntry {
         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
         |FROM events WHERE ts >= TIMESTAMP '2024-01-20'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q26k: the evolved table's merged-schema read — props exists only
+    // on post-cutoff loads, so pre-evolution rows must count as NULL;
+    // a reader that leaked or defaulted the column hash-fails
+    "q26k_schema_evolution" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-20' AND props IS NOT NULL)
+        |    AS n_with_props,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite
     "q22b_range_join" ->

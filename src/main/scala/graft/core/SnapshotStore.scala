@@ -190,15 +190,22 @@ object SnapshotStore {
     * read with `inferPartitions = false` — every column is then a data
     * column and the dir layout is storage-only. */
   def readAt(spark: SparkSession, root: Path, v: Option[Long] = None,
-             inferPartitions: Boolean = true): DataFrame = {
+             inferPartitions: Boolean = true,
+             mergeSchema: Boolean = false): DataFrame = {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver).map(f => root.resolve(f).toString)
     require(files.nonEmpty, s"snapshot v=$ver of $root is empty")
-    val r =
+    var r =
       if (inferPartitions)
         spark.read.option("basePath", root.resolve("data").toString)
       else spark.read
+    // SCHEMA EVOLUTION (q26k): a version whose loads span an added
+    // column reads under the UNION schema — rows from files that
+    // predate the column surface it as NULL, the additive-evolution
+    // contract every lakehouse format guarantees. Off by default: a
+    // same-schema table should not pay the per-footer schema merge.
+    if (mergeSchema) r = r.option("mergeSchema", "true")
     r.parquet(files: _*)
   }
 

@@ -384,6 +384,57 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  // ---- events: snapshot schema evolution ------------------------------
+
+  val snapEvoBuildCount = new AtomicInteger(0)
+  private val SnapEvoFamily = "graft-snap-evo"
+
+  /** Build-or-load the SCHEMA-EVOLVED snapshot table: the initial load
+    * (ts < [[SnapCutoff]]) lands WITHOUT the `props` column — the
+    * column did not exist yet — and the late load carries the full
+    * widened schema. Two loads, two commits, one pointer; the files
+    * are immutable, so "evolution" is purely additive and the old
+    * files are never rewritten (the lakehouse add-column contract —
+    * contrast a warehouse ALTER TABLE backfill rewriting history). */
+  def eventsSnapEvoRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapEvoFamily, dir, fp, Seq("data", "_snapshots"), snapEvoBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val cut = lit(SnapCutoff).cast("timestamp")
+      events.where(col("ts") < cut)
+        .select("event_id", "ts", "user_id", "event_type", "value") // pre-evolution schema
+        .repartition(4)
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v1
+      events.where(col("ts") >= cut) // full widened schema (+ props)
+        .repartition(4)
+        .write.mode("overwrite").parquet(r.resolve("data/load2").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v2 = HEAD
+    }
+  }
+
+  /** Q26k — SCHEMA EVOLUTION made load-bearing: HEAD spans files
+    * written before and after a column was added, read under the
+    * merged (union) schema — pre-evolution rows surface the new
+    * column as NULL, nothing is rewritten. The oracle recomputes from
+    * the flat corpus with the evolution boundary as an explicit
+    * predicate (`props` counts only past the cutoff), so a reader
+    * that dropped the column, defaulted it wrong, or leaked it onto
+    * old rows hash-fails. */
+  def q26kSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapEvoRoot(spark, dir)
+    SnapshotStore.readAt(spark, root, inferPartitions = false, mergeSchema = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("props")).as("n_with_props"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ---- BM25 postings: partition by token bucket -----------------------
 
   val postingBuildCount = new AtomicInteger(0)

@@ -829,6 +829,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cells.values.sum == userDays)
   }
 
+  test("q26k schema evolution: pinned v1 has no props column; merged HEAD nulls exactly the pre-evolution rows") {
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsSnapEvoRoot(spark, sf)
+    // the pre-evolution snapshot genuinely lacks the column
+    val v1 = SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false)
+    assert(!v1.columns.contains("props"), "v1 must predate the column")
+    // the merged read serves the union schema, NULL exactly where the
+    // column predates the row's file
+    val head = SnapshotStore.readAt(spark, root, inferPartitions = false,
+      mergeSchema = true)
+    assert(head.columns.contains("props"))
+    val cut = lit(LayoutQueries.SnapCutoff).cast("timestamp")
+    assert(head.where(col("ts") < cut && col("props").isNotNull).count() == 0,
+      "pre-evolution rows must surface the new column as NULL")
+    val events = Tables.load(spark, sf, "events")
+    assert(head.where(col("props").isNotNull).count() ==
+      events.where(col("ts") >= cut).count(),
+      "every post-evolution row carries the column")
+  }
+
   test("snapshot isolation: a reader pinned at N is untouched by a concurrent commit; vacuum retires only unreferenced files") {
     import graft.core.SnapshotStore
     import graft.sources.Layout
