@@ -113,6 +113,7 @@ object SparkEntry {
     "q20i_stream_session"  -> (graft.streaming.StreamingPipelines.q20iStreamSession _),
     "q20j_stream_enrich"   -> (graft.streaming.StreamingPipelines.q20jStreamEnrich _),
     "q20k_stream_wire"     -> (graft.streaming.StreamingPipelines.q20kStreamWire _),
+    "q20n_stream_funnel"   -> (graft.streaming.StreamingPipelines.q20nStreamFunnel _),
     "q21_skew_agg"         -> (SkewOps.q21SkewAgg _),
     "q22_asof_join"        -> (AsofJoin.q22AsofJoin _),
     "q22c_asof_tolerant"   -> (AsofJoin.q22cAsofTolerant _),
@@ -1501,6 +1502,20 @@ object SparkEntry {
     // cohort requires a strictly-later event than the user's previous
     // stage completion
     "q27_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    // q20n: the streamed funnel's drained state must equal batch q27 —
+    // same oracle, same stage semantics, maintained by a per-user
+    // state machine instead of three keyed aggregations
+    "q20n_stream_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)

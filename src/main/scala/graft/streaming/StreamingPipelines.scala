@@ -867,7 +867,7 @@ object StreamingPipelines {
     cache.clear(); wireCache.clear(); ingestCache.clear()
     growCache.clear(); embIngestCache.clear(); embGrowCache.clear(); mediaCache.clear()
     postingestCache.clear(); pqIngestReplayCache.clear(); lineIngestCache.clear()
-    snapIngestCache.clear()
+    snapIngestCache.clear(); funnelCache.clear()
   }
 
   // ---- the Kafka wire path, executed as a real stream ------------------
@@ -1778,6 +1778,86 @@ object StreamingPipelines {
     spark.read.parquet(lineIngestCache.getOrElseUpdate(dir, lineIngestReplay(spark, dir)))
       .select("doc_id", "n_lines", "kept_lines", "dropped_lines", "kept_chars", "clean_md5")
       .orderBy("doc_id")
+
+  // ---- streamed funnel (q20n): ordered-stage state machine ------------
+
+  /** Per-user funnel progress: the first view's ts, the first
+    * strictly-later click's ts, the first strictly-later purchase's
+    * ts — three timestamps per user, the whole state (never the event
+    * list). */
+  case class FunnelState(tv: Option[Timestamp], tc: Option[Timestamp],
+                         tp: Option[Timestamp])
+
+  /** The ordered funnel (q27) maintained IN-STREAM: a per-user
+    * `mapGroupsWithState` machine folds events in deterministic
+    * (ts, event_id) order — the replay is globally event-time-ordered
+    * across triggers (day chunks), and within a micro-batch the group
+    * iterator is sorted before folding, so the greedy first-match fold
+    * computes exactly the batch semantics (first view = min view ts;
+    * first strictly-later click = min such; …). Stage flags are
+    * MONOTONE (false→true only), so the drained per-epoch update-mode
+    * sink reduces by a plain max per user — no epoch bookkeeping
+    * needed at read. Oracle = batch q27's SQL, hash-checked. */
+  def funnelReplay(spark: SparkSession, dir: String,
+                   filesPerTrigger: Int = 16): String = {
+    import spark.implicits._
+    val chunkDir = chunkEvents(spark, dir)
+    val out  = Files.createTempDirectory("graft-funnel-out").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val fold: (Long, Iterator[Event], GroupState[FunnelState]) => (Long, Boolean, Boolean, Boolean) =
+      (uid, events, state) => {
+        var s = state.getOption.getOrElse(FunnelState(None, None, None))
+        for (e <- events.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+          if (s.tv.isEmpty && e.event_type == "view")
+            s = s.copy(tv = Some(e.ts))
+          else if (s.tv.nonEmpty && s.tc.isEmpty && e.event_type == "click" &&
+                   e.ts.after(s.tv.get))
+            s = s.copy(tc = Some(e.ts))
+          else if (s.tc.nonEmpty && s.tp.isEmpty && e.event_type == "purchase" &&
+                   e.ts.after(s.tc.get))
+            s = s.copy(tp = Some(e.ts))
+        }
+        state.update(s)
+        (uid, s.tv.isDefined, s.tc.isDefined, s.tp.isDefined)
+      }
+    val q = eventStream(spark,
+        SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
+      .where(col("event_type") =!= SentinelType)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+      .toDF("user_id", "v", "c", "p")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }.start()
+    q.awaitTermination()
+    out
+  }
+
+  private val funnelCache = TrieMap.empty[String, String]
+
+  /** Q20n — the drained streamed funnel: per-user stage flags reduced
+    * by max (monotone), stage cohorts counted — must hash-equal batch
+    * q27. */
+  def q20nStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val st = spark.read
+      .parquet(funnelCache.getOrElseUpdate(dir, funnelReplay(spark, dir)))
+      .groupBy("user_id")
+      .agg(max(col("v").cast("int")).as("v"), max(col("c").cast("int")).as("c"),
+        max(col("p").cast("int")).as("p"))
+      .agg(sum(col("v")).cast("long").as("n_view"),
+        sum(col("c")).cast("long").as("n_click"),
+        sum(col("p")).cast("long").as("n_purchase"))
+    st.select(explode(array(
+        struct(lit("1_view").as("stage"), col("n_view").as("n_users")),
+        struct(lit("2_click").as("stage"), col("n_click").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("n_purchase").as("n_users")))).as("s"))
+      .select("s.*")
+      .orderBy("stage")
+  }
 
   // ---- streamed snapshot ingest (q26h): one commit per epoch ----------
 

@@ -1124,6 +1124,19 @@ class StreamingParitySpec extends AnyFunSuite {
       "re-staged replay after compaction must not duplicate absorbed epochs")
   }
 
+  test("q20n streamed funnel: drained state-machine cohorts equal batch q27 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingPipelines.q20nStreamFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.WindowQueries.q27Funnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch,
+      s"stream/batch funnel divergence: $streamed vs $batch")
+    // the funnel genuinely narrows and completes on this corpus
+    assert(streamed.map(_._2).reverse == streamed.map(_._2).reverse.sorted &&
+      streamed.last._2 > 0)
+  }
+
   test("snapshot torn commit: a manifest without the pointer swing is invisible; the next commit overwrites it") {
     import graft.core.SnapshotStore
     import org.apache.spark.sql.functions._
