@@ -28,12 +28,18 @@ object Probe {
     })
 
     if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("q")) {
-      // isolate named queries: 1 warmup + 3 timed noop-sink runs each
+      // isolate named queries: 1 warmup + 3 timed noop-sink runs each.
+      // Replay-backed queries (q16j/k/l/m, q20k, …) memoize their drained
+      // sink per JVM; clear those caches before each timed run so the
+      // measurement covers the replay itself (what Bench pays each pass),
+      // not a parquet re-read of the memoized sink.
       val names = args.drop(1)
       names.foreach { n =>
         val fn = SparkEntry.queries(n)
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val times = (0 until 3).map { _ =>
+          graft.streaming.StreamingPipelines.clearCache()
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9

@@ -457,8 +457,8 @@ object SparkEntry {
         |        list_transform(string_split_regex(d.text, '\s+'),
         |          s -> CAST(length(s) * 131 + ascii(substring(s, 1, 1)) AS BIGINT))),
         |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
-        |    c.n_tokens, c.bpe_sig
-        |  FROM documents d JOIN cnt c USING (doc_id)),
+        |    COALESCE(c.n_tokens, 0) AS n_tokens, COALESCE(c.bpe_sig, 0) AS bpe_sig
+        |  FROM documents d LEFT JOIN cnt c USING (doc_id)),
         |c AS (SELECT source, lang, doc_id, n_tokens, bpe_sig,
         |        SUM(n_tokens) OVER (PARTITION BY source, lang ORDER BY fp, doc_id
         |                            ROWS UNBOUNDED PRECEDING) - n_tokens AS slice_offset

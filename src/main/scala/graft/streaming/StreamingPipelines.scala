@@ -2059,6 +2059,10 @@ object StreamingPipelines {
 
   private val pqIngestReplayCache = TrieMap.empty[String, Boolean]
 
+  /** Forget one dataset's PQ-ingest replay memo (tests: force a fresh
+    * staged replay without evicting every other pipeline's cache). */
+  def evictPqIngestReplay(dir: String): Unit = pqIngestReplayCache.remove(dir)
+
   /** Q17l — run (once per dataset per JVM) the PQ ingest replay, then
     * answer the q17j search from the loop-maintained index. Rows-only
     * by design (k-means artifact); the spec pins exact equality with
@@ -2173,14 +2177,18 @@ object StreamingPipelines {
     * source is exhausted, stops the query, and returns the final upsert
     * state plus each trigger's `triggerExecution` duration so the SLA
     * the reference implies (work per trigger < slide) is *measured*,
-    * not assumed — see StreamingParitySpec and BASELINE.md. The collect
-    * here is bounded per trigger (windows updated that trigger) and
-    * feeds no oracle. */
+    * not assumed — see StreamingParitySpec and BASELINE.md. Per-trigger
+    * updates drain to the durable idempotent epoch sink like every
+    * sibling pipeline (VERDICT r11 #5 — the old driver TrieMap was the
+    * one measurement path holding O(windows × types) driver memory
+    * DURING the stream); the final upsert state is derived from the
+    * sink by a latest-epoch-wins read, and only that bounded final
+    * state crosses the driver, for the caller's parity check. */
   def processingTimeReplay(spark: SparkSession, dir: String, triggerMs: Long = 500,
                            filesPerTrigger: Int = 3): (Map[(Timestamp, String), Long], Seq[Long]) = {
     val chunkDir = chunkEvents(spark, dir)
     val ckpt = Files.createTempDirectory("graft-pt-ckpt").toString
-    val state = TrieMap.empty[(Timestamp, String), Long]
+    val out = Files.createTempDirectory("graft-pt-out").toString
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     // Drain detection: on Spark 3.4+/4.x an idle ProcessingTime trigger
@@ -2213,8 +2221,8 @@ object StreamingPipelines {
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => state.put((r.getTimestamp(0), r.getString(1)), r.getLong(2)))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
       }.start()
     runIdRef.set(q.runId)
     try {
@@ -2233,7 +2241,13 @@ object StreamingPipelines {
     val durations = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
       .map(_.durationMs.get("triggerExecution").longValue())
-    (state.toMap, durations)
+    // latest-epoch-wins over the drained sink: update mode re-emits a
+    // key on change, so its highest batch_id carries the final value;
+    // only the final (windows × types) state crosses the driver
+    val state = readLatestWins(spark, out, Seq("window_start", "event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    (state, durations)
   }
 
   // ---- durable sink (foreachBatch → parquet, idempotent) ---------------

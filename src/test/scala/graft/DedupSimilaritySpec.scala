@@ -607,16 +607,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
   }
 
+  test("PQ appendix fault injection: an empty accepted batch reads as no appendix, retrain doesn't throw (VERDICT r11 #3)") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def unitOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("id"), transform(col("v"), x => x / col("n")).as("v"))
+    val baseUnit = unitOf(emb)
+    val idx = SimilarityQueries.pqIndex(spark, sf + "#pqemptybatch", baseUnit)
+    val base = SimilarityQueries.pqComposedCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    // the fault: an accepted micro-batch whose dir holds NO parquet data
+    // files (writer died after mkdir / emitted only _SUCCESS) — schema
+    // inference over it would throw if read unguarded
+    val batchDir = java.nio.file.Paths.get(s"${idx.codesPath}_inc", "batch_id=0")
+    java.nio.file.Files.createDirectories(batchDir)
+    java.nio.file.Files.write(batchDir.resolve("_SUCCESS"), Array.empty[Byte])
+    val composed = SimilarityQueries.pqComposedCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(composed == base,
+      "a parquet-less appendix batch dir must read as an absent appendix")
+    // the retrain policy must treat it as empty too: no throw, no retrain
+    assert(!SimilarityQueries.maybePqRetrain(spark, sf + "#pqemptybatch", idx, baseUnit),
+      "an empty appendix must never trigger (or crash) the retrain policy")
+    graft.core.IndexStore.deleteRecursively(
+      java.nio.file.Paths.get(s"${idx.codesPath}_inc"))
+  }
+
   test("binary sign-bit top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val b = SimilarityQueries.q17mBinaryHammingTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // 1 bit/dim on uniformly random unit vectors is the lossiest rung
-    // of the compression ladder; the 10×-k shortlist + exact re-rank
-    // must still recover a meaningful fraction
+    // 128 projected sign bits + the 3× widened shortlist (VERDICT r11
+    // #7): still the lossiest rung of the compression ladder, but the
+    // exact re-rank must now recover well over half the true top-5
     val recall = (exact & b).size.toDouble / exact.size
-    assert(recall >= 0.3, s"binary recall $recall too low (|exact|=${exact.size})")
+    assert(recall >= 0.5, s"binary recall $recall too low (|exact|=${exact.size})")
     assert(b.size <= 50)
   }
 

@@ -905,4 +905,55 @@ class ScaleOpsSpec extends AnyFunSuite {
       "HEAD read must survive vacuum untouched")
     graft.core.IndexStore.deleteRecursively(root)
   }
+
+  test("z-order strict mode: an event_type-ONLY in-place edit rebuilds the clustered copy (VERDICT r11 #2)") {
+    import graft.operators.LayoutQueries
+    // private copy of the sf0.001 events under its own path — the
+    // z-order family is keyed by dataset dir, so this never perturbs
+    // the standing index other tests share
+    val dataDir = java.nio.file.Files.createTempDirectory("zorder-strict-data")
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tgt = dataDir.resolve("events.parquet")
+    src.write.mode("overwrite").parquet(tgt.toString)
+    def byType(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    LayoutQueries.eventsZOrderedRoot(spark, dataDir.toString)
+    val built = LayoutQueries.zorderBuildCount.get()
+    // the edit q26c/q26d actually group by: event_type flips on a slice
+    // of rows; count, event_id range, user_id, ts, value all preserved
+    val tmp = dataDir.resolve("events2.parquet").toString
+    Tables.load(spark, dataDir.toString, "events")
+      .withColumn("event_type",
+        when(col("event_id") % 7 === 0, lit("edited_type"))
+          .otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(tmp)
+    tgt.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.deleteIfExists(tgt)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgt)
+    // cheap fingerprint: the documented tradeoff — no rebuild
+    LayoutQueries.clearZOrderMemo()
+    LayoutQueries.eventsZOrderedRoot(spark, dataDir.toString)
+    assert(LayoutQueries.zorderBuildCount.get() == built,
+      "the (count, id-range) fingerprint cannot see an event_type-only edit — documented")
+    // strict mode: the content hash covers event_type → rebuild, and the
+    // clustered copy then answers the edited corpus, not the stale one
+    sys.props("graft.index.strict") = "true"
+    try {
+      LayoutQueries.clearZOrderMemo()
+      LayoutQueries.eventsZOrderedRoot(spark, dataDir.toString)
+      assert(LayoutQueries.zorderBuildCount.get() == built + 1,
+        "strict mode must rebuild the z-order copy on an event_type-only edit")
+      assert(byType(LayoutQueries.eventsZOrdered(spark, dataDir.toString)) ==
+             byType(Tables.load(spark, dataDir.toString, "events")),
+        "rebuilt clustered copy must serve the edited per-type counts")
+      // unchanged content under strict mode revalidates without rebuilding
+      LayoutQueries.clearZOrderMemo()
+      LayoutQueries.eventsZOrderedRoot(spark, dataDir.toString)
+      assert(LayoutQueries.zorderBuildCount.get() == built + 1,
+        "strict revalidation of unchanged content must reuse the index")
+    } finally sys.props.remove("graft.index.strict")
+    graft.core.IndexStore.deleteRecursively(
+      graft.core.IndexStore.root("graft-layout-events-zorder", dataDir.toString))
+  }
 }

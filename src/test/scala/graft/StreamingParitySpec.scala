@@ -826,15 +826,20 @@ class StreamingParitySpec extends AnyFunSuite {
 
   test("q17l PQ ingest: retrain policy fires, appendix clears, drained search equals batch q17j") {
     val dir = "/root/testdata/sf0.001"
+    // deterministic fresh staging (VERDICT r11 #6): wipe the loop
+    // index's on-disk root and this JVM's memos, so the run pays
+    // EXACTLY base-train + growth-retrain regardless of what any prior
+    // JVM (including one that crashed between train and retrain) left
+    // behind — the old ∈{0,1,2} tolerance flaked on resumed state
+    StreamingPipelines.evictPqIngestReplay(dir)
+    graft.core.IndexStore.clearMemo("graft-pq")
+    graft.core.IndexStore.deleteRecursively(
+      graft.core.IndexStore.root("graft-pq", dir + "#pqingest"))
     val before = graft.operators.SimilarityQueries.pqIngestBuildCount.get
     val streamed = StreamingPipelines.q17lPqStreamIngest(spark, dir).collect().toSeq
     val delta = graft.operators.SimilarityQueries.pqIngestBuildCount.get - before
-    // a fresh staging pays exactly base-train + growth-retrain; a
-    // memoized same-JVM rerun pays nothing; a prior JVM that persisted
-    // the base index and died before the growth retrain leaves state
-    // where this run loads the base and pays only the retrain (1) —
-    // all three are legitimate starting states (ADVICE r10 #2)
-    assert(delta >= 0 && delta <= 2, s"unexpected pq_ingest build count delta $delta")
+    assert(delta == 2,
+      s"a fresh staging must pay exactly base-train + growth-retrain, got $delta")
     // the growth retrain cleared the appendix (25% > 20% threshold)
     val root = graft.core.IndexStore.root("graft-pq", dir + "#pqingest")
     assert(!java.nio.file.Files.exists(root.resolve("codes_inc")),
