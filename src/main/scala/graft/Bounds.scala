@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Machine-checked BOUNDS for the rows-only queries (VERDICT r11 #8):
+  * the 12 entries whose results a foreign SQL engine cannot hash-match
+  * (randomized sketches, ANN shortlists, k-means artifacts) each carry
+  * a quantitative verdict instead of nothing —
+  *
+  *  - q15b/q15d (HLL cardinality): estimate within rtol of the EXACT
+  *    `countDistinct` per group (which IS oracle-checkable and is the
+  *    hash-green q15's own aggregate);
+  *  - q15e (KLL/approx quantiles): order statistic within rtol of the
+  *    exact interpolated percentile (q15c's hash-green definition);
+  *  - q16e_raw (LSH near-dup over the raw corpus): exact-verified
+  *    precision must be 1.0 by construction AND recall vs the
+  *    brute-force all-pairs ground truth at the same threshold;
+  *  - q17b/c/f/j/k/m (ANN ladder): top-k recall vs the exact cosine
+  *    top-k (q17, hash-green) at or above each rung's floor;
+  *  - q17i (indexed hybrid): fused-set overlap vs the exact-ranker RRF
+  *    (q17h, hash-green);
+  *  - q17l (streamed PQ ingest): BYTE EQUALITY with the batch-built
+  *    q17j after the deterministic growth retrain — the strongest
+  *    check a k-means artifact admits.
+  *
+  * [[graft.Verify]] runs these after the dump and writes
+  * `bound_checks.json` next to `oracle_sql.json`, so the round's
+  * correctness artifact carries `{bound_checked: true, within, bound,
+  * pass}` per rows-only entry; RetrievalSpec/ScaleOpsSpec enforce the
+  * same floors in `sbt test`. Every comparison is a bounded driver-side
+  * set compare over ≤ a few hundred rows — the same discipline as the
+  * bench's recall stamps. */
+object Bounds {
+
+  final case class BoundCheck(name: String, kind: String,
+                              within: Double, bound: Double, pass: Boolean)
+
+  private def rnd3(x: Double): Double = math.rint(1000.0 * x) / 1000
+
+  /** Max relative error between an approx and exact per-group count. */
+  private def maxRelErr(approx: Map[String, Double], exact: Map[String, Double]): Double =
+    exact.map { case (k, e) =>
+      math.abs(approx.getOrElse(k, 0.0) - e) / math.max(e, 1e-9)
+    }.foldLeft(0.0)(math.max)
+
+  private def pairs(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
+
+  def all(spark: SparkSession, dir: String): Seq[BoundCheck] = {
+    import graft.operators.{LayoutQueries, RelationalQueries => R, SimilarityQueries => S}
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val exactUsers = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).cast("double").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def groupMap(df: DataFrame, valueCol: String): Map[String, Double] =
+      df.select(col("event_type"), col(valueCol).cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val checks = scala.collection.mutable.ArrayBuffer.empty[BoundCheck]
+    def add(name: String, kind: String, bound: Double)(within: => Double): Unit =
+      checks += (try {
+        val w = rnd3(within)
+        BoundCheck(name, kind, w, bound, w <= bound)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bounds] $name failed: ${e.getMessage}")
+          BoundCheck(name, kind, Double.NaN, bound, pass = false)
+      })
+    // recall-style checks pass when within >= bound
+    def addFloor(name: String, kind: String, floor: Double)(within: => Double): Unit =
+      checks += (try {
+        val w = rnd3(within)
+        BoundCheck(name, kind, w, floor, w >= floor)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bounds] $name failed: ${e.getMessage}")
+          BoundCheck(name, kind, Double.NaN, floor, pass = false)
+      })
+
+    // HLL estimates vs the exact per-type distinct (rsd 0.01 / lgK 12:
+    // a 5% band is ~4 standard errors)
+    add("q15b_approx_distinct", "rel_err_vs_exact", 0.05)(
+      maxRelErr(groupMap(R.q15ApproxDistinct(spark, dir), "approx_users"), exactUsers))
+    add("q15d_sketch_union", "rel_err_vs_exact", 0.05)(
+      maxRelErr(groupMap(R.q15dSketchUnion(spark, dir), "approx_users"), exactUsers))
+    // approx_percentile(accuracy=10000) vs the exact interpolated
+    // percentile: rank error ≤ n/accuracy, value error far inside 5%
+    add("q15e_approx_quantiles", "rel_err_vs_exact", 0.05) {
+      val approx = R.q15eApproxQuantiles(spark, dir)
+        .select(col("event_type"), col("p50_approx").cast("double"),
+          col("p95_approx").cast("double"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val exact = R.q15cQuantiles(spark, dir)
+        .select(col("event_type"), col("p50").cast("double"), col("p95").cast("double"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      exact.map { case (k, (e50, e95)) =>
+        val (a50, a95) = approx(k)
+        math.max(math.abs(a50 - e50) / math.max(math.abs(e50), 1e-9),
+                 math.abs(a95 - e95) / math.max(math.abs(e95), 1e-9))
+      }.foldLeft(0.0)(math.max)
+    }
+    // raw-corpus LSH near-dup vs the brute-force all-pairs ground truth
+    // at the same threshold (bounded: the corpus is the embeddings
+    // table; at this SF the exact pair set is tiny — empty on the
+    // generator's raw vectors, which is the point of the _raw variant)
+    addFloor("q16e_raw_embedding_neardup", "pair_recall_vs_bruteforce", 0.9) {
+      val emb = graft.core.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graft.operators.SimilarityQueries.dot(col("v"), col("v"))))
+      val l = emb.select(col("vec_id").as("vec_i"), col("v").as("v_i"), col("nrm").as("n_i"))
+      val r = emb.select(col("vec_id").as("vec_j"), col("v").as("v_j"), col("nrm").as("n_j"))
+      val exact = pairs(l.join(r, col("vec_i") < col("vec_j"))
+        .withColumn("cos", graft.operators.SimilarityQueries.dot(col("v_i"), col("v_j"))
+          / (col("n_i") * col("n_j")))
+        .where(round(col("cos"), 6) >= 0.9), "vec_i", "vec_j")
+      val got = pairs(S.q16eRawEmbeddingNearDup(spark, dir), "vec_i", "vec_j")
+      // precision is 1.0 by exact verification — a false positive would
+      // be a correctness bug, not an approximation; fold it into the
+      // verdict by failing recall when extras exist
+      if ((got -- exact).nonEmpty) 0.0 else recall(got, exact)
+    }
+    // the ANN ladder vs the hash-green exact cosine top-k
+    val exactTopK = pairs(S.q17CosineTopK(spark, dir), "probe_id", "neighbor_id")
+    addFloor("q17b_ann_topk", "recall_vs_exact_topk", 0.7)(
+      recall(pairs(S.q17bAnnTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    addFloor("q17c_ivf_topk", "recall_vs_exact_topk", 0.8)(
+      recall(pairs(S.q17cIvfTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    addFloor("q17f_ivf_int8_topk", "recall_vs_exact_topk", 0.8)(
+      recall(pairs(S.q17fIvfInt8TopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    addFloor("q17j_pq_topk", "recall_vs_exact_topk", 0.5)(
+      recall(pairs(S.q17jPqTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    addFloor("q17k_ivfpq_topk", "recall_vs_exact_topk", 0.55)(
+      recall(pairs(S.q17kIvfPqTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    addFloor("q17m_binary_topk", "recall_vs_exact_topk", 0.6)(
+      recall(pairs(S.q17mBinaryHammingTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
+    // indexed hybrid vs the exact-ranker RRF fusion
+    addFloor("q17i_hybrid_indexed", "overlap_vs_exact_rrf", 0.9) {
+      val hExact = pairs(S.q17hHybridRrf(spark, dir), "probe_id", "doc_id")
+      recall(pairs(LayoutQueries.q17iHybridIndexed(spark, dir), "probe_id", "doc_id"), hExact)
+    }
+    // streamed PQ ingest == batch-built q17j, byte for byte
+    addFloor("q17l_pq_stream_ingest", "byte_equality_with_q17j", 1.0) {
+      val streamed = graft.streaming.StreamingPipelines
+        .q17lPqStreamIngest(spark, dir).collect().toSeq
+      val batch = S.q17jPqTopK(spark, dir).collect().toSeq
+      if (streamed == batch) 1.0 else 0.0
+    }
+    checks.toSeq
+  }
+
+  def toJson(checks: Seq[BoundCheck]): String =
+    checks.map { c =>
+      val w = if (c.within.isNaN) "null" else c.within.toString
+      s""""${c.name}":{"bound_checked":true,"kind":"${c.kind}","within":$w,"bound":${c.bound},"pass":${c.pass}}"""
+    }.mkString("{", ",", "}")
+}

@@ -58,6 +58,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bounded verdicts for the rows-only entries (VERDICT r11 #8):
+    // never let a bounds failure abort the dump — the oracle compare is
+    // the primary gate, bound_checks.json is the secondary artifact
+    if (only.isEmpty) try {
+      val checks = Bounds.all(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/bound_checks.json"), Bounds.toJson(checks))
+      checks.foreach(c => println(
+        s"[verify] bound ${c.name}: ${c.kind} within=${c.within} bound=${c.bound} pass=${c.pass}"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] bound checks failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

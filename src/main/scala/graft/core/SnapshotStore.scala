@@ -117,11 +117,22 @@ object SnapshotStore {
     * `input_file_name` group, and looking them up used to throw).
     * Returns the new version; throws
     * `java.util.ConcurrentModificationException` if another committer
-    * published a version after this commit's HEAD read. */
+    * published a version after this commit's base read.
+    *
+    * `expectedBase` pins the base version this commit's `files` list
+    * was derived FROM (0 = expect an empty table): when >= 0 the CAS
+    * compares HEAD against it instead of re-reading at entry, so a
+    * committer whose derivation raced another writer fails loudly
+    * instead of committing a manifest built on stale state. -1 (the
+    * default) reads HEAD at entry — the single-writer convenience
+    * path, still CAS-protected between that read and the publish. */
   def commit(spark: SparkSession, root: Path, files: Seq[String],
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil, expectedBase: Long = -1L): Long = {
     import org.apache.spark.sql.Row
-    val prev = headVersion(root)
+    val prev =
+      if (expectedBase < 0) headVersion(root)
+      else if (expectedBase == 0) None
+      else Some(expectedBase)
     val next = prev.getOrElse(0L) + 1
     // one statsCols shape for life: an empty request inherits the
     // previous manifest's min_/max_ column set
