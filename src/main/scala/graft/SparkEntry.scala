@@ -142,6 +142,7 @@ object SparkEntry {
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
+    "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -508,6 +509,34 @@ object SparkEntry {
         |    AS n_with_props,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q26l: copy-on-write MERGE — the oracle recomputes the pre-merge
+    // (v1) and post-merge (head) tables from the flat corpus with the
+    // same integer decile cuts; a lost update / resurrected delete /
+    // double insert / stale-file leak all hash-fail
+    "q26l_merge_cow" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo, lo + (hi - lo) // 10 AS cut1,
+        |             lo + 2 * (hi - lo) // 10 AS cut2,
+        |             lo + 3 * (hi - lo) // 10 AS cut3 FROM b),
+        |merged AS (
+        |  SELECT e.event_id, e.ts, e.user_id, e.event_type,
+        |         CASE WHEN e.event_id <= c.cut1 THEN e.value + 1000 ELSE e.value END AS value
+        |  FROM events e, c
+        |  WHERE NOT (e.event_id > c.cut1 AND e.event_id <= c.cut2)
+        |  UNION ALL
+        |  SELECT e.event_id + 1000000000, e.ts + INTERVAL 30 DAY, e.user_id,
+        |         'merged', e.value * 2
+        |  FROM events e, c WHERE e.event_id > c.cut2 AND e.event_id <= c.cut3)
+        |SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       MAX(event_id) AS max_id, MAX(ts) AS max_ts
+        |FROM merged GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1', event_type, COUNT(*),
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+        |       MAX(event_id), MAX(ts)
+        |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite
     "q22b_range_join" ->

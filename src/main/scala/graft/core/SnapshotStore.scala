@@ -412,6 +412,79 @@ object SnapshotStore {
     commit(spark, root, fresh, statsCols)
   }
 
+  /** COPY-ON-WRITE MERGE — the row-level write op every lakehouse user
+    * needs next after append/compact (Iceberg/Delta `MERGE INTO`, COW
+    * flavor): apply a changes frame (full target schema + a boolean
+    * `deleteCol`) to HEAD by key —
+    *
+    *  - a table row whose key matches a change row is REPLACED by it
+    *    (update) or dropped (`deleteCol` true);
+    *  - a non-delete change row whose key is absent INSERTS;
+    *  - everything else passes through untouched.
+    *
+    * The COW contract is file-scoped, which is the whole point at
+    * 100 TB: only files whose manifest `min_<key>`/`max_<key>`
+    * envelope intersects a change key are rewritten — planning is a
+    * join of change keys against the SMALL manifest table, never a
+    * scan — so a merge touching one day of a key-clustered table
+    * rewrites that day's files, not the table (tables committed
+    * without key stats degrade to rewrite-all, correct but unpruned).
+    * Untouched files are carried into the new manifest byte-identical
+    * (spec-pinned); rewritten + inserted rows land as fresh
+    * key-range-clustered files under `data/merge_a<attempt>`, so
+    * envelope tightness survives repeated merges. Retry-idempotent
+    * like every write here (attempt dir keyed by the target version,
+    * overwrite semantics), committed with [[commit]]'s CAS pinned to
+    * the HEAD the plan was derived from. Single-writer offline-slot
+    * contract; flat tables (no partition-dir columns). Keys must be
+    * unique per row on both sides — the MERGE precondition every
+    * engine imposes. Returns the committed version. */
+  def mergeCow(spark: SparkSession, root: Path, changes: DataFrame,
+               keyCol: String, deleteCol: String = "_delete"): Long = {
+    import spark.implicits._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"mergeCow on uncommitted table $root"))
+    val man = manifest(spark, root, head)
+    val headFiles = filesAt(spark, root, head)
+    val changeKeys = changes.select(col(keyCol)).distinct()
+    // file-scoped planning: envelope ∩ change-keys via a join against
+    // the manifest (small table, broadcast keys); only matching file
+    // NAMES cross the driver
+    val touched: Seq[String] =
+      if (man.columns.contains(s"min_$keyCol") && man.columns.contains(s"max_$keyCol"))
+        man.join(broadcast(changeKeys),
+            col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "leftsemi")
+          .select("file").as[String].collect().toSeq.sorted
+      else headFiles
+    val touchedDf = readFiles(spark, root, touched, inferPartitions = false)
+    val dataCols = touchedDf.columns.toSeq
+    val upserts = changes.where(!col(deleteCol)).select(dataCols.map(col): _*)
+    // survivors: touched-file rows matched by NO change row (update,
+    // delete, or insert-key — insert keys are absent from the table by
+    // definition, so the anti-join is still exact)
+    val survivors = touchedDf.join(broadcast(changes.select(col(keyCol))),
+      Seq(keyCol), "left_anti")
+    val tableKeys = touchedDf.select(col(keyCol))
+    val updated = upserts.join(tableKeys, Seq(keyCol), "left_semi")
+    val inserts = upserts.join(tableKeys, Seq(keyCol), "left_anti")
+    val attempt = head + 1
+    val rel = s"data/merge_a$attempt"
+    val nFiles = math.max(1, touched.size)
+    survivors.unionByName(updated).unionByName(inserts)
+      .repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, headFiles.filterNot(touched.toSet) ++ fresh,
+      expectedBase = head)
+  }
+
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
     * file opened (the q26e argument, per version). */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {

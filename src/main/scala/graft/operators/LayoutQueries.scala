@@ -387,6 +387,95 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  // ---- events: copy-on-write MERGE on the snapshot seam ---------------
+
+  val snapMergeBuildCount = new AtomicInteger(0)
+  private val SnapMergeFamily = "graft-snap-merge"
+  /** Files per load of the merge table — key-range-clustered so the
+    * manifest's event_id envelopes are tight and the merge's file
+    * planning genuinely prunes (spec pins strictly-fewer rewritten). */
+  val SnapMergeFiles = 16
+
+  /** The deterministic change set for q26l, derived from the corpus's
+    * own id range (both engines compute the same integer decile cuts):
+    * first decile of event_ids → UPDATE (value + 1000), second decile
+    * → DELETE, third decile → INSERT (remapped id +1e9, type 'merged',
+    * ts + 30 days, value × 2). Returns (changes frame with `_delete`,
+    * the flat 5-column events projection). */
+  def mergeChanges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val flat = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo
+    val (cut1, cut2, cut3) = (lo + span / 10, lo + 2 * span / 10, lo + 3 * span / 10)
+    val updates = flat.where(col("event_id") <= cut1)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("_delete", lit(false))
+    val deletes = flat.where(col("event_id") > cut1 && col("event_id") <= cut2)
+      .withColumn("_delete", lit(true))
+    val inserts = flat.where(col("event_id") > cut2 && col("event_id") <= cut3)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"),
+        col("user_id"), lit("merged").as("event_type"),
+        (col("value") * 2.0).as("value"))
+      .withColumn("_delete", lit(false))
+    (updates.unionByName(deletes).unionByName(inserts), flat)
+  }
+
+  /** Build-or-load the MERGE-target snapshot table: the flat 5-column
+    * events projection, key-range-clustered over event_id into
+    * [[SnapMergeFiles]] files with per-file event_id envelopes (v1),
+    * then ONE copy-on-write merge of [[mergeChanges]] committed as v2
+    * ([[graft.core.SnapshotStore.mergeCow]]). History is part of the
+    * artifact: q26l reads BOTH versions, so the pre-merge table must
+    * survive the merge byte-identical in its untouched files. */
+  def eventsMergeRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "m1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapMergeFamily, dir, fp, Seq("data", "_snapshots"), snapMergeBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val (changes, flat) = mergeChanges(spark, dir)
+      flat.repartitionByRange(SnapMergeFiles, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("event_id")) // v1
+      SnapshotStore.mergeCow(spark, r, changes, "event_id") // v2 = HEAD
+    }
+  }
+
+  /** Q26l — COPY-ON-WRITE MERGE made load-bearing: one MERGE INTO
+    * (update + delete + insert in a single commit) against the
+    * key-clustered snapshot table, answered as the same typed rollup at
+    * pinned v1 (pre-merge) AND at HEAD (post-merge) from one versioned
+    * table. File planning is manifest-envelope pruned — only files
+    * whose event_id range intersects a change key are rewritten
+    * (strictly fewer than the table holds, spec-pinned), which is the
+    * 100 TB difference between "delete one cohort" costing a cohort
+    * rewrite vs a table rewrite. The DuckDB oracle recomputes BOTH
+    * versions from the flat corpus — the merged side as the
+    * update/delete/insert relational algebra over the same integer
+    * decile cuts — so a lost update, resurrected delete, double
+    * insert, or stale-file leak all hash-fail (max_id pins the insert
+    * remap, max_ts the interval arithmetic, sum_value the update
+    * delta, n_events the delete). */
+  def q26lMergeCow(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsMergeRoot(spark, dir)
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"),
+        max(col("ts")).as("max_ts"))
+    roll(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false), "v1")
+      .unionByName(roll(SnapshotStore.readAt(spark, root, inferPartitions = false), "head"))
+      .orderBy("snap", "event_type")
+  }
+
   // ---- events: snapshot schema evolution ------------------------------
 
   val snapEvoBuildCount = new AtomicInteger(0)

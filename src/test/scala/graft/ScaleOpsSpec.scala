@@ -1046,6 +1046,55 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(root)
   }
 
+  test("q26l COW merge: only envelope-intersecting files rewritten; untouched files byte-identical; both versions correct") {
+    import graft.core.{SnapshotStore, Tables}
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsMergeRoot(spark, sf)
+    assert(SnapshotStore.headVersion(root).contains(2L), "build must leave HEAD at v2")
+    val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+    val v2Files = SnapshotStore.filesAt(spark, root, 2L)
+    // COW pruning engaged: SOME v1 files were rewritten, but strictly
+    // fewer than the table holds — the change keys live in the first
+    // ~2 deciles of a key-range-clustered table
+    val dropped = v1Files.filterNot(v2Files.toSet)
+    val carried = v1Files.filter(v2Files.toSet)
+    assert(dropped.nonEmpty, "merge must rewrite the files its keys live in")
+    assert(carried.nonEmpty && dropped.size < v1Files.size,
+      s"COW must not rewrite the whole table: ${dropped.size} of ${v1Files.size} files touched")
+    // carried files are the SAME paths — immutable, byte-identical by
+    // construction (nothing ever rewrites a committed file in place);
+    // pin the invariant via modification-free existence + manifest rows
+    carried.foreach(f => assert(java.nio.file.Files.exists(root.resolve(f))))
+    // correctness of both versions vs direct recomputation
+    val flat = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+    val (cut1, cut2, cut3) = (lo + span / 10, lo + 2 * span / 10, lo + 3 * span / 10)
+    val expectedMerged = flat
+      .where(!(col("event_id") > cut1 && col("event_id") <= cut2))
+      .withColumn("value", when(col("event_id") <= cut1, col("value") + 1000.0)
+        .otherwise(col("value")))
+      .unionByName(flat.where(col("event_id") > cut2 && col("event_id") <= cut3)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"),
+          col("user_id"), lit("merged").as("event_type"),
+          (col("value") * 2.0).as("value")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().toSeq
+    assert(canon(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false)
+        .select("event_id", "ts", "user_id", "event_type", "value")) == canon(flat),
+      "pinned v1 must be the pre-merge table")
+    assert(canon(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .select("event_id", "ts", "user_id", "event_type", "value")) == canon(expectedMerged),
+      "HEAD must equal the update/delete/insert recomputation")
+    // key uniqueness survived (no double insert / resurrected delete)
+    val headKeys = SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .groupBy("event_id").count().where(col("count") > 1).count()
+    assert(headKeys == 0, "merge produced duplicate keys")
+  }
+
   test("z-order strict mode: an event_type-ONLY in-place edit rebuilds the clustered copy (VERDICT r11 #2)") {
     import graft.operators.LayoutQueries
     // private copy of the sf0.001 events under its own path — the
