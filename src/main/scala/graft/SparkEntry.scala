@@ -143,6 +143,7 @@ object SparkEntry {
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
+    "q26m_wap_publish"     -> (LayoutQueries.q26mWapPublish _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -536,6 +537,24 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
         |       MAX(event_id), MAX(ts)
         |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
+    // q26m: write-audit-publish — HEAD must be base ∪ the even-id tail
+    // (the published batch) and NOTHING else: a leaked poisoned row
+    // (negative value / +2e9 id) or a HEAD moved by the rejected cycle
+    // hash-fails; v1 pins the pre-ingest base
+    "q26m_wap_publish" ->
+      """WITH wap AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20' OR event_id % 2 = 0)
+        |SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       ROUND(MIN(value), 6) AS min_value, MAX(event_id) AS max_id
+        |FROM wap GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1', event_type, COUNT(*),
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+        |       ROUND(MIN(value), 6), MAX(event_id)
+        |FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
     // q22b: the naive inequality join (DuckDB plans an IEJoin) is the
     // independent oracle for the engine's binned band-join rewrite

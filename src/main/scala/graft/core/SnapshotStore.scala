@@ -81,6 +81,32 @@ object SnapshotStore {
     if (!Files.exists(headPath(root))) None
     else Some(new String(Files.readAllBytes(headPath(root)), "UTF-8").trim.toLong)
 
+  // ---- named refs (branches) — the write-audit-publish seam ----------
+
+  private def refsDir(root: Path): Path = snapDir(root).resolve("refs")
+  private def refPathOf(root: Path, ref: String): Path =
+    if (ref == "HEAD") headPath(root) else refsDir(root).resolve(ref)
+
+  /** A named ref's version ("HEAD" = the main pointer). Branch refs
+    * live under `_snapshots/refs/<name>` — same one-number text-file
+    * shape as HEAD, same atomic-rename swing. */
+  def refVersion(root: Path, ref: String): Option[Long] = {
+    val p = refPathOf(root, ref)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** Every version with a manifest on disk (mainline history + live
+    * branch chains + any torn dangler), from the `v=N` dir listing. */
+  def manifestVersions(root: Path): Seq[Long] = {
+    if (!Files.exists(snapDir(root))) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(snapDir(root))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSeq.sorted
+    finally s.close()
+  }
+
   /** All parquet data files under `<root>/data`, RELATIVE to `root` —
     * the writer-side helper for building a commit's file list right
     * after a write. Driver-side walk, bounded by the table's file count
@@ -125,12 +151,25 @@ object SnapshotStore {
     * committer whose derivation raced another writer fails loudly
     * instead of committing a manifest built on stale state. -1 (the
     * default) reads HEAD at entry — the single-writer convenience
-    * path, still CAS-protected between that read and the publish. */
+    * path, still CAS-protected between that read and the publish.
+    *
+    * `ref` commits to a named BRANCH instead of HEAD (the
+    * write-audit-publish seam): the first branch commit forks from the
+    * current HEAD (carried rows and base files come from there), later
+    * ones chain on the branch tip; only the branch pointer moves —
+    * mainline readers never see a staging version until
+    * [[publishBranch]] fast-forwards HEAD. Contract: a staging
+    * branch's lifetime does not interleave with mainline commits or
+    * other branches (the same offline-slot discipline as every
+    * maintenance op) — version numbers chain linearly from the fork
+    * point, so publish is a pure pointer fast-forward. */
   def commit(spark: SparkSession, root: Path, files: Seq[String],
-             statsCols: Seq[String] = Nil, expectedBase: Long = -1L): Long = {
+             statsCols: Seq[String] = Nil, expectedBase: Long = -1L,
+             ref: String = "HEAD"): Long = {
     import org.apache.spark.sql.Row
     val prev =
-      if (expectedBase < 0) headVersion(root)
+      if (expectedBase < 0)
+        refVersion(root, ref).orElse(if (ref == "HEAD") None else headVersion(root))
       else if (expectedBase == 0) None
       else Some(expectedBase)
     val next = prev.getOrElse(0L) + 1
@@ -181,12 +220,15 @@ object SnapshotStore {
     val manifestRows =
       files.map(f => carried.getOrElse(f, freshRows.getOrElse(f, zeroRow(f))))
     lockFor(root).synchronized {
-      // CAS guard (same-process fast path): HEAD must still be the base
-      // this manifest derived from
-      if (headVersion(root) != prev)
+      // CAS guard (same-process fast path): the ref being committed to
+      // must still sit at the base this manifest derived from (for a
+      // not-yet-born branch: its fork point, HEAD)
+      val refNow = refVersion(root, ref)
+        .orElse(if (ref == "HEAD") None else headVersion(root))
+      if (refNow != prev)
         throw new java.util.ConcurrentModificationException(
-          s"commit of $root based on v=${prev.getOrElse(0L)} lost to a concurrent " +
-          s"commit (HEAD is now v=${headVersion(root).getOrElse(0L)})")
+          s"commit of $root ($ref) based on v=${prev.getOrElse(0L)} lost to a concurrent " +
+          s"commit ($ref is now v=${refNow.getOrElse(0L)})")
       // publish: write the manifest fully under a temp name, stamp it
       // with this commit's uuid, then atomically rename to v=N — the
       // cross-process CAS (rename refuses a non-empty target)
@@ -200,15 +242,17 @@ object SnapshotStore {
         try { Files.move(tmpMan, manifestPath(root, next), StandardCopyOption.ATOMIC_MOVE); true }
         catch { case _: java.nio.file.FileSystemException => false }
       if (!publish()) {
-        val headNow = headVersion(root)
-        if (headNow.getOrElse(0L) >= next) {
+        val now = refVersion(root, ref)
+          .orElse(if (ref == "HEAD") None else headVersion(root))
+        if (now.getOrElse(0L) >= next) {
           IndexStore.deleteRecursively(tmpMan)
           throw new java.util.ConcurrentModificationException(
-            s"commit of $root based on v=${prev.getOrElse(0L)} lost the publish race for " +
-            s"v=$next (HEAD is now v=${headNow.getOrElse(0L)})")
+            s"commit of $root ($ref) based on v=${prev.getOrElse(0L)} lost the publish race " +
+            s"for v=$next ($ref is now v=${now.getOrElse(0L)})")
         }
-        // v=next exists but HEAD never reached it: a writer died between
-        // publish and pointer swing — reclaim the orphan and retry once
+        // v=next exists but the ref never reached it: a writer died
+        // between publish and pointer swing — reclaim the orphan and
+        // retry once
         IndexStore.deleteRecursively(manifestPath(root, next))
         if (!publish()) {
           IndexStore.deleteRecursively(tmpMan)
@@ -226,13 +270,78 @@ object SnapshotStore {
           s"commit of $root: published manifest v=$next was displaced by a concurrent reclaim")
       // the atomic pointer swing: readers see the old version or the new
       // one, never a torn state
-      val tmp = snapDir(root).resolve("_HEAD.tmp")
-      Files.write(tmp, next.toString.getBytes("UTF-8"))
-      Files.move(tmp, headPath(root), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      swingRef(root, ref, next)
     }
     next
   }
+
+  /** Atomically point `ref` at version `v` (HEAD or a branch ref). */
+  private def swingRef(root: Path, ref: String, v: Long): Unit = {
+    val target = refPathOf(root, ref)
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(s"_${target.getFileName}.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** PUBLISH a staging branch (the write-audit-publish gate's happy
+    * path, Iceberg `fast_forward`): atomically fast-forward HEAD to
+    * the branch tip and retire the ref. The branch chained linearly
+    * from its fork point (see [[commit]]'s branch contract), so its
+    * intermediate versions become ordinary mainline history — pinned
+    * readers and time travel keep working across the publish. Requires
+    * the tip to be strictly ahead of HEAD. Returns the published
+    * version. */
+  def publishBranch(spark: SparkSession, root: Path, branch: String): Long =
+    lockFor(root).synchronized {
+      val tip = refVersion(root, branch).getOrElse(
+        throw new IllegalStateException(s"publish of unknown branch $branch on $root"))
+      require(Files.exists(manifestPath(root, tip)),
+        s"branch $branch tip v=$tip of $root has no manifest")
+      val head = headVersion(root).getOrElse(0L)
+      require(tip > head,
+        s"publish of $branch (v=$tip) is not a fast-forward of HEAD (v=$head)")
+      swingRef(root, "HEAD", tip)
+      Files.deleteIfExists(refPathOf(root, branch))
+      tip
+    }
+
+  /** DROP a staging branch (the audit gate's reject path): delete the
+    * ref, then prune every manifest above HEAD that no surviving ref
+    * reaches, and every data file only those manifests referenced —
+    * the staged-but-rejected batch leaves no trace, and HEAD readers
+    * were never exposed to it. Returns the pruned data files. */
+  def dropBranch(spark: SparkSession, root: Path, branch: String): Seq[String] =
+    lockFor(root).synchronized {
+      Files.deleteIfExists(refPathOf(root, branch))
+      val head = headVersion(root).getOrElse(0L)
+      val refTips = {
+        if (!Files.exists(refsDir(root))) Seq.empty[Long]
+        else {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(refsDir(root))
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(_.startsWith("_"))
+            .flatMap(n => refVersion(root, n)).toSeq
+          finally s.close()
+        }
+      }
+      val all = manifestVersions(root)
+      // a live branch needs its whole chain (fork..tip): keep every
+      // version at or below some surviving tip
+      val dead = all.filter(v => v > head && !refTips.exists(v <= _))
+      if (dead.isEmpty) Seq.empty
+      else {
+        val live = all.filterNot(dead.toSet)
+        val keep = live.flatMap(v => filesAt(spark, root, v)).toSet
+        val prunedFiles = dead.flatMap(v => filesAt(spark, root, v)).distinct
+          .filterNot(keep)
+        prunedFiles.foreach(f => Files.deleteIfExists(root.resolve(f)))
+        dead.foreach(v => IndexStore.deleteRecursively(manifestPath(root, v)))
+        prunedFiles
+      }
+    }
 
   /** Version N's manifest: (file, n_rows[, min_c/max_c envelopes]),
     * file relative to root. */

@@ -476,6 +476,114 @@ object LayoutQueries {
       .orderBy("snap", "event_type")
   }
 
+  // ---- events: write-audit-publish (staging branch) -------------------
+
+  val snapWapBuildCount = new AtomicInteger(0)
+  private val SnapWapFamily = "graft-snap-wap"
+
+  /** The audit every staged batch must pass before publish: no
+    * negative values, no null user/ts — the q23c expectation shape,
+    * applied to the branch DELTA only (manifest diff = the staged
+    * files; the standing table is not re-audited per batch). Returns
+    * the violation count. */
+  def wapAuditViolations(spark: SparkSession, root: java.nio.file.Path,
+                         branch: String): Long = {
+    val tip = SnapshotStore.refVersion(root, branch).getOrElse(
+      throw new IllegalStateException(s"audit of unknown branch $branch"))
+    val headFiles = SnapshotStore.headVersion(root)
+      .map(v => SnapshotStore.filesAt(spark, root, v).toSet)
+      .getOrElse(Set.empty)
+    val delta = SnapshotStore.filesAt(spark, root, tip).filterNot(headFiles)
+    SnapshotStore.readFiles(spark, root, delta, inferPartitions = false)
+      .where(col("value") < 0 || col("user_id").isNull || col("ts").isNull)
+      .count()
+  }
+
+  /** Stage one batch's files on `branch` (fork-from-HEAD on first
+    * commit): fresh immutable files under `data/branch_<label>`, the
+    * branch manifest = fork files ∪ the batch — mainline readers see
+    * nothing until publish. */
+  def commitBatchToBranch(spark: SparkSession, root: java.nio.file.Path,
+                          branch: String, batch: DataFrame, label: String): Long = {
+    val rel = s"data/branch_$label"
+    batch.write.mode("overwrite").parquet(root.resolve(rel).toString)
+    val baseV = SnapshotStore.refVersion(root, branch)
+      .orElse(SnapshotStore.headVersion(root))
+    val baseFiles = baseV.map(v => SnapshotStore.filesAt(spark, root, v)).getOrElse(Seq.empty)
+    val fresh = SnapshotStore.dataFiles(root)
+      .filter(_.startsWith(rel.stripSuffix("/") + "/"))
+    SnapshotStore.commit(spark, root, baseFiles ++ fresh, ref = branch)
+  }
+
+  /** Build-or-load the WRITE-AUDIT-PUBLISH table: the pre-cutoff
+    * events as mainline v1, then two staged batches through the full
+    * WAP cycle on a `staging` branch —
+    *
+    *  1. a POISONED batch (the odd-id tail, ids remapped +2e9, values
+    *     negated) commits to the branch; the audit counts violations
+    *     > 0 → [[graft.core.SnapshotStore.dropBranch]]: HEAD never
+    *     moves, the staged manifests and files are pruned;
+    *  2. the GOOD batch (the even-id tail, verbatim) commits to the
+    *     branch; the audit passes → `publishBranch` fast-forwards HEAD
+    *     atomically.
+    *
+    * Readers only ever saw v1 then v1+good — the Iceberg WAP pattern,
+    * which is how a production ingest keeps a bad upstream drop out of
+    * every downstream consumer without a rollback scramble. */
+  def eventsWapRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "w1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapWapFamily, dir, fp, Seq("data", "_snapshots"), snapWapBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val flat = events.select("event_id", "ts", "user_id", "event_type", "value")
+      val cut = lit(SnapCutoff).cast("timestamp")
+      flat.where(col("ts") < cut)
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("event_id")) // v1 = HEAD
+      val tail = flat.where(col("ts") >= cut)
+      // WAP cycle 1: the poisoned batch fails its audit and is dropped
+      val bad = tail.where(col("event_id") % 2 === 1)
+        .select((col("event_id") + 2000000000L).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"),
+          (-abs(col("value")) - 1.0).as("value"))
+      commitBatchToBranch(spark, r, "staging", bad, "bad")
+      require(wapAuditViolations(spark, r, "staging") > 0,
+        "the poisoned batch must trip the audit")
+      SnapshotStore.dropBranch(spark, r, "staging")
+      // WAP cycle 2: the good batch passes and publishes
+      val good = tail.where(col("event_id") % 2 === 0)
+      commitBatchToBranch(spark, r, "staging", good, "good")
+      require(wapAuditViolations(spark, r, "staging") == 0,
+        "the good batch must pass the audit")
+      SnapshotStore.publishBranch(spark, r, "staging")
+    }
+  }
+
+  /** Q26m — WRITE-AUDIT-PUBLISH made load-bearing: the same typed
+    * rollup at pinned v1 (pre-ingest) and at HEAD (post-WAP) from the
+    * staged table. The DuckDB oracle recomputes both from the flat
+    * corpus — HEAD as base ∪ the even-id tail — so a leaked poisoned
+    * row (negative value, +2e9 id), a lost good batch, or a HEAD moved
+    * by the rejected cycle all hash-fail (min_value pins the audit
+    * floor, max_id the id space, n_events the batch membership). */
+  def q26mWapPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsWapRoot(spark, dir)
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        round(min(col("value")), 6).as("min_value"),
+        max(col("event_id")).as("max_id"))
+    roll(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false), "v1")
+      .unionByName(roll(SnapshotStore.readAt(spark, root, inferPartitions = false), "head"))
+      .orderBy("snap", "event_type")
+  }
+
   // ---- events: snapshot schema evolution ------------------------------
 
   val snapEvoBuildCount = new AtomicInteger(0)

@@ -1095,6 +1095,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(headKeys == 0, "merge produced duplicate keys")
   }
 
+  test("q26m WAP: staged batches invisible to HEAD; reject prunes without a trace; publish is a pointer fast-forward") {
+    import graft.core.{SnapshotStore, Tables}
+    import graft.operators.LayoutQueries
+    import spark.implicits._
+    // drive the cycle by hand on a private table (the q26m build runs
+    // the same code; here each intermediate state is asserted)
+    val root = java.nio.file.Files.createTempDirectory("snap-wap-spec")
+    (1L to 20L).map(i => (i, i * 1.5)).toDF("id", "value").coalesce(2)
+      .write.parquet(root.resolve("data/load1").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1 = HEAD
+    val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+    def headCount = SnapshotStore.readAt(spark, root, inferPartitions = false).count()
+    assert(headCount == 20)
+    // stage a poisoned batch on the branch
+    val bad = Seq((100L, -5.0), (101L, -6.0)).toDF("id", "value")
+    val badV = LayoutQueries.commitBatchToBranch(spark, root, "staging", bad, "bad")
+    assert(badV == 2L)
+    assert(SnapshotStore.headVersion(root).contains(1L),
+      "a branch commit must not move HEAD")
+    assert(headCount == 20, "HEAD readers must not see staged rows")
+    assert(SnapshotStore.readAt(spark, root, Some(badV), inferPartitions = false).count() == 22,
+      "the branch tip must serve base + staged batch")
+    // audit fails (negative values) → drop: ref gone, manifest pruned,
+    // staged files pruned, base untouched
+    val auditBad = SnapshotStore.readAt(spark, root, Some(badV), inferPartitions = false)
+      .where(col("value") < 0).count()
+    assert(auditBad == 2)
+    val pruned = SnapshotStore.dropBranch(spark, root, "staging")
+    assert(pruned.nonEmpty && pruned.forall(_.contains("branch_bad")),
+      s"drop must prune exactly the staged files, got $pruned")
+    assert(SnapshotStore.refVersion(root, "staging").isEmpty)
+    assert(SnapshotStore.manifestVersions(root) == Seq(1L),
+      "the rejected manifest must be gone")
+    assert(SnapshotStore.filesAt(spark, root, 1L) == v1Files && headCount == 20)
+    // the version number is reusable after the prune: stage the good
+    // batch, audit passes, publish fast-forwards HEAD atomically
+    val good = Seq((200L, 7.0), (201L, 8.0), (202L, 9.0)).toDF("id", "value")
+    val goodV = LayoutQueries.commitBatchToBranch(spark, root, "staging", good, "good")
+    assert(goodV == 2L, "the pruned version number must be reclaimed by the next cycle")
+    assert(SnapshotStore.headVersion(root).contains(1L) && headCount == 20)
+    val published = SnapshotStore.publishBranch(spark, root, "staging")
+    assert(published == goodV)
+    assert(SnapshotStore.headVersion(root).contains(goodV))
+    assert(SnapshotStore.refVersion(root, "staging").isEmpty, "publish retires the ref")
+    assert(headCount == 23, "published HEAD = base + good batch")
+    // time travel across the publish: v1 still serves the base exactly
+    assert(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false).count() == 20)
+    // a second publish of a dead branch fails loudly; non-fast-forward
+    // publishes are refused
+    intercept[IllegalStateException] {
+      SnapshotStore.publishBranch(spark, root, "staging")
+    }
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("z-order strict mode: an event_type-ONLY in-place edit rebuilds the clustered copy (VERDICT r11 #2)") {
     import graft.operators.LayoutQueries
     // private copy of the sf0.001 events under its own path — the
