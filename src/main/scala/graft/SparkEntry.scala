@@ -144,6 +144,7 @@ object SparkEntry {
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
     "q26m_wap_publish"     -> (LayoutQueries.q26mWapPublish _),
+    "q26n_stream_cdc_merge" -> (graft.streaming.StreamingPipelines.q26nStreamCdcMerge _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -619,6 +620,16 @@ object SparkEntry {
         |  CAST(avg_v IS NULL AS BIGINT) AS is_gap
         |FROM j ORDER BY event_type, hour""".stripMargin,
     "q25_cdc_upsert" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q26n: the streamed recency-resolved MERGE must converge to q25's
+    // batch upsert exactly — same SQL, the strongest check a stateful
+    // multi-epoch merge admits
+    "q26n_stream_cdc_merge" ->
       """WITH r AS (SELECT user_id, event_type, value, ts,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -547,9 +547,22 @@ object SnapshotStore {
     * the HEAD the plan was derived from. Single-writer offline-slot
     * contract; flat tables (no partition-dir columns). Keys must be
     * unique per row on both sides — the MERGE precondition every
-    * engine imposes. Returns the committed version. */
+    * engine imposes.
+    *
+    * `orderCols` (optional) makes the merge RECENCY-RESOLVED — the
+    * `MERGE … WHEN MATCHED AND source.ord > target.ord` shape a CDC
+    * upsert needs: a matched change applies only if its order tuple
+    * beats the standing row's (ties go to the change, so a replayed
+    * epoch re-applies idempotently), which makes the merged state
+    * independent of ARRIVAL ORDER — out-of-order epochs converge to
+    * the same per-key argmax. Empty (the default) = the change always
+    * wins. Note for ordered CDC streams: represent deletes as
+    * TOMBSTONE data columns filtered at read, not `deleteCol` drops —
+    * a physically dropped key would let an older late change
+    * resurrect it as a fresh insert. Returns the committed version. */
   def mergeCow(spark: SparkSession, root: Path, changes: DataFrame,
-               keyCol: String, deleteCol: String = "_delete"): Long = {
+               keyCol: String, deleteCol: String = "_delete",
+               orderCols: Seq[String] = Nil): Long = {
     import spark.implicits._
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"mergeCow on uncommitted table $root"))
@@ -567,19 +580,25 @@ object SnapshotStore {
       else headFiles
     val touchedDf = readFiles(spark, root, touched, inferPartitions = false)
     val dataCols = touchedDf.columns.toSeq
-    val upserts = changes.where(!col(deleteCol)).select(dataCols.map(col): _*)
-    // survivors: touched-file rows matched by NO change row (update,
-    // delete, or insert-key — insert keys are absent from the table by
-    // definition, so the anti-join is still exact)
-    val survivors = touchedDf.join(broadcast(changes.select(col(keyCol))),
-      Seq(keyCol), "left_anti")
-    val tableKeys = touchedDf.select(col(keyCol))
-    val updated = upserts.join(tableKeys, Seq(keyCol), "left_semi")
-    val inserts = upserts.join(tableKeys, Seq(keyCol), "left_anti")
+    // ONE per-key resolution over standing rows ∪ changes: the winner
+    // is the max over (orderCols, source) — source 1 = change, so with
+    // no orderCols the change always wins; a winning delete drops the
+    // key. Covers update, delete, insert, and pass-through in a single
+    // partial-aggregable argmax (map-side combine collapses hot keys).
+    val pool = touchedDf
+        .withColumn(deleteCol, lit(false)).withColumn("_src", lit(0))
+      .unionByName(changes.withColumn("_src", lit(1))
+        .select((dataCols ++ Seq(deleteCol, "_src")).map(col): _*))
+    val payloadCols = dataCols.filterNot(_ == keyCol)
+    val merged = pool.groupBy(col(keyCol))
+      .agg(max_by(struct((payloadCols :+ deleteCol).map(col): _*),
+        struct((orderCols :+ "_src").map(col): _*)).as("_w"))
+      .where(!col(s"_w.$deleteCol"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"_w.$c").as(c)): _*)
     val attempt = head + 1
     val rel = s"data/merge_a$attempt"
     val nFiles = math.max(1, touched.size)
-    survivors.unionByName(updated).unionByName(inserts)
+    merged
       .repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(root.resolve(rel).toString)

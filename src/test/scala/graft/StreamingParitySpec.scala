@@ -824,6 +824,41 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(epochs.size <= 2, s"vacuum must bound the agg sink: $epochs")
   }
 
+  test("q26n streamed CDC merge: converges to batch q25 across epochs; tombstones persist; manifests bounded") {
+    import graft.core.SnapshotStore
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingPipelines.q26nStreamCdcMerge(spark, dir)
+      .collect().toSeq
+    val batch = graft.operators.RelationalQueries.q25CdcUpsert(spark, dir)
+      .select("user_id", "last_type", "last_value", "last_ts")
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch,
+      "drained streamed merge diverged from the batch upsert")
+    val root = graft.core.IndexStore.root("graft-snap-cdc", dir)
+    // genuinely multi-epoch: HEAD advanced past the base version
+    val head = SnapshotStore.headVersion(root).get
+    assert(head >= 3, s"expected >= 2 merge epochs on the base, HEAD=$head")
+    // in-loop vacuum bounded the manifest count at the retention horizon
+    val live = SnapshotStore.manifestVersions(root)
+    assert(live.size <= 2, s"vacuum must bound live manifests, got $live")
+    // deletes are TOMBSTONES, not drops: the table still carries the
+    // deleted users (so an older late change cannot resurrect them),
+    // the read side filters them
+    val table = SnapshotStore.readAt(spark, root, inferPartitions = false)
+    val tombs = table.where(col("deleted")).count()
+    val full = graft.core.Tables.load(spark, dir, "events")
+    val deletedUsers = {
+      import spark.implicits._
+      full.groupBy("user_id")
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("t"))
+        .where(col("t") === "error").count()
+    }
+    assert(tombs == deletedUsers,
+      s"tombstone count $tombs must equal users whose last event is a delete ($deletedUsers)")
+    assert(table.count() == full.select("user_id").distinct().count(),
+      "the table must carry every user exactly once (live + tombstoned)")
+  }
+
   test("q17l PQ ingest: retrain policy fires, appendix clears, drained search equals batch q17j") {
     val dir = "/root/testdata/sf0.001"
     // deterministic fresh staging (VERDICT r11 #6): wipe the loop
