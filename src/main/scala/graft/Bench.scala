@@ -210,6 +210,7 @@ object Bench {
       s""""snapmerge":${graft.operators.LayoutQueries.snapMergeBuildCount.get},""" +
       s""""snapwap":${graft.operators.LayoutQueries.snapWapBuildCount.get},""" +
       s""""snapcdc":${graft.streaming.StreamingPipelines.snapCdcBuildCount.get},""" +
+      s""""snapmor":${graft.operators.LayoutQueries.snapMorBuildCount.get},""" +
       s""""postings":${graft.operators.LayoutQueries.postingBuildCount.get},""" +
       s""""postings_base":${graft.operators.LayoutQueries.postingBaseBuildCount.get}}"""
     // measured recall/overlap for the rows-only ANN entries (VERDICT r9

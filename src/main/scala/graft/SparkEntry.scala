@@ -145,6 +145,7 @@ object SparkEntry {
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
     "q26m_wap_publish"     -> (LayoutQueries.q26mWapPublish _),
     "q26n_stream_cdc_merge" -> (graft.streaming.StreamingPipelines.q26nStreamCdcMerge _),
+    "q26o_mor_delete"      -> (LayoutQueries.q26oMorDelete _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -626,6 +627,29 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q26o: merge-on-read deletes — v1 = the full corpus, the MOR read
+    // (v3) and the post-fold plain read (v4) must both equal the corpus
+    // minus id-deciles 4-5; a leaked deleted row on either path
+    // hash-fails
+    "q26o_mor_delete" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo + 3 * (hi - lo) // 10 AS cut3,
+        |             lo + 5 * (hi - lo) // 10 AS cut5 FROM b),
+        |kept AS (SELECT e.* FROM events e, c
+        |         WHERE NOT (e.event_id > c.cut3 AND e.event_id <= c.cut5)),
+        |roll AS (
+        |  SELECT 'folded' AS snap, event_type, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'mor', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v1', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM events GROUP BY event_type)
+        |SELECT * FROM roll ORDER BY snap, event_type""".stripMargin,
     // q26n: the streamed recency-resolved MERGE must converge to q25's
     // batch upsert exactly — same SQL, the strongest check a stateful
     // multi-epoch merge admits

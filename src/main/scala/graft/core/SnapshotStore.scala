@@ -613,6 +613,97 @@ object SnapshotStore {
       expectedBase = head)
   }
 
+  // ---- merge-on-read deletes (the deletion-vector rung) --------------
+
+  /** Is this manifest path a DELETE file? MOR deletes live under
+    * `data/_deletes_a<attempt>/` by path convention — the manifest
+    * schema stays untouched, and every committed version's file list
+    * fully describes table content (data files ∖ delete keys). */
+  def isDeleteFile(relPath: String): Boolean =
+    relPath.contains("/_deletes_a") || relPath.startsWith("data/_deletes_a")
+
+  /** MERGE-ON-READ DELETE — the other half of the COW/MOR pairing
+    * ([[mergeCow]] is copy-on-write): deleting a cohort commits a TINY
+    * delete-key file instead of rewriting the files the keys live in.
+    * Write cost is O(|keys|) regardless of table size — the Delta
+    * deletion-vector / Hudi MOR trade: reads pay a broadcast anti-join
+    * against the accumulated delete keys until [[foldMor]] compacts
+    * them away. Delete files carry the FULL table schema (non-key
+    * columns null) so manifest stats/commit machinery treat them like
+    * any other file; [[readAtMor]] tells them apart by path. CAS-
+    * committed against the HEAD the keys were derived from; retries
+    * idempotent (attempt dir keyed by target version). Returns the
+    * committed version. */
+  def deleteMor(spark: SparkSession, root: Path, keys: DataFrame,
+                keyCol: String): Long = {
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"deleteMor on uncommitted table $root"))
+    val headFiles = filesAt(spark, root, head)
+    val schema = readFiles(spark, root,
+      headFiles.filterNot(isDeleteFile).take(1), inferPartitions = false).schema
+    val padded = keys.select(schema.fields.map { f =>
+      if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val attempt = head + 1
+    val rel = s"data/_deletes_a$attempt"
+    padded.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, headFiles ++ fresh, expectedBase = head)
+  }
+
+  /** Read a version UNDER MOR SEMANTICS: data rows minus the delete
+    * keys the version's manifest carries. The delete side is bounded
+    * by the accumulated delete-key count (broadcast anti-join — at
+    * 100 TB this is the "DV applied at scan time" read path); a
+    * version with no delete files degrades to a plain [[readFiles]].
+    * Flat tables (`inferPartitions = false` read shape). */
+  def readAtMor(spark: SparkSession, root: Path, v: Option[Long] = None,
+                keyCol: String): DataFrame = {
+    val ver = v.orElse(headVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val files = filesAt(spark, root, ver)
+    val (del, data) = files.partition(isDeleteFile)
+    val base = readFiles(spark, root, data, inferPartitions = false)
+    if (del.isEmpty) base
+    else base.join(
+      broadcast(readFiles(spark, root, del, inferPartitions = false)
+        .select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** FOLD the accumulated MOR deletes (the compaction slot's DV
+    * maintenance op): rewrite HEAD's MOR-resolved content as
+    * `numFiles` fresh key-clustered files and commit a version
+    * referencing ONLY those — delete files gone, reads back to plain
+    * scans, envelopes re-tightened. Content-preserving by
+    * construction (a MOR read before == a plain read after, which the
+    * caller's oracle hash-checks). Offline-slot contract; superseded
+    * files retire via [[vacuum]] on the retention policy. */
+  def foldMor(spark: SparkSession, root: Path, keyCol: String,
+              numFiles: Int, statsCols: Seq[String] = Nil): Long = {
+    val attempt = headVersion(root).getOrElse(0L) + 1
+    val rel = s"data/morfold_a$attempt"
+    readAtMor(spark, root, None, keyCol)
+      .repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, fresh, statsCols)
+  }
+
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
     * file opened (the q26e argument, per version). */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {

@@ -476,6 +476,73 @@ object LayoutQueries {
       .orderBy("snap", "event_type")
   }
 
+  // ---- events: merge-on-read deletes (q26o) ---------------------------
+
+  val snapMorBuildCount = new AtomicInteger(0)
+  private val SnapMorFamily = "graft-snap-mor"
+
+  /** Build-or-load the MERGE-ON-READ table: the flat 5-column events
+    * key-clustered as v1 (the q26l shape), then TWO deferred delete
+    * batches — deciles 4 and 5 of the event_id space — committed as
+    * tiny delete-key files (v2, v3: no data file rewritten, spec-
+    * pinned), then the FOLD ([[graft.core.SnapshotStore.foldMor]])
+    * committing the resolved content as fresh clustered files (v4).
+    * Both read paths stay live in the artifact: q26o reads v3 under
+    * MOR semantics AND v4 as a plain scan — same answer, one oracle. */
+  def eventsMorRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "o1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapMorFamily, dir, fp, Seq("data", "_snapshots"), snapMorBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val flat = events.select("event_id", "ts", "user_id", "event_type", "value")
+      flat.repartitionByRange(SnapMergeFiles, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("event_id")) // v1
+      val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+      def cut(k: Int) = lo + k * span / 10
+      SnapshotStore.deleteMor(spark, r, // v2: decile 4, O(|keys|) write
+        flat.where(col("event_id") > cut(3) && col("event_id") <= cut(4))
+          .select("event_id"), "event_id")
+      SnapshotStore.deleteMor(spark, r, // v3: decile 5 accumulates
+        flat.where(col("event_id") > cut(4) && col("event_id") <= cut(5))
+          .select("event_id"), "event_id")
+      SnapshotStore.foldMor(spark, r, "event_id", SnapMergeFiles,
+        statsCols = Seq("event_id")) // v4: deletes folded away
+    }
+  }
+
+  /** Q26o — MERGE-ON-READ DELETES made load-bearing, the deferred
+    * half of the COW/MOR pairing (q26l rewrites at write time; this
+    * defers to the fold): deleting two id-deciles costs two tiny
+    * delete-key commits — no data file rewritten, the 100 TB
+    * difference between O(|cohort keys|) and a cohort rewrite on the
+    * delete path — and reads pay a broadcast anti-join until the
+    * compaction slot folds the deletes into fresh clustered files.
+    * The query answers the same rollup THREE ways from one table's
+    * history: v1 plain (pre-delete), v3 under MOR semantics, v4 plain
+    * post-fold; the oracle recomputes all three from the flat corpus,
+    * so a leaked deleted row on EITHER read path, a fold that dropped
+    * a survivor, or a delete that over-matched all hash-fail. */
+  def q26oMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsMorRoot(spark, dir)
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    roll(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false), "v1")
+      .unionByName(roll(
+        SnapshotStore.readAtMor(spark, root, Some(3L), "event_id"), "mor"))
+      .unionByName(roll(
+        SnapshotStore.readAt(spark, root, Some(4L), inferPartitions = false), "folded"))
+      .orderBy("snap", "event_type")
+  }
+
   // ---- events: write-audit-publish (staging branch) -------------------
 
   val snapWapBuildCount = new AtomicInteger(0)

@@ -1095,6 +1095,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(headKeys == 0, "merge produced duplicate keys")
   }
 
+  test("q26o MOR deletes: delete commits rewrite NO data file; MOR read == folded read == recomputation") {
+    import graft.core.{SnapshotStore, Tables}
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsMorRoot(spark, sf)
+    assert(SnapshotStore.headVersion(root).contains(4L))
+    val v1 = SnapshotStore.filesAt(spark, root, 1L)
+    val v2 = SnapshotStore.filesAt(spark, root, 2L)
+    val v3 = SnapshotStore.filesAt(spark, root, 3L)
+    val v4 = SnapshotStore.filesAt(spark, root, 4L)
+    // the MOR contract: each delete commit CARRIES every prior file and
+    // adds exactly one tiny delete file — no data rewrite on the delete
+    // path (the O(|keys|) write cost claim, pinned structurally)
+    assert(v2.filterNot(SnapshotStore.isDeleteFile) == v1,
+      "delete commit must carry v1's data files untouched")
+    assert(v2.count(SnapshotStore.isDeleteFile) == 1)
+    assert(v3.filterNot(SnapshotStore.isDeleteFile) == v1)
+    assert(v3.count(SnapshotStore.isDeleteFile) == 2, "delete files accumulate")
+    // the fold: only fresh files, no delete files, clustered count
+    assert(v4.count(SnapshotStore.isDeleteFile) == 0)
+    assert(v4.forall(_.contains("morfold")) && v4.intersect(v3).isEmpty,
+      "fold must commit only rewritten files")
+    // three-way equality: MOR read at v3 == plain read at v4 == direct
+    // recomputation from the corpus
+    val flat = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+    val expected = flat.where(
+      !(col("event_id") > lo + 3 * span / 10 && col("event_id") <= lo + 5 * span / 10))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id").collect().toSeq
+    val mor = canon(SnapshotStore.readAtMor(spark, root, Some(3L), "event_id"))
+    assert(mor == canon(expected), "MOR read diverged from the recomputation")
+    assert(canon(SnapshotStore.readAt(spark, root, Some(4L), inferPartitions = false)) == mor,
+      "post-fold plain read diverged from the MOR read")
+    // the fold re-tightened key envelopes: manifest skipping works on v4
+    val hits = SnapshotStore.filesAtWhere(spark, root, 4L,
+      col("max_event_id") >= lo && col("min_event_id") <= lo)
+    assert(hits.size < v4.size, "folded files must carry prunable envelopes")
+  }
+
   test("q26m WAP: staged batches invisible to HEAD; reject prunes without a trace; publish is a pointer fast-forward") {
     import graft.core.{SnapshotStore, Tables}
     import graft.operators.LayoutQueries
