@@ -146,6 +146,7 @@ object SparkEntry {
     "q26m_wap_publish"     -> (LayoutQueries.q26mWapPublish _),
     "q26n_stream_cdc_merge" -> (graft.streaming.StreamingPipelines.q26nStreamCdcMerge _),
     "q26o_mor_delete"      -> (LayoutQueries.q26oMorDelete _),
+    "q26p_change_feed"     -> (LayoutQueries.q26pChangeFeed _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -627,6 +628,30 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q26p: the derived change feed between merge versions must be
+    // EXACTLY the decile change set — one row per insert/delete, two
+    // images per update, nothing for carried rows
+    "q26p_change_feed" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo, lo + (hi - lo) // 10 AS cut1,
+        |             lo + 2 * (hi - lo) // 10 AS cut2,
+        |             lo + 3 * (hi - lo) // 10 AS cut3 FROM b),
+        |feed AS (
+        |  SELECT 'update_preimage' AS change_type, e.event_id, e.ts, e.user_id,
+        |         e.event_type, e.value
+        |  FROM events e, c WHERE e.event_id <= c.cut1
+        |  UNION ALL
+        |  SELECT 'update_postimage', e.event_id, e.ts, e.user_id,
+        |         e.event_type, e.value + 1000
+        |  FROM events e, c WHERE e.event_id <= c.cut1
+        |  UNION ALL
+        |  SELECT 'delete', e.event_id, e.ts, e.user_id, e.event_type, e.value
+        |  FROM events e, c WHERE e.event_id > c.cut1 AND e.event_id <= c.cut2
+        |  UNION ALL
+        |  SELECT 'insert', e.event_id + 1000000000, e.ts + INTERVAL 30 DAY,
+        |         e.user_id, 'merged', e.value * 2
+        |  FROM events e, c WHERE e.event_id > c.cut2 AND e.event_id <= c.cut3)
+        |SELECT * FROM feed ORDER BY change_type, event_id""".stripMargin,
     // q26o: merge-on-read deletes — v1 = the full corpus, the MOR read
     // (v3) and the post-fold plain read (v4) must both equal the corpus
     // minus id-deciles 4-5; a leaked deleted row on either path

@@ -704,6 +704,59 @@ object SnapshotStore {
     commit(spark, root, fresh, statsCols)
   }
 
+  /** ROW-LEVEL CHANGE DATA FEED between two versions (Delta CDF /
+    * Iceberg incremental read, derived — nothing is logged at write
+    * time; immutable files + manifests are enough): emits one row per
+    * change with `change_type` ∈ insert / delete / update_preimage /
+    * update_postimage, keyed by `keyCol`.
+    *
+    * File-pruned by construction: a row can only differ between the
+    * versions if its key appears in a PHYSICALLY CHANGED file — a data
+    * file present in exactly one manifest, or a MOR delete file added/
+    * removed between them (its keys logically delete rows that live in
+    * carried files) — so both sides restrict to changed-file keys
+    * before the diff join; rows in carried files with untouched keys
+    * are provably identical and never shuffle. A fold ([[foldMor]]) or
+    * compaction rewrites files without changing logical content, so
+    * its feed is EMPTY — rewritten-but-equal rows cancel in the diff.
+    * Both versions resolve under MOR semantics. The diff itself is one
+    * key-shuffled full-outer join over the restricted sides. */
+  def changesBetween(spark: SparkSession, root: Path, fromV: Long, toV: Long,
+                     keyCol: String): DataFrame = {
+    val fromFiles = filesAt(spark, root, fromV)
+    val toFiles = filesAt(spark, root, toV)
+    val changed = (fromFiles.filterNot(toFiles.toSet) ++
+      toFiles.filterNot(fromFiles.toSet)).distinct
+    val from = readAtMor(spark, root, Some(fromV), keyCol)
+    val to = readAtMor(spark, root, Some(toV), keyCol)
+    val payloadCols = from.columns.toSeq.filterNot(_ == keyCol)
+    val changedKeys =
+      if (changed.isEmpty) from.select(col(keyCol)).where(lit(false))
+      else readFiles(spark, root, changed, inferPartitions = false)
+        .select(col(keyCol)).distinct()
+    val pre = from.join(changedKeys, Seq(keyCol), "left_semi")
+      .select(col(keyCol), struct(payloadCols.map(col): _*).as("_pre"))
+    val post = to.join(changedKeys, Seq(keyCol), "left_semi")
+      .select(col(keyCol), struct(payloadCols.map(col): _*).as("_post"))
+    // one typed (op, payload) array per key, exploded: unmatched-right
+    // = insert, unmatched-left = delete, differing = pre+post images,
+    // equal (a rewritten-but-identical row) = empty array — cancels
+    val emptyOps = slice(array(struct(lit("x").as("op"), col("_pre").as("p"))), 1, 0)
+    pre.join(post, Seq(keyCol), "full_outer")
+      .withColumn("_ops",
+        when(col("_pre").isNull,
+          array(struct(lit("insert").as("op"), col("_post").as("p"))))
+        .when(col("_post").isNull,
+          array(struct(lit("delete").as("op"), col("_pre").as("p"))))
+        .when(col("_pre") =!= col("_post"),
+          array(struct(lit("update_preimage").as("op"), col("_pre").as("p")),
+                struct(lit("update_postimage").as("op"), col("_post").as("p"))))
+        .otherwise(emptyOps))
+      .select(col(keyCol), explode(col("_ops")).as("c"))
+      .select((col("c.op").as("change_type") +: col(keyCol) +:
+        payloadCols.map(c => col(s"c.p.$c").as(c))): _*)
+  }
+
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
     * file opened (the q26e argument, per version). */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {

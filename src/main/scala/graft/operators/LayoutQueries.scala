@@ -476,6 +476,22 @@ object LayoutQueries {
       .orderBy("snap", "event_type")
   }
 
+  /** Q26p — ROW-LEVEL CHANGE DATA FEED over the merge history (Delta
+    * CDF, derived after the fact from immutable files + manifests —
+    * nothing was logged at write time): every row q26l's merge
+    * inserted, deleted, or updated (pre+post images) between v1 and
+    * v2, keyed by event_id. File-pruned: only keys living in
+    * physically-changed files enter the diff join — carried-file rows
+    * provably never shuffle — which is what makes an incremental
+    * consumer cheap at 100 TB. The oracle recomputes the exact change
+    * set from the flat corpus with q26l's decile cuts, so a missed
+    * delete, phantom insert, or wrong image hash-fails. */
+  def q26pChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsMergeRoot(spark, dir)
+    SnapshotStore.changesBetween(spark, root, 1L, 2L, "event_id")
+      .orderBy("change_type", "event_id")
+  }
+
   // ---- events: merge-on-read deletes (q26o) ---------------------------
 
   val snapMorBuildCount = new AtomicInteger(0)

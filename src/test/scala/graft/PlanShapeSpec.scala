@@ -608,4 +608,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(dataScan.selectedPartitions.totalNumberOfFiles == expected,
       s"q26g must read exactly the $expected manifest-selected files")
   }
+
+  test("q26o: the MOR read plans the delete keys as a broadcast LEFT ANTI join, and reads only data files") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = LayoutQueries.eventsMorRoot(spark, dir)
+    val (_, plan) = executedRowsAndPlan(
+      SnapshotStore.readAtMor(spark, root, Some(3L), "event_id"))
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(all) ++ below)
+    }
+    val anti = all(plan).collectFirst {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty,
+      "the delete-key application must be a broadcast LEFT ANTI hash join, " +
+      s"got:\n${plan.toString.take(600)}")
+    // the probe side reads only data files — delete keys never ride the
+    // big scan
+    val scans = all(plan).collect { case f: FileSourceScanExec => f }
+    val dataScan = scans.maxBy(_.selectedPartitions.totalNumberOfFiles)
+    val v3Data = SnapshotStore.filesAt(spark, root, 3L)
+      .filterNot(SnapshotStore.isDeleteFile).size
+    assert(dataScan.selectedPartitions.totalNumberOfFiles == v3Data,
+      "the MOR probe scan must read exactly the version's data files")
+  }
+
+  test("q26n: the merge resolution is a partial-aggregable argmax (map-side combine before the key shuffle)") {
+    // the mergeCow pool aggregate: max_by over (orderCols, _src) must
+    // plan as a two-phase aggregate — partial (before the exchange) +
+    // final — so hot keys collapse map-side; a plan that shuffled raw
+    // pool rows to a single-phase aggregate would ship every standing
+    // row per epoch
+    import spark.implicits._
+    val table = (1L to 1000L).map(i => (i, s"t$i", i * 1.0)).toDF("k", "payload", "ord")
+    val changes = (500L to 1500L).map(i => (i, s"c$i", i * 2.0)).toDF("k", "payload", "ord")
+    import org.apache.spark.sql.functions._
+    val pool = table.withColumn("_src", lit(0))
+      .unionByName(changes.withColumn("_src", lit(1)))
+    val merged = pool.groupBy(col("k"))
+      .agg(max_by(struct(col("payload")), struct(col("ord"), col("_src"))).as("w"))
+    val (_, plan) = executedRowsAndPlan(merged)
+    val s = plan.toString
+    val aggs = "(?i)(SortAggregate|ObjectHashAggregate|HashAggregate)".r
+      .findAllIn(s).length
+    assert(aggs >= 2, s"expected a partial+final aggregate pair, got:\n${s.take(600)}")
+    assert(s.contains("partial_max_by") || s.contains("partial_maxby") ||
+           "(?i)functions=\\[partial".r.findFirstIn(s).nonEmpty,
+      s"expected a PARTIAL aggregation phase before the exchange:\n${s.take(600)}")
+  }
 }

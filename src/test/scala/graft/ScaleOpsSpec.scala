@@ -1138,6 +1138,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits.size < v4.size, "folded files must carry prunable envelopes")
   }
 
+  test("q26p change feed: a fold/compaction emits an EMPTY feed; a MOR delete feeds as deletes") {
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    val sf = "/root/testdata/sf0.001"
+    val root = LayoutQueries.eventsMorRoot(spark, sf)
+    // v3 → v4 is the fold: every file rewritten, logical content
+    // unchanged — the derived feed must see through the rewrite
+    assert(SnapshotStore.changesBetween(spark, root, 3L, 4L, "event_id").count() == 0,
+      "a content-preserving fold must emit an empty change feed")
+    // v1 → v2 is the first MOR delete batch: the feed is exactly those
+    // keys as deletes (deletes live in a tiny delete file, the deleted
+    // rows in CARRIED files — the changed-key restriction must still
+    // find them)
+    val feed = SnapshotStore.changesBetween(spark, root, 1L, 2L, "event_id")
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val delKeys = SnapshotStore.readFiles(spark, root,
+        SnapshotStore.filesAt(spark, root, 2L).filter(SnapshotStore.isDeleteFile),
+        inferPartitions = false).select("event_id").distinct().count()
+    assert(feed == Map("delete" -> delKeys),
+      s"expected exactly $delKeys deletes, got $feed")
+  }
+
   test("q26m WAP: staged batches invisible to HEAD; reject prunes without a trace; publish is a pointer fast-forward") {
     import graft.core.{SnapshotStore, Tables}
     import graft.operators.LayoutQueries
