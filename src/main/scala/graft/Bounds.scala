@@ -132,11 +132,11 @@ object Bounds {
       recall(pairs(S.q17cIvfTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
     addFloor("q17f_ivf_int8_topk", "recall_vs_exact_topk", 0.8)(
       recall(pairs(S.q17fIvfInt8TopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
-    addFloor("q17j_pq_topk", "recall_vs_exact_topk", 0.5)(
+    addFloor("q17j_pq_topk", "recall_vs_exact_topk", 0.7)(
       recall(pairs(S.q17jPqTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
-    addFloor("q17k_ivfpq_topk", "recall_vs_exact_topk", 0.55)(
+    addFloor("q17k_ivfpq_topk", "recall_vs_exact_topk", 0.7)(
       recall(pairs(S.q17kIvfPqTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
-    addFloor("q17m_binary_topk", "recall_vs_exact_topk", 0.6)(
+    addFloor("q17m_binary_topk", "recall_vs_exact_topk", 0.8)(
       recall(pairs(S.q17mBinaryHammingTopK(spark, dir), "probe_id", "neighbor_id"), exactTopK))
     // indexed hybrid vs the exact-ranker RRF fusion
     addFloor("q17i_hybrid_indexed", "overlap_vs_exact_rrf", 0.9) {

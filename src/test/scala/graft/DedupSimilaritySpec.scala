@@ -557,7 +557,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // most of the true top-5 (measured 0.78 here, 0.74 at sf0.01 —
     // the bench stamps the live value per round)
     val recall = (exact & pq).size.toDouble / exact.size
-    assert(recall >= 0.5, s"PQ recall $recall too low (|exact|=${exact.size}, |pq|=${pq.size})")
+    assert(recall >= 0.7, s"PQ recall $recall too low (|exact|=${exact.size}, |pq|=${pq.size})")
     assert(pq.size <= 50)
     assert(pq.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
@@ -644,7 +644,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // #7): still the lossiest rung of the compression ladder, but the
     // exact re-rank must now recover well over half the true top-5
     val recall = (exact & b).size.toDouble / exact.size
-    assert(recall >= 0.5, s"binary recall $recall too low (|exact|=${exact.size})")
+    assert(recall >= 0.8, s"binary recall $recall too low (|exact|=${exact.size})")
     assert(b.size <= 50)
   }
 
@@ -657,7 +657,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // with ADC distortion (q17j ~0.78); the floor matches the other
     // IVF rows — random vectors are the worst case for both stages
     val recall = (exact & q).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF-PQ recall $recall too low (|exact|=${exact.size}, |q|=${q.size})")
+    assert(recall >= 0.6, s"IVF-PQ recall $recall too low (|exact|=${exact.size}, |q|=${q.size})")
     assert(q.size <= 50)
     assert(q.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
