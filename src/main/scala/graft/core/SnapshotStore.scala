@@ -96,6 +96,28 @@ object SnapshotStore {
     else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
   }
 
+  /** Names of the live branch refs (empty when no branch exists). */
+  def liveRefs(root: Path): Seq[String] = {
+    if (!Files.exists(refsDir(root))) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(refsDir(root))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSeq.sorted
+    finally s.close()
+  }
+
+  /** History-destructive maintenance (rollback, vacuum) must not run
+    * under a live staging branch: a branch chain references mainline
+    * files through its fork point, and e.g. a rollback below the fork
+    * would delete files the branch still serves. Publish or drop the
+    * branch first — fail loudly, don't corrupt. */
+  private def requireNoBranches(root: Path, op: String): Unit = {
+    val refs = liveRefs(root)
+    require(refs.isEmpty,
+      s"$op of $root refused: live staging branch(es) ${refs.mkString(", ")} — " +
+      "publish or drop them first (their chains reference mainline files)")
+  }
+
   /** Every version with a manifest on disk (mainline history + live
     * branch chains + any torn dangler), from the `v=N` dir listing. */
   def manifestVersions(root: Path): Seq[Long] = {
@@ -466,6 +488,7 @@ object SnapshotStore {
   def rollbackTo(spark: SparkSession, root: Path, v: Long): Unit = {
     val head = headVersion(root).getOrElse(return)
     if (head <= v) return
+    requireNoBranches(root, "rollback")
     require(Files.exists(manifestPath(root, v)),
       s"rollback target v=$v of $root was vacuumed")
     // keep = union over ALL surviving manifests <= v, not just v itself
@@ -716,27 +739,54 @@ object SnapshotStore {
     * removed between them (its keys logically delete rows that live in
     * carried files) — so both sides restrict to changed-file keys
     * before the diff join; rows in carried files with untouched keys
-    * are provably identical and never shuffle. A fold ([[foldMor]]) or
+    * are provably identical and never shuffle. When the manifests
+    * carry `min_<key>`/`max_<key>` envelopes, the restriction reaches
+    * the SCAN too: each side reads only data files whose key envelope
+    * intersects a changed key (the mergeCow planning join) — at 100 TB
+    * the feed's I/O is bounded by the changed files plus their
+    * envelope neighbors, never the table. A fold ([[foldMor]]) or
     * compaction rewrites files without changing logical content, so
     * its feed is EMPTY — rewritten-but-equal rows cancel in the diff.
     * Both versions resolve under MOR semantics. The diff itself is one
     * key-shuffled full-outer join over the restricted sides. */
   def changesBetween(spark: SparkSession, root: Path, fromV: Long, toV: Long,
                      keyCol: String): DataFrame = {
+    import spark.implicits._
     val fromFiles = filesAt(spark, root, fromV)
     val toFiles = filesAt(spark, root, toV)
     val changed = (fromFiles.filterNot(toFiles.toSet) ++
       toFiles.filterNot(fromFiles.toSet)).distinct
-    val from = readAtMor(spark, root, Some(fromV), keyCol)
-    val to = readAtMor(spark, root, Some(toV), keyCol)
-    val payloadCols = from.columns.toSeq.filterNot(_ == keyCol)
+    val fromAll = readAtMor(spark, root, Some(fromV), keyCol)
+    val payloadCols = fromAll.columns.toSeq.filterNot(_ == keyCol)
     val changedKeys =
-      if (changed.isEmpty) from.select(col(keyCol)).where(lit(false))
+      if (changed.isEmpty) fromAll.select(col(keyCol)).where(lit(false))
       else readFiles(spark, root, changed, inferPartitions = false)
         .select(col(keyCol)).distinct()
-    val pre = from.join(changedKeys, Seq(keyCol), "left_semi")
+    // one side's MOR read, scan-restricted to the data files whose key
+    // envelope can hold a changed key (manifest join — the mergeCow
+    // planning pattern); tables without key stats read every data file
+    def sideRead(v: Long): DataFrame = {
+      val files = filesAt(spark, root, v)
+      val (del, data) = files.partition(isDeleteFile)
+      val man = manifest(spark, root, v)
+      val candidates =
+        if (changed.nonEmpty &&
+            man.columns.contains(s"min_$keyCol") && man.columns.contains(s"max_$keyCol")) {
+          val hit = man.join(broadcast(changedKeys),
+              col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "leftsemi")
+            .select("file").as[String].collect().toSet
+          data.filter(hit)
+        } else data
+      val base = readFiles(spark, root, candidates, inferPartitions = false)
+      if (del.isEmpty) base
+      else base.join(
+        broadcast(readFiles(spark, root, del, inferPartitions = false)
+          .select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+    }
+    val pre = sideRead(fromV).join(changedKeys, Seq(keyCol), "left_semi")
       .select(col(keyCol), struct(payloadCols.map(col): _*).as("_pre"))
-    val post = to.join(changedKeys, Seq(keyCol), "left_semi")
+    val post = sideRead(toV).join(changedKeys, Seq(keyCol), "left_semi")
       .select(col(keyCol), struct(payloadCols.map(col): _*).as("_post"))
     // one typed (op, payload) array per key, exploded: unmatched-right
     // = insert, unmatched-left = delete, differing = pre+post images,
@@ -758,7 +808,11 @@ object SnapshotStore {
   }
 
   /** Metadata-only row count at a version: Σ manifest n_rows — no data
-    * file opened (the q26e argument, per version). */
+    * file opened (the q26e argument, per version). NOT MOR-aware: on a
+    * version carrying un-folded delete files this counts delete keys
+    * and the not-yet-folded deleted rows — exact again after
+    * [[foldMor]]; use a [[readAtMor]] count for logical cardinality in
+    * between. */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {
     val ver = v.orElse(headVersion(root)).get
     manifest(spark, root, ver).agg(sum(col("n_rows"))).head().getLong(0)
@@ -772,6 +826,7 @@ object SnapshotStore {
     * horizon are unaffected by construction. */
   def vacuum(spark: SparkSession, root: Path, retain: Int): Seq[String] = {
     val head = headVersion(root).getOrElse(return Seq.empty)
+    requireNoBranches(root, "vacuum")
     // versions a PRIOR vacuum already expired have no manifest left —
     // both sides of the live/dead split consider only manifests that
     // still exist (an in-loop retain=2 followed by an offline retain=3

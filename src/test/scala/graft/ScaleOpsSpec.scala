@@ -1138,6 +1138,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hits.size < v4.size, "folded files must carry prunable envelopes")
   }
 
+  test("maintenance ops refuse under a live staging branch (the fork chain references mainline files)") {
+    import graft.core.SnapshotStore
+    import graft.operators.LayoutQueries
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap-branch-guard")
+    (1L to 10L).toDF("id").coalesce(1).write.parquet(root.resolve("data/load1").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+    (11L to 12L).toDF("id").coalesce(1).write.parquet(root.resolve("data/load2").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v2
+    LayoutQueries.commitBatchToBranch(spark, root, "staging",
+      Seq(100L).toDF("id"), "guard") // branch forked at v2
+    // rollback below the fork would delete files the branch serves;
+    // vacuum could retire versions its chain still references
+    intercept[IllegalArgumentException] {
+      SnapshotStore.rollbackTo(spark, root, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(spark, root, retain = 1)
+    }
+    // after the branch retires, maintenance proceeds normally
+    SnapshotStore.dropBranch(spark, root, "staging")
+    SnapshotStore.rollbackTo(spark, root, 1L)
+    assert(SnapshotStore.headVersion(root).contains(1L))
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 10)
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("q26p change feed: a fold/compaction emits an EMPTY feed; a MOR delete feeds as deletes") {
     import graft.core.SnapshotStore
     import graft.operators.LayoutQueries
