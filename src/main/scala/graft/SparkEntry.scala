@@ -147,6 +147,7 @@ object SparkEntry {
     "q26n_stream_cdc_merge" -> (graft.streaming.StreamingPipelines.q26nStreamCdcMerge _),
     "q26o_mor_delete"      -> (LayoutQueries.q26oMorDelete _),
     "q26p_change_feed"     -> (LayoutQueries.q26pChangeFeed _),
+    "q26q_tagged_read"     -> (LayoutQueries.q26qTaggedRead _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
     "q17i_hybrid_indexed"  -> ((s, d) => LayoutQueries.q17iHybridIndexed(s, d)),
@@ -628,6 +629,30 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q26q: the tag pins pre-merge v1 through a retain=1 vacuum — a
+    // broken pin (v1 expired) or a drifted tag hash-fails against the
+    // flat-corpus recomputation of both refs
+    "q26q_tagged_read" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo, lo + (hi - lo) // 10 AS cut1,
+        |             lo + 2 * (hi - lo) // 10 AS cut2,
+        |             lo + 3 * (hi - lo) // 10 AS cut3 FROM b),
+        |merged AS (
+        |  SELECT e.event_id, e.ts, e.user_id, e.event_type,
+        |         CASE WHEN e.event_id <= c.cut1 THEN e.value + 1000 ELSE e.value END AS value
+        |  FROM events e, c
+        |  WHERE NOT (e.event_id > c.cut1 AND e.event_id <= c.cut2)
+        |  UNION ALL
+        |  SELECT e.event_id + 1000000000, e.ts + INTERVAL 30 DAY, e.user_id,
+        |         'merged', e.value * 2
+        |  FROM events e, c WHERE e.event_id > c.cut2 AND e.event_id <= c.cut3)
+        |SELECT 'head' AS ref, event_type, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM merged GROUP BY event_type
+        |UNION ALL
+        |SELECT 'tag:train_v1', event_type, COUNT(*), COUNT(DISTINCT user_id)
+        |FROM events GROUP BY event_type
+        |ORDER BY ref, event_type""".stripMargin,
     // q26p: the derived change feed between merge versions must be
     // EXACTLY the decile change set — one row per insert/delete, two
     // images per update, nothing for carried rows

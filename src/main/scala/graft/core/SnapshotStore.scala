@@ -118,6 +118,67 @@ object SnapshotStore {
       "publish or drop them first (their chains reference mainline files)")
   }
 
+  // ---- immutable version TAGS (reproducibility pins) -----------------
+
+  private def tagsDir(root: Path): Path = snapDir(root).resolve("tags")
+  private def tagPath(root: Path, name: String): Path = tagsDir(root).resolve(name)
+
+  /** TAG a version with an immutable name (Iceberg tags — the
+    * reproducibility pin a training run records so "the exact corpus
+    * we trained on" stays addressable forever): tags never move
+    * (re-tagging an existing name throws — delete explicitly via
+    * [[dropTag]] if a pin must be retired), and RETENTION RESPECTS
+    * THEM — [[vacuum]] keeps a tagged version's manifest and files no
+    * matter how far outside the retain horizon it falls, and
+    * [[rollbackTo]] refuses to destroy history above a tag. */
+  def tagVersion(root: Path, name: String, v: Long): Unit = {
+    require(Files.exists(manifestPath(root, v)),
+      s"tag $name of $root: version v=$v has no manifest")
+    Files.createDirectories(tagsDir(root))
+    val tmp = tagsDir(root).resolve(s"_$name.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    // hard-link creation is the true create-if-absent primitive:
+    // rename(2) silently REPLACES an existing file even under
+    // ATOMIC_MOVE, but link(2) fails atomically with EEXIST — exactly
+    // the immutability a tag promises
+    try Files.createLink(tagPath(root, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"tag $name of $root already exists (tags are immutable; dropTag first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def tagVersionOf(root: Path, name: String): Option[Long] = {
+    val p = tagPath(root, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** All tag names, sorted. */
+  def tags(root: Path): Seq[String] = {
+    if (!Files.exists(tagsDir(root))) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(tagsDir(root))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Retire a tag (the version then expires on the normal policy). */
+  def dropTag(root: Path, name: String): Unit =
+    Files.deleteIfExists(tagPath(root, name))
+
+  /** Read the table AT a tag — [[readAt]] pinned by name. */
+  def readAtTag(spark: SparkSession, root: Path, name: String,
+                inferPartitions: Boolean = true): DataFrame = {
+    val v = tagVersionOf(root, name).getOrElse(
+      throw new IllegalStateException(s"unknown tag $name on $root"))
+    readAt(spark, root, Some(v), inferPartitions)
+  }
+
   /** Every version with a manifest on disk (mainline history + live
     * branch chains + any torn dangler), from the `v=N` dir listing. */
   def manifestVersions(root: Path): Seq[Long] = {
@@ -489,6 +550,11 @@ object SnapshotStore {
     val head = headVersion(root).getOrElse(return)
     if (head <= v) return
     requireNoBranches(root, "rollback")
+    // a tag is a promise that its version stays addressable — refuse
+    // to destroy tagged history (dropTag first if the pin must go)
+    val pinnedAbove = tags(root).filter(t => tagVersionOf(root, t).exists(_ > v))
+    require(pinnedAbove.isEmpty,
+      s"rollback of $root to v=$v refused: tag(s) ${pinnedAbove.mkString(", ")} pin later versions")
     require(Files.exists(manifestPath(root, v)),
       s"rollback target v=$v of $root was vacuumed")
     // keep = union over ALL surviving manifests <= v, not just v itself
@@ -841,9 +907,13 @@ object SnapshotStore {
       s"vacuum of $root: no surviving manifest inside the retention horizon " +
       s"(HEAD v=$head, retain=$retain) — snapshot state violates the " +
       "single-writer contract")
-    val expired = live(1L until keepVersions.head)
+    // TAGGED versions survive any horizon: the tag is a standing
+    // reproducibility pin (Iceberg keeps tagged snapshots the same way)
+    val tagged = tags(root).flatMap(t => tagVersionOf(root, t)).toSet
+    val expired = live(1L until keepVersions.head).filterNot(tagged)
     if (expired.isEmpty) return Seq.empty
-    val keep = keepVersions.flatMap(v => filesAt(spark, root, v)).toSet
+    val keep = (keepVersions ++ tagged.toSeq.filter(v => Files.exists(manifestPath(root, v))))
+      .flatMap(v => filesAt(spark, root, v)).toSet
     val dead = expired.flatMap(v => filesAt(spark, root, v)).distinct
       .filterNot(keep)
     dead.foreach(f => Files.deleteIfExists(root.resolve(f)))

@@ -492,6 +492,32 @@ object LayoutQueries {
       .orderBy("change_type", "event_id")
   }
 
+  /** Q26q — IMMUTABLE VERSION TAGS made load-bearing (Iceberg tags —
+    * the reproducibility pin a training run records): v1 of the merge
+    * table is tagged `train_v1` (idempotently — tags never move), then
+    * a `retain = 1` vacuum runs, which WOULD expire v1 — the tag keeps
+    * it addressable, which is the entire point: "the exact corpus we
+    * trained on" survives every retention sweep until the pin is
+    * explicitly dropped. The query answers the same per-type profile
+    * at the tag and at HEAD; the oracle recomputes both from the flat
+    * corpus, so a vacuum that broke the pin (or a tag that drifted off
+    * v1) hash-fails. Spec pins the counterfactual — the same vacuum
+    * without the tag deletes v1 — plus tag immutability and the
+    * rollback refusal. */
+  def q26qTaggedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsMergeRoot(spark, dir)
+    if (SnapshotStore.tagVersionOf(root, "train_v1").isEmpty)
+      SnapshotStore.tagVersion(root, "train_v1", 1L)
+    SnapshotStore.vacuum(spark, root, retain = 1)
+    def roll(df: DataFrame, ref: String): DataFrame = df
+      .groupBy(lit(ref).as("ref"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    roll(SnapshotStore.readAtTag(spark, root, "train_v1", inferPartitions = false), "tag:train_v1")
+      .unionByName(roll(SnapshotStore.readAt(spark, root, inferPartitions = false), "head"))
+      .orderBy("ref", "event_type")
+  }
+
   // ---- events: merge-on-read deletes (q26o) ---------------------------
 
   val snapMorBuildCount = new AtomicInteger(0)

@@ -1165,6 +1165,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(root)
   }
 
+  test("q26q tags: a tag pins its version through vacuum (counterfactual: without it v1 dies); tags immutable; rollback refuses") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    def mkTable(): java.nio.file.Path = {
+      val root = java.nio.file.Files.createTempDirectory("snap-tags")
+      (1L to 10L).toDF("id").coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      (11L to 15L).toDF("id").coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v2
+      (16L to 18L).toDF("id").coalesce(1).write.parquet(root.resolve("data/l3").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v3
+      root
+    }
+    // counterfactual: without a tag, retain=1 expires v1 and v2
+    val bare = mkTable()
+    SnapshotStore.vacuum(spark, bare, retain = 1)
+    assert(SnapshotStore.manifestVersions(bare) == Seq(3L))
+    graft.core.IndexStore.deleteRecursively(bare)
+    // with the tag: v1 survives the same sweep, fully readable; v2 dies
+    val root = mkTable()
+    SnapshotStore.tagVersion(root, "train_v1", 1L)
+    SnapshotStore.vacuum(spark, root, retain = 1)
+    assert(SnapshotStore.manifestVersions(root) == Seq(1L, 3L),
+      "the tagged version must survive the retention sweep")
+    assert(SnapshotStore.readAtTag(spark, root, "train_v1", inferPartitions = false).count() == 10)
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 18)
+    // tags are immutable
+    intercept[IllegalStateException] { SnapshotStore.tagVersion(root, "train_v1", 3L) }
+    assert(SnapshotStore.tagVersionOf(root, "train_v1").contains(1L))
+    // rollback below a pin pointing above the target is fine; rollback
+    // that would destroy tagged history is refused... here the tag is
+    // at v1, so rolling back to v1 is allowed and leaves the pin valid
+    SnapshotStore.rollbackTo(spark, root, 1L)
+    assert(SnapshotStore.readAtTag(spark, root, "train_v1", inferPartitions = false).count() == 10)
+    // a tag ABOVE the rollback target blocks the rollback
+    (19L to 20L).toDF("id").coalesce(1).write.parquet(root.resolve("data/l4").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+    val v2b = SnapshotStore.headVersion(root).get
+    SnapshotStore.tagVersion(root, "pinned_high", v2b)
+    intercept[IllegalArgumentException] { SnapshotStore.rollbackTo(spark, root, 1L) }
+    // dropping the pin unblocks it
+    SnapshotStore.dropTag(root, "pinned_high")
+    SnapshotStore.rollbackTo(spark, root, 1L)
+    assert(SnapshotStore.headVersion(root).contains(1L))
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("q26p change feed: a fold/compaction emits an EMPTY feed; a MOR delete feeds as deletes") {
     import graft.core.SnapshotStore
     import graft.operators.LayoutQueries
