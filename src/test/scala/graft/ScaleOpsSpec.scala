@@ -1212,6 +1212,64 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(root)
   }
 
+  test("mergeCow orderCols: out-of-order epochs converge to the same per-key argmax as in-order") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    // two epochs of changes for the same keys, applied in BOTH orders
+    // on twin tables — recency resolution must make the results equal
+    def build(): java.nio.file.Path = {
+      val root = java.nio.file.Files.createTempDirectory("merge-ooo")
+      (1L to 6L).map(k => (k, s"base$k", 0L)).toDF("k", "payload", "ord")
+        .coalesce(2).write.parquet(root.resolve("data/base").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k"))
+      root
+    }
+    val older = Seq((1L, "older1", 10L), (2L, "older2", 10L), (7L, "olderIns", 10L))
+      .toDF("k", "payload", "ord").withColumn("_delete", lit(false))
+    val newer = Seq((1L, "newer1", 20L), (3L, "newer3", 20L), (7L, "newerIns", 20L))
+      .toDF("k", "payload", "ord").withColumn("_delete", lit(false))
+    def state(root: java.nio.file.Path) =
+      SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .orderBy("k").collect().toSeq
+    val a = build()
+    SnapshotStore.mergeCow(spark, a, older, "k", orderCols = Seq("ord"))
+    SnapshotStore.mergeCow(spark, a, newer, "k", orderCols = Seq("ord"))
+    val b = build()
+    SnapshotStore.mergeCow(spark, b, newer, "k", orderCols = Seq("ord"))
+    SnapshotStore.mergeCow(spark, b, older, "k", orderCols = Seq("ord")) // LATE arrival
+    assert(state(a) == state(b),
+      "recency-resolved merges must be arrival-order independent")
+    // and the converged state is the per-key argmax, not last-writer
+    val byK = state(a).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byK(1L) == "newer1", "the higher-ord change must win regardless of arrival")
+    assert(byK(2L) == "older2" && byK(3L) == "newer3" && byK(7L) == "newerIns")
+    assert(byK(4L) == "base4", "untouched keys pass through")
+    graft.core.IndexStore.deleteRecursively(a)
+    graft.core.IndexStore.deleteRecursively(b)
+  }
+
+  test("changesBetween on a stats-less table: the no-envelope fallback still diffs correctly") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdf-nostats")
+    (1L to 5L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1, NO statsCols
+    val changes = Seq((2L, "V2", false), (4L, "v4", true), (9L, "v9", false))
+      .toDF("k", "p", "_delete")
+    SnapshotStore.mergeCow(spark, root, changes, "k") // v2 (no orderCols)
+    val feed = SnapshotStore.changesBetween(spark, root, 1L, 2L, "k")
+      .orderBy("change_type", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(feed == Seq(
+      ("delete", 4L, "v4"),
+      ("insert", 9L, "v9"),
+      ("update_postimage", 2L, "V2"),
+      ("update_preimage", 2L, "v2")), s"unexpected feed: $feed")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("q26p change feed: a fold/compaction emits an EMPTY feed; a MOR delete feeds as deletes") {
     import graft.core.SnapshotStore
     import graft.operators.LayoutQueries
