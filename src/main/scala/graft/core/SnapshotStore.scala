@@ -658,14 +658,16 @@ object SnapshotStore {
     val man = manifest(spark, root, head)
     val headFiles = filesAt(spark, root, head)
     val changeKeys = changes.select(col(keyCol)).distinct()
-    // file-scoped planning: envelope ∩ change-keys via a join against
-    // the manifest (small table, broadcast keys); only matching file
+    // file-scoped planning: envelope ∩ change-keys, with the MANIFEST
+    // as the broadcast side — it is bounded by the table's file count,
+    // while the key side can be arbitrarily large; only matching file
     // NAMES cross the driver
     val touched: Seq[String] =
       if (man.columns.contains(s"min_$keyCol") && man.columns.contains(s"max_$keyCol"))
-        man.join(broadcast(changeKeys),
-            col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "leftsemi")
-          .select("file").as[String].collect().toSeq.sorted
+        changeKeys.join(
+            broadcast(man.select(col("file"), col(s"min_$keyCol"), col(s"max_$keyCol"))),
+            col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")))
+          .select("file").distinct().as[String].collect().toSeq.sorted
       else headFiles
     val touchedDf = readFiles(spark, root, touched, inferPartitions = false)
     val dataCols = touchedDf.columns.toSeq
@@ -838,9 +840,13 @@ object SnapshotStore {
       val candidates =
         if (changed.nonEmpty &&
             man.columns.contains(s"min_$keyCol") && man.columns.contains(s"max_$keyCol")) {
-          val hit = man.join(broadcast(changedKeys),
-              col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")), "leftsemi")
-            .select("file").as[String].collect().toSet
+          // manifest broadcast, not the keys: a compaction's "changed
+          // files" can be the whole table, but the manifest stays
+          // file-count sized
+          val hit = changedKeys.join(
+              broadcast(man.select(col("file"), col(s"min_$keyCol"), col(s"max_$keyCol"))),
+              col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")))
+            .select("file").distinct().as[String].collect().toSet
           data.filter(hit)
         } else data
       val base = readFiles(spark, root, candidates, inferPartitions = false)
