@@ -1398,4 +1398,156 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(
       graft.core.IndexStore.root("graft-layout-events-zorder", dataDir.toString))
   }
+
+  test("mergeCow on un-folded MOR deletes: no resurrected null rows; upsert re-inserts a deleted key; delete set rewritten (ADVICE r12)") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("merge-mor")
+    (1L to 10L).map(k => (k, s"v$k")).toDF("k", "p")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("k")) // v1
+    SnapshotStore.deleteMor(spark, root, Seq(3L, 4L, 8L).toDF("k"), "k") // v2
+    // the merge: re-insert deleted 4, update 5, delete 6, insert 11
+    val changes = Seq((4L, "V4", false), (5L, "V5", false),
+      (6L, "v6", true), (11L, "v11", false)).toDF("k", "p", "_delete")
+    val v3 = SnapshotStore.mergeCow(spark, root, changes, "k") // MOR-aware
+    val got = SnapshotStore.readAtMor(spark, root, Some(v3), "k")
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expected = Seq(1L -> "v1", 2L -> "v2", 4L -> "V4", 5L -> "V5",
+      7L -> "v7", 9L -> "v9", 10L -> "v10", 11L -> "v11")
+    assert(got == expected, s"MOR merge state diverged: $got")
+    // the advisor's failure mode: a delete-key file read as standing
+    // data resurrects deleted keys as null-payload rows — there must be
+    // NO null payload anywhere in the data files
+    val dataRows = SnapshotStore.readFiles(spark, root,
+      SnapshotStore.filesAt(spark, root, v3).filterNot(SnapshotStore.isDeleteFile),
+      inferPartitions = false)
+    assert(dataRows.where(col("p").isNull).count() == 0,
+      "merge resurrected delete-marker rows as null-payload data")
+    // delete set rewritten minus the change keys: 3 and 8 survive
+    // (their rows live on in untouched/rewritten files minus the keys),
+    // 4 does not (the merge decided its fate physically)
+    val delKeys = SnapshotStore.readFiles(spark, root,
+        SnapshotStore.filesAt(spark, root, v3).filter(SnapshotStore.isDeleteFile),
+        inferPartitions = false)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(delKeys == Seq(3L, 8L), s"surviving delete keys wrong: $delKeys")
+    // and the data files genuinely do not carry keys 3/8 as live rows
+    // reachable after a fold: fold == MOR read, pinning consistency
+    val v4 = SnapshotStore.foldMor(spark, root, "k", numFiles = 2, statsCols = Seq("k"))
+    val folded = SnapshotStore.readAt(spark, root, Some(v4), inferPartitions = false)
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(folded == expected, "post-fold read diverged from the MOR merge state")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  test("CDC delta rung: out-of-order delta epochs converge to the COW merge; ties go to the change; fold preserves content (q26r)") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    def mkBase(tag: String): java.nio.file.Path = {
+      val r = java.nio.file.Files.createTempDirectory(s"cdc-delta-$tag")
+      (1L to 10L).map(k => (k, s"v$k", 0L)).toDF("k", "p", "ord")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+        .write.parquet(r.resolve("data/base").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r), statsCols = Seq("k"))
+      r
+    }
+    // epoch A (newer order), epoch B (OLDER order, arrives later):
+    // convergence must follow ord, with _seq only breaking exact ties
+    val dNewer = Seq((1L, "newer1", 5L), (11L, "ins11", 5L)).toDF("k", "p", "ord")
+    val dOlder = Seq((1L, "older1", 3L), (2L, "older2", 3L), (3L, "tie3", 0L))
+      .toDF("k", "p", "ord")
+    val mor = mkBase("mor")
+    SnapshotStore.commitCdcDelta(spark, mor, dNewer, "k")
+    SnapshotStore.commitCdcDelta(spark, mor, dOlder, "k")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "p", "ord").orderBy("k").collect().toSeq
+    val morRead = canon(SnapshotStore.readAtCdc(spark, mor, None, "k", Seq("ord")))
+    // the COW twin: same changes, same arrival order, same orderCols
+    val cow = mkBase("cow")
+    SnapshotStore.mergeCow(spark, cow, dNewer.withColumn("_delete", lit(false)),
+      "k", orderCols = Seq("ord"))
+    SnapshotStore.mergeCow(spark, cow, dOlder.withColumn("_delete", lit(false)),
+      "k", orderCols = Seq("ord"))
+    assert(morRead == canon(SnapshotStore.readAt(spark, cow, inferPartitions = false)),
+      "MOR read must equal the COW merge on identical epochs")
+    val byK = morRead.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byK(1L) == "newer1", "higher-ord change must win over a later lower-ord epoch")
+    assert(byK(2L) == "older2" && byK(11L) == "ins11")
+    assert(byK(3L) == "tie3", "an order TIE must go to the change (base enters at seq 0)")
+    // write cost is the MOR class: both delta commits carried every
+    // base file untouched and added exactly one tiny delta file
+    val v3 = SnapshotStore.filesAt(spark, mor, 3L)
+    assert(v3.count(SnapshotStore.isCdcDeltaFile) == 2, "deltas must accumulate")
+    assert(v3.filterNot(SnapshotStore.isCdcDeltaFile) ==
+           SnapshotStore.filesAt(spark, mor, 1L),
+      "delta commits must never rewrite a data file")
+    // the fold: content-preserving, deltas gone, plain read thereafter
+    val v4 = SnapshotStore.foldCdc(spark, mor, "k", Seq("ord"), numFiles = 2)
+    assert(SnapshotStore.filesAt(spark, mor, v4).count(SnapshotStore.isCdcDeltaFile) == 0)
+    assert(canon(SnapshotStore.readAt(spark, mor, inferPartitions = false)) == morRead,
+      "post-fold plain read diverged from the CDC read")
+    assert(canon(SnapshotStore.readAtCdc(spark, mor, None, "k", Seq("ord"))) == morRead,
+      "readAtCdc on a folded table must degrade to the plain scan")
+    graft.core.IndexStore.deleteRecursively(mor)
+    graft.core.IndexStore.deleteRecursively(cow)
+  }
+
+  test("tags: staging-branch versions above HEAD are not taggable; dropBranch leaves no dangling pins (ADVICE r12)") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tag-branch")
+    (1L to 5L).toDF("id").coalesce(1).write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1 (HEAD)
+    (6L to 8L).toDF("id").coalesce(1).write.parquet(root.resolve("data/staged").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      ref = "staging") // v2, branch-only
+    // v2's manifest exists but sits above HEAD — tagging it must refuse
+    // (dropBranch would prune the chain and strand the pin)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.tagVersion(root, "pin", 2L)
+    }
+    SnapshotStore.dropBranch(spark, root, "staging")
+    assert(SnapshotStore.tags(root).isEmpty && SnapshotStore.manifestVersions(root) == Seq(1L))
+    // dropBranch pruned the staged-only files; stage fresh ones
+    (6L to 8L).toDF("id").coalesce(1).write.parquet(root.resolve("data/staged2").toString)
+    // after publish the version IS mainline and taggable
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root), ref = "s2")
+    SnapshotStore.publishBranch(spark, root, "s2")
+    SnapshotStore.tagVersion(root, "pin", 2L)
+    assert(SnapshotStore.readAtTag(spark, root, "pin", inferPartitions = false).count() == 8)
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  test("tag race: concurrent taggers of one name — exactly one wins and the pin holds the WINNER's version (ADVICE r12)") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tag-race")
+    (1L to 4L).toDF("id").coalesce(1).write.parquet(root.resolve("data/a").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+    (5L to 6L).toDF("id").coalesce(1).write.parquet(root.resolve("data/b").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v2
+    // with the old FIXED tmp name, the loser's write could replace the
+    // winner's bytes before its link landed — the pin then pointed at
+    // the loser's version despite the EEXIST immutability guarantee
+    for (round <- 1 to 20) {
+      val name = s"t$round"
+      val winners = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ts = Seq(1L, 2L).map { v =>
+        new Thread(() => {
+          try { SnapshotStore.tagVersion(root, name, v); winners.add(v) }
+          catch { case _: IllegalStateException => () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val won = winners.asScala.toSeq
+      assert(won.size == 1, s"round $round: expected exactly one winner, got $won")
+      assert(SnapshotStore.tagVersionOf(root, name) == won.headOption,
+        s"round $round: pin holds a different version than the winning tagger wrote")
+    }
+    graft.core.IndexStore.deleteRecursively(root)
+  }
 }

@@ -1,0 +1,213 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The snapshot seam's commit machinery under contention and at scale
+  * posture (VERDICT r12 #1/#3): O(delta) driver transfer, Iceberg-style
+  * append rebase, and conflict refusal. Lives in `graft.core` to reach
+  * the package-private deterministic race seam
+  * ([[SnapshotStore.commitAttemptHook]]). */
+class SnapshotCommitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def resetHook(): Unit =
+    SnapshotStore.commitAttemptHook = (_, _) => ()
+
+  test("CAS retry: two non-conflicting appends from one base BOTH land (VERDICT r12 #3)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cas-rebase")
+    (1L to 6L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/base").toString)
+    val baseFiles = SnapshotStore.dataFiles(root)
+    SnapshotStore.commit(spark, root, baseFiles, statsCols = Seq("k")) // v1
+    // stage both appends' files up front
+    (7L to 8L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/loadX").toString)
+    (9L to 10L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/loadY").toString)
+    val all = SnapshotStore.dataFiles(root)
+    val x = all.filter(_.contains("loadX"))
+    val y = all.filter(_.contains("loadY"))
+    // the deterministic interleave: the OUTER commit (base+X) resolves
+    // its base at v1; before its first CAS attempt a COMPETING append
+    // (base+Y) lands as v2; the outer loses the CAS, detects a pure
+    // append, rebases onto v2, and lands as v3 = base ∪ Y ∪ X
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.commitAttemptHook = (r, _) =>
+      if (r == root && fired.compareAndSet(false, true))
+        SnapshotStore.commit(spark, root, baseFiles ++ y)
+    try {
+      val v = SnapshotStore.commit(spark, root, baseFiles ++ x)
+      assert(v == 3L, s"rebased append must land as v3, got v$v")
+    } finally resetHook()
+    assert(fired.get, "the competing commit never fired — seam broken")
+    assert(SnapshotStore.headVersion(root).contains(3L))
+    assert(SnapshotStore.filesAt(spark, root, 3L).toSet == (baseFiles ++ x ++ y).toSet,
+      "the rebased manifest must hold BOTH appends plus the base")
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .select("k").as[Long].collect().sorted.toSeq == (1L to 10L),
+      "both appends' rows must be readable at HEAD")
+    // stats shape survived the rebase (inherited envelope columns)
+    val m = SnapshotStore.manifest(spark, root, 3L)
+    assert(m.columns.contains("min_k") && m.columns.contains("max_k"))
+    assert(m.where(col("file").contains("loadY")).select("min_k").as[Long].head() == 9L,
+      "the competing append's envelope rows must be carried intact")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  test("CAS conflict: a file-REPLACING commit racing an append still dies with one clean CME") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cas-conflict")
+    (1L to 4L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/base").toString)
+    val baseFiles = SnapshotStore.dataFiles(root)
+    SnapshotStore.commit(spark, root, baseFiles) // v1
+    (1L to 4L).map(k => (k, s"V$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/rewrite").toString)
+    (5L to 6L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/loadZ").toString)
+    val all = SnapshotStore.dataFiles(root)
+    val rewrite = all.filter(_.contains("rewrite"))
+    val z = all.filter(_.contains("loadZ"))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.commitAttemptHook = (r, _) =>
+      if (r == root && fired.compareAndSet(false, true))
+        SnapshotStore.commit(spark, root, baseFiles ++ z)
+    try {
+      // a compaction-shaped commit (replaces every base file) derived
+      // from v1 — once the append lands first, its content is stale;
+      // rebase would silently drop the append, so it must REFUSE
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotStore.commit(spark, root, rewrite)
+      }
+    } finally resetHook()
+    assert(fired.get)
+    // the winner's state is intact, the loser left no trace
+    assert(SnapshotStore.headVersion(root).contains(2L))
+    assert(SnapshotStore.filesAt(spark, root, 2L).toSet == (baseFiles ++ z).toSet)
+    import scala.jdk.CollectionConverters._
+    val residue = java.nio.file.Files.list(root.resolve("_snapshots"))
+    val names = try residue.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally residue.close()
+    assert(!names.exists(_.startsWith("_tmp")), s"torn tmp manifest left behind: $names")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  test("commit driver transfer is O(delta), not O(table): fat carried stat rows never cross the driver (VERDICT r12 #1)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("commit-odelta")
+    // 48 files whose min/max envelopes are FAT (8 KB strings): the full
+    // carried manifest is ~48 × 2 × 8 KB ≈ 768 KB of stat payload. The
+    // old collect-the-manifest commit pulls all of it to the driver on
+    // EVERY commit; the DataFrame-composed commit moves only names.
+    val pad = "x" * 8192
+    (0 until 48).foreach { i =>
+      Seq((i.toLong, s"$i$pad")).toDF("k", "fat")
+        .coalesce(1).write.parquet(root.resolve(f"data/load$i%03d").toString)
+    }
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("k", "fat")) // v1, fat envelopes
+    Seq((999L, s"delta$pad")).toDF("k", "fat")
+      .coalesce(1).write.parquet(root.resolve("data/load_delta").toString)
+    // meter every task-result byte of the commit's own jobs (job-group
+    // scoped, so parallel suites can't pollute the counter)
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            "commit-odelta-probe" == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(id => stages.add(id))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(t.stageId) && t.taskMetrics != null)
+          resultBytes.addAndGet(t.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("commit-odelta-probe", "commit O(delta) probe")
+      val v = SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+      spark.sparkContext.clearJobGroup()
+      assert(v == 2L)
+      // drain the listener bus (poll until the counter quiesces)
+      var last = -1L; var spins = 0
+      while (resultBytes.get != last && spins < 50) {
+        last = resultBytes.get; spins += 1; Thread.sleep(100)
+      }
+      val bytes = resultBytes.get
+      assert(bytes > 0, "probe captured no tasks — job-group scoping broke")
+      // the carried fat payload alone is ~768 KB; names + agg rows for
+      // the 1-file delta are a few KB. 300 KB cleanly separates the
+      // O(delta) regime from the collect-the-manifest regime.
+      assert(bytes < 300L * 1024,
+        s"commit moved $bytes result bytes to the driver — O(table) manifest collect is back")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      resetHook()
+    }
+    // and the commit is still CORRECT: all 49 rows, envelopes intact
+    assert(SnapshotStore.countAt(spark, root) == 49L)
+    val m = SnapshotStore.manifest(spark, root, 2L)
+    assert(m.count() == 49L)
+    assert(m.where(col("file") === "data/load_delta").count() +
+           m.where(col("file").contains("load_delta")).count() >= 1)
+    assert(SnapshotStore.filesAtWhere(spark, root, 2L,
+      col("min_k") <= 999L && col("max_k") >= 999L).exists(_.contains("load_delta")),
+      "the delta file's fresh envelope must be queryable")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  test("CatalogArbiter: the race / torn-commit / tag suites hold WITHOUT atomic rename (VERDICT r12 #5)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cat-arbiter")
+    SnapshotStore.setArbiter(root, new CatalogArbiter)
+    try {
+      (1L to 6L).map(k => (k, s"v$k")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/base").toString)
+      val baseFiles = SnapshotStore.dataFiles(root)
+      SnapshotStore.commit(spark, root, baseFiles, statsCols = Seq("k")) // v1
+      // -- append rebase under the catalog arbiter ----------------------
+      (7L to 8L).map(k => (k, s"v$k")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/loadX").toString)
+      (9L to 10L).map(k => (k, s"v$k")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/loadY").toString)
+      val all = SnapshotStore.dataFiles(root)
+      val x = all.filter(_.contains("loadX"))
+      val y = all.filter(_.contains("loadY"))
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      SnapshotStore.commitAttemptHook = (r, _) =>
+        if (r == root && fired.compareAndSet(false, true))
+          SnapshotStore.commit(spark, root, baseFiles ++ y)
+      try assert(SnapshotStore.commit(spark, root, baseFiles ++ x) == 3L)
+      finally resetHook()
+      assert(SnapshotStore.filesAt(spark, root, 3L).toSet == (baseFiles ++ x ++ y).toSet)
+      // -- torn commit: published manifest, pointer never swung ---------
+      // (writer died between publish and swing — simulate by rolling
+      // the pointer text back; the next commit must reclaim v4)
+      (11L to 12L).map(k => (k, s"v$k")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/loadT").toString)
+      val t = SnapshotStore.dataFiles(root).filter(_.contains("loadT"))
+      SnapshotStore.commit(spark, root, baseFiles ++ x ++ y ++ t) // v4
+      java.nio.file.Files.write(root.resolve("_snapshots/HEAD"),
+        "3".getBytes("UTF-8")) // tear: v4 manifest exists, HEAD says 3
+      val v4 = SnapshotStore.commit(spark, root, baseFiles ++ x ++ y ++ t)
+      assert(v4 == 4L, "orphan reclaim under the catalog arbiter must land v4")
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 12)
+      // -- tag exclusivity without link(2) ------------------------------
+      SnapshotStore.tagVersion(root, "pin", 2L)
+      intercept[IllegalStateException] { SnapshotStore.tagVersion(root, "pin", 3L) }
+      assert(SnapshotStore.tagVersionOf(root, "pin").contains(2L))
+      assert(SnapshotStore.readAtTag(spark, root, "pin", inferPartitions = false)
+        .count() == 8)
+      // -- vacuum + rollback still honor pins under the arbiter ---------
+      SnapshotStore.vacuum(spark, root, retain = 1)
+      assert(SnapshotStore.manifestVersions(root).contains(2L), "tagged v2 must survive")
+      intercept[IllegalArgumentException] { SnapshotStore.rollbackTo(spark, root, 1L) }
+    } finally {
+      SnapshotStore.clearArbiter(root)
+      resetHook()
+    }
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+}
