@@ -145,6 +145,7 @@ object SparkEntry {
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
     "q26m_wap_publish"     -> (LayoutQueries.q26mWapPublish _),
     "q26n_stream_cdc_merge" -> (graft.streaming.StreamingPipelines.q26nStreamCdcMerge _),
+    "q26r_stream_cdc_mor"  -> (graft.streaming.StreamingPipelines.q26rStreamCdcMor _),
     "q26o_mor_delete"      -> (LayoutQueries.q26oMorDelete _),
     "q26p_change_feed"     -> (LayoutQueries.q26pChangeFeed _),
     "q26q_tagged_read"     -> (LayoutQueries.q26qTaggedRead _),
@@ -704,6 +705,17 @@ object SparkEntry {
     // batch upsert exactly — same SQL, the strongest check a stateful
     // multi-epoch merge admits
     "q26n_stream_cdc_merge" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q26r: the MERGE-ON-READ streamed loop must converge to the SAME
+    // batch upsert as the COW loop — one oracle, two write paths
+    // (VERDICT r12 #2: O(batch) delta commits + policy folds vs
+    // per-epoch COW rewrites)
+    "q26r_stream_cdc_mor" ->
       """WITH r AS (SELECT user_id, event_type, value, ts,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
