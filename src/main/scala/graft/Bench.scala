@@ -251,7 +251,36 @@ object Bench {
             System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
             Seq.empty[(String, Double)]
         }
-      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // second stamp per rung on the CLUSTERED synthetic corpus
+      // (VERDICT r12 #6): the testdata embeddings are uniform-random —
+      // PQ/binary's worst case; real embeddings cluster. Same rungs,
+      // same persisted-index machinery, dir = the deterministic
+      // mixture fixture. Failures degrade to missing stamps, never a
+      // bench abort.
+      val clustered =
+        try {
+          import graft.operators.SimilarityQueries
+          val cdir = SimilarityQueries.clusteredEmbeddingsDir(spark)
+          val exact = pairs(SimilarityQueries.q17CosineTopK(spark, cdir), "probe_id", "neighbor_id")
+          Seq(
+            "q17b_ann_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17bAnnTopK(spark, cdir), "probe_id", "neighbor_id"), exact),
+            "q17c_ivf_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17cIvfTopK(spark, cdir), "probe_id", "neighbor_id"), exact),
+            "q17f_ivf_int8_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17fIvfInt8TopK(spark, cdir), "probe_id", "neighbor_id"), exact),
+            "q17j_pq_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17jPqTopK(spark, cdir), "probe_id", "neighbor_id"), exact),
+            "q17k_ivfpq_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17kIvfPqTopK(spark, cdir), "probe_id", "neighbor_id"), exact),
+            "q17m_binary_topk_clustered" ->
+              vs(pairs(SimilarityQueries.q17mBinaryHammingTopK(spark, cdir), "probe_id", "neighbor_id"), exact))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] clustered recall computation FAILED: ${e.getMessage}")
+            Seq.empty[(String, Double)]
+        }
+      (entries ++ clustered).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
     // the recall-regression GATE (VERDICT r10 #5): stamps existed since
     // r9 but drift was only visible by diffing artifacts by hand — now

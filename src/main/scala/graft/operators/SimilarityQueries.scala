@@ -1294,4 +1294,55 @@ object SimilarityQueries {
     * label-partitioned files before a byte of vector data is read. */
   def q17gFilteredTopK(spark: SparkSession, dir: String): DataFrame =
     cosineTopK(spark, dir, candidateFilter = Some(col("label") === 3))
+
+  // ---- clustered synthetic corpus (the second recall fixture) --------
+
+  val clusteredBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ClusteredFamily = "graft-ann-clustered"
+  private val ClusteredN = 8192
+  private val ClusteredDims = 64
+  private val ClusteredK = 64
+
+  /** A CLUSTERED synthetic embedding corpus (VERDICT r12 #6): every
+    * per-round recall stamp so far was measured on the testdata
+    * embeddings, which behave like uniform random vectors — PQ's and
+    * binary-sign's WORST case (no subspace structure to quantize) and
+    * unrepresentative of real model embeddings, which cluster. This
+    * fixture is a hash-seeded mixture: 64 centers uniform in
+    * [-1,1]^64, each point = its center + small per-dim noise (sum of
+    * two hash-uniforms ≈ triangular, CLT-ish), all via codegen'd
+    * `xxhash64` expressions — fully deterministic across JVMs and
+    * rounds (no RNG state), generated distributed (spark.range), and
+    * written ONCE under the index store as a standard `embeddings
+    * .parquet` table, so every ANN rung runs against it UNCHANGED via
+    * its `dir` parameter (indexes build per-dir like any corpus). The
+    * bench stamps a second recall row per rung on it; the structured
+    * case is where IVF/PQ should shine (expect ≥0.9), making the
+    * ladder's recall story representative instead of worst-case-only. */
+  def clusteredEmbeddingsDir(spark: SparkSession): String = {
+    val fp = s"v1:$ClusteredN:$ClusteredDims:$ClusteredK"
+    val root = graft.core.IndexStore.buildOrLoad(
+        ClusteredFamily, "synthetic", fp,
+        Seq("embeddings.parquet"), clusteredBuildCount) { r =>
+      val d = ClusteredDims
+      spark.range(ClusteredN.toLong)
+        .select(col("id").as("vec_id"), (col("id") % ClusteredK).as("c"))
+        .select(
+          col("vec_id"),
+          expr(
+            s"""transform(sequence(0, ${d - 1}), dd -> cast(
+               |  (cast(pmod(xxhash64(c * $d + dd), 2000) as double) / 1000.0 - 1.0)
+               |  + (cast(pmod(xxhash64(vec_id * $d + dd + 999983), 2000) as double) / 1000.0 - 1.0) * 0.09
+               |  + (cast(pmod(xxhash64(vec_id * $d + dd + 777797), 2000) as double) / 1000.0 - 1.0) * 0.09
+               | as float))""".stripMargin).as("embedding"),
+          (col("c") % 10).cast("int").as("label"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(r.resolve("embeddings.parquet").toString)
+      // a REBUILD of the same path must invalidate the session's shared
+      // file-status cache, or later scans chase the superseded part
+      // files (FAILED_READ_FILE.FILE_NOT_EXIST)
+      spark.catalog.refreshByPath(r.resolve("embeddings.parquet").toString)
+    }
+    root.toString
+  }
 }
