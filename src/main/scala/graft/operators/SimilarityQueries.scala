@@ -655,38 +655,66 @@ object SimilarityQueries {
   /** Q17f — IVF × int8 (the FAISS IVF-SQ8 layout re-expressed
     * relationally): candidate lists come from the persisted IVF coarse
     * quantizer (sublinear — ~nprobe/k of the corpus per probe, q17c's
-    * machinery) and scoring runs on the int8 codes (8× less memory
-    * bandwidth, q17e's scorer). This is the configuration a 100 TB
-    * deployment actually ships: the full-precision vectors are never
-    * read at query time. Rows-only like the other ANN rows (candidate
-    * sets depend on k-means training); recall vs exact f64 q17 is
-    * pinned in DedupSimilaritySpec. */
+    * machinery) and scoring runs on int8 codes (8× less memory
+    * bandwidth). Two design choices follow FAISS's IVF-SQ defaults,
+    * both adopted in round 13 after the clustered-corpus recall stamp
+    * exposed the naive variant (whole-vector symmetric codes) at 0.78:
+    *
+    *   1. RESIDUAL encoding (`by_residual`): each vector is coded as
+    *      int8 of (v − centroid-of-its-list), per-vector scale =
+    *      127/max|residual|. On clustered data residual norms are a
+    *      fraction of vector norms, so the quantization step shrinks
+    *      proportionally — exactly where whole-vector codes drown the
+    *      tiny cosine gaps between near-identical candidates. On
+    *      uniform data it degrades to roughly the whole-vector step
+    *      (centroids shrink residuals only mildly) — never worse.
+    *   2. ASYMMETRIC scoring (ADC): the probe side stays full
+    *      precision — only the O(probes) query vectors are read as
+    *      f64; the corpus scan is still codes + scale + cid. Database-
+    *      side reconstruction c̃ = centroid + code/scale, scored as
+    *      cos(p, c̃) with c̃ normalized in-expression. Halves the
+    *      quantization noise vs symmetric code×code products.
+    *
+    * This is the configuration a 100 TB deployment ships: the corpus's
+    * full-precision vectors are never read at query time (probe
+    * vectors are O(10) rows). Rows-only like the other ANN rows
+    * (candidate sets depend on k-means training); recall vs exact f64
+    * q17 is pinned in DedupSimilaritySpec on BOTH corpora. */
   def q17fIvfInt8TopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
       transform(col("v"), x => x / col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
     val cand = ivfCandidates(spark, unit, ivf)
       .select(col("probe_id"), col("id").as("neighbor_id"))
+    val cents = broadcast(ivf.centroids.toDF("cid", "cvec"))
 
-    // int8 codes + de-scale constants (at scale: a precomputed code
-    // table read instead of the f64 vectors — 8× fewer bytes scanned)
-    val codes = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("scale",
-        lit(127.0) / aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .withColumn("qv", transform(col("v"), x => floor(x * col("scale")).cast("long")))
-      .select("vec_id", "qv", "scale", "nrm")
-    val cp = codes.select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
-      col("scale").as("ps"), col("nrm").as("pn"))
-    val cc = codes.select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"),
-      col("scale").as("cs"), col("nrm").as("cn"))
-    val scored = cand.join(broadcast(cp), "probe_id").join(cc, "neighbor_id")
-      .withColumn("cos_q",
-        aggregate(zip_with(col("cqv"), col("pqv"), _ * _), lit(0L), _ + _).cast("double")
-          / (col("cs") * col("ps")) / (col("cn") * col("pn")))
+    // residual int8 codes (at scale: a precomputed code table read
+    // instead of the f64 vectors — 8× fewer bytes scanned per list).
+    // scale guard: a vector sitting exactly on its centroid has a zero
+    // residual — any finite scale codes it as all-zeros, so 1e-12 keeps
+    // the arithmetic finite without changing the reconstruction.
+    val codes = unit
+      .join(ivfAssignments(spark, ivf), "id")
+      .join(cents, "cid")
+      .withColumn("r", zip_with(col("v"), col("cvec"), _ - _))
+      .withColumn("scale", lit(127.0) /
+        greatest(aggregate(col("r"), lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+      .withColumn("qv", transform(col("r"), x => floor(x * col("scale")).cast("long")))
+      .select("id", "cid", "qv", "scale")
+
+    // asymmetric scoring: reconstruct c̃ = centroid + qv/scale, rank by
+    // cos(p_unit, c̃) = dot(p, c̃)/|c̃| (probe is unit-norm exact)
+    val ep = unit.select(col("id").as("probe_id"), col("v").as("pv"))
+    val scored = cand
+      .join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+      .join(cents, "cid")
+      .join(broadcast(ep), "probe_id")
+      .withColumn("rv",
+        zip_with(col("cvec"), transform(col("qv"), q => q.cast("double") / col("scale")), _ + _))
+      .withColumn("cos_q", dot(col("pv"), col("rv")) / sqrt(dot(col("rv"), col("rv"))))
     val w = Window.partitionBy("probe_id").orderBy(col("cos_q").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 5)

@@ -757,5 +757,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val pq = pairs(SimilarityQueries.q17jPqTopK(spark, cdir2))
     val recall = (pq & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"PQ recall on the clustered fixture is $recall — expected ≥ 0.9")
+    // the int8 rung — whose round-12 whole-vector symmetric codes sat
+    // at 0.78 here — must ALSO clear 0.9 with residual encoding +
+    // asymmetric scoring (the r13 IVF-SQ8 rework): residuals against
+    // the list centroid are a fraction of the vector norm exactly when
+    // the data clusters, so the int8 step shrinks proportionally
+    val sq8 = pairs(SimilarityQueries.q17fIvfInt8TopK(spark, cdir2))
+    val recall8 = (sq8 & exact).size.toDouble / exact.size
+    assert(recall8 >= 0.9, s"IVF-int8 recall on the clustered fixture is $recall8 — expected ≥ 0.9")
   }
 }
