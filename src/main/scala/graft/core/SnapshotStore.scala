@@ -764,6 +764,10 @@ object SnapshotStore {
               statsCols: Seq[String] = Nil): Long = {
     val attempt = headVersion(root).getOrElse(0L) + 1
     val rel = s"data/compact_a$attempt"
+    // compact reads PLAIN rows — pending special files must fold first
+    // (their own fold IS the compaction for those rungs)
+    requireNoPending(filesAt(spark, root, attempt - 1), "compact",
+      cdcDeltas = true, morDeletes = true)
     val df = readAt(spark, root, inferPartitions = false)
     val shaped = sortCol match {
       case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
@@ -843,6 +847,9 @@ object SnapshotStore {
     // that is precisely how an upsert re-inserts a deleted key under
     // MOR, which a plain append cannot do (see [[readAtMor]]).
     val headFiles = filesAt(spark, root, head)
+    // MOR deletes are handled below; CDC deltas are a different
+    // resolution discipline (per-key _seq argmax) — refuse, fold first
+    requireNoPending(headFiles, "mergeCow", cdcDeltas = true)
     val (delFiles, dataFiles) = headFiles.partition(isDeleteFile)
     val changeKeys = changes.select(col(keyCol)).distinct()
     // file-scoped planning: envelope ∩ change-keys, with the MANIFEST
@@ -957,6 +964,7 @@ object SnapshotStore {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"deleteMor on uncommitted table $root"))
     val headFiles = filesAt(spark, root, head)
+    requireNoPending(headFiles, "deleteMor", cdcDeltas = true)
     val schema = readFiles(spark, root,
       headFiles.filterNot(isDeleteFile).take(1), inferPartitions = false).schema
     val padded = keys.select(schema.fields.map { f =>
@@ -1001,6 +1009,7 @@ object SnapshotStore {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver)
+    requireNoPending(files, "readAtMor", cdcDeltas = true)
     val (del, data) = files.partition(isDeleteFile)
     val base = readFiles(spark, root, data, inferPartitions = false)
     if (del.isEmpty) base
@@ -1038,6 +1047,34 @@ object SnapshotStore {
 
   // ---- CDC delta files (the merge-on-read UPSERT rung; q26r) ---------
 
+  /** PENDING-FILE GUARD (round 13; the API-combination class ADVICE
+    * r12 flagged on mergeCow×MOR, closed uniformly): ops that resolve
+    * rows assuming every manifest file is plain standing data must
+    * REFUSE on a version carrying pending special files they don't
+    * understand, not silently read them — an un-folded CDC delta read
+    * as data resurrects superseded key versions and tombstones (and
+    * drags a `_seq` column into the schema); an un-folded MOR delete
+    * file read as data resurrects deleted keys as null-payload rows.
+    * Nothing in the query flows reaches these combinations; the
+    * public API now can't either. The error names the fold that
+    * unblocks. */
+  private def requireNoPending(files: Seq[String], op: String,
+                               cdcDeltas: Boolean = false,
+                               morDeletes: Boolean = false): Unit = {
+    if (cdcDeltas) {
+      val d = files.filter(isCdcDeltaFile)
+      if (d.nonEmpty) throw new IllegalStateException(
+        s"$op on a table with ${d.size} un-folded CDC delta file(s) — " +
+        s"run foldCdc first (pending: ${d.take(3).mkString(", ")}…)")
+    }
+    if (morDeletes) {
+      val d = files.filter(isDeleteFile)
+      if (d.nonEmpty) throw new IllegalStateException(
+        s"$op on a table with ${d.size} un-folded MOR delete file(s) — " +
+        s"run foldMor first (pending: ${d.take(3).mkString(", ")}…)")
+    }
+  }
+
   /** Is this manifest path a CDC DELTA file? CDC deltas live under
     * `data/_cdcdelta_a<attempt>/` by path convention, like MOR delete
     * files — manifest schema untouched, every version's file list
@@ -1067,6 +1104,9 @@ object SnapshotStore {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"commitCdcDelta on uncommitted table $root"))
     val headFiles = filesAt(spark, root, head)
+    // the delta rung's recency argmax does not know how to apply MOR
+    // delete keys — the two merge-on-read disciplines must not mix
+    requireNoPending(headFiles, "commitCdcDelta", morDeletes = true)
     val attempt = head + 1
     val rel = s"data/_cdcdelta_a$attempt"
     changes.withColumn("_seq", lit(attempt))
@@ -1102,6 +1142,7 @@ object SnapshotStore {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver)
+    requireNoPending(files, "readAtCdc", morDeletes = true)
     val (delta, data) = files.partition(isCdcDeltaFile)
     if (delta.isEmpty) return readFiles(spark, root, data, inferPartitions = false)
     val deltas = readFiles(spark, root, delta, inferPartitions = false)
@@ -1220,6 +1261,10 @@ object SnapshotStore {
     import spark.implicits._
     val fromFiles = filesAt(spark, root, fromV)
     val toFiles = filesAt(spark, root, toV)
+    // the diff resolves MOR deletes; CDC deltas need their own
+    // resolution (fold first — a folded endpoint diffs exactly)
+    requireNoPending(fromFiles, s"changesBetween(from=v$fromV)", cdcDeltas = true)
+    requireNoPending(toFiles, s"changesBetween(to=v$toV)", cdcDeltas = true)
     val changed = (fromFiles.filterNot(toFiles.toSet) ++
       toFiles.filterNot(fromFiles.toSet)).distinct
     val fromAll = readAtMor(spark, root, Some(fromV), keyCol)
@@ -1285,6 +1330,10 @@ object SnapshotStore {
     * between. */
   def countAt(spark: SparkSession, root: Path, v: Option[Long] = None): Long = {
     val ver = v.orElse(headVersion(root)).get
+    // physical n_rows ≠ logical count when pending special files carry
+    // superseded versions / delete keys — refuse rather than overcount
+    requireNoPending(filesAt(spark, root, ver), "countAt",
+      cdcDeltas = true, morDeletes = true)
     manifest(spark, root, ver).agg(sum(col("n_rows"))).head().getLong(0)
   }
 

@@ -210,4 +210,55 @@ class SnapshotCommitSpec extends AnyFunSuite {
     }
     graft.core.IndexStore.deleteRecursively(root)
   }
+
+  test("pending-file guard: plain-data ops refuse on un-folded CDC deltas / MOR deletes; the fold unblocks") {
+    import spark.implicits._
+    def boom(op: String)(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("un-folded") && e.getMessage.contains("fold"),
+        s"$op refusal message unhelpful: ${e.getMessage}")
+    }
+
+    // -- a table with one pending CDC delta ---------------------------
+    val r1 = java.nio.file.Files.createTempDirectory("guard-cdc")
+    (1L to 6L).map(k => (k, s"v$k", 0L)).toDF("k", "p", "ord")
+      .coalesce(1).write.parquet(r1.resolve("data/base").toString)
+    SnapshotStore.commit(spark, r1, SnapshotStore.dataFiles(r1), statsCols = Seq("k")) // v1
+    SnapshotStore.commitCdcDelta(spark, r1,
+      Seq((2L, "V2", 1L)).toDF("k", "p", "ord"), "k") // v2, pending
+    boom("mergeCow")(SnapshotStore.mergeCow(spark, r1,
+      Seq((3L, "X", false)).toDF("k", "p", "_delete").withColumn("ord", lit(9L)), "k"))
+    boom("compact")(SnapshotStore.compact(spark, r1, 1))
+    boom("deleteMor")(SnapshotStore.deleteMor(spark, r1, Seq(1L).toDF("k"), "k"))
+    boom("readAtMor")(SnapshotStore.readAtMor(spark, r1, None, "k"))
+    boom("changesBetween")(SnapshotStore.changesBetween(spark, r1, 1L, 2L, "k"))
+    boom("countAt")(SnapshotStore.countAt(spark, r1))
+    // readAtCdc — the op that DOES understand deltas — still answers
+    assert(SnapshotStore.readAtCdc(spark, r1, None, "k", Seq("ord"))
+      .where(col("k") === 2L).select("p").as[String].head() == "V2")
+    // the fold unblocks every refused op
+    val v3 = SnapshotStore.foldCdc(spark, r1, "k", Seq("ord"), 1, statsCols = Seq("k"))
+    assert(SnapshotStore.countAt(spark, r1, Some(v3)) == 6L)
+    SnapshotStore.compact(spark, r1, 1) // no throw
+    graft.core.IndexStore.deleteRecursively(r1)
+
+    // -- a table with one pending MOR delete file ---------------------
+    val r2 = java.nio.file.Files.createTempDirectory("guard-mor")
+    (1L to 6L).map(k => (k, s"v$k", 0L)).toDF("k", "p", "ord")
+      .coalesce(1).write.parquet(r2.resolve("data/base").toString)
+    SnapshotStore.commit(spark, r2, SnapshotStore.dataFiles(r2), statsCols = Seq("k")) // v1
+    SnapshotStore.deleteMor(spark, r2, Seq(5L).toDF("k"), "k") // v2, pending
+    boom("commitCdcDelta")(SnapshotStore.commitCdcDelta(spark, r2,
+      Seq((2L, "V2", 1L)).toDF("k", "p", "ord"), "k"))
+    boom("readAtCdc")(SnapshotStore.readAtCdc(spark, r2, None, "k", Seq("ord")))
+    boom("compact")(SnapshotStore.compact(spark, r2, 1))
+    boom("countAt")(SnapshotStore.countAt(spark, r2))
+    // foldMor unblocks the CDC rung on the same table
+    SnapshotStore.foldMor(spark, r2, "k", 1, statsCols = Seq("k"))
+    val vd = SnapshotStore.commitCdcDelta(spark, r2,
+      Seq((2L, "V2", 1L)).toDF("k", "p", "ord"), "k")
+    assert(SnapshotStore.readAtCdc(spark, r2, Some(vd), "k", Seq("ord"))
+      .count() == 5L) // 6 base − 1 deleted, k=2 superseded not doubled
+    graft.core.IndexStore.deleteRecursively(r2)
+  }
 }
