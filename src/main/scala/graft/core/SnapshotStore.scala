@@ -347,6 +347,12 @@ object SnapshotStore {
     * other branches (the same offline-slot discipline as every
     * maintenance op) — version numbers chain linearly from the fork
     * point, so publish is a pure pointer fast-forward. */
+  /** Append-rebase retry budget of [[commit]] — bounds livelock, not
+    * correctness (an exhausted commit throws the CME; nothing partial
+    * lands). Supports up to this-many-plus-one genuinely concurrent
+    * appenders. */
+  private val MaxAppendRebases = 15
+
   def commit(spark: SparkSession, root: Path, files: Seq[String],
              statsCols: Seq[String] = Nil, expectedBase: Long = -1L,
              ref: String = "HEAD"): Long = {
@@ -373,7 +379,12 @@ object SnapshotStore {
           // genuinely invalidates it — re-derive at the caller, never
           // silently re-apply. An explicit `expectedBase` pin means the
           // caller asked for exactly that base — honor it, no rebase.
-          if (expectedBase >= 0 || rebases >= 3) throw cme
+          // cap: each rebase corresponds to ONE competing winner landing
+          // ahead of us (the ref must have moved, checked below), so N
+          // genuinely-concurrent appenders need at most N−1 rebases for
+          // the last to land; a rebase costs file NAMES only, so the cap
+          // is generous rather than tight (Iceberg's num-retries knob)
+          if (expectedBase >= 0 || rebases >= MaxAppendRebases) throw cme
           val baseFiles = prev.map(v => filesAt(spark, root, v)).getOrElse(Seq.empty)
           val targetSet = target.toSet
           if (!baseFiles.forall(targetSet)) throw cme // not an append

@@ -211,6 +211,55 @@ class SnapshotCommitSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(root)
   }
 
+  test("CAS stress: six genuinely concurrent appenders ALL land; versions linearize; every manifest is a superset of its parent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cas-stress")
+    (1L to 4L).map(k => (k, s"v$k")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/base").toString)
+    val baseFiles = SnapshotStore.dataFiles(root)
+    SnapshotStore.commit(spark, root, baseFiles, statsCols = Seq("k")) // v1
+    val n = 6
+    val loads = (0 until n).map { i =>
+      Seq((100L + i, s"load$i")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve(s"data/load$i").toString)
+      SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/load$i/"))
+    }
+    // real thread race through the real filesystem CAS — no hook, no
+    // interleave scripting; the rebase loop must absorb up to n−1
+    // competing winners per thread
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Long]]()
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        gate.await()
+        try results.put(i, Right(
+          SnapshotStore.commit(spark, root, baseFiles ++ loads(i))))
+        catch { case e: Throwable => results.put(i, Left(e)) }
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join(120000))
+    val got = (0 until n).map(results.get)
+    val failed = got.collect { case Left(e) => e }
+    assert(failed.isEmpty, s"appenders died: ${failed.map(_.getMessage)}")
+    val versions = got.collect { case Right(v) => v }.sorted
+    assert(versions == (2L to (n + 1L)), s"versions not linearized: $versions")
+    assert(SnapshotStore.headVersion(root).contains(n + 1L))
+    // every version's manifest strictly extends its parent's (nothing
+    // lost, nothing torn, exactly one load added per step)
+    (2L to (n + 1L)).foreach { v =>
+      val parent = SnapshotStore.filesAt(spark, root, v - 1).toSet
+      val mine = SnapshotStore.filesAt(spark, root, v).toSet
+      assert(parent.subsetOf(mine), s"v$v dropped files from v${v - 1}")
+      assert((mine -- parent).nonEmpty, s"v$v added nothing")
+    }
+    assert(SnapshotStore.filesAt(spark, root, n + 1L).toSet ==
+      (baseFiles ++ loads.flatten).toSet, "final manifest != base ∪ all loads")
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 4L + n)
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("pending-file guard: plain-data ops refuse on un-folded CDC deltas / MOR deletes; the fold unblocks") {
     import spark.implicits._
     def boom(op: String)(body: => Any): Unit = {
