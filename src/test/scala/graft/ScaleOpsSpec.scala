@@ -1495,6 +1495,72 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.core.IndexStore.deleteRecursively(cow)
   }
 
+  test("readAtCdc plan shape: cold files bypass the per-key argmax shuffle; a replayed delta epoch is content-idempotent") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc-cold")
+    (1L to 300L).map(k => (k, s"v$k", 0L)).toDF("k", "p", "ord")
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root), statsCols = Seq("k")) // v1
+    // a delta touching keys that land in exactly ONE base file's envelope
+    SnapshotStore.commitCdcDelta(spark, root,
+      Seq((150L, "V150", 1L), (160L, "V160", 1L)).toDF("k", "p", "ord"), "k") // v2
+    val man = SnapshotStore.manifest(spark, root, 2L)
+      .select("file", "min_k", "max_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hotFiles = man.filter { case (f, lo, hi) =>
+      !SnapshotStore.isCdcDeltaFile(f) && lo <= 150L && 150L <= hi }.map(_._1)
+    val coldFiles = man.map(_._1).filterNot(SnapshotStore.isCdcDeltaFile)
+      .filterNot(hotFiles.toSet)
+    assert(hotFiles.length == 1 && coldFiles.length == 2,
+      s"fixture must split 1 hot / 2 cold, got hot=$hotFiles cold=$coldFiles")
+
+    val df = SnapshotStore.readAtCdc(spark, root, None, "k", Seq("ord"))
+    assert(df.where(col("k") === 150L).select("p").as[String].head() == "V150")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    def scanBases(p: SparkPlan): Seq[String] = nodes(p).collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.toSeq
+    }.flatten.map(u => u.substring(u.lastIndexOf("/data/") + 1))
+    val plan = df.queryExecution.executedPlan
+    // the per-key argmax subtrees (partial+final agg) must read ONLY the
+    // hot file and the delta — the cold files' bytes never enter a
+    // shuffle, which is the whole 100 TB story: delta-disjoint regions
+    // of the table stream through at plain-scan cost
+    val aggScanned = nodes(plan).collect { case a: BaseAggregateExec => a }
+      .flatMap(scanBases).toSet
+    val hotBase = hotFiles.toSet
+    val coldBase = coldFiles.toSet
+    assert(aggScanned.nonEmpty && aggScanned.exists(_.startsWith("data/_cdcdelta")),
+      s"argmax subtree must read the delta, read: $aggScanned")
+    assert(hotBase.subsetOf(aggScanned), s"hot file must enter the argmax: $aggScanned")
+    assert(aggScanned.intersect(coldBase).isEmpty,
+      s"COLD files leaked into the argmax shuffle: ${aggScanned.intersect(coldBase)}")
+    // and the cold files ARE read (plain side of the union)
+    assert(coldBase.subsetOf(scanBases(plan).toSet), "cold files must still be scanned")
+
+    // replay idempotency: the crash-window case — an epoch whose commit
+    // LANDED but whose checkpoint didn't re-delivers the same rows as a
+    // fresh delta; the recency argmax (ties to the higher _seq of equal
+    // content) must leave table content exactly unchanged
+    val before = df.orderBy("k").collect().toSeq
+    SnapshotStore.commitCdcDelta(spark, root,
+      Seq((150L, "V150", 1L), (160L, "V160", 1L)).toDF("k", "p", "ord"), "k") // v3 = replay
+    val after = SnapshotStore.readAtCdc(spark, root, None, "k", Seq("ord"))
+      .orderBy("k").collect().toSeq
+    assert(after == before, "a replayed delta epoch changed table content")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("tags: staging-branch versions above HEAD are not taggable; dropBranch leaves no dangling pins (ADVICE r12)") {
     import graft.core.SnapshotStore
     import spark.implicits._
