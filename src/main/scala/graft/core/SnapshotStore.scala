@@ -1031,18 +1031,41 @@ object SnapshotStore {
   }
 
   /** FOLD the accumulated MOR deletes (the compaction slot's DV
-    * maintenance op): rewrite HEAD's MOR-resolved content as
-    * `numFiles` fresh key-clustered files and commit a version
-    * referencing ONLY those — delete files gone, reads back to plain
-    * scans, envelopes re-tightened. Content-preserving by
-    * construction (a MOR read before == a plain read after, which the
-    * caller's oracle hash-checks). Offline-slot contract; superseded
-    * files retire via [[vacuum]] on the retention policy. */
+    * maintenance op), ENVELOPE-SCOPED (round 13, matching
+    * [[foldCdc]]): only data files whose key envelope can hold a
+    * pending delete key are anti-joined and rewritten as `numFiles`
+    * fresh key-clustered files; files provably disjoint from every
+    * delete key are CARRIED untouched — a fold costs O(region the
+    * deletes touched), not a table rewrite. Tables without key stats
+    * degrade to rewrite-all. Delete files gone after the fold, reads
+    * back to plain scans. Content-preserving by construction (a MOR
+    * read before == a plain read after, which the caller's oracle
+    * hash-checks). A fold with nothing pending is a NO-OP returning
+    * the current head. Offline-slot contract; superseded files retire
+    * via [[vacuum]] on the retention policy. */
   def foldMor(spark: SparkSession, root: Path, keyCol: String,
               numFiles: Int, statsCols: Seq[String] = Nil): Long = {
-    val attempt = headVersion(root).getOrElse(0L) + 1
+    import spark.implicits._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"foldMor on uncommitted table $root"))
+    val files = filesAt(spark, root, head)
+    val (del, data) = files.partition(isDeleteFile)
+    if (del.isEmpty) return head
+    val attempt = head + 1
     val rel = s"data/morfold_a$attempt"
-    readAtMor(spark, root, None, keyCol)
+    val delKeys = readFiles(spark, root, del, inferPartitions = false)
+      .select(col(keyCol)).distinct()
+    val man = manifest(spark, root, head)
+    val (hot, cold) =
+      if (man.columns.contains(s"min_$keyCol") && man.columns.contains(s"max_$keyCol")) {
+        val hit = delKeys.join(
+            broadcast(man.select(col("file"), col(s"min_$keyCol"), col(s"max_$keyCol"))),
+            col(keyCol).between(col(s"min_$keyCol"), col(s"max_$keyCol")))
+          .select("file").distinct().as[String].collect().toSet
+        data.partition(hit)
+      } else (data, Seq.empty[String])
+    readFiles(spark, root, hot, inferPartitions = false)
+      .join(broadcast(delKeys), Seq(keyCol), "left_anti")
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(root.resolve(rel).toString)
@@ -1053,7 +1076,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, fresh, statsCols)
+    commit(spark, root, cold ++ fresh, statsCols)
   }
 
   // ---- CDC delta files (the merge-on-read UPSERT rung; q26r) ---------
@@ -1147,15 +1170,18 @@ object SnapshotStore {
     * enter the single per-key argmax shuffle. A version with no delta
     * files degrades to a plain scan. Stats-less tables degrade to
     * all-files-hot (correct, unpruned). Flat tables. */
-  def readAtCdc(spark: SparkSession, root: Path, v: Option[Long] = None,
-                keyCol: String, orderCols: Seq[String]): DataFrame = {
+  /** The CDC read's ENVELOPE SPLIT, shared by [[readAtCdc]] and
+    * [[foldCdc]]: hot = data files whose key envelope can hold a
+    * delta key, cold = provably delta-disjoint, plus the RESOLVED
+    * frame over hot ∪ deltas (the per-key `(orderCols, _seq)` argmax,
+    * base rows at `_seq = 0`). One definition so the read path and
+    * the fold can never disagree on which files a fold must rewrite. */
+  private def cdcResolve(spark: SparkSession, root: Path, ver: Long,
+                         keyCol: String, orderCols: Seq[String])
+      : (Seq[String], Seq[String], DataFrame, Seq[String]) = {
     import spark.implicits._
-    val ver = v.orElse(headVersion(root)).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver)
-    requireNoPending(files, "readAtCdc", morDeletes = true)
     val (delta, data) = files.partition(isCdcDeltaFile)
-    if (delta.isEmpty) return readFiles(spark, root, data, inferPartitions = false)
     val deltas = readFiles(spark, root, delta, inferPartitions = false)
     val dataCols = deltas.columns.toSeq.filterNot(_ == "_seq")
     val man = manifest(spark, root, ver)
@@ -1168,8 +1194,6 @@ object SnapshotStore {
           .select("file").distinct().as[String].collect().toSet
         data.partition(hit)
       } else (data, Seq.empty[String])
-    val coldDf = readFiles(spark, root, cold, inferPartitions = false)
-      .select(dataCols.map(col): _*)
     val pool = readFiles(spark, root, hot, inferPartitions = false)
       .select(dataCols.map(col): _*).withColumn("_seq", lit(0L))
       .unionByName(deltas.select((dataCols :+ "_seq").map(col): _*))
@@ -1179,22 +1203,47 @@ object SnapshotStore {
         struct((orderCols :+ "_seq").map(col): _*)).as("_w"))
       .select(col(keyCol) +: payload.map(c => col(s"_w.$c").as(c)): _*)
       .select(dataCols.map(col): _*)
-    coldDf.unionByName(resolved)
+    (hot, cold, resolved, dataCols)
+  }
+
+  def readAtCdc(spark: SparkSession, root: Path, v: Option[Long] = None,
+                keyCol: String, orderCols: Seq[String]): DataFrame = {
+    val ver = v.orElse(headVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val files = filesAt(spark, root, ver)
+    requireNoPending(files, "readAtCdc", morDeletes = true)
+    if (!files.exists(isCdcDeltaFile))
+      return readFiles(spark, root, files, inferPartitions = false)
+    val (_, cold, resolved, dataCols) = cdcResolve(spark, root, ver, keyCol, orderCols)
+    readFiles(spark, root, cold, inferPartitions = false)
+      .select(dataCols.map(col): _*)
+      .unionByName(resolved)
   }
 
   /** FOLD the pending CDC deltas (the quiesced-slot compaction, Hudi's
-    * MOR compactor): materialize [[readAtCdc]] as `numFiles` fresh
-    * key-clustered files and commit a version referencing ONLY those —
-    * deltas gone, reads back to plain scans, envelopes re-tightened.
-    * Content-preserving (CDC read before == plain read after, which
-    * the spec pins); tombstones remain physical rows so late older
-    * changes still cannot resurrect them. */
+    * MOR compactor), ENVELOPE-SCOPED like the COW merge (round 13): a
+    * fold rewrites ONLY the hot region — files whose key envelope can
+    * hold a delta key, resolved against the deltas and re-clustered as
+    * `numFiles` fresh files — while cold files are CARRIED into the
+    * new manifest untouched. At 100 TB this is the difference between
+    * a fold costing O(region the stream actually touched) and a table
+    * rewrite per fold (Hudi compacts per file group for the same
+    * reason); tables without key stats degrade to rewrite-all.
+    * Deltas gone after the fold, reads back to plain scans, hot-region
+    * envelopes re-tightened. Content-preserving (CDC read before ==
+    * plain read after, spec-pinned); tombstones remain physical rows
+    * so late older changes still cannot resurrect them. A fold with
+    * nothing pending is a NO-OP returning the current head. */
   def foldCdc(spark: SparkSession, root: Path, keyCol: String,
               orderCols: Seq[String], numFiles: Int,
               statsCols: Seq[String] = Nil): Long = {
-    val attempt = headVersion(root).getOrElse(0L) + 1
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"foldCdc on uncommitted table $root"))
+    if (!filesAt(spark, root, head).exists(isCdcDeltaFile)) return head
+    val attempt = head + 1
     val rel = s"data/cdcfold_a$attempt"
-    readAtCdc(spark, root, None, keyCol, orderCols)
+    val (_, cold, resolved, _) = cdcResolve(spark, root, head, keyCol, orderCols)
+    resolved
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(root.resolve(rel).toString)
@@ -1205,7 +1254,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, fresh, statsCols)
+    commit(spark, root, cold ++ fresh, statsCols)
   }
 
   /** Fold POLICY: fold when pending delta rows exceed `ratio` × base

@@ -1484,15 +1484,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(v3.filterNot(SnapshotStore.isCdcDeltaFile) ==
            SnapshotStore.filesAt(spark, mor, 1L),
       "delta commits must never rewrite a data file")
-    // the fold: content-preserving, deltas gone, plain read thereafter
+    // the fold: content-preserving, deltas gone, plain read thereafter —
+    // and ENVELOPE-SCOPED (r13): v1 files disjoint from every delta key
+    // are carried untouched; only the hot region is rewritten
     val v4 = SnapshotStore.foldCdc(spark, mor, "k", Seq("ord"), numFiles = 2)
-    assert(SnapshotStore.filesAt(spark, mor, v4).count(SnapshotStore.isCdcDeltaFile) == 0)
+    val v4files = SnapshotStore.filesAt(spark, mor, v4)
+    assert(v4files.count(SnapshotStore.isCdcDeltaFile) == 0)
+    val deltaKeySet = Seq(1L, 2L, 3L, 11L)
+    val expectedCold = SnapshotStore.manifest(spark, mor, 3L)
+      .select("file", "min_k", "max_k").collect()
+      .filter(r => !SnapshotStore.isCdcDeltaFile(r.getString(0)))
+      .filterNot(r => deltaKeySet.exists(k => r.getLong(1) <= k && k <= r.getLong(2)))
+      .map(_.getString(0)).toSet
+    assert(expectedCold.nonEmpty, "fixture must have at least one delta-disjoint file")
+    assert(v4files.filter(SnapshotStore.filesAt(spark, mor, 1L).toSet).toSet == expectedCold,
+      "fold must carry exactly the delta-disjoint files untouched")
+    assert(v4files.exists(_.contains("cdcfold")), "fold must rewrite the hot region fresh")
     assert(canon(SnapshotStore.readAt(spark, mor, inferPartitions = false)) == morRead,
       "post-fold plain read diverged from the CDC read")
     assert(canon(SnapshotStore.readAtCdc(spark, mor, None, "k", Seq("ord"))) == morRead,
       "readAtCdc on a folded table must degrade to the plain scan")
     graft.core.IndexStore.deleteRecursively(mor)
     graft.core.IndexStore.deleteRecursively(cow)
+  }
+
+  test("foldMor is envelope-scoped: delete-disjoint files are carried untouched; content preserved; no-op with nothing pending") {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("morfold-scope")
+    (1L to 300L).map(k => (k, s"v$k")).toDF("k", "p")
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root), statsCols = Seq("k")) // v1
+    // a fold with nothing pending must be a NO-OP, not a rewrite
+    assert(SnapshotStore.foldMor(spark, root, "k", 3, Seq("k")) == 1L)
+    assert(SnapshotStore.headVersion(root).contains(1L))
+    // deletes hitting exactly one file's envelope
+    SnapshotStore.deleteMor(spark, root, Seq(150L, 160L).toDF("k"), "k") // v2
+    val v1files = SnapshotStore.filesAt(spark, root, 1L)
+    val expectedCold = SnapshotStore.manifest(spark, root, 2L)
+      .select("file", "min_k", "max_k").collect()
+      .filter(r => !SnapshotStore.isDeleteFile(r.getString(0)))
+      .filterNot(r => Seq(150L, 160L).exists(k => r.getLong(1) <= k && k <= r.getLong(2)))
+      .map(_.getString(0)).toSet
+    assert(expectedCold.size == 2, s"fixture must leave 2 files cold, got $expectedCold")
+    val v3 = SnapshotStore.foldMor(spark, root, "k", 1, Seq("k"))
+    val v3files = SnapshotStore.filesAt(spark, root, v3)
+    assert(v3files.count(SnapshotStore.isDeleteFile) == 0)
+    assert(v3files.filter(v1files.toSet).toSet == expectedCold,
+      "fold must carry exactly the delete-disjoint files untouched")
+    assert(v3files.exists(_.contains("morfold")), "fold must rewrite the hot file fresh")
+    val got = SnapshotStore.readAt(spark, root, Some(v3), inferPartitions = false)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 300L).filterNot(Set(150L, 160L)),
+      "post-fold content must equal the MOR-resolved table")
+    graft.core.IndexStore.deleteRecursively(root)
   }
 
   test("readAtCdc plan shape: cold files bypass the per-key argmax shuffle; a replayed delta epoch is content-idempotent") {
