@@ -2164,7 +2164,10 @@ object StreamingPipelines {
     * The drained table hash-matches q25's batch SQL — the q26n oracle,
     * unchanged. */
   def cdcMorReplay(spark: SparkSession, dir: String,
-                   nChunks: Int = graft.operators.DedupQueries.IngestChunks): Path = {
+                   nChunks: Int = graft.operators.DedupQueries.IngestChunks,
+                   ckptOpt: Option[String] = None,
+                   stopAfterBatches: Int = Int.MaxValue,
+                   resume: Boolean = false): Path = {
     import graft.core.{IndexStore, SnapshotStore}
     import graft.operators.{LayoutQueries, SimilarityQueries}
     val events = Tables.load(spark, dir, "events")
@@ -2184,12 +2187,17 @@ object StreamingPipelines {
         SnapCdcMorFamily, dir, fp, Seq("data", "_snapshots"), snapCdcMorBuildCount) { r =>
       buildBase(r); ()
     }
-    if (SnapshotStore.headVersion(root).exists(_ > 1)) buildBase(root)
-    snapCdcMorDeltaBytes.set(0); snapCdcMorFoldBytes.set(0)
-    snapCdcMorEpochs.set(0); snapCdcMorFolds.set(0)
+    // a RESUME (the restart-hardening path) continues on the table the
+    // killed run left behind — rebuilding the base would orphan the
+    // checkpoint's committed epochs; a fresh replay resets as before
+    if (!resume) {
+      if (SnapshotStore.headVersion(root).exists(_ > 1)) buildBase(root)
+      snapCdcMorDeltaBytes.set(0); snapCdcMorFoldBytes.set(0)
+      snapCdcMorEpochs.set(0); snapCdcMorFolds.set(0)
+    }
     val incoming = events.where(col("ts") >= cut)
     val chunkDir = stageChunksByIdMod(incoming, "event_id", "graft-snapcdcmor", dir, nChunks)
-    val ckpt = Files.createTempDirectory("graft-snapcdcmor-ckpt").toString
+    val ckpt = ckptOpt.getOrElse(Files.createTempDirectory("graft-snapcdcmor-ckpt").toString)
     val q = spark.readStream
       .schema(incoming.schema)
       .option("maxFilesPerTrigger", 1)
@@ -2214,7 +2222,22 @@ object StreamingPipelines {
         SnapshotStore.vacuum(s, root, retain = 2)
         ()
       }.start()
-    q.awaitTermination()
+    if (stopAfterBatches == Int.MaxValue) q.awaitTermination()
+    else {
+      // failure-injection mode (restart-hardening spec): kill the loop
+      // once ≥ stopAfterBatches epochs committed; a later call with the
+      // same ckpt + resume=true continues from the checkpoint — an
+      // epoch whose delta landed but whose checkpoint didn't re-commits
+      // the same rows, which the recency argmax absorbs (spec-pinned
+      // replay idempotency)
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q.isActive && System.nanoTime() < deadline &&
+             (q.lastProgress == null || q.lastProgress.batchId + 1 < stopAfterBatches)) {
+        Thread.sleep(50)
+      }
+      q.stop()
+      q.awaitTermination()
+    }
     root
   }
 

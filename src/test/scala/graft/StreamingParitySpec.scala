@@ -898,6 +898,43 @@ class StreamingParitySpec extends AnyFunSuite {
       "vacuum must bound live manifests in the MOR loop")
   }
 
+  test("restart hardening: the q26r MOR merge loop killed mid-stream resumes from its checkpoint and converges to the batch upsert") {
+    import graft.core.SnapshotStore
+    val dir = "/root/testdata/sf0.001"
+    // fresh table + checkpoint for this test; leave no poisoned memo
+    StreamingPipelines.evictCdcReplays(dir)
+    val ckpt = Files.createTempDirectory("cdcmor-restart-ckpt").toString
+    // run 1: kill the loop after its first committed epoch
+    val root = StreamingPipelines.cdcMorReplay(spark, dir,
+      ckptOpt = Some(ckpt), stopAfterBatches = 1)
+    val headAtKill = SnapshotStore.headVersion(root).get
+    assert(headAtKill >= 2L, "at least one delta epoch must land before the kill")
+    val afterKill = SnapshotStore.readAtCdc(spark, root, None,
+        "user_id", Seq("last_ts", "last_eid")).count()
+    assert(afterKill > 0)
+    // run 2: same checkpoint, resume — remaining chunks only
+    val root2 = StreamingPipelines.cdcMorReplay(spark, dir,
+      ckptOpt = Some(ckpt), resume = true)
+    assert(root2 == root)
+    assert(SnapshotStore.headVersion(root).get > headAtKill,
+      "the resumed loop committed nothing — restart never progressed")
+    // the drained state equals the batch upsert exactly — a crash
+    // between a delta commit and its checkpoint record re-delivers the
+    // epoch, which the recency argmax absorbs
+    val got = SnapshotStore.readAtCdc(spark, root, None,
+        "user_id", Seq("last_ts", "last_eid"))
+      .where(!col("deleted"))
+      .select("user_id", "last_type", "last_value", "last_ts")
+      .orderBy("user_id").collect().toSeq
+    val batch = graft.operators.RelationalQueries.q25CdcUpsert(spark, dir)
+      .select("user_id", "last_type", "last_value", "last_ts")
+      .orderBy("user_id").collect().toSeq
+    assert(got == batch, "restarted MOR merge loop diverged from the batch upsert")
+    // the write-amp meters of this partial run are not a full replay's:
+    // evict so later q26r callers re-stream from scratch
+    StreamingPipelines.evictCdcReplays(dir)
+  }
+
   test("restart hardening: a stateful restart under CHANGED spark.sql.shuffle.partitions continues on the checkpointed layout (VERDICT r12 #7)") {
     import spark.implicits._
     val ckpt = Files.createTempDirectory("reshuffle-ckpt").toString
