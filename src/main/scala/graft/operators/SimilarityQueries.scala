@@ -403,7 +403,8 @@ object SimilarityQueries {
     * centroid matrix (the only driver-resident state), and the path of
     * the persisted inverted-list assignment table (id → cid). */
   final case class IvfIndex(k: Int, nprobe: Int,
-                            centroids: Seq[(Int, Seq[Double])], assignPath: String)
+                            centroids: Seq[(Int, Seq[Double])], assignPath: String,
+                            sq8Path: String)
 
   /** An ANN coarse quantizer is an INDEX — built once, PERSISTED, and
     * reused by every query and every session (FAISS trains offline; at
@@ -460,7 +461,7 @@ object SimilarityQueries {
       case _ => ()
     }
     val root = graft.core.IndexStore.buildOrLoad(
-        IvfFamily, dir, fp, Seq("centroids", "assignments"), counter) { root =>
+        IvfFamily, dir, fp, Seq("centroids", "assignments", "sq8"), counter) { root =>
       val cnt = fp.split(":")(0).toLong // count is the fp's first field
       val k = ivfKFor(cnt)
       val cents = ivfTrain(spark, unit, k, totalRows = cnt)
@@ -471,17 +472,43 @@ object SimilarityQueries {
       // products per execution (FAISS add() happens at build time)
       assignToCentroids(unit, cents.toDF("cid", "cvec"))
         .write.mode("overwrite").parquet(root.resolve("assignments").toString)
+      // the SQ8 residual codes are part of the index too (the FAISS
+      // IVF-SQ8 list layout): encoded once here, so the int8 rung's
+      // query-time corpus scan reads codes + scale — never the f64
+      // vectors (q17f's whole memory-bandwidth story)
+      sq8Encode(unit, spark.read.parquet(root.resolve("assignments").toString),
+          broadcast(cents.toDF("cid", "cvec")))
+        .write.mode("overwrite").parquet(root.resolve("sq8").toString)
       // a retrain supersedes the centroids any incremental batches were
-      // scored against — their appended assignments go with it
+      // scored against — their appended assignments and codes go with it
       graft.core.IndexStore.deleteRecursively(root.resolve("assignments_inc"))
+      graft.core.IndexStore.deleteRecursively(root.resolve("sq8_inc"))
     }
     val cents = spark.read.parquet(root.resolve("centroids").toString)
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
     val built = IvfIndex(cents.size, ivfNProbeFor(cents.size), cents,
-      root.resolve("assignments").toString)
+      root.resolve("assignments").toString, root.resolve("sq8").toString)
     centroidCache.put(dir, (fp, built))
     built
   }
+
+  /** The SQ8 RESIDUAL ENCODER (q17f's quantizer, the FAISS
+    * `ScalarQuantizer(QT_8bit, by_residual)` shape): int8 of
+    * (unit vector − its list centroid), per-vector scale =
+    * 127/max|residual|. ONE definition, used at index build (base
+    * codes) and for on-the-fly encoding of incrementally-accepted
+    * vectors, so the two can never diverge. The 1e-12 floor keeps a
+    * vector sitting exactly on its centroid finite (its residual codes
+    * are all zeros either way). Output (id, cid, qv: array<tinyint>,
+    * scale). */
+  private def sq8Encode(unit: DataFrame, assigned: DataFrame,
+                        cents: DataFrame): DataFrame =
+    unit.join(assigned.select("id", "cid"), "id").join(cents, "cid")
+      .withColumn("r", zip_with(col("v"), col("cvec"), _ - _))
+      .withColumn("scale", lit(127.0) /
+        greatest(aggregate(col("r"), lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
+      .withColumn("qv", transform(col("r"), x => floor(x * col("scale")).cast("byte")))
+      .select("id", "cid", "qv", "scale")
   def clearIvfCache(): Unit = {
     centroidCache.clear()
     graft.core.IndexStore.clearMemo(IvfFamily)
@@ -503,19 +530,28 @@ object SimilarityQueries {
   }
 
   /** Accept a delta batch into the persisted inverted lists:
-    * assignments land under `<assignPath>_inc/batch_id=N` (overwrite =
-    * retry-idempotent, the ingest-loop accept pattern); standing
-    * assignments are never touched. Returns the accepted (id, cid)
-    * rows. A retrain clears the `_inc` appendix (those rows were scored
-    * against the superseded centroids); between retrains,
+    * assignments land under `<assignPath>_inc/batch_id=N` and the
+    * batch's SQ8 residual codes under `<sq8Path>_inc/batch_id=N`
+    * (FAISS `add()` encodes into the list as it assigns — the code is
+    * part of the list entry, and the accept is the only moment the
+    * delta's VECTORS are in hand). Overwrite = retry-idempotent, the
+    * ingest-loop accept pattern; standing assignments and codes are
+    * never touched. Returns the accepted (id, cid) rows. A retrain
+    * clears both `_inc` appendixes (those rows were scored against the
+    * superseded centroids); between retrains,
     * [[graft.streaming.StreamingPipelines.compactIngestAppendix]] folds
     * the accumulated batch dirs into one (the view has no batch-order
     * semantics, so compaction is trivially exact here). */
   def ivfAssignIncremental(spark: SparkSession, ivf: IvfIndex,
                            delta: DataFrame, batchId: Long): DataFrame = {
+    import spark.implicits._
     ivfAssignDelta(ivf, delta).write.mode("overwrite")
       .parquet(s"${ivf.assignPath}_inc/batch_id=$batchId")
-    spark.read.parquet(s"${ivf.assignPath}_inc/batch_id=$batchId").select("id", "cid")
+    val landed = spark.read
+      .parquet(s"${ivf.assignPath}_inc/batch_id=$batchId").select("id", "cid")
+    sq8Encode(delta, landed, broadcast(ivf.centroids.toDF("cid", "cvec")))
+      .write.mode("overwrite").parquet(s"${ivf.sq8Path}_inc/batch_id=$batchId")
+    landed
   }
 
   /** The full inverted-list view: the persisted base assignments ∪ any
@@ -691,23 +727,25 @@ object SimilarityQueries {
       .select(col("probe_id"), col("id").as("neighbor_id"))
     val cents = broadcast(ivf.centroids.toDF("cid", "cvec"))
 
-    // residual int8 codes (at scale: a precomputed code table read
-    // instead of the f64 vectors — 8× fewer bytes scanned per list).
-    // scale guard: a vector sitting exactly on its centroid has a zero
-    // residual — any finite scale codes it as all-zeros, so 1e-12 keeps
-    // the arithmetic finite without changing the reconstruction.
-    val codes = unit
-      .join(ivfAssignments(spark, ivf), "id")
-      .join(cents, "cid")
-      .withColumn("r", zip_with(col("v"), col("cvec"), _ - _))
-      .withColumn("scale", lit(127.0) /
-        greatest(aggregate(col("r"), lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-12)))
-      .withColumn("qv", transform(col("r"), x => floor(x * col("scale")).cast("long")))
-      .select("id", "cid", "qv", "scale")
+    // the PERSISTED residual code table (built with the index, plus any
+    // incrementally-accepted batches' codes — [[ivfAssignIncremental]]
+    // encodes as it assigns, FAISS add()-style): the corpus-side scan
+    // reads codes + scale, 8× fewer bytes than the f64 vectors, which
+    // this query never touches corpus-wide.
+    val baseCodes = spark.read.parquet(ivf.sq8Path)
+    val inc = java.nio.file.Paths.get(s"${ivf.sq8Path}_inc")
+    val codes =
+      if (!graft.core.IndexStore.hasParquetFiles(inc)) baseCodes
+      else baseCodes.unionByName(spark.read.parquet(inc.toString)
+        .select("id", "cid", "qv", "scale"))
 
     // asymmetric scoring: reconstruct c̃ = centroid + qv/scale, rank by
-    // cos(p_unit, c̃) = dot(p, c̃)/|c̃| (probe is unit-norm exact)
-    val ep = unit.select(col("id").as("probe_id"), col("v").as("pv"))
+    // cos(p_unit, c̃) = dot(p, c̃)/|c̃| (probe is unit-norm exact). The
+    // probe-side scan is FILTERED to the probe set — the only f64
+    // vectors this query reads are the O(probes) query vectors
+    // (spec-pinned on the executed plan).
+    val ep = unit.where(col("id") < 10)
+      .select(col("id").as("probe_id"), col("v").as("pv"))
     val scored = cand
       .join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
       .join(cents, "cid")

@@ -128,13 +128,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("IVF x int8 top-k recall vs exact top-k (sf0.001)") {
     val exact = SimilarityQueries.q17CosineTopK(spark, "/root/testdata/sf0.001")
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val q = SimilarityQueries.q17fIvfInt8TopK(spark, "/root/testdata/sf0.001")
+    val df = SimilarityQueries.q17fIvfInt8TopK(spark, "/root/testdata/sf0.001")
+    val q = df
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     // same candidate lists as q17c; int8 scoring loses a rank edge only
     // inside quantization error, so recall tracks the coarse quantizer's
     val recall = (exact & q).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF-int8 recall $recall too low (|exact|=${exact.size})")
     assert(q.size <= 50)
+    // the memory-bandwidth claim, pinned on the executed plan (r13): the
+    // corpus side runs on the persisted SQ8 code table — every scan that
+    // reads the f64 `embedding` column must be probe-filtered (vec_id),
+    // so the only full-precision vectors read are the O(probes) queries
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(nodes) ++ below)
+    }
+    val embScans = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.requiredSchema.fieldNames.contains("embedding") => f
+    }
+    assert(embScans.nonEmpty, "probe side must read the query vectors")
+    embScans.foreach { s =>
+      assert(s.dataFilters.mkString(",").contains("vec_id"),
+        s"an UNFILTERED scan reads the f64 embedding column — the corpus " +
+        s"side must run on codes: ${s.dataFilters}")
+    }
   }
 
   test("IVF top-k recall vs exact top-k (sf0.001)") {
@@ -287,6 +310,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(SimilarityQueries.ivfAssignments(spark, ivf)
       .as[(Long, Int)].collect().toSet == viewBefore,
       "compacting the _inc appendix must not change the inverted-list view")
+    // the accept's CODE-side half (FAISS add() encodes into the list as
+    // it assigns — r13): q17f serves the grown corpus from persisted
+    // codes alone, so every probe's exact duplicate — accepted
+    // incrementally, codes living only in sq8_inc — must rank in its
+    // top-5 at cos ≈ 1
+    val topk = SimilarityQueries.q17fIvfInt8TopK(spark, dataDir.toString)
+      .select("probe_id", "neighbor_id", "cos_sim_q").collect()
+      .groupBy(_.getLong(0))
+    (0L until 10L).foreach { p =>
+      val mine = topk(p).map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(mine.contains(p + 10000L),
+        s"probe $p: incrementally-accepted duplicate ${p + 10000L} missing from top-5 ($mine)")
+      assert(mine(p + 10000L) > 0.999,
+        s"probe $p: duplicate's reconstructed cosine ${mine(p + 10000L)} not ≈ 1")
+    }
     SimilarityQueries.clearIvfCache()
     val tmp = dataDir.resolve("emb2.parquet").toString
     graft.core.Tables.load(spark, dataDir.toString, "embeddings")
