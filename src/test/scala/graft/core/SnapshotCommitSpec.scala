@@ -212,8 +212,24 @@ class SnapshotCommitSpec extends AnyFunSuite {
   }
 
   test("CAS stress: six genuinely concurrent appenders ALL land; versions linearize; every manifest is a superset of its parent") {
+    casStress(arbiter = None)
+  }
+
+  test("CAS stress WITHOUT atomic rename: the six-way race linearizes under the CatalogArbiter too") {
+    casStress(arbiter = Some(new CatalogArbiter))
+  }
+
+  private def casStress(arbiter: Option[CommitArbiter]): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("cas-stress")
+    arbiter.foreach(SnapshotStore.setArbiter(root, _))
+    try casStressBody(root)
+    finally arbiter.foreach(_ => SnapshotStore.clearArbiter(root))
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
+  private def casStressBody(root: java.nio.file.Path): Unit = {
+    import spark.implicits._
     (1L to 4L).map(k => (k, s"v$k")).toDF("k", "p")
       .coalesce(1).write.parquet(root.resolve("data/base").toString)
     val baseFiles = SnapshotStore.dataFiles(root)
@@ -257,7 +273,6 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(SnapshotStore.filesAt(spark, root, n + 1L).toSet ==
       (baseFiles ++ loads.flatten).toSet, "final manifest != base ∪ all loads")
     assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 4L + n)
-    graft.core.IndexStore.deleteRecursively(root)
   }
 
   test("pending-file guard: plain-data ops refuse on un-folded CDC deltas / MOR deletes; the fold unblocks") {
