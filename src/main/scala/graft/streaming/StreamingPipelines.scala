@@ -1685,6 +1685,11 @@ object StreamingPipelines {
     // accepted appendix exceeds 20% of the trained base (it routes
     // through the standard build-or-load path and clears `_inc`)
     compactIngestAppendix(spark, vecsDir, Seq("vec_id", "v"))
+    // the accepted SQ8 codes (written with each assign since r13) are
+    // payload too — fold their batch dirs in the same quiesced slot so
+    // the code appendix's dir listing stays bounded like every other
+    compactIngestAppendix(spark, s"${loopIvf.sq8Path}_inc",
+      Seq("id", "cid", "qv", "scale"))
     val grown = base.unionAll(spark.read.parquet(vecsDir).select("vec_id", "v"))
       .select(col("vec_id").as("id"), col("v"))
     SimilarityQueries.maybeRetrain(spark, ivfKey, loopIvf, grown)
