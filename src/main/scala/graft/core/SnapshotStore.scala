@@ -1262,10 +1262,11 @@ object SnapshotStore {
     * file opened), so the in-loop check is free. `ratio` is the
     * read-vs-write-amplification dial (Hudi's compaction trigger):
     * pending deltas cost reads a per-key argmax over the envelope-hit
-    * region (≤ (1+ratio) × table worst case) while each fold costs a
-    * table rewrite, so total fold write ≈ epochs·batch/ratio — too low
-    * a ratio re-creates COW's per-epoch rewrite (measured: 0.3 on the
-    * q26r fixture folded near-every epoch and matched the COW loop's
+    * region (≤ (1+ratio) × table worst case) while each fold rewrites
+    * the envelope-hit region (worst case the table, when delta keys
+    * spread uniformly — see [[foldCdc]]'s scoping) — too low a ratio
+    * re-creates COW's per-epoch rewrite (measured: 0.3 on the q26r
+    * fixture folded near-every epoch and matched the COW loop's
     * bytes), too high starves scan pruning. 0.5 amortizes folds over
     * ~ratio/(batch/table) epochs while keeping the un-folded region a
     * bounded table fraction; read-heavy tables pick lower, write-heavy

@@ -2112,7 +2112,14 @@ object StreamingPipelines {
   /** Q26n — the drained streamed-merge table read AT HEAD: tombstones
     * filtered, q25's exact output shape. One lost epoch, one
     * mis-resolved out-of-order update, or one resurrected delete and
-    * the hash fails against q25's batch SQL over the flat corpus. */
+    * the hash fails against q25's batch SQL over the flat corpus.
+    * SCALE NOTE: this is the COPY-ON-WRITE flavor — each epoch
+    * rewrites the envelope-hit files, which under uniformly spread
+    * keys approaches a table rewrite per epoch. Its merge-on-read
+    * successor [[q26rStreamCdcMor]] (same oracle, same convergence
+    * semantics) commits O(|batch|) delta files per epoch and folds
+    * under policy — that is the 100 TB path; q26n stays declared as
+    * the read-optimized twin (zero read-time merge cost). */
   def q26nStreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val root = cdcMergeCache.getOrElseUpdate(dir, cdcMergeReplay(spark, dir))
     graft.core.SnapshotStore.readAt(spark, root, inferPartitions = false)
