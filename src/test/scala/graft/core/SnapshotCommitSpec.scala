@@ -275,6 +275,38 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 4L + n)
   }
 
+  test("torn fold: a crash mid-fold leaves the table untouched; the retry overwrites the partial attempt dir cleanly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("torn-fold")
+    (1L to 9L).map(k => (k, s"v$k", 0L)).toDF("k", "p", "ord")
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root), statsCols = Seq("k")) // v1
+    SnapshotStore.commitCdcDelta(spark, root,
+      Seq((2L, "V2", 1L), (10L, "ins10", 1L)).toDF("k", "p", "ord"), "k") // v2
+    // simulate the crash window: the NEXT fold's attempt dir exists,
+    // partially written with garbage, and no commit happened
+    val torn = root.resolve("data/cdcfold_a3")
+    java.nio.file.Files.createDirectories(torn)
+    Seq((999L, "junk", 9L)).toDF("k", "p", "ord")
+      .coalesce(1).write.mode("overwrite").parquet(torn.toString)
+    // the table is untouched — readers never see the torn attempt
+    assert(SnapshotStore.headVersion(root).contains(2L))
+    val want = Seq(1L -> "v1", 2L -> "V2", 3L -> "v3", 4L -> "v4", 5L -> "v5",
+      6L -> "v6", 7L -> "v7", 8L -> "v8", 9L -> "v9", 10L -> "ins10")
+    def content() = SnapshotStore.readAtCdc(spark, root, None, "k", Seq("ord"))
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(content() == want)
+    // the RETRY folds into the same attempt dir (overwrite): garbage
+    // gone, content exact, nothing junk-referenced in the manifest
+    val v3 = SnapshotStore.foldCdc(spark, root, "k", Seq("ord"), 2, statsCols = Seq("k"))
+    assert(v3 == 3L)
+    assert(content() == want, "post-retry fold content diverged")
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .where(col("p") === "junk").count() == 0, "torn garbage leaked into the table")
+    graft.core.IndexStore.deleteRecursively(root)
+  }
+
   test("pending-file guard: plain-data ops refuse on un-folded CDC deltas / MOR deletes; the fold unblocks") {
     import spark.implicits._
     def boom(op: String)(body: => Any): Unit = {
