@@ -882,14 +882,18 @@ object SimilarityQueries {
   val pqSubspaces = 8
   val pqCodes = 16
   val pqIters = 5
-  /** ADC shortlist depth re-ranked exactly (30× the returned k — the
+  /** ADC shortlist depth re-ranked exactly (60× the returned k — the
     * re-rank touches ≤ probes×shortlist full vectors, so depth is
     * nearly free next to the code scan; on uniformly random vectors,
     * ADC distortion needs the deeper list to cover the true top-5.
     * Round 12: 50 → 150 lifted stamped PQ-family recall at sf0.1 with
-    * no measurable bench cost — the same lever as q17m's
-    * [[binaryShortlist]], priced by the bounded re-rank). */
-  val pqShortlist = 150
+    * no measurable bench cost; round 13: 150 → 300 for the same
+    * reason (uniform-vector q17j sat at 0.78 — ADC on structure-less
+    * vectors is the documented worst case, and the bounded re-rank is
+    * the honest lever: cost stays probes×shortlist exact dots,
+    * independent of corpus size — the same lever as q17m's
+    * [[binaryShortlist]]). */
+  val pqShortlist = 300
   private val pqSubDim = graft.functions.HyperplaneLsh.Dim / pqSubspaces
 
   val pqBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
