@@ -939,8 +939,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val snapNames = java.nio.file.Files.list(root.resolve("_snapshots"))
       .iterator().asScala.map(_.getFileName.toString).toSeq.sorted
-    assert(snapNames == Seq("HEAD", "v=1", "v=2"),
+    assert(snapNames == Seq("HEAD", "manifests", "v=1", "v=2"),
       s"unexpected snapshot-dir residue: $snapNames")
+    // and the LOSER left no manifest-part litter either: every part on
+    // disk is referenced by a surviving version's list (round 14)
+    val referenced = Seq(1L, 2L).flatMap { v =>
+      new String(java.nio.file.Files.readAllBytes(
+        root.resolve(s"_snapshots/v=$v/_list.tsv")), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.split("\t")(0))
+    }.toSet
+    val partsOnDisk = java.nio.file.Files.list(root.resolve("_snapshots/manifests"))
+      .iterator().asScala.map(p => s"_snapshots/manifests/${p.getFileName}").toSeq
+    assert(partsOnDisk.toSet == referenced,
+      s"orphaned manifest parts: ${partsOnDisk.filterNot(referenced)}")
     // the genuinely concurrent path: two threads race the SAME base;
     // exactly one wins, the other fails with CME, HEAD advances once
     writeLoad("loadC", 300L to 304L)
