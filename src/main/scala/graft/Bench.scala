@@ -221,6 +221,9 @@ object Bench {
     // each), OUTSIDE the timed window; exact baselines: q17 (cosine
     // top-5) for the ANN variants, q17h (exact-ranker RRF) for the
     // indexed hybrid's fused set.
+    // recall/latency KNOB CURVE seconds (VERDICT r13 #7) — filled while
+    // the recall entries compute, emitted as its own summary key
+    val curveSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val recallObj = {
       import graft.operators.{LayoutQueries, SimilarityQueries}
       def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
@@ -245,7 +248,31 @@ object Bench {
             "q17m_binary_topk" ->
               vs(pairs(SimilarityQueries.q17mBinaryHammingTopK(spark, sfDir), "probe_id", "neighbor_id"), exact),
             "q17i_hybrid_indexed" ->
-              vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact))
+              vs(pairs(LayoutQueries.q17iHybridIndexed(spark, sfDir), "probe_id", "doc_id"), hExact)) ++ {
+            // the recall/latency KNOB CURVE (VERDICT r13 #7): the rungs
+            // stamp one operating point each, but serving decisions need
+            // the curve — recall at nprobe ∈ {k/8, k/4, k/2} for the IVF
+            // rung and ADC shortlist ∈ {150, 300, 600} for the PQ rung,
+            // all query-time knobs over the SAME persisted indexes (no
+            // rebuilds; the `index_builds` audit would flag one). Each
+            // point also stamps its wall seconds into knob_curve_sec, so
+            // the artifact carries both axes of the trade. Entries join
+            // the recall map, so the regression gate covers every
+            // operating point from the next round on.
+            def point(key: String)(df: => org.apache.spark.sql.DataFrame): (String, Double) = {
+              val t0 = System.nanoTime
+              val r = vs(pairs(df, "probe_id", "neighbor_id"), exact)
+              curveSecs(key) = math.rint(1000.0 * (System.nanoTime - t0) / 1e9) / 1000
+              key -> r
+            }
+            Seq(
+              point("q17c_ivf_topk@np1of8")(SimilarityQueries.ivfRank(spark, sfDir, 5, Some(0.125))),
+              point("q17c_ivf_topk@np1of4")(SimilarityQueries.ivfRank(spark, sfDir, 5, Some(0.25))),
+              point("q17c_ivf_topk@np1of2")(SimilarityQueries.ivfRank(spark, sfDir, 5, Some(0.5))),
+              point("q17j_pq_topk@sl150")(SimilarityQueries.q17jPqTopKAt(spark, sfDir, 150)),
+              point("q17j_pq_topk@sl300")(SimilarityQueries.q17jPqTopKAt(spark, sfDir, 300)),
+              point("q17j_pq_topk@sl600")(SimilarityQueries.q17jPqTopKAt(spark, sfDir, 600)))
+          }
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
@@ -306,7 +333,9 @@ object Bench {
     val growStats = graft.streaming.StreamingPipelines.lastGrowStats
       .map(s => s"""{"b":${s.batchId},"probe_s":${s.probeSec},"dirs":${s.appendixDirs},"rows":${s.appendixRows},"compacted":${s.compacted}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"recall_delta":$recallDeltaObj,"recall_regressed":$recallRegressed,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
+    val curveSecObj = curveSecs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"recall_delta":$recallDeltaObj,"recall_regressed":$recallRegressed,"knob_curve_sec":$curveSecObj,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -683,7 +683,8 @@ object SnapshotStore {
     * job holds the commit lock. Throws CME on any lost race; callers
     * clean their own parts. */
   private def publishVersion(root: Path, ref: String, prev: Option[Long],
-                             next: Long, listRows: Seq[ListRow]): Unit =
+                             next: Long, listRows: Seq[ListRow],
+                             schemaDdl: Option[String] = None): Unit =
     lockFor(root).synchronized {
       // CAS guard (same-process fast path): the ref being committed to
       // must still sit at the base this commit derived from (for a
@@ -700,6 +701,12 @@ object SnapshotStore {
       Files.write(tmpMan.resolve("_list.tsv"),
         listRows.map(r => s"${r.mpath}\t${r.nFiles}\t${r.nRows}")
           .mkString("", "\n", "\n").getBytes("UTF-8"))
+      // the version's DECLARED READ SCHEMA (type widening): explicit
+      // from widenColumn, else inherited from the base version — a
+      // widened table stays widened across ordinary commits, while
+      // versions BELOW the widening keep their original types
+      schemaDdl.orElse(prev.flatMap(declaredSchema(root, _))).foreach(ddl =>
+        Files.write(tmpMan.resolve("_schema.ddl"), ddl.getBytes("UTF-8")))
       Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
       def publish(): Boolean =
         arbiterFor(root).publishDir(tmpMan, manifestPath(root, next))
@@ -1004,8 +1011,84 @@ object SnapshotStore {
     // contract every lakehouse format guarantees. Off by default: a
     // same-schema table should not pay the per-footer schema merge.
     if (mergeSchema) r = r.option("mergeSchema", "true")
+    // TYPE WIDENING (q26t, VERDICT r13 #6): a version carrying a
+    // declared schema reads under it — Spark's parquet reader upcasts
+    // narrower physical types (int32→int64, float→double) in place, so
+    // files written before the widening and after it scan as ONE type.
+    // Versions below the widening carry no declaration and keep their
+    // original types (the Iceberg per-snapshot-schema shape).
+    declaredSchema(root, ver).foreach(ddl =>
+      r = r.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
     r.parquet(files: _*)
   }
+
+  /** The read schema version `v` DECLARED at commit time, if any — set
+    * by [[widenColumn]] and inherited by every later commit. */
+  def declaredSchema(root: Path, v: Long): Option[String] = {
+    val p = manifestPath(root, v).resolve("_schema.ddl")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** TYPE WIDENING (VERDICT r13 #6 — the second schema-evolution
+    * collision a long-lived table hits, after q26k's add-column): stamp
+    * a WIDER read type on `column` as a METADATA-ONLY commit — no data
+    * file is rewritten; the new version carries the same parts plus a
+    * declared schema, and [[readAt]] scans old (narrow) and new (wide)
+    * files as one type via the parquet reader's in-place upcast.
+    * Readers pinned below the widening keep the original types — the
+    * Iceberg per-snapshot-schema shape. Sanctioned widenings only
+    * (int→bigint, float→double): anything lossy or shape-changing is
+    * refused. Refused while the manifest carries min/max envelopes on
+    * the column (carried INT stat rows and fresh BIGINT ones cannot
+    * union; commit the table without stats on a to-be-widened column,
+    * or re-stat after a compaction). Flat-table contract (the declared
+    * schema replaces inference wholesale, so partition-dir recovery is
+    * out of scope — same as every row-op rung here). Returns the new
+    * version. */
+  def widenColumn(spark: SparkSession, root: Path, column: String,
+                  toType: String): Long = {
+    import org.apache.spark.sql.types._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"widenColumn on uncommitted table $root"))
+    val rows = readList(root, head).getOrElse(throw new IllegalStateException(
+      s"widenColumn on a legacy-layout table $root — any commit migrates it first"))
+    val cur = readAt(spark, root, Some(head), inferPartitions = false).schema
+    val f = cur.find(_.name == column).getOrElse(throw new IllegalArgumentException(
+      s"widenColumn: no column $column in ${cur.map(_.name).mkString(", ")}"))
+    val to = DataType.fromDDL(toType)
+    val sanctioned: Set[(DataType, DataType)] =
+      Set(IntegerType -> LongType, FloatType -> DoubleType)
+    require(sanctioned((f.dataType, to)),
+      s"widenColumn: ${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+      "sanctioned widening (int->bigint, float->double) — lossy or shape-changing " +
+      "conversions need a rewrite, not a metadata stamp")
+    val man = manifest(spark, root, head)
+    require(!man.columns.contains(s"min_$column") && !man.columns.contains(s"max_$column"),
+      s"widenColumn: $column carries manifest stat envelopes — carried narrow stat " +
+      "rows and fresh wide ones cannot union; re-stat via compaction first")
+    val widened = StructType(cur.map(x =>
+      if (x.name == column) x.copy(dataType = to) else x))
+    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(widened.toDDL))
+    head + 1
+  }
+
+  /** Column RENAME is REFUSED, deliberately (VERDICT r13 #6 asked for
+    * id-based rename or a documented refusal): this seam maps parquet
+    * columns BY NAME — it stamps no Iceberg-style field IDs into file
+    * footers — so after a rename every pre-rename file would silently
+    * read the renamed column as null (Spark's name-based resolution),
+    * and a name-mapping shim would break the moment a later ADD reuses
+    * the old name (the exact ambiguity field IDs exist to solve).
+    * Honest options a user has today: add-column + backfill + drop (the
+    * q26k additive path), or a rewrite through [[compact]] with the new
+    * name. */
+  def renameColumn(root: Path, from: String, to: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"renameColumn($from -> $to) refused: snapshot tables resolve parquet columns " +
+      "by NAME (no field IDs in footers), so pre-rename files would silently read " +
+      "null under the new name; use add+backfill+drop (q26k additive evolution) or " +
+      "a compaction rewrite instead")
 
   /** Accept a streamed micro-batch as ONE snapshot commit — the
     * Iceberg streaming-sink pattern, i.e. the engine's standard

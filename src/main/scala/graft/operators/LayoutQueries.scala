@@ -331,6 +331,44 @@ object LayoutQueries {
       .orderBy("snap", "event_type")
   }
 
+  /** Q26s — TIME TRAVEL THROUGH SQL (VERDICT r13 #5): q26f's question
+    * answered entirely by `spark.sql` with the standard DSv2 syntax —
+    * the first thing a real lakehouse user types (the reference
+    * exposes every stage as "SQL string | DataFrame DSL", S:99-106;
+    * the seam was API-only until round 14). The table resolves through
+    * [[graft.sql.SnapshotCatalog]] (registered here; idempotent), the
+    * v1 leg travels BY TAG (`VERSION AS OF 'initial-load'` — the
+    * reproducibility pin a training run records), and the head leg
+    * reads the bare table. Planning delegates to Spark's own DSv2
+    * parquet table handed exactly the pinned manifest's files, so this
+    * must hash-match both q26f (the API path, same oracle) and the
+    * flat-corpus recomputation — a drift between the SQL and DataFrame
+    * surfaces fails the gate. */
+  def q26sSqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapRoot(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    // the tag is part of the fixture's lifecycle: pin v1 once per build
+    if (SnapshotStore.tagVersionOf(root, "initial-load").isEmpty)
+      SnapshotStore.tagVersion(root, "initial-load", 1L)
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT 'v1' AS snap, event_type, COUNT(*) AS n_events,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |         MAX(ts) AS max_ts
+         |  FROM $t VERSION AS OF 'initial-load'
+         |  WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY event_type
+         |  UNION ALL
+         |  SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |         MAX(ts) AS max_ts
+         |  FROM $t
+         |  WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY event_type)
+         |ORDER BY snap, event_type""".stripMargin)
+  }
+
   /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping
     * argument and q26f's time travel composed on the ONE snapshot seam.
     * The scan plans against snapshot v1's manifest alone: partition
@@ -742,6 +780,58 @@ object LayoutQueries {
         count(col("props")).as("n_with_props"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy("event_type")
+  }
+
+  // ---- documents: snapshot type widening (int -> bigint) --------------
+
+  val snapWidenBuildCount = new AtomicInteger(0)
+  private val SnapWidenFamily = "graft-snap-widen"
+
+  /** Build-or-load the TYPE-WIDENED snapshot table (VERDICT r13 #6):
+    * the initial load lands `tok_est` as INT (it fit), then the column
+    * is WIDENED to BIGINT as a metadata-only commit —
+    * [[graft.core.SnapshotStore.widenColumn]], zero files rewritten —
+    * and the late load appends values past the int range (+3e9), which
+    * the pre-widening type could not hold. HEAD spans int32 and int64
+    * files read as one BIGINT column via the parquet reader's in-place
+    * upcast; a reader pinned below the widening still sees INT. */
+  def docsSnapWidenRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val docs = Tables.load(spark, dir, "documents")
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(docs, "doc_id", Seq(col("text")))
+    IndexStore.buildOrLoad(
+        SnapWidenFamily, dir, fp, Seq("data", "_snapshots"), snapWidenBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), length(col("text")).cast("int").as("tok_est"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r)) // v1: tok_est INT
+      SnapshotStore.widenColumn(spark, r, "tok_est", "bigint")   // v2: metadata-only
+      docs.where(col("doc_id") % 2 === 1) // beyond int range — needs the widening
+        .select(col("doc_id"),
+          (length(col("text")).cast("long") + lit(3000000000L)).as("tok_est"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(r.resolve("data/load2").toString)
+      SnapshotStore.commitAppend(spark, r, // v3 = HEAD, schema riding along
+        SnapshotStore.dataFiles(r).filter(_.startsWith("data/load2/")))
+    }
+  }
+
+  /** Q26t — TYPE WIDENING made load-bearing: one aggregate over a HEAD
+    * that spans files written as int32 AND int64 in the same column,
+    * with the post-widening values deliberately past the int range —
+    * a reader that ignored the declared schema either throws (type
+    * conflict) or wraps (overflow), and both hash-fail against the
+    * oracle's recomputation from the flat corpus. */
+  def q26tSchemaWiden(spark: SparkSession, dir: String): DataFrame = {
+    val root = docsSnapWidenRoot(spark, dir)
+    SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .groupBy((col("doc_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_est")).as("sum_tok"),
+        max(col("tok_est")).as("max_tok"))
+      .orderBy("cohort")
   }
 
   // ---- BM25 postings: partition by token bucket -----------------------

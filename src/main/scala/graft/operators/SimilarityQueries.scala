@@ -1096,14 +1096,27 @@ object SimilarityQueries {
     * bounded top-k aggregator → exact re-rank) — shared by q17j (the
     * query-serving index) and q17l (the ingest loop's composed view). */
   def pqSearch(spark: SparkSession, emb: DataFrame, unit: DataFrame,
-               pq: PqIndex, codes: DataFrame): DataFrame = {
+               pq: PqIndex, codes: DataFrame,
+               shortlistDepth: Int = pqShortlist): DataFrame = {
     val luts = pqProbeLuts(spark, unit, pq)
     // exhaustive ADC: every code row × every probe LUT
     val scored = codes.join(broadcast(luts), col("id") =!= col("probe"))
       .select(col("probe"), col("id"), pqAdcScore.as("score"))
-    val shortlist = rankedTopK(scored, pqShortlist, "adc")
+    val shortlist = rankedTopK(scored, shortlistDepth, "adc")
       .select(col("probe_id"), col("neighbor_id"))
     pqExactRerank(emb, shortlist)
+  }
+
+  /** q17j at an explicit ADC shortlist depth — the bench's
+    * recall/latency KNOB CURVE entry point (VERDICT r13 #7): serving
+    * decisions need the depth→recall curve, not one operating point;
+    * the persisted index is untouched (depth is a query-time knob). */
+  def q17jPqTopKAt(spark: SparkSession, dir: String, shortlistDepth: Int): DataFrame = {
+    val emb = normalized(spark, dir)
+    val unit = emb.select(col("vec_id").as("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val pq = pqIndex(spark, dir, unit)
+    pqSearch(spark, emb, unit, pq, spark.read.parquet(pq.codesPath), shortlistDepth)
   }
 
   // ---- PQ ingest lifecycle (train-on-base / encode-delta / retrain) ---

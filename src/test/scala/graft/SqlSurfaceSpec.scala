@@ -38,4 +38,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out.forall(_._1.startsWith("#")))
     assert(out.map(_._2).sum == 1000L) // every event contributes exactly one tag
   }
+
+  test("snapshot catalog: VERSION AS OF number/tag/branch through spark.sql is hash-identical to the API path (VERDICT r13 #5)") {
+    import org.apache.spark.sql.functions._
+    import graft.core.SnapshotStore
+    // the q26s/q26f pair itself (shared fixture, shared oracle)
+    val viaSql = graft.operators.LayoutQueries.q26sSqlTimeTravel(spark, dir).collect().toSeq
+    val viaApi = graft.operators.LayoutQueries.q26fTimeTravel(spark, dir)
+      .select("snap", "event_type", "n_events", "sum_value", "max_ts")
+      .collect().toSeq
+    assert(viaSql.map(_.toSeq).sortBy(_.toString) == viaApi.map(_.toSeq).sortBy(_.toString),
+      "SQL surface drifted from the DataFrame surface")
+    // version-number, tag, and BRANCH resolution on a scratch table
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sqlcat")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+    Seq((3L, "c")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+    SnapshotStore.commitAppend(spark, root,
+      SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2 = HEAD
+    SnapshotStore.tagVersion(root, "pin", 1L)
+    // a staging branch one commit ahead of HEAD
+    Seq((4L, "d")).toDF("k", "p")
+      .coalesce(1).write.parquet(root.resolve("data/l3").toString)
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.filesAt(spark, root, 2L) ++
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l3/")),
+      ref = "audit")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    def ks(q: String): Seq[Long] =
+      spark.sql(q).as[Long].collect().sorted.toSeq
+    assert(ks(s"SELECT k FROM $t") == Seq(1L, 2, 3), "bare table must read HEAD")
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 1") == Seq(1L, 2))
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 'pin'") == Seq(1L, 2), "tag travel")
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 'audit'") == Seq(1L, 2, 3, 4),
+      "branch-ref travel must see the staged commit")
+    assert(ks(s"SELECT k FROM $t WHERE k >= 2") == Seq(2L, 3), "pushdown path")
+    // refusals: wall-clock travel and SQL DML
+    val ts = intercept[Exception] {
+      spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '2024-01-01'").collect()
+    }
+    assert(ts.getMessage.contains("TIMESTAMP AS OF") || ts.getMessage.contains("timestamp"),
+      ts.getMessage)
+    val ins = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (9, 'x')")
+    }
+    assert(ins.getMessage.toLowerCase.contains("support") ||
+      ins.getMessage.contains("READ"), ins.getMessage)
+    graft.core.IndexStore.deleteRecursively(root)
+  }
 }
