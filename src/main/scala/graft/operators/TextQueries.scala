@@ -438,12 +438,25 @@ object TextQueries {
     // the billing unit is pluggable (q18n: whitespace words; q18r: BPE
     // subword tokens) — the sampling machinery is identical
     val nTok = Option(nTokensOf).getOrElse(size(tokens(col("text"))).cast("long"))
+    // pid is a DETERMINISTIC range bucket computed FROM the sort key
+    // (round 14): fp is uniform in [0, 1e9+7) by construction, so
+    // fixed-width fp buckets are balanced AND monotone in the
+    // (fp, doc_id) slice order — which is all the two-phase prefix sum
+    // needs. The previous spark_partition_id()-after-repartitionByRange
+    // derivation was WRONG at scale: this frame feeds two consumers
+    // (the window and the group sums), their pruned column sets differ,
+    // so the sampled range exchange can materialize twice with
+    // different sampling seeds — boundary rows then carry DIFFERENT
+    // pids on the two sides and the (source, lang, pid) join silently
+    // drops them (caught by the restored sf0.1 oracle gate: 94 of 5000
+    // docs lost). A data-derived bucket cannot disagree with itself —
+    // and it kills the range-sampling pass outright.
+    val bucketWidth = 1000000007L / nParts + 1
     val ranged = docs
       .select(Seq(col("doc_id"), col("source"), col("lang"),
         fingerprint(tokens(col("text"))).as("fp"),
         nTok.as("n_tokens")) ++ extra.map { case (n, c) => c.as(n) }: _*)
-      .repartitionByRange(nParts, col("source"), col("lang"), col("fp"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", expr(s"CAST(fp DIV $bucketWidth AS INT)"))
     val localW = Window.partitionBy("source", "lang", "pid").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("local_sum", sum(col("n_tokens")).over(localW))
@@ -646,11 +659,22 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val packTokens = 2048
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = Tables.load(spark, dir, "documents")
+    val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .repartitionByRange(n, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    // DETERMINISTIC range bucket from the sort key itself (round 14,
+    // the tokenBudgetSample fix applied family-wide): the id span is
+    // read once driver-side (a footer-stat-sized min/max) and baked
+    // into the plan as literals, so the window branch and the
+    // group-sums branch can never disagree on a row's bucket — unlike
+    // spark_partition_id() after a SAMPLED repartitionByRange, which
+    // is only consistent across the two consumers when the optimizer
+    // happens to reuse the exchange.
+    val span = base.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val width = (hi - lo) / n + 1
+    val ranged = base
+      .withColumn("pid", expr(s"CAST((doc_id - $lo) DIV $width AS INT)"))
     val localW = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("local_sum", sum(col("n_tokens")).over(localW))

@@ -129,10 +129,23 @@ object WindowQueries {
   def q8RunningCount(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = Tables.load(spark, dir, "events")
+    val base = Tables.load(spark, dir, "events")
       .select("event_id", "ts")
-      .repartitionByRange(n, col("ts"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
+    // DETERMINISTIC time bucket from the sort key itself (round 14,
+    // the tokenBudgetSample fix applied family-wide): the ts span is
+    // read once driver-side and baked into the plan as literals —
+    // monotone in (ts, event_id) like the range partitioning was, but
+    // immune to the two consumers (window + counts) materializing a
+    // SAMPLED range exchange twice with different seeds and
+    // disagreeing on boundary rows' buckets. Uniform-ts corpora (this
+    // fixture) get balanced buckets; heavy time skew would pick
+    // quantile cutpoints instead — same monotonicity argument.
+    val span = base.agg(min(col("ts").cast("long")).as("lo"),
+      max(col("ts").cast("long")).as("hi")).head()
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val width = (hi - lo) / n + 1
+    val ranged = base
+      .withColumn("pid", expr(s"CAST((CAST(ts AS LONG) - $lo) DIV $width AS INT)"))
     // per-partition local rank: Window partitioned by pid → parallel
     val localW = Window.partitionBy("pid").orderBy("ts", "event_id")
     val local  = ranged.withColumn("local_rn", row_number().over(localW))

@@ -127,8 +127,12 @@ class SnapshotMetadataSpec extends AnyFunSuite {
     SnapshotStore.commitAppend(spark, root, bFiles) // v2: parts A + B
     val Seq(partA) = listOf(root, 1L)
     val partB = listOf(root, 2L).filterNot(_ == partA).head
-    // drop ONE file of part B: A is untouched and must carry verbatim
-    val keep = SnapshotStore.filesAt(spark, root, 2L).filterNot(_.contains("b7"))
+    // drop ONE file of part B: A is untouched and must carry verbatim.
+    // (match the load DIR, not a substring — parquet part names carry
+    // random hex uuids, and "b7" showed up inside one: a contains()
+    // filter dropped an A-file and legitimately dirtied part A)
+    val keep = SnapshotStore.filesAt(spark, root, 2L)
+      .filterNot(_.startsWith("data/b7/"))
     val v3 = SnapshotStore.commit(spark, root, keep)
     assert(v3 == 3L)
     val v3List = listOf(root, 3L)
@@ -241,6 +245,53 @@ class SnapshotMetadataSpec extends AnyFunSuite {
     assert(r.getMessage.contains("field IDs"), r.getMessage)
     IndexStore.deleteRecursively(root)
     IndexStore.deleteRecursively(statRoot)
+  }
+
+  test("empty micro-batch through the append fast path: zero-row files land as n_rows=0 entries, counts stay exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("meta-empty-epoch")
+    SnapshotStore.commitEpoch(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), epochId = 0L) // v1
+    // an empty epoch: schema-only parquet, no input_file_name group
+    SnapshotStore.commitEpoch(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "p"), epochId = 1L) // v2
+    assert(SnapshotStore.lastCommitStats.exists(s => s.appendFastPath && s.version == 2L))
+    assert(SnapshotStore.countAt(spark, root) == 2L)
+    val m = SnapshotStore.manifest(spark, root, 2L)
+    assert(m.where(col("n_rows") === 0L).count() >= 1, "zero-row entry missing")
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 2L)
+    // and the next real epoch still appends cleanly over it
+    SnapshotStore.commitEpoch(spark, root,
+      Seq((3L, "c")).toDF("k", "p"), epochId = 2L) // v3
+    assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    IndexStore.deleteRecursively(root)
+  }
+
+  test("filesAtWhere pushes its predicate into the manifest-part scan: part-level skipping rides parquet footer stats") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("meta-pushdown")
+    (0 until 3).foreach { i =>
+      Seq((i * 100L, s"v$i")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve(s"data/l$i").toString)
+      val f = SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/l$i/"))
+      if (i == 0) SnapshotStore.commit(spark, root, f, statsCols = Seq("k"))
+      else SnapshotStore.commitAppend(spark, root, f)
+    }
+    // three parts; the envelope predicate must reach the parquet scan
+    // as a pushed filter — that is what lets the reader skip whole
+    // PARTS (and row groups) by footer min/max at 10⁶-file scale,
+    // without any bespoke list-level pruning machinery
+    val pred = col("min_k") <= 100L && col("max_k") >= 100L
+    val hits = SnapshotStore.filesAtWhere(spark, root, 3L, pred)
+    assert(hits == Seq("data/l1").flatMap(p =>
+      SnapshotStore.filesAt(spark, root, 3L).filter(_.startsWith(p))),
+      s"envelope pruning selected $hits")
+    val plan = SnapshotStore.manifest(spark, root, 3L).where(pred)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("min_k"),
+      s"manifest predicate not pushed:\n$plan")
+    IndexStore.deleteRecursively(root)
   }
 
   test("legacy single-dir manifests stay readable; the first commit on top migrates them into parts") {
