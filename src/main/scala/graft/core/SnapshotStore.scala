@@ -236,6 +236,7 @@ object SnapshotStore {
     * stamp reflects what a reader will see. */
   private def writePart(spark: SparkSession, root: Path, entries: DataFrame): ListRow = {
     val rel = s"_snapshots/manifests/m_${java.util.UUID.randomUUID()}"
+    inFlightFor(root).add(rel) // registered BEFORE bytes land — gc-safe
     entries.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
     val agg = spark.read.parquet(root.resolve(rel).toString)
       .agg(count(lit(1)).as("f"), coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
@@ -259,6 +260,22 @@ object SnapshotStore {
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(root: Path): Object =
     commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString, _ => new Object)
+
+  // parts written by IN-FLIGHT commits (post-write, pre-publish):
+  // commitOnce/appendOnce write their parts BEFORE taking the publish
+  // lock, so a maintenance op's [[gcParts]] racing a same-process
+  // commit used to delete the freshly written part and let the commit
+  // publish a list referencing a deleted directory (ADVICE r14 —
+  // silent FileNotFound corruption). Registered at write, deregistered
+  // once published (then a list references them) or cleaned up on
+  // failure. Per-JVM state: CROSS-process maintenance-vs-commit remains
+  // the documented offline-slot contract, same as Iceberg's
+  // HadoopTableOperations.
+  private val inFlightParts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private[core] def inFlightFor(root: Path): java.util.Set[String] =
+    inFlightParts.computeIfAbsent(arbiterKey(root),
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
 
   /** The committed HEAD version, if any commit has completed. */
   def headVersion(root: Path): Option[Long] =
@@ -575,16 +592,6 @@ object SnapshotStore {
     import spark.implicits._
     commitAttemptHook(root, prev)
     val next = prev.getOrElse(0L) + 1
-    // one statsCols shape for life: an empty request inherits the
-    // previous manifest's min_/max_ column set
-    val effStats: Seq[String] =
-      if (statsCols.nonEmpty) statsCols
-      else prev.toSeq.flatMap { v =>
-        manifest(spark, root, v).columns.toSeq
-          .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
-      }
-    val manifestCols: Seq[String] =
-      Seq("file", "n_rows") ++ effStats.flatMap(c => Seq(s"min_$c", s"max_$c"))
     // prev side: the list rows, or ONE synthetic legacy pseudo-part
     // (mpath None) — legacy single-dir manifests are never carried by
     // reference, so the first commit on top migrates them into parts
@@ -598,12 +605,28 @@ object SnapshotStore {
       case Some(lr) => spark.read.parquet(root.resolve(lr.mpath).toString)
       case None => spark.read.parquet(manifestPath(root, prev.get).toString)
     }
+    // per-part column sets: ≤ maxManifestParts footer reads, driver
+    // metadata only — the shape decisions below are PER PART (ADVICE
+    // r14: one-footer probing let a statsCols-subset commit carry wide
+    // parts next to a narrow fresh one, leaving the version's manifest
+    // schema nondeterministic and envelope pruning null-blind)
+    val partCols: Seq[Seq[String]] = prevParts.map(r => partDf(r).columns.toSeq)
+    // one statsCols shape for life: an empty request inherits the UNION
+    // of the previous parts' min_/max_ column sets (a healthy version's
+    // parts all share one shape; on a mixed-shape table the union is
+    // deterministic where one random footer was not)
+    val effStats: Seq[String] =
+      if (statsCols.nonEmpty) statsCols
+      else partCols.flatten
+        .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+        .distinct.sorted
+    val manifestCols: Seq[String] =
+      Seq("file", "n_rows") ++ effStats.flatMap(c => Seq(s"min_$c", s"max_$c"))
     // a prev whose column shape can't serve the requested stats is not
-    // carried (every file rescans once) — same contract as ever; parts
-    // of one version share one shape by construction, so one footer
-    // read decides
+    // carried (every file rescans once) — same contract as ever; EVERY
+    // part must serve the shape, or none is copied/carried
     val shapeOk = prevParts.nonEmpty &&
-      manifestCols.forall(partDf(prevParts.head).columns.contains)
+      partCols.forall(cs => manifestCols.forall(cs.contains))
     // names per part, ONE job, names only
     val namesByPart: Map[Int, Seq[String]] =
       if (!shapeOk) Map.empty
@@ -615,9 +638,13 @@ object SnapshotStore {
     val keep = files.toSet
     // per-part carry: clean parts ride by reference; dirty parts (and
     // legacy pseudo-parts) contribute their KEPT entries to the fresh
-    // part via a name semi-join
+    // part via a name semi-join. Carry-by-reference demands the part's
+    // shape match the new version's EXACTLY — a superset part (commit
+    // narrowing statsCols) is dirty and gets PROJECTED down, keeping
+    // one column shape per version (ADVICE r14)
     val (cleanIdx, dirtyIdx) = prevParts.indices.partition { i =>
       prevParts(i).isDefined && shapeOk &&
+        partCols(i).toSet == manifestCols.toSet &&
         namesByPart.getOrElse(i, Seq.empty).forall(keep)
     }
     val carriedRows: Seq[ListRow] = cleanIdx.map(i => prevParts(i).get)
@@ -651,7 +678,9 @@ object SnapshotStore {
           consolidate(spark, root, carriedRows ++ written.toSeq)
         written ++= extra
         require(listRows.nonEmpty, s"empty commit for $root")
-        publishVersion(root, ref, prev, next, listRows)
+        publishVersion(root, ref, prev, next, listRows,
+          schemaDdl = mergedDeclared(spark, root, prev,
+            fresh.map(f => root.resolve(f).toString)))
         // parts this commit wrote but consolidation superseded were
         // never published by any list — drop them now
         val live = listRows.map(_.mpath).toSet
@@ -670,7 +699,7 @@ object SnapshotStore {
           // now (the list tmp dir is cleaned by publishVersion itself)
           written.foreach(r => IndexStore.deleteRecursively(root.resolve(r.mpath)))
           throw t
-      }
+      } finally written.foreach(r => inFlightFor(root).remove(r.mpath))
     } finally freshAgg.foreach(_.unpersist())
   }
 
@@ -702,9 +731,11 @@ object SnapshotStore {
         listRows.map(r => s"${r.mpath}\t${r.nFiles}\t${r.nRows}")
           .mkString("", "\n", "\n").getBytes("UTF-8"))
       // the version's DECLARED READ SCHEMA (type widening): explicit
-      // from widenColumn, else inherited from the base version — a
-      // widened table stays widened across ordinary commits, while
-      // versions BELOW the widening keep their original types
+      // from widenColumn or the commit paths' [[mergedDeclared]] (the
+      // base declaration + columns the delta files add, ADVICE r14),
+      // else inherited verbatim — a widened table stays widened across
+      // ordinary commits, while versions BELOW the widening keep their
+      // original types
       schemaDdl.orElse(prev.flatMap(declaredSchema(root, _))).foreach(ddl =>
         Files.write(tmpMan.resolve("_schema.ddl"), ddl.getBytes("UTF-8")))
       Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
@@ -810,18 +841,23 @@ object SnapshotStore {
       }
       case None => Seq.empty
     }
-    // stats shape: inherit from one carried part's footer (never its
-    // rows), or seed from statsCols on a fresh table
-    val carriedCols: Seq[String] = carried.headOption.map(r =>
+    // stats shape: inherit from the carried parts' footers (never their
+    // rows), or seed from statsCols on a fresh table. Per-PART footer
+    // probes (ADVICE r14, matching commitOnce): every carried part must
+    // match the new shape EXACTLY — an append that would narrow or
+    // widen the shape, or land on a mixed-shape table, takes the
+    // general path, which projects/rescans to ONE shape per version
+    val carriedColSets: Seq[Seq[String]] = carried.map(r =>
       spark.read.parquet(root.resolve(r.mpath).toString).columns.toSeq)
-      .getOrElse(Seq.empty)
     val effStats: Seq[String] =
       if (statsCols.nonEmpty) statsCols
-      else carriedCols.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+      else carriedColSets.flatten
+        .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+        .distinct.sorted
     val manifestCols: Seq[String] =
       Seq("file", "n_rows") ++ effStats.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    if (carried.nonEmpty && !manifestCols.forall(carriedCols.contains))
-      return None // shape change: carried files must rescan — general path
+    if (carriedColSets.exists(_.toSet != manifestCols.toSet))
+      return None // shape change: carried files must project/rescan — general path
     val freshAgg = freshEntries(spark, root, addFiles, effStats, manifestCols)
     try {
       val freshNames: Set[String] =
@@ -837,7 +873,9 @@ object SnapshotStore {
         val (listRows, extra, merged) =
           consolidate(spark, root, carried ++ written.toSeq)
         written ++= extra
-        publishVersion(root, ref, prev, next, listRows)
+        publishVersion(root, ref, prev, next, listRows,
+          schemaDdl = mergedDeclared(spark, root, prev,
+            addFiles.map(f => root.resolve(f).toString)))
         val live = listRows.map(_.mpath).toSet
         written.filterNot(r => live(r.mpath))
           .foreach(r => IndexStore.deleteRecursively(root.resolve(r.mpath)))
@@ -852,7 +890,7 @@ object SnapshotStore {
         case t: Throwable =>
           written.foreach(r => IndexStore.deleteRecursively(root.resolve(r.mpath)))
           throw t
-      }
+      } finally written.foreach(r => inFlightFor(root).remove(r.mpath))
     } finally freshAgg.foreach(_.unpersist())
   }
 
@@ -1029,6 +1067,29 @@ object SnapshotStore {
     if (!Files.exists(p)) None
     else Some(new String(Files.readAllBytes(p), "UTF-8"))
   }
+
+  /** The declared read schema a NEW version should carry (ADVICE r14):
+    * the base version's declaration EXTENDED by any column the commit's
+    * fresh files add — without the merge, a widened table silently
+    * drops later additive evolution (q26k's path) from every read,
+    * because [[readAt]] applies the declaration wholesale. Declared
+    * types win on name collision (that is the point of widening — a
+    * still-narrow late file upcasts in place); the merge costs one
+    * footer-schema read over the DELTA files only. None when the base
+    * declares nothing — the inherit-nothing fast path. */
+  private def mergedDeclared(spark: SparkSession, root: Path,
+                             prev: Option[Long], freshAbs: Seq[String]): Option[String] =
+    prev.flatMap(declaredSchema(root, _)).map { ddl =>
+      if (freshAbs.isEmpty) ddl
+      else {
+        val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val have = declared.fieldNames.toSet
+        val added = spark.read.option("mergeSchema", "true")
+          .parquet(freshAbs: _*).schema.filterNot(f => have.contains(f.name))
+        if (added.isEmpty) ddl
+        else org.apache.spark.sql.types.StructType(declared.fields ++ added).toDDL
+      }
+    }
 
   /** TYPE WIDENING (VERDICT r13 #6 — the second schema-evolution
     * collision a long-lived table hits, after q26k's add-column): stamp
@@ -1852,21 +1913,27 @@ object SnapshotStore {
 
   /** Drop manifest PARTS no surviving version list references —
     * publish-race losers' leftovers, consolidation residue, and parts
-    * only expired versions used. Runs inside the history-destroying
-    * maintenance ops' offline slot; COMMITS never delete foreign
-    * parts (their only interaction with another commit's parts is by
-    * reference), so an in-flight committer's freshly written part is
-    * only at risk if maintenance runs concurrently — which the
-    * offline-slot contract already forbids. */
-  private def gcParts(root: Path): Unit = {
-    if (!Files.exists(manifestsDir(root))) return
-    val referenced: Set[String] = manifestVersions(root)
-      .flatMap(v => readList(root, v).getOrElse(Seq.empty)).map(_.mpath).toSet
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(manifestsDir(root))
-    val onDisk = try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
-    onDisk.filterNot(n => referenced.contains(s"_snapshots/manifests/$n"))
-      .foreach(n => IndexStore.deleteRecursively(manifestsDir(root).resolve(n)))
+    * only expired versions used. COMMITS never delete foreign parts
+    * (their only interaction with another commit's parts is by
+    * reference) — but commits DO write their own parts before taking
+    * the publish lock, so this gc (ADVICE r14) (a) runs under the same
+    * per-root lock as publish, and (b) spares parts the [[inFlightParts]]
+    * registry marks as written-but-not-yet-published: a same-process
+    * maintenance op racing an in-flight commit can no longer delete the
+    * part its list is about to reference. Cross-PROCESS maintenance
+    * remains the documented offline-slot contract. */
+  private def gcParts(root: Path): Unit = lockFor(root).synchronized {
+    if (Files.exists(manifestsDir(root))) {
+      val referenced: Set[String] = manifestVersions(root)
+        .flatMap(v => readList(root, v).getOrElse(Seq.empty)).map(_.mpath).toSet
+      import scala.jdk.CollectionConverters._
+      val inFlight: Set[String] = inFlightFor(root).asScala.toSet
+      val s = Files.list(manifestsDir(root))
+      val onDisk = try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+      onDisk.map(n => s"_snapshots/manifests/$n")
+        .filterNot(rel => referenced.contains(rel) || inFlight.contains(rel))
+        .foreach(rel => IndexStore.deleteRecursively(root.resolve(rel)))
+    }
   }
 
   /** Retire data files referenced ONLY by snapshots older than the

@@ -671,7 +671,10 @@ object TextQueries {
     // is only consistent across the two consumers when the optimizer
     // happens to reuse the exchange.
     val span = base.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    // empty table ⇒ min/max are null (ADVICE r14): constant-bucket
+    // short-circuit — the plan still runs and yields the empty frame
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
     val width = (hi - lo) / n + 1
     val ranged = base
       .withColumn("pid", expr(s"CAST((doc_id - $lo) DIV $width AS INT)"))

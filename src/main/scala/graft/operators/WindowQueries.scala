@@ -142,7 +142,10 @@ object WindowQueries {
     // quantile cutpoints instead — same monotonicity argument.
     val span = base.agg(min(col("ts").cast("long")).as("lo"),
       max(col("ts").cast("long")).as("hi")).head()
-    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    // empty table ⇒ min/max are null (ADVICE r14): constant-bucket
+    // short-circuit — the plan still runs and yields the empty frame
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
     val width = (hi - lo) / n + 1
     val ranged = base
       .withColumn("pid", expr(s"CAST((CAST(ts AS LONG) - $lo) DIV $width AS INT)"))

@@ -89,8 +89,16 @@ class SnapshotCatalog extends TableCatalog {
     val files = SnapshotStore.filesAt(spark, root, v).map(f => root.resolve(f).toString)
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", root.resolve("data").toString)
+    // the version's DECLARED read schema binds the SQL path exactly like
+    // readAt (ADVICE r14): a widened table scans narrow and wide files
+    // as ONE type; with no declaration, mergeSchema makes an
+    // add-column-evolved version surface late columns instead of
+    // silently dropping them behind one footer's schema
+    val declared = SnapshotStore.declaredSchema(root, v)
+      .map(StructType.fromDDL)
+    if (declared.isEmpty) opts.put("mergeSchema", "true")
     ParquetTable(s"$cname.${ident.name()}@v$v", spark,
-      new CaseInsensitiveStringMap(opts), files, None, classOf[ParquetFileFormat])
+      new CaseInsensitiveStringMap(opts), files, declared, classOf[ParquetFileFormat])
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

@@ -1,0 +1,240 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The ADVICE-r14 closure set: manifest STAT-SHAPE discipline (one
+  * column shape per version, even across statsCols-narrowing commits),
+  * DECLARED-SCHEMA evolution (a widened table must not drop later
+  * additive columns; the SQL catalog must read under the same schema
+  * rules as [[SnapshotStore.readAt]]), and the gcParts-vs-in-flight-
+  * commit race (a maintenance op must never delete a part a racing
+  * commit is about to reference). */
+class SnapshotShapeEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def partsOf(root: java.nio.file.Path, v: Long): Seq[String] =
+    SnapshotStore.readList(root, v).getOrElse(Seq.empty).map(_.mpath)
+
+  private def partCols(root: java.nio.file.Path, mpath: String): Set[String] =
+    spark.read.parquet(root.resolve(mpath).toString).columns.toSet
+
+  test("statsCols-narrowing commit keeps ONE manifest shape per version; envelope pruning stays null-free (ADVICE r14 #2)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-narrow")
+    try {
+      // three loads with disjoint k ranges so envelope pruning is checkable
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k", "m")) // v1: wide shape (k + m envelopes)
+      Seq((100L, 1000L), (200L, 2000L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2: 2 wide parts
+      assert(partsOf(root, 2L).size == 2)
+      assert(partsOf(root, 2L).forall(p => partCols(root, p) ==
+        Set("file", "n_rows", "min_k", "max_k", "min_m", "max_m")))
+      // the narrowing commit: statsCols strict subset of the prior shape.
+      // Pre-fix, the clean v2 parts carried verbatim WITH their m
+      // envelopes next to a narrow fresh part — a mixed-shape version
+      Seq((5000L, 9L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l3").toString)
+      val v3 = SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k"))
+      val expect = Set("file", "n_rows", "min_k", "max_k")
+      assert(partsOf(root, v3).nonEmpty)
+      partsOf(root, v3).foreach { p =>
+        assert(partCols(root, p) == expect,
+          s"part $p shape ${partCols(root, p)} — version must hold ONE shape")
+      }
+      // every file's envelope is populated — pruning on min_k/max_k sees
+      // no null rows and drops exactly the non-intersecting files
+      val m = SnapshotStore.manifest(spark, root, v3)
+      assert(m.where(col("min_k").isNull).count() == 0)
+      val hit = SnapshotStore.filesAtWhere(spark, root, v3,
+        col("min_k") <= lit(20L) && col("max_k") >= lit(1L))
+      assert(hit == SnapshotStore.dataFiles(root).filter(_.startsWith("data/l1/")),
+        s"pruning returned $hit")
+      assert(SnapshotStore.countAt(spark, root) == 5L)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("append onto a narrowed table keeps the narrow shape through the fast path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-append")
+    try {
+      Seq((1L, 10L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k", "m"))
+      // narrow at v2, then a plain append at v3 must inherit the NARROW
+      // shape (pre-fix the per-head-footer probe let the shapes drift)
+      Seq((50L, 77L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k"))
+      Seq((90L, 99L)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l3").toString)
+      val v3 = SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l3/")))
+      assert(SnapshotStore.lastCommitStats.exists(_.appendFastPath),
+        "same-shape append must stay on the O(delta) fast path")
+      partsOf(root, v3).foreach { p =>
+        assert(partCols(root, p) == Set("file", "n_rows", "min_k", "max_k"))
+      }
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("widened table + later add-column commit: the declared schema EXTENDS, reads keep both (ADVICE r14 #3); SQL path reads identically (ADVICE r14 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("shape-widen-add")
+    try {
+      Seq((1L, 10), (2L, 20)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      SnapshotStore.widenColumn(spark, root, "m", "bigint")            // v2
+      // the additive-evolution commit the widenColumn docs point to:
+      // fresh files carry a NEW column x (m still int32 — upcasts)
+      Seq((3L, 30, "late")).toDF("k", "m", "x")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      val v3 = SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/")))
+      // API read: widening held AND the added column surfaced
+      val head = SnapshotStore.readAt(spark, root, Some(v3), inferPartitions = false)
+      assert(head.schema("m").dataType == LongType)
+      assert(head.schema.fieldNames.contains("x"),
+        "add-column after widening was silently dropped from reads")
+      assert(head.select("k", "m", "x").as[(Long, Long, Option[String])]
+        .collect().sortBy(_._1).toSeq ==
+        Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some("late"))))
+      // SQL path: same schema rules as readAt — widened type AND late column
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      val sql = spark.sql(s"SELECT k, m, x FROM $t ORDER BY k")
+      assert(sql.schema("m").dataType == LongType,
+        "SQL path must apply the declared (widened) schema")
+      assert(sql.as[(Long, Long, Option[String])].collect().toSeq ==
+        Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some("late"))))
+      // version-pinned SQL below the widening keeps the original INT
+      val v1 = spark.sql(s"SELECT k, m FROM $t VERSION AS OF 1")
+      assert(v1.schema("m").dataType == IntegerType)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("SQL path on an UNDECLARED evolved table merges footers instead of dropping late columns (ADVICE r14 #1)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-sql-merge")
+    try {
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+      Seq((2L, "b", 7.5)).toDF("k", "p", "score")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/")))
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      val out = spark.sql(s"SELECT k, p, score FROM $t ORDER BY k")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      assert(out == Seq((1L, "a", None), (2L, "b", Some(7.5))),
+        s"late column lost on the SQL path: $out")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("gcParts spares in-flight parts and reaps them once deregistered (ADVICE r14 #4)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gc-inflight")
+    try {
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      Seq((2L, "b")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2
+      // two unreferenced parts on disk: one REGISTERED (an in-flight
+      // commit's write), one not (a publish-race loser's leftover)
+      val mdir = root.resolve("_snapshots/manifests")
+      val inflight = "m_test_inflight"
+      val orphan = "m_test_orphan"
+      Seq((0L, "x")).toDF("k", "p")
+        .coalesce(1).write.parquet(mdir.resolve(inflight).toString)
+      Seq((0L, "y")).toDF("k", "p")
+        .coalesce(1).write.parquet(mdir.resolve(orphan).toString)
+      SnapshotStore.inFlightFor(root).add(s"_snapshots/manifests/$inflight")
+      SnapshotStore.vacuum(spark, root, retain = 1) // expires v1 → gc runs
+      assert(!java.nio.file.Files.exists(mdir.resolve(orphan)),
+        "unreferenced orphan part must be reaped")
+      assert(java.nio.file.Files.exists(mdir.resolve(inflight)),
+        "in-flight part was deleted under a racing maintenance op")
+      // once the commit completes (deregisters), the next gc reaps it
+      SnapshotStore.inFlightFor(root).remove(s"_snapshots/manifests/$inflight")
+      Seq((3L, "c")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l3").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l3/"))) // v3
+      SnapshotStore.vacuum(spark, root, retain = 1) // expires v2 → gc runs
+      assert(!java.nio.file.Files.exists(mdir.resolve(inflight)))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("appends racing an in-loop vacuum never publish a list whose parts are gone (ADVICE r14 #4, threaded)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gc-race")
+    try {
+      Seq((0L, "base")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l0").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      val n = 8
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        try {
+          (1 to n).foreach { i =>
+            Seq((i.toLong, s"row$i")).toDF("k", "p")
+              .coalesce(1).write.parquet(root.resolve(s"data/l$i").toString)
+            SnapshotStore.commitAppend(spark, root,
+              SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/l$i/")))
+          }
+        } catch { case t: Throwable => failed.set(t) }
+      })
+      writer.start()
+      while (writer.isAlive) SnapshotStore.vacuum(spark, root, retain = 2)
+      writer.join()
+      assert(failed.get() == null, s"writer failed: ${failed.get()}")
+      // the corruption symptom pre-fix: a published list referencing a
+      // gc-deleted part directory → FileNotFound on read. Every
+      // surviving version must be fully readable.
+      SnapshotStore.manifestVersions(root).foreach { v =>
+        SnapshotStore.readList(root, v).getOrElse(Seq.empty).foreach { r =>
+          assert(java.nio.file.Files.exists(root.resolve(r.mpath)),
+            s"v=$v references reaped part ${r.mpath}")
+        }
+      }
+      assert(SnapshotStore.readAt(spark, root).count() == (n + 1).toLong)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
+    try {
+      val events = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("event_type", StringType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+      events.coalesce(1).write.parquet(dir.resolve("events.parquet").toString)
+      val docs = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+      docs.coalesce(1).write.parquet(dir.resolve("documents.parquet").toString)
+      assert(graft.operators.WindowQueries.q8RunningCount(spark, dir.toString).count() == 0)
+      assert(graft.operators.TextQueries.q18fSequencePack(spark, dir.toString).count() == 0)
+    } finally IndexStore.deleteRecursively(dir)
+  }
+}
