@@ -139,6 +139,8 @@ object SparkEntry {
     "q26e_metadata_count"  -> (LayoutQueries.q26eMetadataCount _),
     "q26f_time_travel"     -> (LayoutQueries.q26fTimeTravel _),
     "q26s_sql_time_travel" -> (LayoutQueries.q26sSqlTimeTravel _),
+    "q26v_sql_timestamp_travel" -> (LayoutQueries.q26vSqlTimestampTravel _),
+    "q26w_sql_insert" -> (LayoutQueries.q26wSqlInsert _),
     "q26t_schema_widen"    -> (LayoutQueries.q26tSchemaWiden _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
@@ -1759,6 +1761,20 @@ object SparkEntry {
     // DSv2 catalog, v1 pinned by tag) — same flat-corpus oracle, so a
     // drift between the SQL and DataFrame paths hash-fails
     "q26s_sql_time_travel" -> timeTravelOracle,
+    // q26v: TIMESTAMP AS OF between the two pinned commit instants must
+    // resolve to v1 (latest-at-or-before) — same flat-corpus oracle; a
+    // resolver that rounds up serves the full corpus and hash-fails
+    "q26v_sql_timestamp_travel" -> timeTravelOracle,
+    // q26w: INSERT INTO through the catalog — initial load + SQL-DML
+    // tail must reassemble exactly the flat corpus; a dropped or
+    // doubled insert (or a commit/file drift) hash-fails on the counts
+    "q26w_sql_insert" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q26t: the widened table recomputed from the flat corpus — the
     // odd cohort's +3e9 offset is past the int range BY CONSTRUCTION,
     // so a reader that ignored the widening cannot match

@@ -280,30 +280,42 @@ object LayoutQueries {
     * (q26g). */
   val SnapLoadTasks = 12
 
+  /** PINNED commit instants for the snapshot fixture's two loads —
+    * deterministic history (the injectable [[SnapshotStore.clock]]), so
+    * `TIMESTAMP AS OF` answers identically on every build and both
+    * engines of the oracle compare. T1 = 2023-11-14T22:13:20Z. */
+  val SnapT1 = 1700000000000L
+  val SnapT2 = SnapT1 + 600000L // v2 commits ten minutes later
+
   def eventsSnapRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
     val events = Tables.load(spark, dir, "events")
-    // "v2:" — the v1-stamped layout predates manifest column stats and
-    // ranged files; a stale load would serve q26g a manifest without
-    // envelopes
-    val fp = "v2:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+    // "v3:" — older stamped layouts predate manifest column stats /
+    // ranged files / commit instants; a stale load would serve q26g a
+    // manifest without envelopes or q26v a history without timestamps
+    val fp = "v3:" + SimilarityQueries.corpusFingerprint(events, "event_id",
       Seq(col("event_type"), col("ts"), col("value")))
     IndexStore.buildOrLoad(
         SnapFamily, dir, fp, Seq("data", "_snapshots"), snapBuildCount) { r =>
       IndexStore.deleteRecursively(r.resolve("data"))
       IndexStore.deleteRecursively(r.resolve("_snapshots"))
       val cut = lit(SnapCutoff).cast("timestamp")
-      Layout.writePartitionedRanged(events.where(col("ts") < cut),
-        r.resolve("data").toString,
-        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
-        numTasks = SnapLoadTasks)
-      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
-        statsCols = Seq("ts")) // v1
-      Layout.writePartitionedRanged(events.where(col("ts") >= cut),
-        r.resolve("data").toString,
-        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
-        numTasks = SnapLoadTasks, mode = "append")
-      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
-        statsCols = Seq("ts")) // v2 = HEAD
+      val saved = SnapshotStore.clock
+      try {
+        Layout.writePartitionedRanged(events.where(col("ts") < cut),
+          r.resolve("data").toString,
+          partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+          numTasks = SnapLoadTasks)
+        SnapshotStore.clock = () => SnapT1
+        SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+          statsCols = Seq("ts")) // v1 @ SnapT1
+        Layout.writePartitionedRanged(events.where(col("ts") >= cut),
+          r.resolve("data").toString,
+          partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+          numTasks = SnapLoadTasks, mode = "append")
+        SnapshotStore.clock = () => SnapT2
+        SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+          statsCols = Seq("ts")) // v2 = HEAD @ SnapT2
+      } finally SnapshotStore.clock = saved
     }
   }
 
@@ -367,6 +379,81 @@ object LayoutQueries {
          |  WHERE event_type IN ('click', 'purchase')
          |  GROUP BY event_type)
          |ORDER BY snap, event_type""".stripMargin)
+  }
+
+  /** Q26v — TIME TRAVEL BY TIMESTAMP (VERDICT r14 #3): q26s's v1 leg
+    * answered with the other syntax a Delta/Iceberg user types first —
+    * `TIMESTAMP AS OF` — resolved through the commit instants every
+    * publish stamps (deterministic here: the fixture pins the
+    * injectable clock, v1 at [[SnapT1]], v2 at [[SnapT2]]). The probe
+    * instant sits BETWEEN the two commits, so the Delta boundary rule
+    * ("latest version at or before the instant") must pick v1 — a
+    * resolver that rounds up, or a missing stamp, flips the leg to the
+    * full corpus and hash-fails against the oracle (which recomputes v1
+    * as `ts <` cutoff from the flat table, same as q26f/q26s). The API
+    * twin [[SnapshotStore.readAtTimestamp]] and the boundary cases
+    * (exact instant, before-first) are spec-pinned in
+    * SnapshotShapeEvolutionSpec. */
+  def q26vSqlTimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSnapRoot(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    // SnapT1 + 5 min, rendered as a UTC literal (session tz is UTC)
+    val between = java.time.Instant.ofEpochMilli(SnapT1 + 300000L)
+      .toString.replace("T", " ").stripSuffix("Z")
+    spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT 'v1' AS snap, event_type, COUNT(*) AS n_events,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |         MAX(ts) AS max_ts
+         |  FROM $t TIMESTAMP AS OF '$between'
+         |  WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY event_type
+         |  UNION ALL
+         |  SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |         MAX(ts) AS max_ts
+         |  FROM $t
+         |  WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY event_type)
+         |ORDER BY snap, event_type""".stripMargin)
+  }
+
+  /** Q26w — SQL DML: `INSERT INTO` through the catalog (VERDICT r14
+    * #5, the write-side twin of q26s). A staged table takes its initial
+    * load through the API, then the late tail arrives as plain
+    * `spark.sql("INSERT INTO …")` — the V1-fallback write stages fresh
+    * immutable files (a distributed parquet write) and lands them via
+    * [[SnapshotStore.commitAppend]], the same O(delta)-metadata CAS
+    * append every API writer uses. The read-back is THROUGH SQL too, so
+    * the whole loop (load → DML → query) never leaves `spark.sql`; the
+    * oracle recomputes from the flat corpus — a dropped/duplicated
+    * insert, or an insert that bypassed the commit (files on disk but
+    * not in the manifest, or vice versa) hash-fails on the counts.
+    * Staged per run like the stream queries (the table is the
+    * artifact under test, not a reusable layout). Concurrent
+    * SQL-vs-API CAS semantics are spec-pinned in
+    * SnapshotShapeEvolutionSpec. */
+  def q26wSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q26w")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).repartition(4)
+      .write.mode("overwrite").parquet(root.resolve("data/load0").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts")) // v1: the initial load, via the API
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    events.where(col("ts") >= cut).createOrReplaceTempView("q26w_tail")
+    spark.sql(s"INSERT INTO $t SELECT event_id, ts, event_type, value FROM q26w_tail")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
   }
 
   /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping

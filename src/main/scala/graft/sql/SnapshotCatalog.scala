@@ -2,12 +2,16 @@ package graft.sql
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -39,14 +43,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * drift from the DataFrame path. `VERSION AS OF` resolves a version
   * NUMBER, then a TAG, then a BRANCH ref (HEAD included), in that
   * order — numbers and names cannot collide because tags/branches
-  * never parse as longs. Timestamp travel (`TIMESTAMP AS OF`) is
-  * refused: the seam stamps no wall-clock on commits (determinism
-  * contract), so there is no honest timestamp→version mapping.
+  * never parse as longs. `TIMESTAMP AS OF` resolves through the
+  * commit-instant stamps every publish writes (VERDICT r14 #3;
+  * deterministic via the injectable [[graft.core.SnapshotStore.clock]]),
+  * to the latest version at-or-before the instant.
   *
-  * READ-ONLY by design: writes go through the commit API, whose CAS/
-  * rebase discipline SQL DML cannot express; create/alter/drop throw.
-  * At 100 TB the catalog costs what the API path costs — one list
-  * read + the version's manifest parts — per query planning. */
+  * WRITES (VERDICT r14 #5): `INSERT INTO` on a HEAD load appends
+  * through [[graft.core.SnapshotStore.commitAppend]] — the same CAS/
+  * rebase discipline as the API path, via a V1 write fallback whose
+  * driver-side insert stages fresh immutable files and commits them
+  * (see [[SnapshotSqlTable]]). Version-pinned loads stay read-only;
+  * richer DML (`MERGE INTO`, `UPDATE`) still goes through the API
+  * ([[graft.core.SnapshotStore.mergeCow]]/CDC deltas), whose
+  * recency/fold semantics SQL cannot yet express here; create/alter/
+  * drop throw. At 100 TB the catalog costs what the API path costs —
+  * one list read + the version's manifest parts — per query planning. */
 class SnapshotCatalog extends TableCatalog {
   import graft.core.SnapshotStore
 
@@ -97,17 +108,28 @@ class SnapshotCatalog extends TableCatalog {
     val declared = SnapshotStore.declaredSchema(root, v)
       .map(StructType.fromDDL)
     if (declared.isEmpty) opts.put("mergeSchema", "true")
-    ParquetTable(s"$cname.${ident.name()}@v$v", spark,
+    val pq = ParquetTable(s"$cname.${ident.name()}@v$v", spark,
       new CaseInsensitiveStringMap(opts), files, declared, classOf[ParquetFileFormat])
+    // HEAD loads are WRITABLE (INSERT INTO, VERDICT r14 #5); pinned
+    // version/tag/timestamp loads stay read-only — appending "into the
+    // past" has no honest meaning
+    new SnapshotSqlTable(root, pq, writable = version.isEmpty)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"$cname: TIMESTAMP AS OF is refused — snapshot commits carry no wall-clock " +
-      "(determinism contract); pin a version number, tag, or ref with VERSION AS OF")
+  /** `TIMESTAMP AS OF` (VERDICT r14 #3): Spark hands the instant in
+    * MICROseconds since epoch; commits are stamped in millis by the
+    * (injectable) [[graft.core.SnapshotStore.clock]], and the latest
+    * version at-or-before the instant answers — the Delta/Iceberg
+    * boundary semantics, spec-pinned. Floor division keeps "inside the
+    * stamped millisecond" at that commit. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val v = SnapshotStore.versionAtTimestamp(rootOf(ident),
+      Math.floorDiv(timestamp, 1000L))
+    load(ident, Some(v.toString))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     warehouse match {
@@ -127,8 +149,8 @@ class SnapshotCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$cname is the READ surface of the snapshot seam — $op goes through " +
-      "the SnapshotStore commit API (CAS/rebase discipline SQL DML cannot express)")
+      s"$cname supports reads and INSERT INTO — $op goes through " +
+      "the SnapshotStore commit API (CAS/rebase discipline SQL DDL cannot express)")
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
     readOnly("createTable")
@@ -137,4 +159,69 @@ class SnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
+}
+
+/** The catalog's table shape: READS delegate verbatim to Spark's own
+  * DSv2 [[ParquetTable]] (pushdown/pruning untouched — the zero-drift
+  * argument), and a HEAD load additionally supports `INSERT INTO`
+  * (VERDICT r14 #5) through a V1 write fallback: the insert stages the
+  * rows as fresh immutable files under `data/sqlinsert_<uuid>` and
+  * commits them with [[graft.core.SnapshotStore.commitAppend]] — the
+  * O(delta)-metadata append, under the SAME CAS/rebase discipline as
+  * every API commit, so a SQL insert racing an API writer converges
+  * instead of last-wins-overwriting (spec-pinned). The V1 seam is the
+  * right altitude here: the commit decision (file list + CAS) is
+  * driver-side by design, while the heavy row writing inside
+  * `data.write.parquet` is still a distributed Spark job — nothing
+  * about the fallback is single-node. `INSERT OVERWRITE` is refused
+  * (replacing table content is [[graft.core.SnapshotStore.compact]]/
+  * merge territory, not an implicit truncate); flat-table contract
+  * (partition-dir layouts evolve through the Layout writers). */
+private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
+                                    writable: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+  import graft.core.SnapshotStore
+
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (writable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"${name()}: INSERT INTO a version-pinned load is refused — writes land on HEAD")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"${name()}: INSERT OVERWRITE refused — content replacement goes " +
+                "through the SnapshotStore maintenance API (compact/merge), not an " +
+                "implicit truncate")
+              val target = schema()
+              // positional align + cast to the table schema (the V1 seam
+              // hands the query's own output names)
+              val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
+                .select(target.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+              val rel = s"data/sqlinsert_${java.util.UUID.randomUUID().toString.take(12)}"
+              aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+              import scala.jdk.CollectionConverters._
+              val s = Files.walk(root.resolve(rel))
+              val fresh =
+                try s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .map(p => root.relativize(p).toString).toSeq.sorted
+                finally s.close()
+              SnapshotStore.commitAppend(aligned.sparkSession, root, fresh)
+            }
+          }
+      }
+    }
+  }
 }

@@ -217,6 +217,108 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("TIMESTAMP AS OF boundary semantics: exact instant, between commits, before first, unstamped history (VERDICT r14 #3)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ts-travel")
+    val saved = SnapshotStore.clock
+    try {
+      val t1 = 1700000000000L
+      val t2 = t1 + 60000L
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.clock = () => t1
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1 @ t1
+      Seq((2L, "b")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.clock = () => t2
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2 @ t2
+      assert(SnapshotStore.commitTimeOf(root, 1L).contains(t1))
+      assert(SnapshotStore.commitTimeOf(root, 2L).contains(t2))
+      // exact commit instant → that version; between → the earlier;
+      // at-or-after the last → HEAD
+      assert(SnapshotStore.versionAtTimestamp(root, t1) == 1L)
+      assert(SnapshotStore.versionAtTimestamp(root, t1 + 30000L) == 1L)
+      assert(SnapshotStore.versionAtTimestamp(root, t2) == 2L)
+      assert(SnapshotStore.versionAtTimestamp(root, t2 + 999999L) == 2L)
+      assert(SnapshotStore.readAtTimestamp(spark, root, t1 + 1L,
+        inferPartitions = false).count() == 1L)
+      // before the first stamped commit: refused, named
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.versionAtTimestamp(root, t1 - 1L)
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+      // SQL surface: micros→millis conversion + the same boundary rule
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      val between = java.time.Instant.ofEpochMilli(t1 + 30000L)
+        .toString.replace("T", " ").stripSuffix("Z")
+      assert(spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '$between'")
+        .as[Long].collect().toSeq == Seq(1L))
+      // a history with NO stamps (pre-upgrade table): refused, named
+      val old = java.nio.file.Files.createTempDirectory("ts-unstamped")
+      try {
+        Seq((1L, "x")).toDF("k", "p")
+          .coalesce(1).write.parquet(old.resolve("data/l1").toString)
+        SnapshotStore.commit(spark, old, SnapshotStore.dataFiles(old))
+        java.nio.file.Files.delete(
+          old.resolve("_snapshots/v=1/_commit_ms")) // simulate pre-upgrade
+        val u = intercept[IllegalArgumentException] {
+          SnapshotStore.versionAtTimestamp(old, t1)
+        }
+        assert(u.getMessage.contains("no version carries a commit instant"))
+      } finally IndexStore.deleteRecursively(old)
+    } finally {
+      SnapshotStore.clock = saved
+      IndexStore.deleteRecursively(root)
+    }
+  }
+
+  test("SQL INSERT INTO lands through commitAppend: VALUES form, CAS convergence with an API writer, refusals (VERDICT r14 #5)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sql-insert")
+    try {
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      // VALUES form: one O(delta) append commit, new version readable
+      spark.sql(s"INSERT INTO $t VALUES (2, 'b'), (3, 'c')")
+      assert(SnapshotStore.headVersion(root).contains(2L))
+      assert(SnapshotStore.lastCommitStats.exists(s =>
+        s.appendFastPath && s.version == 2L),
+        "SQL insert must ride the O(delta) append fast path")
+      assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 3L))
+      // CAS convergence: a SQL insert racing an API append — both land,
+      // neither overwrites the other (the rebase discipline)
+      val apiErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val api = new Thread(() => {
+        try {
+          Seq((100L, "api")).toDF("k", "p")
+            .coalesce(1).write.parquet(root.resolve("data/l-api").toString)
+          SnapshotStore.commitAppend(spark, root,
+            SnapshotStore.dataFiles(root).filter(_.startsWith("data/l-api/")))
+        } catch { case x: Throwable => apiErr.set(x) }
+      })
+      api.start()
+      spark.sql(s"INSERT INTO $t VALUES (200, 'sql')")
+      api.join()
+      assert(apiErr.get() == null, s"API writer failed: ${apiErr.get()}")
+      assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 3L, 100L, 200L))
+      // refusal: INSERT OVERWRITE — the table declares no truncate/
+      // overwrite capability, so Spark itself refuses at analysis
+      // (content replacement is compact/merge territory)
+      val o = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'x')")
+      }
+      assert(o.getMessage.contains("does not support truncate") ||
+        o.getMessage.contains("TABLE_OPERATION"), s"unexpected: ${o.getMessage}")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
