@@ -144,6 +144,7 @@ object SparkEntry {
     "q26t_schema_widen"    -> (LayoutQueries.q26tSchemaWiden _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
+    "q26u_stream_incremental" -> (graft.streaming.StreamingPipelines.q26uStreamIncremental _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
@@ -1765,6 +1766,18 @@ object SparkEntry {
     // resolve to v1 (latest-at-or-before) — same flat-corpus oracle; a
     // resolver that rounds up serves the full corpus and hash-fails
     "q26v_sql_timestamp_travel" -> timeTravelOracle,
+    // q26u: the streaming incremental source — three committed loads
+    // (two landing mid-stream) drained as version-delta micro-batches
+    // must reassemble exactly the flat corpus; a lost version, a
+    // double-drained epoch, or a leaked non-delta file hash-fails
+    "q26u_stream_incremental" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q26w: INSERT INTO through the catalog — initial load + SQL-DML
     // tail must reassemble exactly the flat corpus; a dropped or
     // doubled insert (or a commit/file drift) hash-fails on the counts

@@ -2017,6 +2017,64 @@ object StreamingPipelines {
       .orderBy("event_type")
   }
 
+  /** Q26u — STREAMING INCREMENTAL READ FROM the snapshot seam (VERDICT
+    * r14 next #1 — the read-side twin of the q26h ingest loop, and the
+    * Delta streaming-source / Iceberg incremental-consume pattern via
+    * [[graft.sources.SnapshotStreamSource]]): a producer commits three
+    * loads of the corpus — the third WHILE the consumer's stream is
+    * running — and the consumer `readStream`s the table, draining each
+    * committed version as a micro-batch whose planned files are exactly
+    * the version delta (bounded-reads task pin in SnapshotStreamSpec;
+    * offsets are version numbers, so a checkpoint restart resumes at
+    * the committed version). The drained rows land through
+    * `foreachBatch` as a DISTRIBUTED parquet append — no driver-side
+    * row collection — and the rollup over the drained store must equal
+    * the flat-corpus recomputation: a lost version, a double-drained
+    * epoch, or a batch that leaked non-delta files hash-fails on the
+    * counts. This is how a 100 TB corpus feeds a tokenizer fleet:
+    * producers append versions; consumers see exactly the committed
+    * deltas, never an in-flight file. */
+  def q26uStreamIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.SnapshotStore
+    val root = Files.createTempDirectory("graft-q26u")
+    val ckpt = Files.createTempDirectory("graft-q26u-ckpt")
+    val out = root.resolve("drained").toString
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val c1 = lit("2024-01-12").cast("timestamp")
+    val c2 = lit(graft.operators.LayoutQueries.SnapCutoff).cast("timestamp")
+    def commitLoad(n: Int, slice: DataFrame): Unit = {
+      slice.repartition(2).write.mode("overwrite")
+        .parquet(root.resolve(s"data/load$n").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/load$n/")))
+    }
+    commitLoad(1, events.where(col("ts") < c1)) // v1: before the stream
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .load()
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // drains v1
+      commitLoad(2, events.where(col("ts") >= c1 && col("ts") < c2)) // v2: mid-stream
+      q.processAllAvailable() // drains exactly v2's delta
+      commitLoad(3, events.where(col("ts") >= c2)) // v3: mid-stream
+      q.processAllAvailable() // drains exactly v3's delta
+    } finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   // ---- streamed CDC MERGE into the snapshot seam (q26n) ---------------
 
   val snapCdcBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -1,0 +1,118 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.SnapshotStreamSource
+
+/** The streaming incremental SOURCE over the snapshot seam (VERDICT
+  * r14 next #1): offsets are version numbers, micro-batches read
+  * exactly the version-delta files (bounded-reads pin via the plan
+  * log), commits landing mid-stream drain on the next trigger, offsets
+  * survive a checkpoint restart, and rewrites refuse loudly. */
+class SnapshotStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def load(root: java.nio.file.Path, n: Int, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "p").coalesce(1)
+      .write.parquet(root.resolve(s"data/l$n").toString)
+  }
+  private def filesOf(root: java.nio.file.Path, n: Int): Seq[String] =
+    SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/l$n/"))
+
+  test("drains committed versions incrementally: mid-stream commit, per-batch reads bounded by the version delta, checkpoint restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-ckpt")
+    try {
+      load(root, 1, Seq((1L, "a"), (2L, "b")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      load(root, 2, Seq((3L, "c")))
+      SnapshotStore.commitAppend(spark, root, filesOf(root, 2)) // v2
+      SnapshotStreamSource.planLog.clear()
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .load()
+        .writeStream.format("memory").queryName("snapstream_t1")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("snapstream_t1").as[(Long, String)].collect().sorted.toSeq ==
+          Seq((1L, "a"), (2L, "b"), (3L, "c")), "initial drain = v2 content")
+        // a version committed WHILE the stream runs
+        load(root, 3, Seq((4L, "d"), (5L, "e")))
+        SnapshotStore.commitAppend(spark, root, filesOf(root, 3)) // v3
+        q.processAllAvailable()
+        assert(spark.table("snapstream_t1").as[(Long, String)].collect().sorted.toSeq ==
+          Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+        // BOUNDED READS: the mid-stream batch planned exactly v3's
+        // delta files, not the table
+        import scala.jdk.CollectionConverters._
+        val plans = SnapshotStreamSource.planLog.asScala
+          .filter(_._1 == root.toString).toSeq
+        val late = plans.find(p => p._2 == 2L && p._3 == 3L).getOrElse(
+          fail(s"no (2,3] batch planned: $plans"))
+        assert(late._4 == filesOf(root, 3).size,
+          s"batch (2,3] planned ${late._4} files, expected only the delta")
+      } finally q.stop()
+      // RESTART from the checkpoint: only the not-yet-committed tail
+      // drains (offsets are durable version numbers). foreachBatch —
+      // the memory sink refuses checkpoint recovery.
+      load(root, 4, Seq((6L, "f")))
+      SnapshotStore.commitAppend(spark, root, filesOf(root, 4)) // v4
+      val drained = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q2 = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.as[(Long, String)].collect().foreach(drained.add))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(drained.asScala.toSeq.sorted == Seq((6L, "f")),
+          s"restart must resume at the checkpointed version, drained ${drained.asScala}")
+      } finally q2.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("a rewrite inside the drained interval refuses loudly (append-only contract)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-rw")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-rw-ckpt")
+    try {
+      load(root, 1, Seq((1L, "a"), (2L, "b")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .load()
+        .writeStream.format("memory").queryName("snapstream_t3")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains v1
+        SnapshotStore.compact(spark, root, numFiles = 1) // v2 REWRITES v1's files
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+        assert(msgs(e).exists(m => m != null && m.contains("cannot express rewrites")),
+          s"unexpected failure: ${msgs(e)}")
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+}
