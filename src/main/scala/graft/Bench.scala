@@ -58,12 +58,17 @@ object Bench {
   }
 
   /** Latest driver-committed bench artifact in `dir` (BENCH_r{N}.json,
-    * highest N), if any. */
+    * highest N) whose recall block PARSES. The driver's artifacts have
+    * been tail-truncated (r13/r14 — VERDICT r14 wrong #2), sometimes
+    * clipping mid-recall-block: falling back to the newest parseable
+    * artifact keeps the regression gate armed with the last known
+    * stamps instead of silently degrading to no-baseline. */
   def latestArtifact(dir: java.io.File): Option[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).toSeq
-      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      .lastOption
+      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
+      .find(f => parseRecallBlock(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).nonEmpty)
 
   private def gcStats(): (Long, Long) = {
     import scala.jdk.CollectionConverters._

@@ -62,6 +62,7 @@ object SparkEntry {
     "q16l_stream_ingest_embdup" -> (graft.streaming.StreamingPipelines.q16lStreamIngestEmbDup _),
     "q16m_stream_ingest_embgrow" -> (graft.streaming.StreamingPipelines.q16mStreamIngestEmbGrowing _),
     "q16n_line_dedup"      -> (DedupQueries.q16nLineDedup _),
+    "q16p_substring_dedup" -> (DedupQueries.q16pSubstringDedup _),
     "q16o_stream_line_ingest" -> (graft.streaming.StreamingPipelines.q16oStreamLineIngest _),
     "q21b_salted_distinct" -> (SkewOps.q21bSaltedDistinct _),
     "q21c_salted_join"     -> (SkewOps.q21cSaltedJoin _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q26s_sql_time_travel" -> (LayoutQueries.q26sSqlTimeTravel _),
     "q26v_sql_timestamp_travel" -> (LayoutQueries.q26vSqlTimestampTravel _),
     "q26w_sql_insert" -> (LayoutQueries.q26wSqlInsert _),
+    "q26x_partition_evolution" -> (LayoutQueries.q26xPartitionEvolution _),
     "q26t_schema_widen"    -> (LayoutQueries.q26tSchemaWiden _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
@@ -883,6 +885,39 @@ object SparkEntry {
     "q16_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // q16p: exact substring dedup (the ExactSubstr pass) — the oracle
+    // recomputes first-occurrence-wins span removal from RAW text,
+    // grouping by the shingle STRING where the Spark side groups by
+    // its xxhash64 digest: the hash match certifies the digest-only
+    // shuffle discipline loses nothing
+    "q16p_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+9], ' ') AS g
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(ts) - 10 + 2)) AS i) r),
+        |firsts AS (
+        |  SELECT g, MIN({'d': doc_id, 'p': pos}) AS f FROM occ GROUP BY g),
+        |dup AS (
+        |  SELECT o.doc_id, o.pos FROM occ o JOIN firsts fs USING (g)
+        |  WHERE NOT (o.doc_id = fs.f.d AND o.pos = fs.f.p)),
+        |rm AS (
+        |  SELECT DISTINCT doc_id, pos + x AS rpos
+        |  FROM dup, LATERAL (SELECT unnest(range(0, 10)) AS x) q),
+        |nrm AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS pos FROM d),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS kept_text
+        |  FROM toks t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.rpos = t.pos
+        |  WHERE rm.doc_id IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id, len(d.ts) AS n_tokens,
+        |  COALESCE(nrm.n_removed, 0) AS n_removed,
+        |  COALESCE(kept.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN nrm ON nrm.doc_id = d.doc_id
+        |       LEFT JOIN kept ON kept.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q16n: the oracle rebuilds the identical planted page fixture
     // (fixed per-kind line positions, self-join plagiarism plant) and
     // recomputes the keep-first-global-occurrence policy with a window
@@ -1778,6 +1813,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q26x: partition evolution — the type+time box spans the spec
+    // boundary, so dropping either generation's files (or pruning an
+    // old-spec file with the new spec's day predicate) loses days the
+    // flat-corpus recomputation has
+    "q26x_partition_evolution" ->
+      """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-25'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q26w: INSERT INTO through the catalog — initial load + SQL-DML
     // tail must reassemble exactly the flat corpus; a dropped or
     // doubled insert (or a commit/file drift) hash-fails on the counts

@@ -1062,6 +1062,64 @@ object SnapshotStore {
       r.parquet(abs: _*)
     }
 
+  // ---- partition-spec EVOLUTION (VERDICT r14 next #7) ----------------
+
+  /** The partition SPEC a data file was written under, read from its
+    * own path: the ordered key names of its `key=value` directory
+    * segments. The path IS the spec record (Iceberg keeps a spec_id
+    * per file for the same reason) — every historical file
+    * self-describes, so changing the table's layout spec at a version
+    * boundary rewrites NOTHING: old files keep their dirs, new writes
+    * use the new spec, and the read/prune sides compose both. */
+  def specOfFile(relPath: String): Seq[String] =
+    relPath.split('/').toSeq.dropRight(1)
+      .filter(seg => seg.contains('=') && !seg.startsWith("_"))
+      .map(_.takeWhile(_ != '='))
+
+  /** Spec-aware MANIFEST PRUNING for evolved layouts: each `(key,
+    * pred)` drops only files whose path ENCODES that key with a value
+    * failing `pred` — a file written under a spec WITHOUT the key
+    * passes (its layout cannot prove irrelevance; the residual
+    * predicate on the read still applies, so pruning can only DROP
+    * provably-dead files, the [[filesAtWhere]] contract). `extra`
+    * composes envelope/stat predicates, which apply to every file
+    * regardless of spec. One manifest query, never a listing. */
+  def filesAtWherePartitioned(spark: SparkSession, root: Path, v: Long,
+                              partPreds: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+                              extra: org.apache.spark.sql.Column = lit(true)): Seq[String] = {
+    val pred = partPreds.foldLeft(extra) { case (acc, (k, p)) =>
+      acc && (!col("file").contains(s"/$k=") ||
+        p(regexp_extract(col("file"), s"/$k=([^/]+)/", 1)))
+    }
+    filesAtWhere(spark, root, v, pred)
+  }
+
+  /** Read files of an EVOLVED layout — [[readFiles]] generalized to a
+    * file set spanning partition-spec boundaries: files group by their
+    * own dir-encoded spec, each group reads with partition-dir
+    * recovery under the shared data root, and the groups compose by
+    * union over their COMMON columns. The hidden-partitioning
+    * contract this implies: a partition column only SOME specs encode
+    * is storage-only — pruning fuel via
+    * [[filesAtWherePartitioned]], not a logical column (it drops from
+    * the composed schema; Iceberg's transform columns are hidden the
+    * same way) — while a column every spec encodes (and any data
+    * column) stays logical. One homogeneous group degrades to exactly
+    * [[readFiles]]. */
+  def readFilesEvolved(spark: SparkSession, root: Path,
+                       files: Seq[String]): DataFrame =
+    if (files.isEmpty) readFiles(spark, root, files)
+    else {
+      val groups = files.groupBy(specOfFile).toSeq.sortBy(_._1.mkString(" "))
+      val dfs = groups.map { case (_, fs) => readFiles(spark, root, fs) }
+      if (dfs.size == 1) dfs.head
+      else {
+        val common = dfs.map(_.columns.toSet).reduce(_ intersect _)
+        val order = dfs.head.columns.filter(common).toSeq
+        dfs.map(_.select(order.map(col): _*)).reduce(_.unionByName(_))
+      }
+    }
+
   /** Read the table AT a version (None = HEAD). The scan is handed
     * exactly the manifest's files; with `inferPartitions` (the default)
     * `basePath` = the data root, so partition-dir columns

@@ -456,6 +456,84 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  // ---- events: PARTITION-SPEC EVOLUTION on the snapshot seam ---------
+
+  val specEvoBuildCount = new AtomicInteger(0)
+  private val SpecEvoFamily = "graft-snap-specevo"
+
+  /** Build-or-load the SPEC-EVOLVED snapshot table (VERDICT r14 next
+    * #7 — Iceberg hidden-partitioning lite): v1 loads the pre-cutoff
+    * events partitioned by `event_type` alone; then the table's layout
+    * spec CHANGES — the post-cutoff tail lands partitioned by
+    * `(event_type, day)`, where `day` is derived from `ts` (an Iceberg
+    * `days(ts)` transform) — and commits WITHOUT rewriting a byte of
+    * history: old files keep their dirs, the file paths themselves
+    * record each file's spec ([[SnapshotStore.specOfFile]]). Both
+    * commits stamp ts envelopes, so stats skipping works uniformly
+    * across the boundary. */
+  def eventsSpecEvoRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "v1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SpecEvoFamily, dir, fp, Seq("data", "_snapshots"), specEvoBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val cut = lit(SnapCutoff).cast("timestamp")
+      Layout.writePartitionedRanged(events.where(col("ts") < cut),
+        r.resolve("data").toString,
+        partitionCols = Seq("event_type"), sortCols = Seq("ts"),
+        numTasks = SnapLoadTasks)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("ts")) // v1: spec = (event_type)
+      Layout.writePartitionedRanged(
+        events.where(col("ts") >= cut)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        r.resolve("data").toString,
+        partitionCols = Seq("event_type", "day"), sortCols = Seq("ts"),
+        numTasks = SnapLoadTasks, mode = "append")
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("ts")) // v2 = HEAD: spec = (event_type, day)
+    }
+  }
+
+  /** Q26x — PARTITION EVOLUTION made load-bearing: a type+time box
+    * query SPANNING the spec boundary. Planning prunes each file
+    * against ITS OWN spec ([[SnapshotStore.filesAtWherePartitioned]]):
+    * old-spec files by the `event_type` dir + ts envelopes, new-spec
+    * files additionally by the `day` dirs — a file that doesn't encode
+    * `day` can't be dropped by the day predicate (only proven-dead
+    * files prune; the FULL residual predicate still applies on the
+    * read, so a pruning bug costs rows the oracle catches, never adds
+    * them). The read composes both specs over their common logical
+    * columns ([[SnapshotStore.readFilesEvolved]]): `day` stays
+    * storage-only (hidden partitioning), `event_type` and every data
+    * column stay logical. The oracle recomputes from the flat corpus;
+    * per-side pruning is spec-pinned in SnapshotShapeEvolutionSpec.
+    * At 100 TB this is the table that started daily-partitioned and
+    * went hourly when one partition outgrew its executors — evolving
+    * the spec must cost zero rewrite, and queries must keep pruning on
+    * both generations' layouts. */
+  def q26xPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsSpecEvoRoot(spark, dir)
+    val head = SnapshotStore.headVersion(root).get
+    val d0 = "2024-01-12"
+    val d1 = "2024-01-25" // spans the 2024-01-20 spec boundary
+    val t0 = lit(d0).cast("timestamp")
+    val t1 = lit(d1).cast("timestamp")
+    val files = SnapshotStore.filesAtWherePartitioned(spark, root, head,
+      Seq(
+        "event_type" -> ((v: org.apache.spark.sql.Column) => v === "purchase"),
+        "day" -> ((v: org.apache.spark.sql.Column) => v >= d0 && v < d1)),
+      extra = col("max_ts") >= t0 && col("min_ts") < t1)
+    SnapshotStore.readFilesEvolved(spark, root, files)
+      .where(col("event_type") === "purchase" && col("ts") >= t0 && col("ts") < t1)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("day")
+  }
+
   /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping
     * argument and q26f's time travel composed on the ONE snapshot seam.
     * The scan plans against snapshot v1's manifest alone: partition

@@ -77,17 +77,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ks(s"SELECT k FROM $t VERSION AS OF 'audit'") == Seq(1L, 2, 3, 4),
       "branch-ref travel must see the staged commit")
     assert(ks(s"SELECT k FROM $t WHERE k >= 2") == Seq(2L, 3), "pushdown path")
-    // refusals: wall-clock travel and SQL DML
+    // wall-clock travel BEFORE the first stamped commit still refuses
+    // (these commits are stamped with the real clock, far after 2024)
     val ts = intercept[Exception] {
       spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '2024-01-01'").collect()
     }
     assert(ts.getMessage.contains("TIMESTAMP AS OF") || ts.getMessage.contains("timestamp"),
       ts.getMessage)
-    val ins = intercept[Exception] {
-      spark.sql(s"INSERT INTO $t VALUES (9, 'x')")
-    }
-    assert(ins.getMessage.toLowerCase.contains("support") ||
-      ins.getMessage.contains("READ"), ins.getMessage)
+    // SQL DML is a feature since r15 — but only after the staging
+    // branch retires (mainline commits must not interleave with a live
+    // branch chain, the standing branch contract)
+    graft.core.SnapshotStore.publishBranch(spark, root, "audit") // HEAD → 3
+    spark.sql(s"INSERT INTO $t VALUES (9, 'x')")
+    assert(ks(s"SELECT k FROM $t") == Seq(1L, 2, 3, 4, 9),
+      "INSERT INTO must land through the CAS append")
     graft.core.IndexStore.deleteRecursively(root)
   }
 }

@@ -319,6 +319,53 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("partition evolution: pruning engages on each side's OWN spec, reads compose over common columns (VERDICT r14 #7)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spec-evo")
+    try {
+      // v1: spec = (t) — two type dirs, one file each
+      Seq((1L, "a", "x1"), (2L, "a", "x2")).toDF("k", "t", "p")
+        .coalesce(1).write.partitionBy("t")
+        .parquet(root.resolve("data/load1").toString)
+      Seq((3L, "b", "x3")).toDF("k", "t", "p")
+        .coalesce(1).write.mode("append").partitionBy("t")
+        .parquet(root.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k")) // v1
+      // v2: spec EVOLVES to (t, g) — old files untouched
+      Seq((10L, "a", "g1", "y1"), (11L, "a", "g2", "y2"), (12L, "b", "g1", "y3"))
+        .toDF("k", "t", "g", "p")
+        .coalesce(1).write.partitionBy("t", "g")
+        .parquet(root.resolve("data/load2").toString)
+      val v2 = SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/load2/")))
+      val all = SnapshotStore.filesAt(spark, root, v2)
+      assert(all.exists(f => SnapshotStore.specOfFile(f) == Seq("t")))
+      assert(all.exists(f => SnapshotStore.specOfFile(f) == Seq("t", "g")))
+      // t-pruning drops BOTH generations' t=b dirs; g-pruning drops
+      // only new-spec files (old files can't be proven dead by g)
+      val pruned = SnapshotStore.filesAtWherePartitioned(spark, root, v2,
+        Seq("t" -> ((v: org.apache.spark.sql.Column) => v === "a"),
+            "g" -> ((v: org.apache.spark.sql.Column) => v === "g1")))
+      assert(pruned.forall(_.contains("/t=a/")), s"t=b leaked: $pruned")
+      assert(pruned.count(_.contains("/g=")) == 1 &&
+        pruned.exists(_.contains("/g=g1/")), s"g pruning wrong: $pruned")
+      assert(pruned.exists(f => SnapshotStore.specOfFile(f) == Seq("t")),
+        "old-spec t=a file must survive the g predicate it cannot encode")
+      // composition: g is storage-only (hidden), t and data cols logical
+      val composed = SnapshotStore.readFilesEvolved(spark, root, all)
+      assert(composed.columns.toSet == Set("k", "p", "t"), composed.columns.mkString(","))
+      assert(composed.as[(Long, String, String)].collect().map(_._1).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 10L, 11L, 12L))
+      // pruned read + residual = exact surviving rows: the old-spec
+      // t=a file (1, 2) + the new-spec t=a/g=g1 file (10); 11 lives in
+      // g=g2 (g-pruned), 3 and 12 in t=b (t-pruned on both specs)
+      val rows = SnapshotStore.readFilesEvolved(spark, root, pruned)
+        .where(col("t") === "a").select("k").as[Long].collect().sorted.toSeq
+      assert(rows == Seq(1L, 2L, 10L), s"pruned+residual rows: $rows")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
