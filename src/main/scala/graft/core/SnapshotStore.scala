@@ -1062,6 +1062,55 @@ object SnapshotStore {
       r.parquet(abs: _*)
     }
 
+  /** The files version `b` adds over version `a`, computed at the
+    * MANIFEST-PART level when the interval is a pure append chain:
+    * appends carry parts by reference and add new ones, so when a's
+    * part set ⊆ b's, the delta is exactly the files of b's NEW parts —
+    * read from those parts alone, O(delta) names on the driver, no
+    * [[filesAt]] of either endpoint (the read-side twin of
+    * [[commitAppend]]'s O(delta) write metadata; what the streaming
+    * incremental source plans micro-batches with at 10⁶-file tables).
+    * None when the interval is NOT part-expressible — a consolidation,
+    * compaction, or file-removing commit rewrote parts (or a legacy
+    * layout) — and the caller falls back to the full name diff, which
+    * is also what decides whether the interval was append-only at all.
+    * `a = 0` means "before the first version" (delta = all of b). */
+  def appendDeltaFiles(spark: SparkSession, root: Path,
+                       a: Long, b: Long): Option[Seq[String]] = {
+    import spark.implicits._
+    val la: Seq[ListRow] =
+      if (a == 0L) Seq.empty
+      else readList(root, a).getOrElse(return None)
+    val lb: Seq[ListRow] = readList(root, b).getOrElse(return None)
+    val old = la.map(_.mpath).toSet
+    if (!old.subsetOf(lb.map(_.mpath).toSet)) return None
+    val fresh = lb.filterNot(r => old(r.mpath))
+    if (fresh.isEmpty) Some(Seq.empty)
+    else Some(spark.read.parquet(fresh.map(r => root.resolve(r.mpath).toString): _*)
+      .select("file").as[String].collect().toSeq.sorted)
+  }
+
+  /** Per-version FILE-COUNT ledger over (a, b] — metadata-only (list
+    * TSV reads; falls back to one manifest count for non-part
+    * versions): what admission control sizes micro-batches with. */
+  def deltaFileCounts(spark: SparkSession, root: Path,
+                      a: Long, b: Long): Seq[(Long, Long)] =
+    ((a + 1) to b).map { v =>
+      val prev = if (v == a + 1 && a == 0L) Some(Seq.empty[ListRow])
+                 else readList(root, v - 1)
+      val cur = readList(root, v)
+      val n = (prev, cur) match {
+        case (Some(p), Some(c)) =>
+          val old = p.map(_.mpath).toSet
+          if (old.subsetOf(c.map(_.mpath).toSet))
+            c.filterNot(r => old(r.mpath)).map(_.nFiles).sum
+          else c.map(_.nFiles).sum // rewrite: count the version whole
+        case _ =>
+          manifest(spark, root, v).count() // legacy layout
+      }
+      v -> n
+    }
+
   // ---- partition-spec EVOLUTION (VERDICT r14 next #7) ----------------
 
   /** The partition SPEC a data file was written under, read from its

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -30,17 +30,25 @@ import graft.core.SnapshotStore
   *     .format("graft-snapshot")          // or the full class name
   *     .option("path", "/table/root")
   *     .option("startVersion", "0")       // 0 (default) = from genesis
+  *     .option("maxFilesPerTrigger", "64") // admission control (optional)
   *     .load()
   * }}}
   *
   * Semantics and scale shape:
   *  - OFFSETS ARE VERSION NUMBERS. `latestOffset` is one 8-byte HEAD
   *    read; a micro-batch (v_a, v_b] plans exactly the files version
-  *    b's manifest references that a's does not — a MANIFEST diff, so
-  *    per-batch planning cost is bounded by the delta plus the
-  *    manifest read, never a directory listing, and the batch reads
-  *    ONLY delta files (task-metrics-pinned in the spec). Commits
-  *    landing WHILE the stream runs are drained by the next trigger.
+  *    b's manifest references that a's does not — diffed at the
+  *    manifest-PART level on append chains, so the driver materializes
+  *    only the NEW parts' names (O(delta), the read-side twin of
+  *    `commitAppend`'s write metadata; plan-log-pinned in the spec),
+  *    never a directory listing or either endpoint's full file list.
+  *    Commits landing WHILE the stream runs drain on the next trigger.
+  *  - ADMISSION CONTROL: `maxFilesPerTrigger` paces a catching-up
+  *    consumer — the end offset advances version by version while the
+  *    cumulative delta file count fits (always ≥ 1 version per batch),
+  *    sized from the manifest lists' nFiles ledger alone. Without it a
+  *    consumer resuming at version 0 of a million-file table would
+  *    drain the whole backlog as one batch.
   *  - APPEND-ONLY CONTRACT: a version that REMOVED files (compaction,
   *    merge, rollback) cannot be expressed as an incremental batch —
   *    the source fails loudly (Delta's default without
@@ -81,7 +89,8 @@ class SnapshotStreamSource extends TableProvider
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new SnapshotStreamTable(rootOf(opts), schema,
-      Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L))
+      Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L),
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -96,15 +105,16 @@ object SnapshotStreamSource {
     SnapshotStore.readAt(spark, root, Some(head)).schema
   }
 
-  /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned)
-    * per planned micro-batch — what the spec's bounded-reads pin
-    * asserts against. Bounded: cleared by the spec, appended once per
-    * batch. */
-  val planLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Int)]()
+  /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
+    * partLevelFastPath) per planned micro-batch — what the spec's
+    * bounded-reads and O(delta)-planning pins assert against. Bounded:
+    * cleared by the spec, appended once per batch. */
+  val planLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Int, Boolean)]()
 }
 
 private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
-                                           startVersion: Long)
+                                           startVersion: Long,
+                                           maxFilesPerTrigger: Option[Int])
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot.`$root`"
   override def schema(): StructType = schema0
@@ -115,7 +125,7 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(root, schema0, startVersion)
+          new SnapshotMicroBatchStream(root, schema0, startVersion, maxFilesPerTrigger)
       }
     }
 }
@@ -123,8 +133,9 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
 /** One version-interval micro-batch stream (see
   * [[SnapshotStreamSource]] for the contract). */
 private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
-                                                startVersion: Long)
-    extends MicroBatchStream {
+                                                startVersion: Long,
+                                                maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class VOffset(v: Long) extends Offset {
     override def json(): String = v.toString
@@ -137,6 +148,35 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** ADMISSION CONTROL (`maxFilesPerTrigger`, the Delta streaming-
+    * source knob): a consumer catching up from far behind must not
+    * drain the whole backlog as ONE giant micro-batch — the end offset
+    * advances version by version while the cumulative delta file count
+    * stays inside the limit, always admitting at least one version so
+    * the stream progresses (a single over-limit commit still drains
+    * whole — versions are the atomic unit). Sizing is METADATA-ONLY:
+    * per-version file counts come from the manifest lists' nFiles
+    * ledger, no name is materialized here. Without the option, every
+    * committed version up to HEAD drains in one batch (allAvailable). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VOffset].v
+    val head = SnapshotStore.headVersion(root).getOrElse(0L)
+    if (head <= start) return VOffset(start)
+    limit match {
+      case mf: ReadMaxFiles =>
+        val spark = SparkSession.active
+        val counts = SnapshotStore.deltaFileCounts(spark, root, start, head)
+        var (end, total) = (start, 0L)
+        for ((v, n) <- counts if end == v - 1 && (total + n <= mf.maxFiles() || end == start))
+          { end = v; total += n }
+        VOffset(end)
+      case _ => VOffset(head)
+    }
+  }
+
   // the per-batch inner parquet scan, built by planInputPartitions and
   // consumed by the createReaderFactory call that follows it (the
   // MicroBatchExecution driver-side sequence)
@@ -146,27 +186,38 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     val (a, b) = (start.asInstanceOf[VOffset].v, end.asInstanceOf[VOffset].v)
     if (b <= a) { lastBatch = None; return Array.empty }
     val spark = SparkSession.active
-    val startFiles: Set[String] =
-      if (a == 0L) Set.empty
-      else SnapshotStore.filesAt(spark, root, a).toSet
-    val endFiles = SnapshotStore.filesAt(spark, root, b)
-    // append-only contract: files may only be ADDED between the
-    // endpoints — a rewrite (compaction/merge/rollback) inside the
-    // interval has no incremental representation
-    val removed = startFiles.filterNot(endFiles.toSet)
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"graft-snapshot stream on $root: versions ($a, $b] removed " +
-      s"${removed.size} file(s) (compaction/merge/rollback) — an incremental " +
-      s"drain cannot express rewrites; restart the stream from startVersion=$b " +
-      s"(e.g. ${removed.take(2).mkString(", ")}…)")
-    val delta = endFiles.filterNot(startFiles)
+    // O(delta) planning (the read-side twin of commitAppend's O(delta)
+    // metadata): an append-chain interval diffs at the manifest-PART
+    // level — the driver materializes only the NEW parts' file names,
+    // never either endpoint's full list (at 10⁶ table files a batch
+    // plans kilobytes). Part-subset also PROVES append-only, so the
+    // rewrite check is free on this path. Non-part-expressible
+    // intervals (consolidation/rewrite inside) fall back to the full
+    // name diff, whose removed-files check then decides refusal.
+    val fast = SnapshotStore.appendDeltaFiles(spark, root, a, b)
+    val delta: Seq[String] = fast.getOrElse {
+      val startFiles: Set[String] =
+        if (a == 0L) Set.empty
+        else SnapshotStore.filesAt(spark, root, a).toSet
+      val endFiles = SnapshotStore.filesAt(spark, root, b)
+      // append-only contract: files may only be ADDED between the
+      // endpoints — a rewrite (compaction/merge/rollback) inside the
+      // interval has no incremental representation
+      val removed = startFiles.filterNot(endFiles.toSet)
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graft-snapshot stream on $root: versions ($a, $b] removed " +
+        s"${removed.size} file(s) (compaction/merge/rollback) — an incremental " +
+        s"drain cannot express rewrites; restart the stream from startVersion=$b " +
+        s"(e.g. ${removed.take(2).mkString(", ")}…)")
+      endFiles.filterNot(startFiles)
+    }
     val pending = delta.filter(f =>
       SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f))
     if (pending.nonEmpty) throw new IllegalStateException(
       s"graft-snapshot stream on $root: interval ($a, $b] carries " +
       s"${pending.size} pending CDC-delta/MOR-delete file(s) — fold first " +
       "(their logical rows need resolution, not file replay)")
-    SnapshotStreamSource.planLog.add((root.toString, a, b, delta.size))
+    SnapshotStreamSource.planLog.add((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
     // stock DSv2 parquet scan over EXACTLY the delta files — same
     // schema rules as the stream's table schema

@@ -57,6 +57,11 @@ class SnapshotStreamSpec extends AnyFunSuite {
           fail(s"no (2,3] batch planned: $plans"))
         assert(late._4 == filesOf(root, 3).size,
           s"batch (2,3] planned ${late._4} files, expected only the delta")
+        // O(delta) PLANNING: every batch on this append chain took the
+        // part-level diff — the driver never held either endpoint's
+        // full file list
+        assert(plans.forall(_._5),
+          s"append-chain batches must plan at the part level: $plans")
       } finally q.stop()
       // RESTART from the checkpoint: only the not-yet-committed tail
       // drains (offsets are durable version numbers). foreachBatch —
@@ -79,6 +84,47 @@ class SnapshotStreamSpec extends AnyFunSuite {
         assert(drained.asScala.toSeq.sorted == Seq((6L, "f")),
           s"restart must resume at the checkpointed version, drained ${drained.asScala}")
       } finally q2.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("maxFilesPerTrigger paces a catching-up consumer: one version per batch when each load fills the budget") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-pace")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-pace-ckpt")
+    try {
+      // 4 committed versions, 1 file each, BEFORE the stream starts —
+      // the catch-up-from-genesis shape
+      load(root, 1, Seq((1L, "a")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      (2 to 4).foreach { i =>
+        load(root, i, Seq((i.toLong, s"r$i")))
+        SnapshotStore.commitAppend(spark, root, filesOf(root, i))
+      }
+      SnapshotStreamSource.planLog.clear()
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_pace")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("snapstream_pace").count() == 4L, "backlog fully drained")
+        import scala.jdk.CollectionConverters._
+        val plans = SnapshotStreamSource.planLog.asScala
+          .filter(_._1 == root.toString).toSeq.sortBy(_._2)
+        // the backlog drained as FOUR one-version batches, not one big
+        // one (distinct: Spark re-plans each batch several times)
+        assert(plans.map(p => (p._2, p._3)).distinct ==
+          Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+          s"expected one version per batch, got $plans")
+        assert(plans.forall(_._4 == 1), s"each batch must plan 1 file: $plans")
+      } finally q.stop()
     } finally {
       IndexStore.deleteRecursively(root)
       IndexStore.deleteRecursively(ckpt)
