@@ -143,6 +143,7 @@ object SparkEntry {
     "q26v_sql_timestamp_travel" -> (LayoutQueries.q26vSqlTimestampTravel _),
     "q26w_sql_insert" -> (LayoutQueries.q26wSqlInsert _),
     "q26x_partition_evolution" -> (LayoutQueries.q26xPartitionEvolution _),
+    "q26y_sql_delete" -> (LayoutQueries.q26ySqlDelete _),
     "q26t_schema_widen"    -> (LayoutQueries.q26tSchemaWiden _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
@@ -1824,6 +1825,17 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-25'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q26y: DELETE FROM through the catalog — the post-delete table
+    // must equal the flat corpus minus the cohort; over-delete,
+    // under-delete, or a dropped survivor file hash-fails
+    "q26y_sql_delete" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |WHERE event_type <> 'error'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q26w: INSERT INTO through the catalog — initial load + SQL-DML
     // tail must reassemble exactly the flat corpus; a dropped or
     // doubled insert (or a commit/file drift) hash-fails on the counts

@@ -534,6 +534,42 @@ object LayoutQueries {
       .orderBy("day")
   }
 
+  /** Q26y — SQL DML: `DELETE FROM` through the catalog (the third
+    * verb of the SQL loop after q26s/q26v reads and q26w inserts): a
+    * staged type-clustered table drops its 'error' cohort with plain
+    * `spark.sql("DELETE FROM … WHERE …")` — the file-scoped COW
+    * rewrite in [[graft.sql.SnapshotSqlTable]]: one pushed-down probe
+    * finds the matching files, ONLY those are rewritten minus matching
+    * rows (type-clustering makes that a strict subset here), untouched
+    * files carry into the new version by reference, and the commit is
+    * CAS-pinned. Read-back through SQL; the oracle recomputes from the
+    * flat corpus minus the cohort — an over-delete, under-delete, or a
+    * rewrite that dropped a survivor file hash-fails on the counts.
+    * File-scoping and NULL-predicate semantics are spec-pinned in
+    * SnapshotShapeEvolutionSpec. */
+  def q26ySqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q26y")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // type-clustered load: the doomed cohort concentrates in few files,
+    // so the delete's rewrite is provably file-scoped
+    events.repartitionByRange(6, col("event_type"), col("ts"))
+      .sortWithinPartitions("event_type", "ts")
+      .write.mode("overwrite").parquet(root.resolve("data/load0").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts"))
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"DELETE FROM $t WHERE event_type = 'error'")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping
     * argument and q26f's time travel composed on the ONE snapshot seam.
     * The scan plans against snapshot v1's manifest alone: partition

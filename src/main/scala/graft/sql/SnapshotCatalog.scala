@@ -10,7 +10,9 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, not, coalesce, input_file_name}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -177,9 +179,38 @@ class SnapshotCatalog extends TableCatalog {
   * (replacing table content is [[graft.core.SnapshotStore.compact]]/
   * merge territory, not an implicit truncate); flat-table contract
   * (partition-dir layouts evolve through the Layout writers). */
+private[sql] object SnapshotSqlTable {
+  /** The supported DELETE-predicate subset, as a total function into
+    * `Column` — None means "refuse via canDeleteWhere" (Spark then
+    * names the unsupported filter), never a silent approximation.
+    * Column names arrive from Spark's own resolution, so `col(...)`
+    * re-resolution is exact. */
+  private[sql] def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case sources.And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case sources.Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c)    => toColumn(c).map(not)
+    case _ => None
+  }
+}
+
 private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
                                     writable: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import graft.core.SnapshotStore
 
   override def name(): String = delegate.name
@@ -190,6 +221,65 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
+    * through plain SQL (the third DML a lakehouse user types, after
+    * read and INSERT): the matching-file probe is ONE pushed-down scan
+    * collecting file NAMES only, the rewrite touches exactly those
+    * files (survivors re-written minus matching rows, untouched files
+    * carried into the new version by reference), and the commit is
+    * CAS-pinned to the HEAD the plan was derived from. SQL NULL
+    * semantics: rows where the predicate is NULL survive. Refused on
+    * tables carrying pending CDC/MOR files (their logical rows need
+    * fold-time resolution) and on predicates outside the supported
+    * pushdown subset (`canDeleteWhere` false → Spark reports the
+    * unsupported filter instead of a silent full-table rewrite). The
+    * MOR (O(|keys|)-write) flavor stays on the API
+    * ([[graft.core.SnapshotStore.deleteMor]]) — SQL's filter shape
+    * cannot name the key discipline that path needs. Flat-table
+    * contract, like every row-rewriting op on the seam (rewritten
+    * survivors land outside the partition dirs; partition-dir layouts
+    * take row-level changes through the API's merge machinery). */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    writable && filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(writable,
+      s"${name()}: DELETE on a version-pinned load is refused — deletes land on HEAD")
+    val spark = SparkSession.active
+    val pred = filters.map(f => SnapshotSqlTable.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"${name()}: unsupported DELETE predicate $f")))
+      .foldLeft(lit(true))(_ && _)
+    val head = SnapshotStore.headVersion(root).getOrElse(
+      throw new IllegalStateException(s"${name()}: DELETE on an uncommitted table"))
+    val headFiles = SnapshotStore.filesAt(spark, root, head)
+    require(!headFiles.exists(f =>
+        SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f)),
+      s"${name()}: DELETE on a table with pending CDC-delta/MOR-delete files — fold first")
+    // matching-file probe: pushed-down scan, names only cross the driver
+    val rootStr = root.toAbsolutePath.normalize.toString
+    val touched = SnapshotStore.readAt(spark, root, Some(head))
+      .where(pred).select(input_file_name()).distinct()
+      .collect().map(r => java.nio.file.Paths.get(rootStr)
+        .relativize(java.nio.file.Paths.get(new java.net.URI(r.getString(0))))
+        .toString).toSeq.sorted
+    if (touched.isEmpty) return // nothing matches: the version stands
+    val survivors = SnapshotStore.readFiles(spark, root, touched)
+      .where(not(coalesce(pred, lit(false))))
+    val rel = s"data/sqldelete_${java.util.UUID.randomUUID().toString.take(12)}"
+    survivors.repartition(math.max(1, touched.size))
+      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    SnapshotStore.commit(spark, root,
+      headFiles.filterNot(touched.toSet) ++ fresh, expectedBase = head)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,

@@ -396,6 +396,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "within-cluster pairs must come from a cid-keyed equi-join:\n" + s.take(800))
   }
 
+  test("q16p: the substring-dedup occurrence pipeline shuffles digests only — text never enters a digest exchange") {
+    val plan = finalPlan(DedupQueries.q16pSubstringDedup(spark, dir))
+    val shuffled = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    // the g-keyed exchanges (first-occurrence agg, occurrence join,
+    // span positions) carry (doc_id, pos, g)-class columns only; the
+    // ONE exchange allowed to carry the token array is the final
+    // doc_id-keyed reassembly (and AQE may broadcast the tiny removed
+    // side instead, dropping even that)
+    val textBearing = shuffled.filter(cols =>
+      cols.exists(c => c == "ts" || c == "text" || c.startsWith("kept")))
+    assert(textBearing.size <= 1,
+      s"more than the reassembly shuffle carries text/tokens: $shuffled")
+    assert(shuffled.exists(cols => cols.exists(_.startsWith("g")) &&
+      !cols.exists(c => c == "ts" || c == "text")),
+      s"expected a digest-keyed exchange free of text: $shuffled")
+  }
+
   test("q21: salted aggregation is two-phase (salt crosses the first shuffle)") {
     val plan = finalPlan(SkewOps.q21SkewAgg(spark, dir))
     val shuffled = allNodes(plan).collect {

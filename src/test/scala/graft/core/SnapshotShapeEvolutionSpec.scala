@@ -366,6 +366,43 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("SQL DELETE FROM is a file-scoped COW rewrite: untouched files carry by reference, NULL-predicate rows survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sql-delete")
+    try {
+      // two loads with disjoint k ranges — only one should be touched
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c"))).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+      Seq((100L, Some("z"))).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2
+      val l2File = SnapshotStore.filesAt(spark, root, 2L).filter(_.startsWith("data/l2/"))
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      // p = 'a' matches k=1 only; k=2 has p NULL — the predicate is
+      // NULL there, and SQL DELETE must keep NULL-predicate rows
+      spark.sql(s"DELETE FROM $t WHERE p = 'a'")
+      assert(SnapshotStore.headVersion(root).contains(3L))
+      assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq ==
+        Seq(2L, 3L, 100L), "k=1 deleted; NULL-predicate k=2 must survive")
+      // file-scoped: the untouched l2 file is carried BYTE-IDENTICAL
+      // (same relative path) into the new version
+      val v3Files = SnapshotStore.filesAt(spark, root, 3L)
+      assert(l2File.forall(v3Files.contains),
+        s"untouched file must carry by reference: $v3Files")
+      assert(!v3Files.exists(_.startsWith("data/l1/")),
+        "the touched file must be superseded by the rewrite")
+      // a no-match delete leaves the version untouched
+      spark.sql(s"DELETE FROM $t WHERE p = 'no-such-value'")
+      assert(SnapshotStore.headVersion(root).contains(3L), "no-op delete must not commit")
+      // pinned reader below the delete still sees the deleted row
+      assert(SnapshotStore.readAt(spark, root, Some(2L), inferPartitions = false)
+        .count() == 4L)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
