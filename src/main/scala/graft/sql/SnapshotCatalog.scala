@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.Column
@@ -50,16 +50,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * deterministic via the injectable [[graft.core.SnapshotStore.clock]]),
   * to the latest version at-or-before the instant.
   *
-  * WRITES (VERDICT r14 #5): `INSERT INTO` on a HEAD load appends
-  * through [[graft.core.SnapshotStore.commitAppend]] — the same CAS/
-  * rebase discipline as the API path, via a V1 write fallback whose
-  * driver-side insert stages fresh immutable files and commits them
-  * (see [[SnapshotSqlTable]]). Version-pinned loads stay read-only;
-  * richer DML (`MERGE INTO`, `UPDATE`) still goes through the API
-  * ([[graft.core.SnapshotStore.mergeCow]]/CDC deltas), whose
-  * recency/fold semantics SQL cannot yet express here; create/alter/
-  * drop throw. At 100 TB the catalog costs what the API path costs —
-  * one list read + the version's manifest parts — per query planning. */
+  * WRITES (VERDICT r14 #5): the full DML loop on a HEAD load —
+  * `INSERT INTO` appends through
+  * [[graft.core.SnapshotStore.commitAppend]] via a V1 write fallback;
+  * `DELETE FROM` is a file-scoped COW rewrite behind `SupportsDelete`;
+  * `MERGE INTO` and `UPDATE` run as group-based row-level operations
+  * (Spark's ReplaceData rewrite over the stock scan, replacement rows
+  * written by Spark's own distributed parquet write, committed
+  * CAS-pinned — see [[SnapshotRowLevelOperation]]). Version-pinned
+  * loads stay read-only; create/alter/drop throw. SQL DML carries the
+  * CAS discipline but not the API's file-scoped merge pruning or MOR
+  * deltas — SQL is the convenience surface, the API the scale surface.
+  * At 100 TB the catalog costs what the API path costs — one list
+  * read + the version's manifest parts — per query planning. */
 class SnapshotCatalog extends TableCatalog {
   import graft.core.SnapshotStore
 
@@ -115,7 +118,7 @@ class SnapshotCatalog extends TableCatalog {
     // HEAD loads are WRITABLE (INSERT INTO, VERDICT r14 #5); pinned
     // version/tag/timestamp loads stay read-only — appending "into the
     // past" has no honest meaning
-    new SnapshotSqlTable(root, pq, writable = version.isEmpty)
+    new SnapshotSqlTable(root, pq, writable = version.isEmpty, loadedVersion = v)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -208,10 +211,39 @@ private[sql] object SnapshotSqlTable {
 }
 
 private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
-                                    writable: Boolean)
+                                    writable: Boolean, loadedVersion: Long)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import graft.core.SnapshotStore
+
+  /** `MERGE INTO` / `UPDATE` (and DELETEs whose predicate falls outside
+    * the [[canDeleteWhere]] subset): the GROUP-BASED row-level-operation
+    * contract, copy-on-write at table-group granularity — Spark
+    * rewrites the statement into ReplaceData over this operation's scan
+    * (the stock delegate scan, so the merge join reads with full
+    * pushdown) and hands the write the complete REPLACEMENT content;
+    * the commit publishes exactly the replacement files, CAS-pinned to
+    * the version the statement planned against (a concurrent commit →
+    * clean CME, re-run the statement). The replacement rows are written
+    * by Spark's own DSv2 parquet BatchWrite aimed at a fresh immutable
+    * staging dir — a fully distributed write; this class contributes
+    * only the staging path and the snapshot commit. Scope note: with no
+    * runtime group filtering the affected group is the WHOLE table
+    * (every SQL merge/update is a full COW rewrite) — the file-scoped
+    * envelope-pruned flavor lives on the API
+    * ([[graft.core.SnapshotStore.mergeCow]]) and the MOR-delta rung
+    * ([[graft.core.SnapshotStore.commitCdcDelta]]); SQL is the
+    * convenience surface, the API is the scale surface. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(writable,
+      s"${name()}: ${info.command()} on a version-pinned load is refused")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new SnapshotRowLevelOperation(info.command(), root, loadedVersion, delegate)
+    }
+  }
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -312,6 +344,103 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
             }
           }
       }
+    }
+  }
+}
+
+/** The group-based COW row-level operation behind SQL `MERGE INTO` /
+  * `UPDATE` (see [[SnapshotSqlTable.newRowLevelOperationBuilder]]):
+  * the scan is the stock delegate scan; the write stages Spark's own
+  * distributed parquet output under `data/<command>_sql_<uuid>` and
+  * commits the staged files as the table's NEW full content, CAS-pinned
+  * to the planned base version. Abort leaves no trace. */
+private[sql] class SnapshotRowLevelOperation(
+    cmd: RowLevelOperation.Command, root: Path, baseVersion: Long,
+    delegate: ParquetTable) extends RowLevelOperation {
+  import graft.core.{IndexStore, SnapshotStore}
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val spark = SparkSession.active
+        val rel = s"data/${cmd.toString.toLowerCase}_sql_" +
+          java.util.UUID.randomUUID().toString.take(12)
+        val staging = root.resolve(rel)
+        // Spark's own DSv2 parquet write, aimed at the staging dir —
+        // the heavy row writing is a stock distributed job
+        val inner = ParquetTable(s"snapshot-$cmd-staging", spark,
+            new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()),
+            Seq(staging.toString), Some(info.schema()), classOf[ParquetFileFormat])
+          .newWriteBuilder(info).build()
+        new Write {
+          override def description(): String = s"snapshot-$cmd-cow"
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val ib = inner.toBatch
+            override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+              // a group-based rewrite with no required metadata hands the
+              // writer the RAW rewrite rows — a leading operation marker
+              // (RowDeltaUtils.OPERATION_COLUMN int) followed by the data
+              // columns; the factory wrapper projects the marker away so
+              // the parquet writer sees exactly the table schema (the
+              // projecting task Spark uses for metadata-carrying
+              // connectors, done connector-side)
+              new OpStrippingWriterFactory(ib.createBatchWriterFactory(p), info.schema())
+            override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+              ib.onDataWriterCommit(m)
+            override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              ib.commit(messages) // finalize the staged files
+              import scala.jdk.CollectionConverters._
+              val s = Files.walk(staging)
+              val fresh =
+                try s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .map(p => root.relativize(p).toString).toSeq.sorted
+                finally s.close()
+              require(fresh.nonEmpty,
+                s"snapshot $cmd on $root produced an empty table — emptying a " +
+                "table wholesale goes through the maintenance API, not DML")
+              // full-content replacement, CAS-pinned to the planned base
+              SnapshotStore.commit(spark, root, fresh, expectedBase = baseVersion)
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit = {
+              ib.abort(messages)
+              IndexStore.deleteRecursively(staging)
+            }
+          }
+        }
+      }
+    }
+}
+
+/** Strips the group-based rewrite's leading operation-marker column
+  * before rows reach the file writer (see
+  * [[SnapshotRowLevelOperation]]): rows arrive as
+  * `(operation_int, <table columns…>)`; the projection forwards
+  * ordinals 1..n under the declared write schema. One mutable
+  * projecting row per writer — rows are consumed immediately by the
+  * parquet write support, never buffered. */
+private class OpStrippingWriterFactory(
+    inner: DataWriterFactory,
+    dataSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      dataSchema, (1 to dataSchema.length).toIndexedSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        proj.project(row)
+        w.write(proj)
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+      override def currentMetricsValues() = w.currentMetricsValues()
     }
   }
 }

@@ -403,6 +403,40 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("SQL MERGE INTO and UPDATE run as CAS-pinned COW replacements (group-based row-level ops)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sql-merge")
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      Seq((2L, "B", "upd"), (3L, "", "del"), (9L, "z", "ins"))
+        .toDF("k", "p", "op").createOrReplaceTempView("merge_src")
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING merge_src AS src ON tgt.k = src.k
+           |WHEN MATCHED AND src.op = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET p = src.p
+           |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (src.k, src.p)
+           |""".stripMargin)
+      assert(SnapshotStore.headVersion(root).contains(2L), "merge commits ONE version")
+      assert(spark.sql(s"SELECT k, p FROM $t ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "B"), (9L, "z")),
+        "matched-update, matched-delete, not-matched-insert")
+      // UPDATE statement rides the same machinery
+      spark.sql(s"UPDATE $t SET p = upper(p) WHERE k = 1")
+      assert(spark.sql(s"SELECT k, p FROM $t ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "A"), (2L, "B"), (9L, "z")))
+      // pinned time travel still sees the pre-merge state
+      assert(spark.sql(s"SELECT k, p FROM $t VERSION AS OF 1 ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
