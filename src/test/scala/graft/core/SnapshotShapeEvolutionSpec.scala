@@ -437,6 +437,52 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("SQL MERGE racing a concurrent append dies with a clean CME — stale COW replacements never last-wins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sql-merge-race")
+    try {
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      Seq((1L, "A")).toDF("k", "p").createOrReplaceTempView("race_src")
+      // inject a competing append inside the merge's OWN commit attempt
+      // (after base resolution, before publish) — deterministic, no
+      // thread timing
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val saved = SnapshotStore.commitAttemptHook
+      SnapshotStore.commitAttemptHook = (r, prev) => {
+        if (r == root && prev.contains(1L) && injected.compareAndSet(false, true)) {
+          Seq((50L, "raced")).toDF("k", "p")
+            .coalesce(1).write.parquet(root.resolve("data/l-race").toString)
+          SnapshotStore.commitAppend(spark, root,
+            SnapshotStore.dataFiles(root).filter(_.startsWith("data/l-race/"))) // v2
+        }
+      }
+      try {
+        val e = intercept[Exception] {
+          spark.sql(
+            s"""MERGE INTO $t AS tgt USING race_src AS src ON tgt.k = src.k
+               |WHEN MATCHED THEN UPDATE SET p = src.p""".stripMargin)
+        }
+        def msgs(x: Throwable): Seq[String] =
+          if (x == null) Seq.empty else s"${x.getClass.getName}:${x.getMessage}" +: msgs(x.getCause)
+        assert(msgs(e).exists(_.contains("ConcurrentModificationException")),
+          s"expected a CME, got ${msgs(e)}")
+      } finally SnapshotStore.commitAttemptHook = saved
+      // the winner's append stands; the stale merge left no trace
+      assert(spark.sql(s"SELECT k, p FROM $t ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (50L, "raced")))
+      // the re-derived merge (fresh plan over the new HEAD) succeeds
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING race_src AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET p = src.p""".stripMargin)
+      assert(spark.sql(s"SELECT k, p FROM $t ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "A"), (50L, "raced")))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
