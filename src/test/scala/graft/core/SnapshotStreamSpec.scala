@@ -131,6 +131,43 @@ class SnapshotStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("a widened (declared-schema) table streams under ONE type: narrow and wide delta files drain as the declared type") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-widen")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-widen-ckpt")
+    try {
+      Seq((1L, 10)).toDF("k", "m")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1: m INT
+      SnapshotStore.widenColumn(spark, root, "m", "bigint")            // v2
+      val df = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .load()
+      assert(df.schema("m").dataType == LongType,
+        "stream schema must honor the declared (widened) type")
+      val q = df.writeStream.format("memory").queryName("snapstream_widen")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable() // drains the narrow int32 file as BIGINT
+        // a post-widening commit with values past the int range, while
+        // the stream runs
+        Seq((2L, 5000000000L)).toDF("k", "m")
+          .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+        SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v3
+        q.processAllAvailable()
+        assert(spark.table("snapstream_widen").as[(Long, Long)]
+          .collect().sorted.toSeq == Seq((1L, 10L), (2L, 5000000000L)),
+          "int32 and int64 delta files must drain as one BIGINT column")
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
   test("a rewrite inside the drained interval refuses loudly (append-only contract)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snapstream-rw")
