@@ -182,7 +182,47 @@ class SnapshotCatalog extends TableCatalog {
   * (replacing table content is [[graft.core.SnapshotStore.compact]]/
   * merge territory, not an implicit truncate); flat-table contract
   * (partition-dir layouts evolve through the Layout writers). */
-private[sql] object SnapshotSqlTable {
+object SnapshotSqlTable {
+  /** DELETE planning stamp (test seam): (candidate files after
+    * manifest envelope pruning, total data files) of the last
+    * [[SnapshotSqlTable.deleteWhere]] — what the file-scoping spec
+    * asserts against. */
+  @volatile var lastDeleteStats: Option[(Int, Int)] = None
+
+  /** The manifest-ENVELOPE restriction a DELETE predicate implies for
+    * candidate files, if any part of it is envelope-expressible: a
+    * file whose `min_<c>`/`max_<c>` range provably excludes every
+    * matching row never even opens its FOOTER during the probe scan —
+    * the planning tier above parquet's own row-group skipping, and
+    * what keeps a key-ranged DELETE's probe O(region) at 10⁶ files.
+    * Per-conjunct: inexpressible conjuncts contribute nothing (None),
+    * and a null envelope (zero-row files) keeps the file — pruning
+    * only ever drops PROVABLY dead files; the probe's row predicate
+    * decides the rest. */
+  private[sql] def envelopePred(f: sources.Filter,
+                                stats: String => Boolean): Option[Column] = {
+    def mn(a: String) = col(s"min_$a")
+    def mx(a: String) = col(s"max_$a")
+    f match {
+      case sources.EqualTo(a, v) if stats(a) =>
+        Some(lit(v) >= mn(a) && lit(v) <= mx(a))
+      case sources.GreaterThan(a, v) if stats(a)        => Some(mx(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) if stats(a) => Some(mx(a) >= lit(v))
+      case sources.LessThan(a, v) if stats(a)           => Some(mn(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) if stats(a)    => Some(mn(a) <= lit(v))
+      case sources.In(a, vs) if stats(a) && vs.nonEmpty =>
+        Some(vs.map(v => lit(v) >= mn(a) && lit(v) <= mx(a)).reduce(_ || _))
+      case sources.And(l, r) =>
+        (envelopePred(l, stats), envelopePred(r, stats)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // one side still restricts
+        }
+      case sources.Or(l, r) => // both sides must restrict, or neither
+        for (a <- envelopePred(l, stats); b <- envelopePred(r, stats)) yield a || b
+      case _ => None
+    }
+  }
+
   /** The supported DELETE-predicate subset, as a total function into
     * `Column` — None means "refuse via canDeleteWhere" (Spark then
     * names the unsupported filter), never a silent approximation.
@@ -256,8 +296,12 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
-    * read and INSERT): the matching-file probe is ONE pushed-down scan
-    * collecting file NAMES only, the rewrite touches exactly those
+    * read and INSERT): candidate files first prune against the
+    * manifest's min/max ENVELOPES when the predicate is
+    * envelope-expressible (provably-dead files never open a footer —
+    * see [[SnapshotSqlTable.envelopePred]]), the matching-file probe is
+    * then ONE pushed-down scan collecting file NAMES only, the rewrite
+    * touches exactly those
     * files (survivors re-written minus matching rows, untouched files
     * carried into the new version by reference), and the commit is
     * CAS-pinned to the HEAD the plan was derived from. SQL NULL
@@ -289,9 +333,24 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     require(!headFiles.exists(f =>
         SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f)),
       s"${name()}: DELETE on a table with pending CDC-delta/MOR-delete files — fold first")
-    // matching-file probe: pushed-down scan, names only cross the driver
+    // tier 1 — MANIFEST ENVELOPE pruning: when (part of) the predicate
+    // is envelope-expressible against the table's stamped stats, files
+    // provably disjoint from every matching row drop before a single
+    // footer opens (null envelopes keep their file — prune only
+    // proven-dead). Tier 2 — the pushed-down probe scan over the
+    // candidates: names only cross the driver.
+    val man = SnapshotStore.manifest(spark, root, head)
+    val stats: String => Boolean =
+      c => man.columns.contains(s"min_$c") && man.columns.contains(s"max_$c")
+    val candidates = filters.flatMap(SnapshotSqlTable.envelopePred(_, stats))
+        .reduceOption(_ && _) match {
+      case Some(env) =>
+        SnapshotStore.filesAtWhere(spark, root, head, coalesce(env, lit(true)))
+      case None => headFiles
+    }
+    SnapshotSqlTable.lastDeleteStats = Some((candidates.size, headFiles.size))
     val rootStr = root.toAbsolutePath.normalize.toString
-    val touched = SnapshotStore.readAt(spark, root, Some(head))
+    val touched = SnapshotStore.readFiles(spark, root, candidates)
       .where(pred).select(input_file_name()).distinct()
       .collect().map(r => java.nio.file.Paths.get(rootStr)
         .relativize(java.nio.file.Paths.get(new java.net.URI(r.getString(0))))

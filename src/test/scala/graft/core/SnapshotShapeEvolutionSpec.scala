@@ -403,6 +403,36 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("SQL DELETE's probe prunes candidate files against manifest envelopes before opening a footer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sql-delete-env")
+    try {
+      // three k-ranged loads with stamped k envelopes
+      Seq((1L, "a"), (5L, "b")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k"))
+      Seq((100L, "c"), (150L, "d")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/")))
+      Seq((1000L, "e")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l3").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l3/")))
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      graft.sql.SnapshotSqlTable.lastDeleteStats = None
+      spark.sql(s"DELETE FROM $t WHERE k >= 100 AND k < 200")
+      val (cand, total) = graft.sql.SnapshotSqlTable.lastDeleteStats.getOrElse(
+        fail("delete planning stamp missing"))
+      assert(total == 3 && cand == 1,
+        s"envelope pruning must pass exactly the [100,150] file to the probe: $cand/$total")
+      assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq ==
+        Seq(1L, 5L, 1000L))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("SQL MERGE INTO and UPDATE run as CAS-pinned COW replacements (group-based row-level ops)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("sql-merge")
