@@ -26,6 +26,10 @@ class SnapshotStreamSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("snapstream")
     val ckpt = java.nio.file.Files.createTempDirectory("snapstream-ckpt")
     try {
+      // a deliberately WIDE standing load (1000 extra rows): the
+      // task-metrics pin below can then tell "read only the delta"
+      // apart from "re-read the table" by two orders of magnitude
+      load(root, 0, (100L until 1100L).map(i => (i, s"w$i")))
       load(root, 1, Seq((1L, "a"), (2L, "b")))
       SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
       load(root, 2, Seq((3L, "c")))
@@ -40,13 +44,34 @@ class SnapshotStreamSpec extends AnyFunSuite {
         .start()
       try {
         q.processAllAvailable()
-        assert(spark.table("snapstream_t1").as[(Long, String)].collect().sorted.toSeq ==
-          Seq((1L, "a"), (2L, "b"), (3L, "c")), "initial drain = v2 content")
+        assert(spark.table("snapstream_t1").count() == 1003L, "initial drain = v2 content")
+        assert(spark.table("snapstream_t1").as[(Long, String)]
+          .collect().filter(_._1 < 100L).sorted.toSeq ==
+          Seq((1L, "a"), (2L, "b"), (3L, "c")))
         // a version committed WHILE the stream runs
         load(root, 3, Seq((4L, "d"), (5L, "e")))
         SnapshotStore.commitAppend(spark, root, filesOf(root, 3)) // v3
-        q.processAllAvailable()
-        assert(spark.table("snapstream_t1").as[(Long, String)].collect().sorted.toSeq ==
+        // TASK-METRICS pin: the drain of v3 reads exactly the delta's
+        // rows from disk — not the standing table's
+        val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          q.processAllAvailable()
+          Thread.sleep(500) // listener-bus drain (private API in 4.x)
+        } finally spark.sparkContext.removeSparkListener(listener)
+        // the 2 delta rows plus a handful of one-row manifest-part
+        // reads (Spark re-plans each batch several times); a standing-
+        // table re-read would add the 1000 wide rows
+        assert(recordsRead.get() < 100L,
+          s"the (2,3] batch must read only the delta, read ${recordsRead.get()}")
+        assert(spark.table("snapstream_t1").count() == 1005L)
+        assert(spark.table("snapstream_t1").as[(Long, String)]
+          .collect().filter(_._1 < 100L).sorted.toSeq ==
           Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
         // BOUNDED READS: the mid-stream batch planned exactly v3's
         // delta files, not the table
