@@ -107,9 +107,14 @@ object SnapshotStreamSource {
 
   /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
     * partLevelFastPath) per planned micro-batch — what the spec's
-    * bounded-reads and O(delta)-planning pins assert against. Bounded:
-    * cleared by the spec, appended once per batch. */
+    * bounded-reads and O(delta)-planning pins assert against. Ring-
+    * capped so a long-lived stream never accumulates driver memory. */
   val planLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Int, Boolean)]()
+  private val PlanLogCap = 1024
+  private[sources] def logPlan(e: (String, Long, Long, Int, Boolean)): Unit = {
+    planLog.add(e)
+    while (planLog.size > PlanLogCap) planLog.poll()
+  }
 }
 
 private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
@@ -168,10 +173,19 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     limit match {
       case mf: ReadMaxFiles =>
         val spark = SparkSession.active
-        val counts = SnapshotStore.deltaFileCounts(spark, root, start, head)
+        // LAZY walk with early stop: a consumer deep in a long backlog
+        // pays for the versions it admits this trigger, not the whole
+        // backlog per trigger (deltaFileCounts eagerly sized would make
+        // catch-up O(backlog²) across triggers)
         var (end, total) = (start, 0L)
-        for ((v, n) <- counts if end == v - 1 && (total + n <= mf.maxFiles() || end == start))
-          { end = v; total += n }
+        val it = ((start + 1) to head).iterator
+          .map(v => SnapshotStore.deltaFileCounts(spark, root, v - 1, v).head)
+        var stop = false
+        while (!stop && it.hasNext) {
+          val (v, n) = it.next()
+          if (total + n <= mf.maxFiles() || end == start) { end = v; total += n }
+          else stop = true
+        }
         VOffset(end)
       case _ => VOffset(head)
     }
@@ -217,7 +231,7 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
       s"graft-snapshot stream on $root: interval ($a, $b] carries " +
       s"${pending.size} pending CDC-delta/MOR-delete file(s) — fold first " +
       "(their logical rows need resolution, not file replay)")
-    SnapshotStreamSource.planLog.add((root.toString, a, b, delta.size, fast.isDefined))
+    SnapshotStreamSource.logPlan((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
     // stock DSv2 parquet scan over EXACTLY the delta files — same
     // schema rules as the stream's table schema
