@@ -193,6 +193,56 @@ class SnapshotStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest consolidation inside a drained interval falls back to the name diff and keeps draining (parts changed, files appended)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-consol")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-consol-ckpt")
+    val saved = SnapshotStore.maxManifestParts
+    try {
+      load(root, 1, Seq((1L, "a")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      def drain(name: String): Seq[(Long, String)] = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+        val q = spark.readStream
+          .format("graft-snapshot")
+          .option("path", root.toString)
+          .load()
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.as[(Long, String)].collect().foreach(got.add))
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        import scala.jdk.CollectionConverters._
+        got.asScala.toSeq.sorted
+      }
+      assert(drain("first") == Seq((1L, "a"))) // checkpoint offset now v1
+      // with the stream STOPPED: four appends under a 2-part cap — the
+      // list consolidates, so the restart's catch-up interval (1, 5] is
+      // NOT part-expressible; it is still file-append-only, and the
+      // name-diff fallback must drain it rather than refuse
+      SnapshotStore.maxManifestParts = 2
+      (2 to 5).foreach { i =>
+        load(root, i, Seq((i.toLong, s"r$i")))
+        SnapshotStore.commitAppend(spark, root, filesOf(root, i))
+      }
+      assert(SnapshotStore.readList(root, 5L).get.size <= 2,
+        "fixture must actually consolidate")
+      SnapshotStreamSource.planLog.clear()
+      assert(drain("resume") ==
+        Seq((2L, "r2"), (3L, "r3"), (4L, "r4"), (5L, "r5")))
+      import scala.jdk.CollectionConverters._
+      val plan = SnapshotStreamSource.planLog.asScala
+        .filter(p => p._1 == root.toString && p._2 == 1L).toSeq
+      assert(plan.nonEmpty && plan.forall(!_._5),
+        s"a consolidated interval must take the name-diff fallback: $plan")
+    } finally {
+      SnapshotStore.maxManifestParts = saved
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
   test("a rewrite inside the drained interval refuses loudly (append-only contract)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snapstream-rw")
