@@ -2093,6 +2093,28 @@ object SnapshotStore {
     }
   }
 
+  /** AGE-BASED retention — `expire_snapshots(older_than)`, the form a
+    * production retention policy actually states ("keep 7 days"),
+    * resolved through the commit instants every publish stamps:
+    * expires every version whose commit instant precedes `tsMillis`,
+    * EXCEPT the current HEAD (the table always stays readable) and
+    * tagged versions (pins outrank policy, as in [[vacuum]]).
+    * Unstamped legacy versions count as infinitely old — a table
+    * upgraded mid-life retires its pre-stamp history on the first
+    * age-based sweep, which is what "older than" honestly means for
+    * them. Delegates to [[vacuum]]'s keep-set machinery by computing
+    * the equivalent count horizon, so the two policies cannot drift.
+    * Same offline-slot contract. Returns the deleted data files. */
+  def vacuumOlderThan(spark: SparkSession, root: Path, tsMillis: Long): Seq[String] = {
+    val head = headVersion(root).getOrElse(return Seq.empty)
+    val live = (1L to head).filter(v => Files.exists(manifestPath(root, v)))
+    // the oldest version that must SURVIVE: the first at-or-after the
+    // horizon (HEAD always survives)
+    val keepFrom = live.find(v => commitTimeOf(root, v).exists(_ >= tsMillis))
+      .getOrElse(head)
+    vacuum(spark, root, retain = (head - keepFrom + 1).toInt)
+  }
+
   /** Retire data files referenced ONLY by snapshots older than the
     * `retain` most recent ones, and drop those versions' manifests —
     * the Iceberg `expire_snapshots` maintenance op. Returns the deleted

@@ -513,6 +513,58 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("age-based retention: vacuumOlderThan expires by commit instant, spares HEAD and tags, treats unstamped history as old") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vacuum-age")
+    val saved = SnapshotStore.clock
+    try {
+      val t0 = 1700000000000L
+      def commitAt(i: Int, ms: Long): Unit = {
+        Seq((i.toLong, s"r$i")).toDF("k", "p")
+          .coalesce(1).write.parquet(root.resolve(s"data/l$i").toString)
+        SnapshotStore.clock = () => ms
+        if (i == 1) SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+        else SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/l$i/")))
+      }
+      commitAt(1, t0)           // v1 @ t0
+      commitAt(2, t0 + 1000L)   // v2
+      commitAt(3, t0 + 2000L)   // v3 (tagged below)
+      commitAt(4, t0 + 3000L)   // v4 = HEAD
+      SnapshotStore.tagVersion(root, "pin", 3L)
+      // horizon between v2 and v3: v1/v2 expire, v3 survives (at-or-
+      // after... v3 is after the horizon), v4 is HEAD
+      SnapshotStore.vacuumOlderThan(spark, root, t0 + 1500L)
+      assert(SnapshotStore.manifestVersions(root) == Seq(3L, 4L))
+      // horizon past everything: HEAD survives, tagged v3 survives
+      SnapshotStore.vacuumOlderThan(spark, root, t0 + 999999L)
+      assert(SnapshotStore.manifestVersions(root) == Seq(3L, 4L),
+        "HEAD and the tagged pin must outlive any horizon")
+      assert(SnapshotStore.readAtTag(spark, root, "pin",
+        inferPartitions = false).count() == 3L)
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false).count() == 4L)
+      // unstamped legacy history counts as infinitely old
+      val old = java.nio.file.Files.createTempDirectory("vacuum-age-legacy")
+      try {
+        SnapshotStore.clock = () => t0
+        Seq((1L, "x")).toDF("k", "p")
+          .coalesce(1).write.parquet(old.resolve("data/l1").toString)
+        SnapshotStore.commit(spark, old, SnapshotStore.dataFiles(old))
+        Seq((2L, "y")).toDF("k", "p")
+          .coalesce(1).write.parquet(old.resolve("data/l2").toString)
+        SnapshotStore.commitAppend(spark, old,
+          SnapshotStore.dataFiles(old).filter(_.startsWith("data/l2/")))
+        java.nio.file.Files.delete(old.resolve("_snapshots/v=1/_commit_ms"))
+        SnapshotStore.vacuumOlderThan(spark, old, t0 - 999999L)
+        assert(SnapshotStore.manifestVersions(old) == Seq(2L),
+          "an unstamped version is older than any horizon")
+      } finally IndexStore.deleteRecursively(old)
+    } finally {
+      SnapshotStore.clock = saved
+      IndexStore.deleteRecursively(root)
+    }
+  }
+
   test("two-phase prefix-sum operators survive an empty table (ADVICE r14 #5)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("empty-fixture")
