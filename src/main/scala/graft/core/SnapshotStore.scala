@@ -237,10 +237,20 @@ object SnapshotStore {
   private def writePart(spark: SparkSession, root: Path, entries: DataFrame): ListRow = {
     val rel = s"_snapshots/manifests/m_${java.util.UUID.randomUUID()}"
     inFlightFor(root).add(rel) // registered BEFORE bytes land — gc-safe
-    entries.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
-    val agg = spark.read.parquet(root.resolve(rel).toString)
-      .agg(count(lit(1)).as("f"), coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
-    ListRow(rel, agg.getLong(0), agg.getLong(1))
+    try {
+      entries.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
+      val agg = spark.read.parquet(root.resolve(rel).toString)
+        .agg(count(lit(1)).as("f"), coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
+      ListRow(rel, agg.getLong(0), agg.getLong(1))
+    } catch { case t: Throwable =>
+      // a failed write never reaches the caller's `written` ledger, so
+      // its registration would otherwise shield the partial dir from
+      // same-JVM gcParts for the JVM's lifetime (ADVICE r15) —
+      // deregister and reclaim before rethrowing
+      inFlightFor(root).remove(rel)
+      IndexStore.deleteRecursively(root.resolve(rel))
+      throw t
+    }
   }
 
   /** Merge a list's parts into ONE when it outgrew
@@ -285,6 +295,31 @@ object SnapshotStore {
     * justified refusing timestamp travel outright — the stamp is now
     * deterministic wherever determinism matters). */
   @volatile var clock: () => Long = () => System.currentTimeMillis()
+
+  /** PER-TABLE-ROOT clock override (ADVICE r15): the JVM-global
+    * [[clock]] pinned during one table's fixture build used to
+    * backdate CONCURRENT commits to every other table in the JVM —
+    * and those `_commit_ms` stamps later feed [[vacuumOlderThan]],
+    * where a bogus years-old stamp makes fresh data eligible for
+    * destructive expiry. Scoped like [[commitLocks]]: a fixture pins
+    * ITS root's clock and unpins in `finally`; unrelated tables keep
+    * wall-clock stamps throughout. */
+  private val clocks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+  def setClock(root: Path, f: () => Long): Unit =
+    clocks.put(arbiterKey(root), f)
+  def clearClock(root: Path): Unit = clocks.remove(arbiterKey(root))
+  private def clockFor(root: Path): Long =
+    clocks.getOrDefault(arbiterKey(root), clock)()
+
+  /** The operation type version `v` was published with (see
+    * [[publishVersion]]'s `_op` stamp), if the version postdates op
+    * stamping. */
+  def opTypeOf(root: Path, v: Long): Option[String] = {
+    val p = manifestPath(root, v).resolve("_op")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+  }
 
   /** The wall-clock instant version `v` committed at (millis), if the
     * version was published after timestamp stamping landed. */
@@ -514,7 +549,7 @@ object SnapshotStore {
 
   def commit(spark: SparkSession, root: Path, files: Seq[String],
              statsCols: Seq[String] = Nil, expectedBase: Long = -1L,
-             ref: String = "HEAD"): Long = {
+             ref: String = "HEAD", opType: String = "overwrite"): Long = {
     require(files.nonEmpty, s"empty commit for $root")
     var prev =
       if (expectedBase < 0)
@@ -524,7 +559,7 @@ object SnapshotStore {
     var target = files
     var rebases = 0
     while (true) {
-      try return commitOnce(spark, root, target, statsCols, prev, ref)
+      try return commitOnce(spark, root, target, statsCols, prev, ref, opType)
       catch {
         case cme: java.util.ConcurrentModificationException =>
           // Iceberg-style optimistic RETRY (VERDICT r12 #3): a commit
@@ -635,7 +670,7 @@ object SnapshotStore {
 
   private def commitOnce(spark: SparkSession, root: Path, files: Seq[String],
                          statsCols: Seq[String], prev: Option[Long],
-                         ref: String): Long = {
+                         ref: String, opType: String = "overwrite"): Long = {
     import spark.implicits._
     commitAttemptHook(root, prev)
     val next = prev.getOrElse(0L) + 1
@@ -726,8 +761,12 @@ object SnapshotStore {
         written ++= extra
         require(listRows.nonEmpty, s"empty commit for $root")
         publishVersion(root, ref, prev, next, listRows,
-          schemaDdl = mergedDeclared(spark, root, prev,
-            fresh.map(f => root.resolve(f).toString)))
+          schemaDdl = {
+            val freshAbs = fresh.map(f => root.resolve(f).toString)
+            mergedDeclared(spark, root, prev, freshAbs)
+              .orElse(birthDeclared(spark, root, prev, files, freshAbs))
+          },
+          opType = opType)
         // parts this commit wrote but consolidation superseded were
         // never published by any list — drop them now
         val live = listRows.map(_.mpath).toSet
@@ -760,7 +799,8 @@ object SnapshotStore {
     * clean their own parts. */
   private def publishVersion(root: Path, ref: String, prev: Option[Long],
                              next: Long, listRows: Seq[ListRow],
-                             schemaDdl: Option[String] = None): Unit =
+                             schemaDdl: Option[String] = None,
+                             opType: String = "overwrite"): Unit =
     lockFor(root).synchronized {
       // CAS guard (same-process fast path): the ref being committed to
       // must still sit at the base this commit derived from (for a
@@ -787,7 +827,15 @@ object SnapshotStore {
         Files.write(tmpMan.resolve("_schema.ddl"), ddl.getBytes("UTF-8")))
       // commit instant (VERDICT r14 #3): one tiny metadata file — what
       // TIMESTAMP AS OF resolves against
-      Files.write(tmpMan.resolve("_commit_ms"), clock().toString.getBytes("UTF-8"))
+      Files.write(tmpMan.resolve("_commit_ms"), clockFor(root).toString.getBytes("UTF-8"))
+      // the OPERATION TYPE stamp (the Iceberg snapshot `operation`
+      // field): what kind of change produced this version — "append" /
+      // "overwrite" / "replace" (content-preserving rewrite:
+      // compaction) / "fold" / "merge" / "widen". Metadata consumers
+      // (the incremental streaming source's skipRewrites mode) decide
+      // whether a file-removing version is drainable from this stamp
+      // plus the row-count ledger, never by reading data.
+      Files.write(tmpMan.resolve("_op"), opType.getBytes("UTF-8"))
       Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
       def publish(): Boolean =
         arbiterFor(root).publishDir(tmpMan, manifestPath(root, next))
@@ -924,8 +972,12 @@ object SnapshotStore {
           consolidate(spark, root, carried ++ written.toSeq)
         written ++= extra
         publishVersion(root, ref, prev, next, listRows,
-          schemaDdl = mergedDeclared(spark, root, prev,
-            addFiles.map(f => root.resolve(f).toString)))
+          schemaDdl = {
+            val addAbs = addFiles.map(f => root.resolve(f).toString)
+            mergedDeclared(spark, root, prev, addAbs)
+              .orElse(birthDeclared(spark, root, prev, addFiles, addAbs))
+          },
+          opType = "append")
         val live = listRows.map(_.mpath).toSet
         written.filterNot(r => live(r.mpath))
           .foreach(r => IndexStore.deleteRecursively(root.resolve(r.mpath)))
@@ -1136,7 +1188,12 @@ object SnapshotStore {
   def filesAtWherePartitioned(spark: SparkSession, root: Path, v: Long,
                               partPreds: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
                               extra: org.apache.spark.sql.Column = lit(true)): Seq[String] = {
-    val pred = partPreds.foldLeft(extra) { case (acc, (k, p)) =>
+    // a raw stat envelope in `extra` evaluates NULL for files with
+    // null min/max stats (zero-row or all-null columns) and the WHERE
+    // would drop them, violating the prune-only-provably-dead contract
+    // (ADVICE r15) — null-stat files are kept, matching
+    // SnapshotSqlTable.envelopePred's coalesce semantics
+    val pred = partPreds.foldLeft(coalesce(extra, lit(true))) { case (acc, (k, p)) =>
       acc && (!col("file").contains(s"/$k=") ||
         p(regexp_extract(col("file"), s"/$k=([^/]+)/", 1)))
     }
@@ -1241,11 +1298,40 @@ object SnapshotStore {
       else {
         val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         val have = declared.fieldNames.toSet
+        // underscore-prefixed columns are the seam's INTERNAL markers
+        // (`_seq` on CDC delta files) — they must never graduate into
+        // the table's logical declaration, or a fold would leave a
+        // permanent all-null `_seq` on every plain read
         val added = spark.read.option("mergeSchema", "true")
-          .parquet(freshAbs: _*).schema.filterNot(f => have.contains(f.name))
+          .parquet(freshAbs: _*).schema
+          .filterNot(f => have.contains(f.name) || f.name.startsWith("_"))
         if (added.isEmpty) ddl
         else org.apache.spark.sql.types.StructType(declared.fields ++ added).toDDL
       }
+    }
+
+  /** DECLARED-SCHEMA-AT-BIRTH (ADVICE r15): a FLAT table's FIRST
+    * commit stamps the delta files' merged schema as the declared
+    * read schema, so every later HEAD load — the SQL catalog above
+    * all — resolves schema from one O(1) metadata file instead of a
+    * distributed all-footers mergeSchema job (at 10⁶ files that job
+    * IS the planning cost). O(delta) by construction: only the first
+    * commit's own files are read, and their footers are already hot
+    * from the stats scan. Partition-dir layouts never stamp (the
+    * declared schema replaces inference wholesale, which would drop
+    * dir-derived columns); pre-existing undeclared tables keep their
+    * documented mergeSchema behavior — this is birth-time only, never
+    * a retrofit. */
+  private def birthDeclared(spark: SparkSession, root: Path,
+                            prev: Option[Long], files: Seq[String],
+                            freshAbs: Seq[String]): Option[String] =
+    if (prev.nonEmpty || freshAbs.isEmpty ||
+        files.exists(f => specOfFile(f).nonEmpty)) None
+    else {
+      val s = spark.read.option("mergeSchema", "true").parquet(freshAbs: _*)
+        .schema.filterNot(_.name.startsWith("_")) // internal markers stay out
+      if (s.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType(s.toArray).toDDL)
     }
 
   /** TYPE WIDENING (VERDICT r13 #6 — the second schema-evolution
@@ -1287,7 +1373,34 @@ object SnapshotStore {
       "rows and fresh wide ones cannot union; re-stat via compaction first")
     val widened = StructType(cur.map(x =>
       if (x.name == column) x.copy(dataType = to) else x))
-    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(widened.toDDL))
+    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(widened.toDDL),
+      opType = "widen")
+    head + 1
+  }
+
+  /** ADD COLUMN as a METADATA-ONLY commit (the q26k additive-evolution
+    * semantics, surfaced as DDL): the new version carries the previous
+    * list rows VERBATIM — zero data rewritten — and extends the
+    * DECLARED read schema with the new (nullable) column, so every
+    * pre-evolution file reads it as NULL and files written afterwards
+    * carry real values (parquet name-based resolution; exactly how
+    * Delta's ALTER TABLE ADD COLUMNS works). Nullable is forced: a
+    * non-null default over already-committed files would need a
+    * rewrite, not a stamp. Returns the committed version. */
+  def addColumn(spark: SparkSession, root: Path, column: String,
+                typeDdl: String): Long = {
+    import org.apache.spark.sql.types._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"addColumn on uncommitted table $root"))
+    val rows = readList(root, head).getOrElse(throw new IllegalStateException(
+      s"addColumn on a legacy-layout table $root — any commit migrates it first"))
+    val cur = readAt(spark, root, Some(head), inferPartitions = false).schema
+    require(!cur.fieldNames.map(_.toLowerCase).contains(column.toLowerCase),
+      s"addColumn: $column already exists in ${cur.fieldNames.mkString(", ")}")
+    val added = StructType(cur.fields :+
+      StructField(column, DataType.fromDDL(typeDdl), nullable = true))
+    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(added.toDDL),
+      opType = "widen")
     head + 1
   }
 
@@ -1430,7 +1543,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, fresh, statsCols)
+    commit(spark, root, fresh, statsCols, opType = "replace")
   }
 
   /** COPY-ON-WRITE MERGE — the row-level write op every lakehouse user
@@ -1584,7 +1697,7 @@ object SnapshotStore {
       case None => Seq.empty
     }
     commit(spark, root, dataFiles.filterNot(touched.toSet) ++ fresh ++ freshDel,
-      expectedBase = head)
+      expectedBase = head, opType = "merge")
   }
 
   // ---- merge-on-read deletes (the deletion-vector rung) --------------
@@ -1718,7 +1831,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, cold ++ fresh, statsCols)
+    commit(spark, root, cold ++ fresh, statsCols, opType = "fold")
   }
 
   // ---- CDC delta files (the merge-on-read UPSERT rung; q26r) ---------
@@ -1924,7 +2037,7 @@ object SnapshotStore {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => root.relativize(p).toString).toSeq.sorted
       finally s.close()
-    commit(spark, root, cold ++ fresh, statsCols)
+    commit(spark, root, cold ++ fresh, statsCols, opType = "fold")
   }
 
   /** Fold POLICY: fold when pending delta rows exceed `ratio` × base

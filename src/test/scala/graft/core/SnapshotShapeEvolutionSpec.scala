@@ -124,7 +124,7 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
-  test("SQL path on an UNDECLARED evolved table merges footers instead of dropping late columns (ADVICE r14 #1)") {
+  test("SQL path on an UNDECLARED (legacy) evolved table merges footers instead of dropping late columns (ADVICE r14 #1)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("shape-sql-merge")
     try {
@@ -135,12 +135,66 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
         .coalesce(1).write.parquet(root.resolve("data/l2").toString)
       SnapshotStore.commitAppend(spark, root,
         SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/")))
+      // simulate a PRE-declaration-at-birth table (ADVICE r15): strip
+      // the stamped declarations so the mergeSchema fallback is what
+      // the SQL path exercises
+      (1L to 2L).foreach(v => java.nio.file.Files.deleteIfExists(
+        root.resolve(s"_snapshots/v=$v/_schema.ddl")))
       spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
       val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
       val out = spark.sql(s"SELECT k, p, score FROM $t ORDER BY k")
         .as[(Long, String, Option[Double])].collect().toSeq
       assert(out == Seq((1L, "a", None), (2L, "b", Some(7.5))),
         s"late column lost on the SQL path: $out")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("a flat table's FIRST commit stamps a declared schema; appends extend it; internal _cols never graduate (ADVICE r15)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shape-birth-ddl")
+    try {
+      Seq((1L, "a")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
+      // birth declaration: HEAD loads (the SQL catalog above all)
+      // resolve schema from O(1) metadata, not an all-footers job
+      assert(SnapshotStore.declaredSchema(root, 1L).exists(
+        d => d.contains("k") && d.contains("p")),
+        "flat first commit must stamp the declared schema")
+      // additive evolution still extends the declaration (r14 semantics)
+      Seq((2L, "b", 7.5)).toDF("k", "p", "score")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/")))
+      assert(SnapshotStore.declaredSchema(root, 2L).exists(_.contains("score")))
+      // a CDC delta's _seq marker must NOT graduate into the logical
+      // schema — post-fold plain reads would carry a permanent null col
+      val croot = java.nio.file.Files.createTempDirectory("shape-birth-cdc")
+      try {
+        Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+          .coalesce(1).write.parquet(croot.resolve("data/base").toString)
+        SnapshotStore.commit(spark, croot, SnapshotStore.dataFiles(croot),
+          statsCols = Seq("k"))
+        SnapshotStore.commitCdcDelta(spark, croot,
+          Seq((1L, "a2")).toDF("k", "p"), "k")
+        assert(SnapshotStore.declaredSchema(croot, 2L).forall(!_.contains("_seq")),
+          "internal _seq leaked into the declared schema")
+        SnapshotStore.foldCdc(spark, croot, "k", Seq.empty, numFiles = 1)
+        val cols = SnapshotStore.readAt(spark, croot, inferPartitions = false)
+          .columns.toSeq
+        assert(cols == Seq("k", "p"),
+          s"post-fold plain read must carry data columns only: $cols")
+      } finally IndexStore.deleteRecursively(croot)
+      // a PARTITIONED load's first commit must NOT stamp (the declared
+      // schema would replace partition-dir recovery wholesale)
+      val proot = java.nio.file.Files.createTempDirectory("shape-birth-part")
+      try {
+        Seq((1L, "x", "a"), (2L, "y", "b")).toDF("k", "p", "side")
+          .write.partitionBy("side").parquet(proot.resolve("data").toString)
+        SnapshotStore.commit(spark, proot, SnapshotStore.dataFiles(proot))
+        assert(SnapshotStore.declaredSchema(proot, 1L).isEmpty,
+          "partitioned layouts must stay undeclared (dir recovery)")
+      } finally IndexStore.deleteRecursively(proot)
     } finally IndexStore.deleteRecursively(root)
   }
 
@@ -220,17 +274,16 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
   test("TIMESTAMP AS OF boundary semantics: exact instant, between commits, before first, unstamped history (VERDICT r14 #3)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ts-travel")
-    val saved = SnapshotStore.clock
     try {
       val t1 = 1700000000000L
       val t2 = t1 + 60000L
       Seq((1L, "a")).toDF("k", "p")
         .coalesce(1).write.parquet(root.resolve("data/l1").toString)
-      SnapshotStore.clock = () => t1
+      SnapshotStore.setClock(root, () => t1)
       SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1 @ t1
       Seq((2L, "b")).toDF("k", "p")
         .coalesce(1).write.parquet(root.resolve("data/l2").toString)
-      SnapshotStore.clock = () => t2
+      SnapshotStore.setClock(root, () => t2)
       SnapshotStore.commitAppend(spark, root,
         SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2 @ t2
       assert(SnapshotStore.commitTimeOf(root, 1L).contains(t1))
@@ -269,7 +322,7 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
         assert(u.getMessage.contains("no version carries a commit instant"))
       } finally IndexStore.deleteRecursively(old)
     } finally {
-      SnapshotStore.clock = saved
+      SnapshotStore.clearClock(root)
       IndexStore.deleteRecursively(root)
     }
   }
@@ -516,13 +569,12 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
   test("age-based retention: vacuumOlderThan expires by commit instant, spares HEAD and tags, treats unstamped history as old") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("vacuum-age")
-    val saved = SnapshotStore.clock
     try {
       val t0 = 1700000000000L
       def commitAt(i: Int, ms: Long): Unit = {
         Seq((i.toLong, s"r$i")).toDF("k", "p")
           .coalesce(1).write.parquet(root.resolve(s"data/l$i").toString)
-        SnapshotStore.clock = () => ms
+        SnapshotStore.setClock(root, () => ms)
         if (i == 1) SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root))
         else SnapshotStore.commitAppend(spark, root,
           SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/l$i/")))
@@ -546,7 +598,7 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
       // unstamped legacy history counts as infinitely old
       val old = java.nio.file.Files.createTempDirectory("vacuum-age-legacy")
       try {
-        SnapshotStore.clock = () => t0
+        SnapshotStore.setClock(old, () => t0)
         Seq((1L, "x")).toDF("k", "p")
           .coalesce(1).write.parquet(old.resolve("data/l1").toString)
         SnapshotStore.commit(spark, old, SnapshotStore.dataFiles(old))
@@ -558,9 +610,12 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
         SnapshotStore.vacuumOlderThan(spark, old, t0 - 999999L)
         assert(SnapshotStore.manifestVersions(old) == Seq(2L),
           "an unstamped version is older than any horizon")
-      } finally IndexStore.deleteRecursively(old)
+      } finally {
+        SnapshotStore.clearClock(old)
+        IndexStore.deleteRecursively(old)
+      }
     } finally {
-      SnapshotStore.clock = saved
+      SnapshotStore.clearClock(root)
       IndexStore.deleteRecursively(root)
     }
   }
