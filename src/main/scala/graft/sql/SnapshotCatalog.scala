@@ -3,19 +3,27 @@ package graft.sql
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit, not, coalesce, input_file_name}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The snapshot seam's SQL SURFACE (VERDICT r13 #5): a DataSourceV2
   * [[TableCatalog]] so a plain `spark.sql` user can time-travel a
@@ -102,7 +110,7 @@ class SnapshotCatalog extends TableCatalog {
             s"$cname.${ident.name()}: '$named' is neither a version number, " +
             "a tag, nor a live ref"))
     }
-    val files = SnapshotStore.filesAt(spark, root, v).map(f => root.resolve(f).toString)
+    val filesRel = SnapshotStore.filesAt(spark, root, v)
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", root.resolve("data").toString)
     // the version's DECLARED read schema binds the SQL path exactly like
@@ -113,12 +121,18 @@ class SnapshotCatalog extends TableCatalog {
     val declared = SnapshotStore.declaredSchema(root, v)
       .map(StructType.fromDDL)
     if (declared.isEmpty) opts.put("mergeSchema", "true")
-    val pq = ParquetTable(s"$cname.${ident.name()}@v$v", spark,
-      new CaseInsensitiveStringMap(opts), files, declared, classOf[ParquetFileFormat])
+    val cmap = new CaseInsensitiveStringMap(opts)
+    // the delegate factory takes table-root-RELATIVE names so the
+    // row-level path can re-plan over a runtime-filtered file subset
+    // (see SnapshotRowLevelOperation) with identical schema rules
+    def mkTable(rel: Seq[String]): ParquetTable =
+      ParquetTable(s"$cname.${ident.name()}@v$v", spark, cmap,
+        rel.map(f => root.resolve(f).toString), declared, classOf[ParquetFileFormat])
     // HEAD loads are WRITABLE (INSERT INTO, VERDICT r14 #5); pinned
     // version/tag/timestamp loads stay read-only — appending "into the
     // past" has no honest meaning
-    new SnapshotSqlTable(root, pq, writable = version.isEmpty, loadedVersion = v)
+    new SnapshotSqlTable(root, mkTable(filesRel), mkTable, filesRel,
+      writable = version.isEmpty, loadedVersion = v)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -154,14 +168,86 @@ class SnapshotCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$cname supports reads and INSERT INTO — $op goes through " +
-      "the SnapshotStore commit API (CAS/rebase discipline SQL DDL cannot express)")
+      s"$cname supports reads, DML, CREATE/CTAS, ADD COLUMN and type widening — " +
+      s"$op goes through the SnapshotStore API (a discipline SQL DDL cannot express)")
+
+  /** `CREATE TABLE` / the create half of CTAS (VERDICT r15 #5): a new
+    * snapshot table born entirely through SQL. Version 1 is ONE 0-row
+    * parquet file carrying the declared schema — every invariant of
+    * the seam (manifest parts, stats shape, declared-schema
+    * inheritance) holds from birth, and the CTAS insert that follows
+    * is the standard `commitAppend` V1 write. Flat-table contract:
+    * PARTITIONED BY is refused (partition-dir layouts are born through
+    * the Layout writers, which stamp the spec the scan prunes on). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    readOnly("createTable")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("alterTable")
-  override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$cname.${ident.name()}: PARTITIONED BY is refused — partition-dir " +
+      "layouts are born through the Layout writers (flat-table contract)")
+    val root = rootOf(ident)
+    if (Files.exists(root.resolve("_snapshots")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(cname, ident.name()))
+    val spark = SparkSession.active
+    val rel = s"data/create_${java.util.UUID.randomUUID().toString.take(12)}"
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+      .coalesce(1).write.parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    require(fresh.nonEmpty,
+      s"$cname.${ident.name()}: empty-table seed write produced no parquet file")
+    graft.core.SnapshotStore.commit(spark, root, fresh)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE` — the two metadata-only evolutions the seam
+    * sanctions, mapped to their API twins: ADD COLUMN (nullable,
+    * top-level → [[graft.core.SnapshotStore.addColumn]], the q26k
+    * additive semantics) and type WIDENING (int→bigint, float→double →
+    * [[graft.core.SnapshotStore.widenColumn]]). Everything else —
+    * rename (no field IDs, documented refusal), drops, nested edits —
+    * refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!Files.exists(root.resolve("_snapshots"))) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"$cname.${ident.name()}: only top-level ADD COLUMN is supported " +
+          s"(got ${add.fieldNames().mkString(".")})")
+        require(add.isNullable,
+          s"$cname.${ident.name()}: ADD COLUMN must be nullable — a non-null " +
+          "default over committed files needs a rewrite, not a metadata stamp")
+        SnapshotStore.addColumn(spark, root, add.fieldNames()(0),
+          add.dataType().sql)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          s"$cname.${ident.name()}: only top-level type changes are supported")
+        SnapshotStore.widenColumn(spark, root, upd.fieldNames()(0),
+          upd.newDataType().sql)
+      case other => readOnly(s"alterTable(${other.getClass.getSimpleName})")
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE` — deletes the table root (manifests + data). Also
+    * what Spark calls to clean up a failed CTAS. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!Files.exists(root.resolve("_snapshots"))) false
+    else {
+      graft.core.IndexStore.deleteRecursively(root)
+      true
+    }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
 }
@@ -188,6 +274,13 @@ object SnapshotSqlTable {
     * [[SnapshotSqlTable.deleteWhere]] — what the file-scoping spec
     * asserts against. */
   @volatile var lastDeleteStats: Option[(Int, Int)] = None
+
+  /** MERGE/UPDATE planning stamp (test seam): (files rewritten, total
+    * data files) of the last group-based row-level commit — what the
+    * runtime-group-filtering spec pins `rewritten < total` against
+    * (VERDICT r15 #1). `rewritten == total` on the fallback path
+    * (runtime filtering disabled or not applicable). */
+  @volatile var lastMergeStats: Option[(Int, Int)] = None
 
   /** The manifest-ENVELOPE restriction a DELETE predicate implies for
     * candidate files, if any part of it is envelope-expressible: a
@@ -251,37 +344,64 @@ object SnapshotSqlTable {
 }
 
 private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
+                                    mkTable: Seq[String] => ParquetTable,
+                                    filesRel: Seq[String],
                                     writable: Boolean, loadedVersion: Long)
     extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import graft.core.SnapshotStore
 
+  /** The `_file` METADATA COLUMN (the Iceberg/Delta provenance
+    * column): table-root-relative path of the data file each row came
+    * from. Hidden from `SELECT *`; selectable by name; and the
+    * row-level operations' group identity — [[SnapshotRowLevelOperation]]
+    * declares it in `requiredMetadataAttributes` so Spark's runtime
+    * group filtering can prune the COW rewrite to matched files
+    * (VERDICT r15 #1). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "table-root-relative data file path"
+    })
+
   /** `MERGE INTO` / `UPDATE` (and DELETEs whose predicate falls outside
     * the [[canDeleteWhere]] subset): the GROUP-BASED row-level-operation
-    * contract, copy-on-write at table-group granularity — Spark
-    * rewrites the statement into ReplaceData over this operation's scan
-    * (the stock delegate scan, so the merge join reads with full
-    * pushdown) and hands the write the complete REPLACEMENT content;
-    * the commit publishes exactly the replacement files, CAS-pinned to
-    * the version the statement planned against (a concurrent commit →
-    * clean CME, re-run the statement). The replacement rows are written
-    * by Spark's own DSv2 parquet BatchWrite aimed at a fresh immutable
-    * staging dir — a fully distributed write; this class contributes
-    * only the staging path and the snapshot commit. Scope note: with no
-    * runtime group filtering the affected group is the WHOLE table
-    * (every SQL merge/update is a full COW rewrite) — the file-scoped
-    * envelope-pruned flavor lives on the API
-    * ([[graft.core.SnapshotStore.mergeCow]]) and the MOR-delta rung
-    * ([[graft.core.SnapshotStore.commitCdcDelta]]); SQL is the
-    * convenience surface, the API is the scale surface. */
+    * contract, copy-on-write at FILE granularity — Spark rewrites the
+    * statement into ReplaceData over this operation's scan (the stock
+    * delegate parquet scan plus a `_file` tag, so the merge join reads
+    * with full pushdown), and RUNTIME GROUP FILTERING (VERDICT r15 #1)
+    * prunes the rewrite to matched files: the operation declares
+    * `_file` in `requiredMetadataAttributes`, its scan implements
+    * `SupportsRuntimeV2Filtering` on `_file`, and Spark's
+    * RowLevelOperationRuntimeGroupFiltering plans a matching-rows
+    * subquery whose distinct `_file` set runtime-narrows the COW scan —
+    * so ReplaceData reads and rewrites ONLY files holding matched rows.
+    * The commit then publishes rewritten files plus every untouched
+    * file carried by REFERENCE (the [[graft.core.SnapshotStore.mergeCow]]
+    * commit shape), CAS-pinned to the version the statement planned
+    * against (a concurrent commit → clean CME, re-run the statement).
+    * At 100 TB an `UPDATE … WHERE user_id = 1` rewrites the files whose
+    * rows matched, not the table. If the group filter cannot engage
+    * (conf off, condition-free UPDATE), the scan is never narrowed and
+    * the write degrades to the full-table COW — correct, just unpruned.
+    * The replacement rows are written by Spark's own DSv2 parquet
+    * BatchWrite aimed at a fresh immutable staging dir — a fully
+    * distributed write; this class contributes the staging path, the
+    * `_file` plumbing, and the snapshot commit. The MOR-delta rung
+    * (O(|changes|) writes, no rewrite at all) stays on the API
+    * ([[graft.core.SnapshotStore.commitCdcDelta]]). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(writable,
       s"${name()}: ${info.command()} on a version-pinned load is refused")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new SnapshotRowLevelOperation(info.command(), root, loadedVersion, delegate)
+        new SnapshotRowLevelOperation(info.command(), root, loadedVersion,
+          mkTable, filesRel)
     }
   }
 
@@ -292,7 +412,9 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    // plain reads delegate verbatim unless `_file` is selected — then
+    // the same tagging wrapper the row-level path uses serves it
+    new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None)
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
@@ -408,19 +530,40 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
 }
 
 /** The group-based COW row-level operation behind SQL `MERGE INTO` /
-  * `UPDATE` (see [[SnapshotSqlTable.newRowLevelOperationBuilder]]):
-  * the scan is the stock delegate scan; the write stages Spark's own
-  * distributed parquet output under `data/<command>_sql_<uuid>` and
-  * commits the staged files as the table's NEW full content, CAS-pinned
-  * to the planned base version. Abort leaves no trace. */
+  * `UPDATE` (and non-pushable DELETEs) — see
+  * [[SnapshotSqlTable.newRowLevelOperationBuilder]] for the contract.
+  * The scan is the stock delegate parquet scan wrapped with a `_file`
+  * tag ([[SnapshotScanBuilder]]); when Spark's runtime group filtering
+  * narrows it to matched files, `replaced` records exactly that set,
+  * and the commit publishes staged-rewrite files plus every untouched
+  * file carried by reference — the
+  * [[graft.core.SnapshotStore.mergeCow]] commit shape. With no
+  * narrowing, the staged output IS the full table and commits as such.
+  * The write stages Spark's own distributed parquet output under
+  * `data/<command>_sql_<uuid>`. Abort leaves no trace. */
 private[sql] class SnapshotRowLevelOperation(
     cmd: RowLevelOperation.Command, root: Path, baseVersion: Long,
-    delegate: ParquetTable) extends RowLevelOperation {
+    mkTable: Seq[String] => ParquetTable,
+    filesRel: Seq[String]) extends RowLevelOperation {
   import graft.core.{IndexStore, SnapshotStore}
 
+  /** Files the runtime group filter narrowed the COW scan to — the
+    * groups being REPLACED. None = the filter never engaged; the scan
+    * read (and the write therefore replaces) the whole table. */
+  @volatile private var replaced: Option[Seq[String]] = None
+
   override def command(): RowLevelOperation.Command = cmd
+
+  /** `_file` is the group identity: Spark resolves it against the
+    * table's metadata columns, carries it through the rewrite plan,
+    * and the runtime group filter collects its distinct values from
+    * the matching-rows subquery. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new SnapshotScanBuilder(root, mkTable, filesRel, options,
+      onNarrow = Some(keep => replaced = Some(keep)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -429,25 +572,38 @@ private[sql] class SnapshotRowLevelOperation(
         val rel = s"data/${cmd.toString.toLowerCase}_sql_" +
           java.util.UUID.randomUUID().toString.take(12)
         val staging = root.resolve(rel)
+        // the STAGED schema is the table's data columns only — the
+        // `_file` metadata column, if Spark declared it in the write
+        // schema, is projected away with the operation marker below
+        val dataSchema = StructType(info.schema().filterNot(_.name == "_file"))
+        val cleanInfo = new LogicalWriteInfo {
+          override def queryId(): String = info.queryId()
+          override def schema(): StructType = dataSchema
+          override def options(): CaseInsensitiveStringMap = info.options()
+          override def rowIdSchema(): java.util.Optional[StructType] =
+            info.rowIdSchema()
+          override def metadataSchema(): java.util.Optional[StructType] =
+            info.metadataSchema()
+        }
         // Spark's own DSv2 parquet write, aimed at the staging dir —
         // the heavy row writing is a stock distributed job
         val inner = ParquetTable(s"snapshot-$cmd-staging", spark,
             new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()),
-            Seq(staging.toString), Some(info.schema()), classOf[ParquetFileFormat])
-          .newWriteBuilder(info).build()
+            Seq(staging.toString), Some(dataSchema), classOf[ParquetFileFormat])
+          .newWriteBuilder(cleanInfo).build()
         new Write {
           override def description(): String = s"snapshot-$cmd-cow"
           override def toBatch: BatchWrite = new BatchWrite {
             private val ib = inner.toBatch
             override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-              // a group-based rewrite with no required metadata hands the
-              // writer the RAW rewrite rows — a leading operation marker
-              // (RowDeltaUtils.OPERATION_COLUMN int) followed by the data
-              // columns; the factory wrapper projects the marker away so
-              // the parquet writer sees exactly the table schema (the
-              // projecting task Spark uses for metadata-carrying
-              // connectors, done connector-side)
-              new OpStrippingWriterFactory(ib.createBatchWriterFactory(p), info.schema())
+              // a group-based rewrite hands the writer the RAW rewrite
+              // rows — a leading operation marker (RowDeltaUtils.
+              // OPERATION_COLUMN int) followed by the declared write
+              // schema's columns; the factory wrapper projects the
+              // marker (and `_file`, when declared) away so the parquet
+              // writer sees exactly the table's data schema
+              new OpStrippingWriterFactory(ib.createBatchWriterFactory(p),
+                info.schema(), dataSchema)
             override def onDataWriterCommit(m: WriterCommitMessage): Unit =
               ib.onDataWriterCommit(m)
             override def useCommitCoordinator(): Boolean = ib.useCommitCoordinator()
@@ -460,11 +616,36 @@ private[sql] class SnapshotRowLevelOperation(
                   .filter(_.getFileName.toString.endsWith(".parquet"))
                   .map(p => root.relativize(p).toString).toSeq.sorted
                 finally s.close()
-              require(fresh.nonEmpty,
-                s"snapshot $cmd on $root produced an empty table — emptying a " +
-                "table wholesale goes through the maintenance API, not DML")
-              // full-content replacement, CAS-pinned to the planned base
-              SnapshotStore.commit(spark, root, fresh, expectedBase = baseVersion)
+              replaced match {
+                case Some(matched) =>
+                  // file-scoped COW: rewritten groups land fresh, every
+                  // untouched file carries into the new version BY
+                  // REFERENCE (the mergeCow shape; VERDICT r15 #1)
+                  val carried = filesRel.filterNot(matched.toSet)
+                  SnapshotSqlTable.lastMergeStats =
+                    Some((matched.size, filesRel.size))
+                  if (matched.isEmpty) {
+                    // nothing matched: the version stands (DELETE's
+                    // no-match contract) — the scan read zero files, so
+                    // any staged output is a 0-row write artifact;
+                    // reclaim the staging dir
+                    IndexStore.deleteRecursively(staging)
+                  } else {
+                    require(carried.nonEmpty || fresh.nonEmpty,
+                      s"snapshot $cmd on $root produced an empty table — emptying a " +
+                      "table wholesale goes through the maintenance API, not DML")
+                    SnapshotStore.commit(spark, root, carried ++ fresh,
+                      expectedBase = baseVersion)
+                  }
+                case None =>
+                  SnapshotSqlTable.lastMergeStats =
+                    Some((filesRel.size, filesRel.size))
+                  require(fresh.nonEmpty,
+                    s"snapshot $cmd on $root produced an empty table — emptying a " +
+                    "table wholesale goes through the maintenance API, not DML")
+                  // full-content replacement, CAS-pinned to the planned base
+                  SnapshotStore.commit(spark, root, fresh, expectedBase = baseVersion)
+              }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit = {
               ib.abort(messages)
@@ -476,30 +657,281 @@ private[sql] class SnapshotRowLevelOperation(
     }
 }
 
-/** Strips the group-based rewrite's leading operation-marker column
-  * before rows reach the file writer (see
-  * [[SnapshotRowLevelOperation]]): rows arrive as
-  * `(operation_int, <table columns…>)`; the projection forwards
-  * ordinals 1..n under the declared write schema. One mutable
-  * projecting row per writer — rows are consumed immediately by the
-  * parquet write support, never buffered. */
+/** Normalizes the group-based rewrite's physical row layout before
+  * rows reach the file writer (see [[SnapshotRowLevelOperation]]).
+  * Spark hands group-based ReplaceData rows in one of two shapes:
+  *
+  *  - PROJECTED (`ReplaceDataProjections` present — the shape when the
+  *    operation declares `requiredMetadataAttributes`): exactly the
+  *    table's data columns, pass through untouched;
+  *  - MARKED (no projections — the r15 shape with no metadata attrs):
+  *    `(operation_int, <write schema columns…>)`; the projection
+  *    forwards exactly the data columns past the marker (and past
+  *    `_file`, were it declared in the write schema).
+  *
+  * The row width is ASSERTED per row against both legal shapes
+  * (ADVICE r15): a Spark-internal layout change surfaces as a loud
+  * error here, never as silently shifted ordinals feeding unchecked
+  * UnsafeRow accessors — the widths can never collide
+  * (dataSchema ⊆ writeSchema, so writeSchema+1 > dataSchema). One
+  * mutable projecting row per writer — rows are consumed immediately
+  * by the parquet write support, never buffered. */
 private class OpStrippingWriterFactory(
     inner: DataWriterFactory,
+    writeSchema: StructType,
     dataSchema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val w = inner.createWriter(partitionId, taskId)
+    val plainWidth = dataSchema.length
+    val markedWidth = writeSchema.length + 1 // marker + declared write schema
+    val ordinals = dataSchema.map(f => 1 + writeSchema.fieldIndex(f.name)).toIndexedSeq
     val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
-      dataSchema, (1 to dataSchema.length).toIndexedSeq)
-    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
-      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-        proj.project(row)
-        w.write(proj)
+      dataSchema, ordinals)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        if (row.numFields == plainWidth) w.write(row)
+        else if (row.numFields == markedWidth) {
+          proj.project(row)
+          w.write(proj)
+        } else throw new IllegalStateException(
+          s"group-based rewrite row layout drift: ${row.numFields} fields, " +
+          s"expected $plainWidth (projected data row) or $markedWidth " +
+          s"(operation marker + ${writeSchema.length} write columns) — " +
+          "Spark's ReplaceData row shape changed; refusing to write " +
+          "shifted ordinals")
       }
       override def commit(): WriterCommitMessage = w.commit()
       override def abort(): Unit = w.abort()
       override def close(): Unit = w.close()
       override def currentMetricsValues() = w.currentMetricsValues()
+    }
+  }
+}
+
+/** The catalog's SCAN WRAPPER: delegates planning verbatim to Spark's
+  * own DSv2 parquet scan builder (pushdown, pruning, vectorization all
+  * stock), and adds exactly two things —
+  *
+  *  1. the `_file` METADATA COLUMN: when the pruned schema requests it,
+  *     every emitted row/batch is tagged with the table-root-relative
+  *     path of its source file (constant-per-partition: partitions are
+  *     split one-file-per-partition first, so tagging is a JoinedRow /
+  *     ConstantColumnVector append — vectorized reads stay vectorized);
+  *  2. RUNTIME GROUP FILTERING (row-level path only, `onNarrow`
+  *     defined): the built scan implements `SupportsRuntimeV2Filtering`
+  *     on `_file`; when Spark hands the matched-file IN-set at runtime,
+  *     the delegate scan is REBUILT over exactly those files (same
+  *     pruned schema, same pushed filters) and the narrowed set is
+  *     reported to the operation for the carried-files commit.
+  *
+  * Filters referencing `_file` are never forwarded to parquet (it is
+  * not a physical column) — they stay post-scan residuals. At 100 TB
+  * the wrapper adds zero planning cost on plain reads: a query that
+  * never names `_file` gets the delegate scan object untouched. */
+private[sql] class SnapshotScanBuilder(
+    root: Path,
+    mkTable: Seq[String] => ParquetTable,
+    filesRel: Seq[String],
+    options: CaseInsensitiveStringMap,
+    onNarrow: Option[Seq[String] => Unit])
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private def mkDelegate(files: Seq[String]) =
+    mkTable(files).newScanBuilder(options)
+
+  private var delegateB = mkDelegate(filesRel)
+  private var pruned: Option[StructType] = None
+  private var wantFile = false
+  private var pushed: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantFile = requiredSchema.fieldNames.contains("_file")
+    val stripped = StructType(requiredSchema.filterNot(_.name == "_file"))
+    pruned = Some(stripped)
+    delegateB.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(stripped)
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val (onFile, rest) = filters.partition(
+      _.references.exists(_.name.equalsIgnoreCase("_file")))
+    pushed = rest
+    val residual = delegateB.asInstanceOf[SupportsPushDownCatalystFilters]
+      .pushFilters(rest)
+    residual ++ onFile
+  }
+  override def pushedFilters: Array[Predicate] =
+    delegateB.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+
+  /** Re-plan the delegate over a file subset, replaying the captured
+    * pushdown state (names bind identically — same table schema). */
+  private def replay(files: Seq[String]): Scan = {
+    val b = mkDelegate(files)
+    pruned.foreach(s =>
+      b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(s))
+    if (pushed.nonEmpty)
+      b.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(pushed)
+    b.build()
+  }
+
+  override def build(): Scan = {
+    val base = delegateB.build()
+    if (!wantFile && onNarrow.isEmpty) base // plain read, zero wrapping
+    else if (onNarrow.isEmpty)
+      new TaggedSnapshotScan(root, base, wantFile)
+    else
+      new CowSnapshotScan(root, base, wantFile, filesRel, replay, onNarrow.get)
+  }
+}
+
+/** A delegate scan plus the `_file` tag (see [[SnapshotScanBuilder]]). */
+private[sql] class TaggedSnapshotScan(root: Path, protected var delegate: Scan,
+                                      wantFile: Boolean)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType =
+    if (!wantFile) delegate.readSchema()
+    else StructType(delegate.readSchema().fields :+
+      StructField("_file", StringType, nullable = false))
+  override def toBatch: Batch =
+    new FileTaggingBatch(delegate.toBatch, wantFile,
+      root.toAbsolutePath.normalize.toString)
+  override def description(): String = s"snapshot-tagged(${delegate.description()})"
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+}
+
+/** The row-level operation's scan: [[TaggedSnapshotScan]] plus the
+  * `SupportsRuntimeV2Filtering` contract on `_file` (see
+  * [[SnapshotScanBuilder]] and [[SnapshotRowLevelOperation]]). */
+private[sql] class CowSnapshotScan(root: Path, delegate0: Scan,
+                                   wantFile: Boolean,
+                                   filesRel: Seq[String],
+                                   replay: Seq[String] => Scan,
+                                   onNarrow: Seq[String] => Unit)
+    extends TaggedSnapshotScan(root, delegate0, wantFile)
+    with SupportsRuntimeV2Filtering {
+
+  // a filter that matched ZERO files cannot re-plan a parquet scan
+  // (no files → no inferable schema); the batch short-circuits empty
+  @volatile private var emptied = false
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (wantFile) Array(Expressions.column("_file")) else Array.empty
+
+  /** An IN-set over `_file` from the group-filter subquery narrows the
+    * scan to exactly the named files; any other predicate shape is
+    * ignored (narrowing is an optimization — never guess). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap(inFileNames)
+    if (sets.nonEmpty) {
+      val keepNames = sets.reduce(_ intersect _)
+      val keep = filesRel.filter(keepNames)
+      onNarrow(keep)
+      if (keep.isEmpty) emptied = true
+      else delegate = replay(keep)
+    }
+  }
+
+  override def toBatch: Batch =
+    if (!emptied) super.toBatch
+    else new Batch {
+      override def planInputPartitions(): Array[InputPartition] = Array.empty
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition) =
+            throw new IllegalStateException("empty group-filtered scan has no readers")
+        }
+    }
+
+  private def inFileNames(p: Predicate): Option[Set[String]] =
+    if (p.name() != "IN") None
+    else p.children().headOption match {
+      case Some(ref: NamedReference)
+          if ref.fieldNames().sameElements(Array("_file")) =>
+        Some(p.children().tail.collect {
+          case l: Literal[_] if l.value != null => l.value.toString
+        }.toSet)
+      case _ => None
+    }
+}
+
+/** Splits delegate partitions one-file-per-partition and tags rows
+  * with that file (see [[SnapshotScanBuilder]]). Splitting only ever
+  * UNPACKS Spark's small-file packing — a split of one large file
+  * already maps to one partition — so parallelism is preserved or
+  * increased, never lost. */
+private[sql] class FileTaggingBatch(delegate: Batch, tag: Boolean,
+                                    rootStr: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = delegate.planInputPartitions()
+    if (!tag) parts
+    else parts.flatMap {
+      case fp: FilePartition => fp.files.map(pf => Array(pf))
+      case other => throw new IllegalStateException(
+        s"snapshot scan planned a non-file partition ${other.getClass.getName} — " +
+        "cannot tag _file")
+    }.zipWithIndex.map { case (fs, i) => FilePartition(i, fs): InputPartition }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    if (!tag) inner else new FileTaggingReaderFactory(inner, rootStr)
+  }
+}
+
+/** Appends the constant `_file` column per (single-file) partition —
+  * rows via a JoinedRow, vectorized batches via a
+  * ConstantColumnVector, so the stock reader's columnar path survives
+  * the tag. */
+private[sql] class FileTaggingReaderFactory(
+    inner: PartitionReaderFactory, rootStr: String)
+    extends PartitionReaderFactory {
+
+  private def relOf(p: InputPartition): UTF8String = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.map(_.filePath.toString).distinct.length == 1,
+      s"tagging partition carries ${fp.files.length} distinct files — " +
+      "FileTaggingBatch must split one-file-per-partition")
+    UTF8String.fromString(Paths.get(rootStr)
+      .relativize(Paths.get(fp.files.head.filePath.toUri)).toString)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rel = relOf(p)
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val right = new GenericInternalRow(Array[Any](rel))
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), right)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val rel = relOf(p)
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        val cols = Array.tabulate[ColumnVector](b.numCols)(b.column)
+        val const = new ConstantColumnVector(b.numRows, StringType)
+        const.setUtf8String(rel)
+        new ColumnarBatch(cols :+ const, b.numRows)
+      }
+      override def close(): Unit = r.close()
     }
   }
 }

@@ -1,0 +1,114 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.{IndexStore, SnapshotStore}
+
+/** VERDICT r15 #5 — SQL DDL through the catalog: CREATE TABLE / CTAS
+  * (a snapshot table born entirely via `spark.sql`, every seam
+  * invariant holding from birth), ALTER TABLE ADD COLUMN (the q26k
+  * additive-evolution semantics as a metadata-only commit), type
+  * widening via ALTER, DROP TABLE, and the refusals (PARTITIONED BY,
+  * RENAME — documented contracts, loud errors). */
+class SqlDdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(tag: String): (String, java.nio.file.Path) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"ddl-wh-$tag")
+    val name = s"gddl_$tag"
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sql.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+    (name, wh)
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round-trip; the created table carries every seam invariant from birth") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("create")
+    try {
+      spark.sql(s"CREATE TABLE $cat.t1 (k BIGINT, p STRING)")
+      // v1 = the 0-row schema seed: readable, empty, right shape
+      assert(spark.sql(s"SELECT * FROM $cat.t1").columns.toSeq == Seq("k", "p"))
+      assert(spark.sql(s"SELECT * FROM $cat.t1").count() == 0L)
+      val root = wh.resolve("t1")
+      assert(SnapshotStore.headVersion(root).contains(1L))
+      spark.sql(s"INSERT INTO $cat.t1 VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $cat.t1 VALUES (3, 'c')")
+      assert(spark.sql(s"SELECT k, p FROM $cat.t1 ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // inserts rode commitAppend: three versions, op-stamped
+      assert(SnapshotStore.headVersion(root).contains(3L))
+      assert(SnapshotStore.opTypeOf(root, 2L).contains("append"))
+      // CREATE twice → the standard loud error
+      val e = intercept[Exception](spark.sql(s"CREATE TABLE $cat.t1 (x INT)"))
+      assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+      // PARTITIONED BY → flat-table refusal
+      val p = intercept[Exception](
+        spark.sql(s"CREATE TABLE $cat.tp (k BIGINT, d STRING) PARTITIONED BY (d)"))
+      assert(p.getMessage.contains("PARTITIONED BY is refused"), p.getMessage)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("CTAS populates a new table from a query; DROP TABLE removes it") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("ctas")
+    try {
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "p")
+        .createOrReplaceTempView("ddl_src")
+      spark.sql(s"CREATE TABLE $cat.t2 AS SELECT k, upper(p) AS p FROM ddl_src WHERE k <= 2")
+      assert(spark.sql(s"SELECT k, p FROM $cat.t2 ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "X"), (2L, "Y")))
+      spark.sql(s"DROP TABLE $cat.t2")
+      assert(!java.nio.file.Files.exists(wh.resolve("t2").resolve("_snapshots")))
+      intercept[Exception](spark.sql(s"SELECT * FROM $cat.t2").collect())
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only: zero files rewritten, old rows NULL, pinned old versions stay narrow (q26k semantics)") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("add")
+    try {
+      spark.sql(s"CREATE TABLE $cat.t3 (k BIGINT, p STRING)")
+      spark.sql(s"INSERT INTO $cat.t3 VALUES (1, 'a')")
+      val root = wh.resolve("t3")
+      val filesBefore = SnapshotStore.filesAt(spark, root, 2L)
+      spark.sql(s"ALTER TABLE $cat.t3 ADD COLUMN src STRING") // v3, metadata-only
+      assert(SnapshotStore.filesAt(spark, root, 3L) == filesBefore,
+        "ADD COLUMN must rewrite zero data files")
+      assert(SnapshotStore.opTypeOf(root, 3L).contains("widen"))
+      spark.sql(s"INSERT INTO $cat.t3 VALUES (2, 'b', 'late')")
+      assert(spark.sql(s"SELECT k, p, src FROM $cat.t3 ORDER BY k")
+        .as[(Long, String, Option[String])].collect().toSeq ==
+        Seq((1L, "a", None), (2L, "b", Some("late"))),
+        "pre-evolution rows read the new column as NULL")
+      // the pinned pre-evolution version keeps its narrow schema
+      assert(spark.sql(s"SELECT * FROM $cat.t3 VERSION AS OF 2").columns.toSeq ==
+        Seq("k", "p"), "a pinned old version must not see later columns")
+      // RENAME refuses with the documented field-ID rationale
+      val r = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.t3 RENAME COLUMN p TO q"))
+      assert(r.getMessage.contains("alterTable") || r.getMessage.contains("refused"),
+        r.getMessage)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("ALTER TABLE type widening rides widenColumn; unsanctioned changes refuse") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("widen")
+    try {
+      spark.sql(s"CREATE TABLE $cat.t4 (k INT, p STRING)")
+      spark.sql(s"INSERT INTO $cat.t4 VALUES (7, 'a')")
+      spark.sql(s"ALTER TABLE $cat.t4 ALTER COLUMN k TYPE BIGINT")
+      val sch = spark.sql(s"SELECT * FROM $cat.t4").schema
+      assert(sch("k").dataType == org.apache.spark.sql.types.LongType)
+      assert(spark.sql(s"SELECT k FROM $cat.t4").as[Long].collect().toSeq == Seq(7L))
+      // narrowing refuses — Spark's analyzer rejects it before the
+      // catalog (NOT_SUPPORTED_CHANGE_COLUMN); either tier failing
+      // loudly satisfies the contract
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.t4 ALTER COLUMN k TYPE INT"))
+      assert(e.getMessage.contains("sanctioned") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+}
