@@ -19,7 +19,7 @@ import graft.core.SnapshotStore
   * [[SnapshotStore]] table and continuously drains committed versions —
   * the Delta streaming-source / Iceberg incremental-consume pattern,
   * and the READ-side twin of `commitEpoch` (the reference's
-  * continuous-query lifecycle, TwitterStreamingKafkaTrendingHashtag
+  * continuous-query lifecycle, TwitterDatasetTrendingHashtag.java
   * S:86-109, applied to the at-rest table). This is how a 100 TB
   * corpus actually feeds a tokenizer fleet: the producer appends
   * version after version; consumers see exactly the committed deltas,
@@ -56,6 +56,21 @@ import graft.core.SnapshotStore
   *    from a fresh checkpoint above the rewrite. Pending special files
   *    (CDC deltas / MOR deletes) are refused the same way — their
   *    logical rows need fold-time resolution, not file replay.
+  *  - `skipRewrites` (VERDICT r15 #2, Delta's `skipChangeCommits` /
+  *    Iceberg's rewrite-tolerant streams): with
+  *    `.option("skipRewrites", "true")`, an interval containing a
+  *    file-removing version drains it as a NO-OP iff the version is
+  *    PROVABLY content-preserving — its `_op` stamp says "replace"
+  *    (compaction) AND the manifest row-count ledger is unchanged
+  *    across it; both checks are metadata-only. The table's own
+  *    in-loop compaction policy (q26j) then never kicks its consumers.
+  *    A REAL content rewrite (merge, overwrite, fold, or a "replace"
+  *    whose ledger moved) still refuses loudly — skipping it would
+  *    silently lose or duplicate rows. Planning on such intervals
+  *    walks version by version: appended versions stream their delta,
+  *    skipped rewrites contribute nothing, and only the rewrite
+  *    version itself pays a full name diff (rewrites are rare
+  *    maintenance events — the documented O(table-names) bound class).
   *  - EXACTLY-ONCE composition: offsets live in the sink's checkpoint;
   *    replayed batches re-plan the identical (v_a, v_b] file set
   *    (manifests are immutable), so a retried epoch re-reads the same
@@ -83,26 +98,37 @@ class SnapshotStreamSource extends TableProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotStreamSource.tableSchema(SparkSession.active, rootOf(options))
+    SnapshotStreamSource.tableSchema(SparkSession.active, rootOf(options),
+      cdcFeed = Option(options.get("cdcFeed")).exists(_.toBoolean))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new SnapshotStreamTable(rootOf(opts), schema,
       Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L),
-      Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(opts.get("skipRewrites")).exists(_.toBoolean),
+      Option(opts.get("cdcFeed")).exists(_.toBoolean))
   }
 }
 
 object SnapshotStreamSource {
   /** The stream's fixed read schema: HEAD's, under the same rules as
     * [[SnapshotStore.readAt]] (declared schema wins; else basePath
-    * partition recovery). */
-  private[sources] def tableSchema(spark: SparkSession, root: Path): StructType = {
+    * partition recovery). In `cdcFeed` mode the commit-sequence column
+    * `_seq` is appended (nullable — base/plain files read it as NULL,
+    * CDC delta files carry theirs), so the consumer can recency-resolve
+    * exactly like [[SnapshotStore.readAtCdc]]. */
+  private[sources] def tableSchema(spark: SparkSession, root: Path,
+                                   cdcFeed: Boolean = false): StructType = {
     val head = SnapshotStore.headVersion(root).getOrElse(
       throw new IllegalStateException(
         s"graft-snapshot stream on $root: no committed snapshot yet"))
-    SnapshotStore.readAt(spark, root, Some(head)).schema
+    val base = SnapshotStore.readAt(spark, root, Some(head)).schema
+    if (!cdcFeed || base.fieldNames.contains("_seq")) base
+    else StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_seq",
+        org.apache.spark.sql.types.LongType, nullable = true))
   }
 
   /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
@@ -119,7 +145,9 @@ object SnapshotStreamSource {
 
 private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
                                            startVersion: Long,
-                                           maxFilesPerTrigger: Option[Int])
+                                           maxFilesPerTrigger: Option[Int],
+                                           skipRewrites: Boolean,
+                                           cdcFeed: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot.`$root`"
   override def schema(): StructType = schema0
@@ -130,7 +158,8 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(root, schema0, startVersion, maxFilesPerTrigger)
+          new SnapshotMicroBatchStream(root, schema0, startVersion,
+            maxFilesPerTrigger, skipRewrites, cdcFeed)
       }
     }
 }
@@ -139,7 +168,9 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
   * [[SnapshotStreamSource]] for the contract). */
 private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
                                                 startVersion: Long,
-                                                maxFilesPerTrigger: Option[Int])
+                                                maxFilesPerTrigger: Option[Int],
+                                                skipRewrites: Boolean = false,
+                                                cdcFeed: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class VOffset(v: Long) extends Offset {
@@ -210,34 +241,49 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     // name diff, whose removed-files check then decides refusal.
     val fast = SnapshotStore.appendDeltaFiles(spark, root, a, b)
     val delta: Seq[String] = fast.getOrElse {
-      val startFiles: Set[String] =
-        if (a == 0L) Set.empty
-        else SnapshotStore.filesAt(spark, root, a).toSet
-      val endFiles = SnapshotStore.filesAt(spark, root, b)
-      // append-only contract: files may only be ADDED between the
-      // endpoints — a rewrite (compaction/merge/rollback) inside the
-      // interval has no incremental representation
-      val removed = startFiles.filterNot(endFiles.toSet)
-      if (removed.nonEmpty) throw new IllegalStateException(
-        s"graft-snapshot stream on $root: versions ($a, $b] removed " +
-        s"${removed.size} file(s) (compaction/merge/rollback) — an incremental " +
-        s"drain cannot express rewrites; restart the stream from startVersion=$b " +
-        s"(e.g. ${removed.take(2).mkString(", ")}…)")
-      endFiles.filterNot(startFiles)
+      if (skipRewrites || cdcFeed) walkSkippingRewrites(spark, a, b)
+      else {
+        val startFiles: Set[String] =
+          if (a == 0L) Set.empty
+          else SnapshotStore.filesAt(spark, root, a).toSet
+        val endFiles = SnapshotStore.filesAt(spark, root, b)
+        // append-only contract: files may only be ADDED between the
+        // endpoints — a rewrite (compaction/merge/rollback) inside the
+        // interval has no incremental representation
+        val removed = startFiles.filterNot(endFiles.toSet)
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"graft-snapshot stream on $root: versions ($a, $b] removed " +
+          s"${removed.size} file(s) (compaction/merge/rollback) — an incremental " +
+          s"drain cannot express rewrites; restart the stream from startVersion=$b " +
+          s"(e.g. ${removed.take(2).mkString(", ")}…), or stream with " +
+          ".option(\"skipRewrites\", \"true\") to drain content-preserving " +
+          "compactions as no-ops")
+        endFiles.filterNot(startFiles)
+      }
     }
+    // cdcFeed: CDC delta files ARE the payload — their rows (with
+    // `_seq`) stream raw for downstream recency resolution; MOR delete
+    // files still refuse (key-only tombstone files with null payloads
+    // have no row representation a feed consumer can fold exactly)
     val pending = delta.filter(f =>
-      SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f))
+      (!cdcFeed && SnapshotStore.isCdcDeltaFile(f)) || SnapshotStore.isDeleteFile(f))
     if (pending.nonEmpty) throw new IllegalStateException(
       s"graft-snapshot stream on $root: interval ($a, $b] carries " +
       s"${pending.size} pending CDC-delta/MOR-delete file(s) — fold first " +
-      "(their logical rows need resolution, not file replay)")
+      "(their logical rows need resolution, not file replay)" +
+      (if (!cdcFeed && delta.exists(SnapshotStore.isCdcDeltaFile))
+         " — or stream with .option(\"cdcFeed\", \"true\") to drain CDC " +
+         "delta rows raw for downstream resolution" else ""))
     SnapshotStreamSource.logPlan((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
     // stock DSv2 parquet scan over EXACTLY the delta files — same
-    // schema rules as the stream's table schema
+    // schema rules as the stream's table schema. In cdcFeed mode the
+    // stream schema (data columns + nullable `_seq`) binds every batch:
+    // plain files read `_seq` as NULL, delta files carry theirs.
     val opts = new java.util.HashMap[String, String]()
-    val declared = SnapshotStore.declaredSchema(root, b)
-      .map(StructType.fromDDL)
+    val declared =
+      if (cdcFeed) Some(schema)
+      else SnapshotStore.declaredSchema(root, b).map(StructType.fromDDL)
     if (declared.isEmpty) opts.put("basePath", root.resolve("data").toString)
     val cmap = new CaseInsensitiveStringMap(opts)
     val pq = ParquetTable(s"graft-snapshot-batch.`$root`@($a,$b]", spark, cmap,
@@ -250,6 +296,50 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     lastBatch = Some(batch)
     batch.planInputPartitions()
   }
+
+  /** `skipRewrites` planning over an interval the part-level fast path
+    * could not express: version-by-version, appended versions stream
+    * their delta and a file-REMOVING version drains as a no-op iff it
+    * is provably content-preserving — `_op` stamp "replace"
+    * (compaction) AND an unchanged manifest row-count ledger, both
+    * metadata-only reads. Anything else (merge/overwrite/fold, or a
+    * "replace" whose ledger moved) refuses loudly: skipping a content
+    * rewrite would silently lose or duplicate rows downstream. Only
+    * the rewrite version itself pays a full name diff. */
+  private def walkSkippingRewrites(spark: SparkSession,
+                                   a: Long, b: Long): Seq[String] =
+    ((a + 1) to b).flatMap { v =>
+      SnapshotStore.appendDeltaFiles(spark, root, v - 1, v).getOrElse {
+        val prevFiles: Set[String] =
+          if (v - 1 == 0L) Set.empty
+          else SnapshotStore.filesAt(spark, root, v - 1).toSet
+        val curFiles = SnapshotStore.filesAt(spark, root, v)
+        val removed = prevFiles.filterNot(curFiles.toSet)
+        if (removed.isEmpty) curFiles.filterNot(prevFiles) // consolidation interval
+        else {
+          val op = SnapshotStore.opTypeOf(root, v).getOrElse("unstamped")
+          // "replace" (compaction) must additionally prove an unchanged
+          // row ledger; a "fold" collapses already-streamed CDC deltas
+          // into their resolved state — in cdcFeed mode that is pure
+          // re-materialization of information the feed already carried,
+          // so it drains as a no-op (Delta CDF streams survive
+          // compaction the same way)
+          val preserved = (op == "replace" &&
+            SnapshotStore.countAt(spark, root, Some(v - 1)) ==
+              SnapshotStore.countAt(spark, root, Some(v))) ||
+            (cdcFeed && op == "fold")
+          if (preserved) Seq.empty
+          else throw new IllegalStateException(
+            s"graft-snapshot stream on $root: version $v removed " +
+            s"${removed.size} file(s) under op '$op' — skipRewrites drains only " +
+            "provably content-preserving rewrites (op 'replace' with an " +
+            "unchanged row ledger" +
+            (if (cdcFeed) ", or 'fold' under cdcFeed" else "") +
+            "); a content rewrite has no incremental " +
+            s"representation — restart the stream from startVersion=$v")
+        }
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     lastBatch.map(_.createReaderFactory()).getOrElse(

@@ -273,4 +273,157 @@ class SnapshotStreamSpec extends AnyFunSuite {
       IndexStore.deleteRecursively(ckpt)
     }
   }
+
+  test("skipRewrites drains a mid-stream compaction as a no-op: same rows, no duplicates, appends resume after (VERDICT r15 #2)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-skip")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-skip-ckpt")
+    try {
+      load(root, 1, Seq((1L, "a"), (2L, "b")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      load(root, 2, Seq((3L, "c")))
+      SnapshotStore.commitAppend(spark, root, filesOf(root, 2)) // v2
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("skipRewrites", "true")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_skip")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains v2 content
+        SnapshotStore.compact(spark, root, numFiles = 1) // v3: rewrite, op="replace"
+        load(root, 4, Seq((4L, "d")))
+        SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith("data/l4/"))) // v4
+        q.processAllAvailable() // compaction skipped, append drained
+        val got = spark.table("snapstream_skip").as[(Long, String)]
+          .collect().sorted.toSeq
+        assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+          s"compaction must drain as a no-op, appends after it normally: $got")
+      } finally q.stop()
+      // a FRESH consumer walking the whole history (compaction inside)
+      // converges to exactly HEAD content — no loss, no double-count
+      val ckpt2 = java.nio.file.Files.createTempDirectory("snapstream-skip-ckpt2")
+      val q2 = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("skipRewrites", "true")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_skip2")
+        .option("checkpointLocation", ckpt2.toString)
+        .start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("snapstream_skip2").as[(Long, String)]
+          .collect().sorted.toSeq ==
+          Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+          "a fresh consumer over a compacted history drains HEAD content exactly")
+      } finally {
+        q2.stop()
+        IndexStore.deleteRecursively(ckpt2)
+      }
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("skipRewrites still refuses a REAL content rewrite (merge) — only provably row-preserving replaces drain") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-skip-rw")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-skip-rw-ckpt")
+    try {
+      load(root, 1, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k")) // v1
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("skipRewrites", "true")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_skip_rw")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains v1
+        // v2: a CONTENT rewrite — k=2 deleted via COW merge (op "merge")
+        SnapshotStore.mergeCow(spark, root,
+          Seq((2L, "b", true)).toDF("k", "p", "_delete"), keyCol = "k")
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+        assert(msgs(e).exists(m => m != null &&
+          m.contains("provably content-preserving") && m.contains("'merge'")),
+          s"unexpected failure: ${msgs(e)}")
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("cdcFeed streams a merge-on-read table between AND across folds: raw delta rows + _seq, downstream argmax equals readAtCdc (VERDICT r15 #3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, max_by, struct, lit}
+    val root = java.nio.file.Files.createTempDirectory("snapstream-cdc")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-cdc-ckpt")
+    try {
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "p", "ord")
+        .coalesce(1).write.parquet(root.resolve("data/base").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k")) // v1: plain base
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("cdcFeed", "true")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_cdc")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains v1: base rows, _seq NULL
+        assert(spark.table("snapstream_cdc").count() == 3L)
+        // v2: a CDC delta (update k=2, insert k=4) — streams RAW
+        SnapshotStore.commitCdcDelta(spark, root,
+          Seq((2L, "b2", 2L), (4L, "d", 2L)).toDF("k", "p", "ord"), "k")
+        q.processAllAvailable()
+        assert(spark.table("snapstream_cdc").count() == 5L,
+          "the delta's two change rows must stream raw")
+        // v3: a mid-stream FOLD — collapses the pending delta; the feed
+        // already carried those rows, so the fold drains as a NO-OP
+        SnapshotStore.foldCdc(spark, root, "k", Seq("ord"), numFiles = 1)
+        q.processAllAvailable()
+        assert(spark.table("snapstream_cdc").count() == 5L,
+          "a fold must not re-stream resolved content")
+        // v4: a post-fold delta — k=2 updates again, k=3 arrives LATE
+        // with an OLDER order stamp (must lose downstream resolution)
+        SnapshotStore.commitCdcDelta(spark, root,
+          Seq((2L, "b3", 3L), (3L, "c2", 0L)).toDF("k", "p", "ord"), "k")
+        q.processAllAvailable()
+        val drained = spark.table("snapstream_cdc")
+        assert(drained.count() == 7L)
+        // downstream recency fold = readAtCdc's exact semantics:
+        // per-key argmax over (orderCols, _seq), base rows at _seq 0
+        val resolved = drained
+          .withColumn("_s", coalesce(col("_seq"), lit(0L)))
+          .groupBy("k")
+          .agg(max_by(struct(col("p"), col("ord")), struct(col("ord"), col("_s"))).as("w"))
+          .select(col("k"), col("w.p").as("p"), col("w.ord").as("ord"))
+        val viaFeed = resolved.as[(Long, String, Long)].collect().sorted.toSeq
+        val viaRead = SnapshotStore.readAtCdc(spark, root, None, "k", Seq("ord"))
+          .select("k", "p", "ord").as[(Long, String, Long)].collect().sorted.toSeq
+        assert(viaFeed == viaRead,
+          s"feed resolution must equal readAtCdc: $viaFeed vs $viaRead")
+        assert(viaFeed == Seq((1L, "a", 1L), (2L, "b3", 3L), (3L, "c", 1L), (4L, "d", 2L)),
+          s"late-older change must lose recency resolution: $viaFeed")
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
 }
