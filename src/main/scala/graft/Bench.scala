@@ -70,6 +70,76 @@ object Bench {
       .find(f => parseRecallBlock(new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).nonEmpty)
 
+  /** Sustained-trigger SLA measurement for the `graft-snapshot`
+    * incremental source (VERDICT r15 next #4 — the round-4
+    * ProcessingTime SLA methodology applied to the lakehouse seam): a
+    * producer commits `nCommits` versions every `cadenceMs` while a
+    * consumer drains under `maxFilesPerTrigger` admission control on a
+    * 100 ms ProcessingTime trigger; data-trigger `triggerExecution`
+    * durations from `recentProgress` yield p50/p99, and `met` records
+    * whether p99 beat the commit cadence — a consumer that cannot is
+    * falling behind its producer by construction. Emitted as a JSON
+    * object (or `null` if the probe itself failed — never fails the
+    * bench). */
+  private def snapSlaProbe(spark: org.apache.spark.sql.SparkSession): String = try {
+    import graft.core.SnapshotStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bench-snap-sla")
+    val ckpt = java.nio.file.Files.createTempDirectory("bench-snap-sla-ckpt")
+    val cadenceMs = 250L
+    val nCommits = 12
+    (0L until 2000L).map(i => (i, s"base$i")).toDF("k", "p")
+      .repartition(2).write.parquet(root.resolve("data/l0").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+    val producerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val producer = new Thread(() => {
+      try (1 to nCommits).foreach { i =>
+        (0L until 200L).map(j => (100000L * i + j, s"e$i-$j")).toDF("k", "p")
+          .repartition(2).write.parquet(root.resolve(s"data/e$i").toString)
+        SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith(s"data/e$i/")))
+        Thread.sleep(cadenceMs)
+      } catch { case t: Throwable => producerErr.set(t) }
+    }, "bench-snap-sla-producer")
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .option("maxFilesPerTrigger", "4") // admission control exercised
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      producer.start()
+      producer.join()
+      // drain whatever remains after the last commit
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      val head = SnapshotStore.headVersion(root).getOrElse(0L)
+      while (System.nanoTime() < deadline &&
+             Option(q.lastProgress).flatMap(p =>
+               p.sources.headOption.map(_.endOffset)).forall(_.toLong < head)) {
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    if (producerErr.get() != null) throw producerErr.get()
+    val durs = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .sorted
+    require(durs.nonEmpty, "no data triggers recorded")
+    def pct(q: Double): Long = durs(math.min(durs.size - 1,
+      math.ceil(q * durs.size).toInt - 1).max(0))
+    val (p50, p99) = (pct(0.50), pct(0.99))
+    graft.core.IndexStore.deleteRecursively(root)
+    graft.core.IndexStore.deleteRecursively(ckpt)
+    s"""{"p50_ms":$p50,"p99_ms":$p99,"triggers":${durs.size},"cadence_ms":$cadenceMs,"commits":$nCommits,"met":${p99 < cadenceMs}}"""
+  } catch {
+    case e: Throwable =>
+      System.err.println(s"[bench] snap SLA probe FAILED: ${e.getMessage}")
+      "null"
+  }
+
   private def gcStats(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -340,7 +410,23 @@ object Bench {
       .mkString("[", ",", "]")
     val curveSecObj = curveSecs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"recall_delta":$recallDeltaObj,"recall_regressed":$recallRegressed,"knob_curve_sec":$curveSecObj,"q16k_batches":$growStats,"slowest":$slowest,"sf":"$sfDir"}""")
+    // SUSTAINED-TRIGGER SLA for the incremental source (VERDICT r15
+    // #4): a producer thread commits versions on a fixed cadence while
+    // a ProcessingTime-triggered consumer drains under admission
+    // control; per-trigger processing times (data triggers only) stamp
+    // p50/p99 against the cadence — the "can a consumer keep up with
+    // its producer" question, measured, not asserted.
+    val snapSlaObj = snapSlaProbe(spark)
+    val summaryLine = s"""{"metric":"summary","value":$total,"unit":"sec","failed":$nFailed,"n":${results.size},"r2_subset_total":$r2Total,"r2_subset_failed":$r2Failed,"index_builds":$idxBuilds,"recall":$recallObj,"recall_delta":$recallDeltaObj,"recall_regressed":$recallRegressed,"knob_curve_sec":$curveSecObj,"q16k_batches":$growStats,"snap_sla":$snapSlaObj,"slowest":$slowest,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // the driver's artifact-of-record (stdout capture) arrived
+    // tail-truncated three rounds running (VERDICT r15 #2) — the
+    // summary ALSO lands in its own small file so an artifact reader
+    // always has a parseable copy regardless of upstream clipping
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summaryLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
