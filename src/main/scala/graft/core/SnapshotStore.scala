@@ -800,7 +800,8 @@ object SnapshotStore {
   private def publishVersion(root: Path, ref: String, prev: Option[Long],
                              next: Long, listRows: Seq[ListRow],
                              schemaDdl: Option[String] = None,
-                             opType: String = "overwrite"): Unit =
+                             opType: String = "overwrite",
+                             renamesTsv: Option[String] = None): Unit =
     lockFor(root).synchronized {
       // CAS guard (same-process fast path): the ref being committed to
       // must still sit at the base this commit derived from (for a
@@ -836,6 +837,14 @@ object SnapshotStore {
       // whether a file-removing version is drainable from this stamp
       // plus the row-count ledger, never by reading data.
       Files.write(tmpMan.resolve("_op"), opType.getBytes("UTF-8"))
+      // the NAME-MAPPING ledger (VERDICT r15 #7): inherited verbatim
+      // like the declared schema; extended only by renameColumnMapped
+      renamesTsv.orElse(prev.flatMap { pv =>
+        val rp = manifestPath(root, pv).resolve("_renames")
+        if (Files.exists(rp)) Some(new String(Files.readAllBytes(rp), "UTF-8"))
+        else None
+      }).foreach(tsv =>
+        Files.write(tmpMan.resolve("_renames"), tsv.getBytes("UTF-8")))
       Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
       def publish(): Boolean =
         arbiterFor(root).publishDir(tmpMan, manifestPath(root, next))
@@ -1251,8 +1260,12 @@ object SnapshotStore {
              mergeSchema: Boolean = false): DataFrame = {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    val files = filesAt(spark, root, ver).map(f => root.resolve(f).toString)
-    require(files.nonEmpty, s"snapshot v=$ver of $root is empty")
+    val relFiles = filesAt(spark, root, ver)
+    require(relFiles.nonEmpty, s"snapshot v=$ver of $root is empty")
+    val renames = renamesAt(root, ver)
+    if (renames.nonEmpty)
+      return readAtRenamed(spark, root, ver, relFiles, renames)
+    val files = relFiles.map(f => root.resolve(f).toString)
     var r =
       if (inferPartitions)
         spark.read.option("basePath", root.resolve("data").toString)
@@ -1272,6 +1285,52 @@ object SnapshotStore {
     declaredSchema(root, ver).foreach(ddl =>
       r = r.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
     r.parquet(files: _*)
+  }
+
+  /** The NAME-MAPPED read (see [[renameColumnMapped]]): files group by
+    * GENERATION — membership in the oldest rename boundary whose
+    * manifest still references them — each generation reads under its
+    * own PHYSICAL declared schema (the logical declaration with every
+    * later rename reversed) and renames forward to the logical names;
+    * generations compose by unionByName. One extra manifest list per
+    * boundary; data untouched. Generations that compacted away
+    * contribute nothing (and [[dropRetiredRenames]] clears them so
+    * plain reads return). */
+  private def readAtRenamed(spark: SparkSession, root: Path, ver: Long,
+                            relFiles: Seq[String],
+                            renames: Seq[(String, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val logical = declaredSchema(root, ver).map(StructType.fromDDL).getOrElse(
+      throw new IllegalStateException(
+        s"renamed table $root@v$ver lost its declared schema"))
+    // boundary file sets, ascending; a file's generation = first
+    // boundary that references it (boundaries are supersets going up
+    // an append chain, so "first containing" is the write era)
+    val bounds: Seq[Set[String]] = renames.map { case (_, _, vr) =>
+      if (Files.exists(manifestPath(root, vr))) filesAt(spark, root, vr).toSet
+      else Set.empty[String]
+    }
+    val groups: Map[Int, Seq[String]] = relFiles.groupBy { f =>
+      bounds.indexWhere(_.contains(f)) match {
+        case -1 => renames.size // current generation
+        case i  => i
+      }
+    }
+    val parts = groups.toSeq.sortBy(_._1).map { case (gen, fs) =>
+      // physical declaration for this generation: reverse every rename
+      // at-or-after it (newest first, so chained renames unwind)
+      val physical = renames.drop(gen).reverse.foldLeft(logical) {
+        case (sch, (t, f, _)) => StructType(sch.map(x =>
+          if (x.name == t) x.copy(name = f) else x))
+      }
+      val df = spark.read.schema(physical)
+        .parquet(fs.map(f => root.resolve(f).toString): _*)
+      // rename forward to the logical names, oldest mapping first
+      renames.drop(gen).foldLeft(df) { case (d, (t, f, _)) =>
+        d.withColumnRenamed(f, t)
+      }
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** The read schema version `v` DECLARED at commit time, if any — set
@@ -1418,8 +1477,137 @@ object SnapshotStore {
     throw new UnsupportedOperationException(
       s"renameColumn($from -> $to) refused: snapshot tables resolve parquet columns " +
       "by NAME (no field IDs in footers), so pre-rename files would silently read " +
-      "null under the new name; use add+backfill+drop (q26k additive evolution) or " +
-      "a compaction rewrite instead")
+      "null under the new name; use renameColumnMapped (declared-schema tables — " +
+      "name-mapping applied at read), add+backfill+drop (q26k additive evolution), " +
+      "or a compaction rewrite")
+
+  /** The ACTIVE NAME MAPPINGS of version `v` (VERDICT r15 #7 —
+    * field-IDs lite): `(to, from, boundary)` triples, ascending by
+    * boundary version. Files referenced by the boundary version's
+    * manifest physically carry `from`; files written later carry `to`
+    * (or a later mapping's name). */
+  def renamesAt(root: Path, v: Long): Seq[(String, String, Long)] = {
+    val p = manifestPath(root, v).resolve("_renames")
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(to, from, vr) = line.split('\t')
+        (to, from, vr.toLong)
+      }.sortBy(_._3)
+  }
+
+  /** Refusal guard for surfaces that read raw footers or plan ONE
+    * relation over every file (the SQL catalog's single scan, the
+    * streaming source, the row-op rungs): they cannot alias per file
+    * generation, so a renamed table refuses there until a compaction
+    * rewrites everything under current names (+
+    * [[dropRetiredRenames]]). */
+  private[graft] def requireNoRenames(root: Path, v: Long, op: String): Unit = {
+    val rs = renamesAt(root, v)
+    require(rs.isEmpty,
+      s"$op on $root: the table carries ${rs.size} active name mapping(s) " +
+      s"(${rs.map(r => s"${r._2}->${r._1}").mkString(", ")}) — this surface " +
+      "plans one relation over every file and cannot alias per generation; " +
+      "read through the API (readAt), or compact + dropRetiredRenames first")
+  }
+
+  /** COLUMN RENAME VIA NAME MAPPING (VERDICT r15 #7 — the metadata-only
+    * rename a format without footer field IDs CAN express honestly): a
+    * rename commit carries the previous list rows VERBATIM (zero data
+    * rewritten), extends the `_renames` ledger with `(to, from,
+    * boundary=HEAD)`, re-declares the schema under the new name, and
+    * TAGS the boundary version — the pin that keeps the boundary's
+    * manifest (the authoritative "these files carry the old name" set)
+    * alive under retention, exactly like any user tag. Reads
+    * ([[readAt]]) then group files by generation — each boundary's
+    * file set reads under its own physical names and renames forward —
+    * so both sides of the boundary serve the LOGICAL schema; pinned
+    * reads below the rename keep the old name (per-version declared
+    * schemas, the Iceberg shape).
+    *
+    * The honest limits, all loud:
+    *  - declared-schema (flat) tables only — the mapping rides the
+    *    declaration;
+    *  - a RETIRED name cannot be reused as a rename target (the
+    *    ambiguity footer field IDs exist to solve);
+    *  - no stat envelopes on the renamed column (carried `min_from`
+    *    rows and fresh `min_to` ones cannot union — re-stat via
+    *    compaction first);
+    *  - single-relation surfaces that cannot alias per file generation
+    *    (the SQL catalog's one-scan plan, the streaming source, the
+    *    raw-footer row ops) REFUSE renamed tables until a compaction
+    *    rewrites everything under the current names — after which
+    *    [[dropRetiredRenames]] clears the ledger and every surface
+    *    reopens. At 100 TB the rename itself is O(1) metadata; readers
+    *    pay one extra manifest list per boundary. */
+  def renameColumnMapped(spark: SparkSession, root: Path,
+                         from: String, to: String): Long = {
+    import org.apache.spark.sql.types._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"renameColumnMapped on uncommitted table $root"))
+    val rows = readList(root, head).getOrElse(throw new IllegalStateException(
+      s"renameColumnMapped on a legacy-layout table $root — any commit migrates it first"))
+    val declared = declaredSchema(root, head).map(StructType.fromDDL).getOrElse(
+      throw new UnsupportedOperationException(
+        s"renameColumnMapped on $root: the table declares no schema (legacy or " +
+        "partitioned layout) — name mapping rides the declared schema; compact " +
+        "first (new flat tables declare at birth)"))
+    require(declared.fieldNames.contains(from),
+      s"renameColumnMapped: no column $from in ${declared.fieldNames.mkString(", ")}")
+    require(!declared.fieldNames.contains(to),
+      s"renameColumnMapped: $to already exists")
+    val prior = renamesAt(root, head)
+    require(!prior.exists(_._2 == to),
+      s"renameColumnMapped: $to is a RETIRED name (an earlier rename mapped it " +
+      "away) — reusing it would make old files ambiguous, the exact problem " +
+      "footer field IDs exist to solve; compact + dropRetiredRenames first")
+    val man = manifest(spark, root, head)
+    require(!man.columns.contains(s"min_$from") && !man.columns.contains(s"max_$from"),
+      s"renameColumnMapped: $from carries manifest stat envelopes — carried " +
+      s"min_$from rows and fresh min_$to ones cannot union; re-stat via compaction first")
+    val renamed = StructType(declared.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // the boundary pin: retention must not expire the manifest that
+    // DEFINES which files carry the old name (an ordinary tag —
+    // visible in tags(), spared by vacuum like any reproducibility pin;
+    // NOT underscore-prefixed, which tags() treats as tmp files)
+    tagVersion(root, s"rename-boundary-v${head + 1}", head)
+    val tsv = (prior :+ ((to, from, head)))
+      .map { case (t, f, v) => s"$t\t$f\t$v" }.mkString("", "\n", "\n")
+    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(renamed.toDDL),
+      opType = "rename", renamesTsv = Some(tsv))
+    head + 1
+  }
+
+  /** Retire name mappings whose boundary file set no longer intersects
+    * HEAD (every old-named file rewritten away — the post-compaction
+    * state): clears the ledger entries and their boundary pins, and
+    * publishes a metadata-only commit, after which every
+    * single-relation surface (SQL, streaming, row ops) serves the
+    * table again. No-op returning HEAD when nothing is retirable. */
+  def dropRetiredRenames(spark: SparkSession, root: Path): Long = {
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"dropRetiredRenames on uncommitted table $root"))
+    val prior = renamesAt(root, head)
+    if (prior.isEmpty) return head
+    val current = filesAt(spark, root, head).toSet
+    val (retired, live) = prior.partition { case (_, _, vr) =>
+      !Files.exists(manifestPath(root, vr)) ||
+        filesAt(spark, root, vr).forall(f => !current.contains(f))
+    }
+    if (retired.isEmpty) return head
+    val rows = readList(root, head).getOrElse(throw new IllegalStateException(
+      s"dropRetiredRenames on a legacy-layout table $root"))
+    val tsv = if (live.isEmpty) Some("")
+      else Some(live.map { case (t, f, v) => s"$t\t$f\t$v" }.mkString("", "\n", "\n"))
+    publishVersion(root, "HEAD", Some(head), head + 1, rows,
+      schemaDdl = None, opType = "rename", renamesTsv = tsv)
+    retired.foreach { case (_, _, vr) =>
+      try dropTag(root, s"rename-boundary-v${vr + 1}")
+      catch { case _: Exception => () } // pin already gone: fine
+    }
+    head + 1
+  }
 
   /** Accept a streamed micro-batch as ONE snapshot commit — the
     * Iceberg streaming-sink pattern, i.e. the engine's standard
@@ -1596,6 +1784,7 @@ object SnapshotStore {
     import spark.implicits._
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"mergeCow on uncommitted table $root"))
+    requireNoRenames(root, head, "mergeCow")
     val man = manifest(spark, root, head)
     // MOR-aware (ADVICE r12): a table carrying un-folded [[deleteMor]]
     // files must not read them as standing data — a delete-key file
@@ -1725,6 +1914,7 @@ object SnapshotStore {
                 keyCol: String): Long = {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"deleteMor on uncommitted table $root"))
+    requireNoRenames(root, head, "deleteMor")
     requireNoPendingAt(spark, root, head, "deleteMor", cdcDeltas = true)
     // the key-padding schema probe needs ONE data file's name, not the
     // table's list (round 14: O(1) metadata, O(|keys|) write)
@@ -1803,6 +1993,7 @@ object SnapshotStore {
     import spark.implicits._
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"foldMor on uncommitted table $root"))
+    requireNoRenames(root, head, "foldMor")
     val files = filesAt(spark, root, head)
     val (del, data) = files.partition(isDeleteFile)
     if (del.isEmpty) return head
@@ -1920,6 +2111,7 @@ object SnapshotStore {
                      keyCol: String): Long = {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"commitCdcDelta on uncommitted table $root"))
+    requireNoRenames(root, head, "commitCdcDelta")
     // the delta rung's recency argmax does not know how to apply MOR
     // delete keys — the two merge-on-read disciplines must not mix.
     // Metadata-only probe: a delta commit never collects table names.
@@ -2022,6 +2214,7 @@ object SnapshotStore {
               statsCols: Seq[String] = Nil): Long = {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"foldCdc on uncommitted table $root"))
+    requireNoRenames(root, head, "foldCdc")
     if (!filesAt(spark, root, head).exists(isCdcDeltaFile)) return head
     val attempt = head + 1
     val rel = s"data/cdcfold_a$attempt"

@@ -124,6 +124,9 @@ object SnapshotStreamSource {
     val head = SnapshotStore.headVersion(root).getOrElse(
       throw new IllegalStateException(
         s"graft-snapshot stream on $root: no committed snapshot yet"))
+    // per-batch scans plan one relation over the delta files — a
+    // renamed table's old generations would misread; refuse
+    SnapshotStore.requireNoRenames(root, head, "graft-snapshot stream")
     val base = SnapshotStore.readAt(spark, root, Some(head)).schema
     if (!cdcFeed || base.fieldNames.contains("_seq")) base
     else StructType(base.fields :+

@@ -110,6 +110,9 @@ class SnapshotCatalog extends TableCatalog {
             s"$cname.${ident.name()}: '$named' is neither a version number, " +
             "a tag, nor a live ref"))
     }
+    // renamed tables refuse here: one parquet relation cannot alias
+    // old-generation files (see SnapshotStore.renameColumnMapped)
+    SnapshotStore.requireNoRenames(root, v, s"$cname.${ident.name()}")
     val filesRel = SnapshotStore.filesAt(spark, root, v)
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", root.resolve("data").toString)
