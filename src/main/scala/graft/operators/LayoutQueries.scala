@@ -491,6 +491,44 @@ object LayoutQueries {
          |ORDER BY event_type, src""".stripMargin)
   }
 
+  /** Q28d — COLUMN RENAME VIA NAME MAPPING (VERDICT r15 #7): the
+    * pre-cutoff events commit as v1, `value` renames to `val_amt` as a
+    * METADATA-ONLY commit ([[SnapshotStore.renameColumnMapped]] — zero
+    * files rewritten, the boundary manifest tag-pinned against
+    * retention), and the post-cutoff tail appends under the NEW
+    * physical name. The read must serve BOTH generations under the
+    * logical name — old files alias at read through the `_renames`
+    * ledger, new files read natively — and the rollup over `val_amt`
+    * hash-equals the flat-corpus oracle over `value`: a read that
+    * nulls the old generation (the exact failure mode that justified
+    * refusing rename before field-IDs-lite) loses half the corpus's
+    * sums. Pinned in RenameMappingSpec: pinned pre-rename reads keep
+    * the old name, chained renames compose, single-relation surfaces
+    * refuse until compaction retires the mapping. */
+  def q28dRenameMapped(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28d")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).repartition(4)
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts")) // v1
+    SnapshotStore.renameColumnMapped(spark, root, "value", "val_amt") // v2
+    events.where(col("ts") >= cut).withColumnRenamed("value", "val_amt")
+      .repartition(2)
+      .write.mode("overwrite").parquet(root.resolve("data/tail").toString)
+    SnapshotStore.commitAppend(spark, root,
+      SnapshotStore.dataFiles(root).filter(_.startsWith("data/tail/"))) // v3
+    SnapshotStore.readAt(spark, root, inferPartitions = false)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("val_amt").cast("decimal(18,4)")).cast("double").as("sum_val_amt"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   // ---- events: PARTITION-SPEC EVOLUTION on the snapshot seam ---------
 
   val specEvoBuildCount = new AtomicInteger(0)
