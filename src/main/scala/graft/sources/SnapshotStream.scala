@@ -71,6 +71,17 @@ import graft.core.SnapshotStore
   *    skipped rewrites contribute nothing, and only the rewrite
   *    version itself pays a full name diff (rewrites are rare
   *    maintenance events — the documented O(table-names) bound class).
+  *  - `cdcFeed` (VERDICT r15 #3, the Delta-CDF streaming shape): with
+  *    `.option("cdcFeed", "true")`, a MERGE-ON-READ (CDC-delta) table
+  *    streams its delta files RAW — full schema plus the `_seq` commit
+  *    stamp (the stream schema appends it nullable; plain files read
+  *    NULL) — and FOLDS drain as no-ops: a fold's output is pure
+  *    re-materialization of changes the feed already carried. The
+  *    consumer owns resolution: one per-key argmax over
+  *    `(orderCols, _seq)` with base rows at seq 0 reproduces
+  *    [[SnapshotStore.readAtCdc]] exactly (spec-pinned). MOR-delete
+  *    tables still refuse (key-only tombstone files have no row
+  *    representation a feed can fold exactly).
   *  - EXACTLY-ONCE composition: offsets live in the sink's checkpoint;
   *    replayed batches re-plan the identical (v_a, v_b] file set
   *    (manifests are immutable), so a retried epoch re-reads the same
