@@ -797,6 +797,9 @@ private[sql] class SnapshotScanBuilder(
 private[sql] class TaggedSnapshotScan(root: Path, protected var delegate: Scan,
                                       wantFile: Boolean)
     extends Scan with SupportsReportStatistics {
+  /** Test seam: the wrapped stock scan (plan-shape specs assert its
+    * pushdown survived the wrapper). */
+  private[sql] def delegateScan: Scan = delegate
   override def readSchema(): StructType =
     if (!wantFile) delegate.readSchema()
     else StructType(delegate.readSchema().fields :+

@@ -139,6 +139,44 @@ class SqlRuntimeGroupFilterSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("the _file-tagged scan keeps parquet pushdown and the columnar path (plan shape)") {
+    import spark.implicits._
+    val root = clusteredTable("sql-rgf-plan", nFiles = 3)
+    try {
+      catalogOn()
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      val df = spark.sql(s"SELECT _file, k FROM $t WHERE k >= 1000 AND k < 1100")
+      assert(df.count() == 100L)
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+      val tagged = scans.head match {
+        case tsc: TaggedSnapshotScan => tsc
+        case other => fail(s"_file read must ride the tagged scan, got $other")
+      }
+      // the range predicate reached the STOCK parquet scan inside the
+      // wrapper (pushdown delegated, not swallowed)
+      val pq = tagged.delegateScan
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+      assert(pq.pushedFilters.exists(_.toString.contains("GreaterThanOrEqual(k,1000")),
+        s"range filter must push to parquet: ${pq.pushedFilters.mkString(", ")}")
+      // the vectorized path survives the tag (ConstantColumnVector
+      // append, not a row-by-row fallback): the plan still carries the
+      // columnar-to-row boundary a columnar parquet scan produces
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "the tagged scan must stay columnar")
+      // and a plain read (no _file) bypasses the wrapper entirely
+      val plain = spark.sql(s"SELECT k FROM $t WHERE k >= 1000 AND k < 1100")
+      val plainScans = plain.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      assert(plainScans.head.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan],
+        s"plain reads must get the stock scan object, got ${plainScans.head}")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("SELECT _file exposes per-row provenance; hidden from SELECT *") {
     import spark.implicits._
     val root = clusteredTable("sql-rgf-filecol", nFiles = 2)
