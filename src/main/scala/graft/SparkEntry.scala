@@ -153,6 +153,7 @@ object SparkEntry {
     "q28b_stream_cdc_feed" -> (graft.streaming.StreamingPipelines.q28bStreamCdcFeed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
+    "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
@@ -1854,6 +1855,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q28e: the SQL maintenance loop — INSERT + CALL compact + CALL
+    // vacuum, read back through the catalog; a compaction that
+    // drops/doubles rows or a vacuum that retires a live file
+    // hash-fails against the flat corpus
+    "q28e_sql_maintenance" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q28d: rename via name-mapping — the rollup over the RENAMED
     // column spans both file generations; a read that nulls the old
     // generation under the new name loses the pre-cutoff sums

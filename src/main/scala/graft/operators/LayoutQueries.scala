@@ -529,6 +529,48 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  /** Q28e — the SQL MAINTENANCE loop (`CALL graft_lake.system.*`, the
+    * Iceberg procedure surface on Spark 4's stored-procedure API): the
+    * pre-cutoff events commit as a multi-file v1, the tail lands via
+    * SQL `INSERT INTO` (v2), then the OPERATOR'S verbs run as plain
+    * SQL — `CALL compact(num_files, sort_col)` rewrites the table
+    * ts-clustered (v3), `CALL vacuum(retain => 1)` retires the
+    * superseded generations — and the read-back rollup through the
+    * catalog must still equal the flat corpus: a compaction that
+    * dropped or doubled rows, or a vacuum that retired a LIVE file,
+    * hash-fails. Every verb delegates 1:1 to the SnapshotStore API
+    * (same offline-slot and CAS contracts), so SQL operators and API
+    * operators share one maintenance discipline; outcomes come back
+    * as result rows (the spec pins versions and retired-file counts).
+    * At 100 TB this is the operator story: ingest, maintain, and audit
+    * a table without leaving `spark.sql`. */
+  def q28eSqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28e").resolve("tbl")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).repartition(6)
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts")) // v1
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    events.where(col("ts") >= cut).createOrReplaceTempView("q28e_tail")
+    spark.sql(s"INSERT INTO $t SELECT * FROM q28e_tail") // v2
+    spark.sql(s"CALL graft_lake.system.compact(`table` => '${root.toAbsolutePath.normalize}', " +
+      "num_files => 4, sort_col => 'ts')") // v3: ts-clustered rewrite
+    spark.sql(s"CALL graft_lake.system.vacuum(`table` => '${root.toAbsolutePath.normalize}', " +
+      "retain => 1)") // superseded generations retired
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   // ---- events: PARTITION-SPEC EVOLUTION on the snapshot seam ---------
 
   val specEvoBuildCount = new AtomicInteger(0)

@@ -75,7 +75,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * one list read + the version's manifest parts — per query planning,
   * plus one matching-rows subquery per row-level statement (the price
   * of rewriting only matched files). */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import graft.core.SnapshotStore
 
   private var cname: String = "graft_lake"
@@ -257,6 +258,27 @@ class SnapshotCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
+
+  /** `CALL $cname.system.<proc>(…)` — the SQL maintenance surface
+    * (see [[SnapshotProcedures]]): compaction, retention, CDC/MOR
+    * folds, and rename retirement, each delegating 1:1 to the
+    * SnapshotStore API and returning its outcome as one result row. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"$cname procedures live under the 'system' namespace: " +
+      ident.namespace().mkString("."))
+    SnapshotProcedures.of(ident.name(),
+        n => rootOf(Identifier.of(Array.empty, n)))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$cname.system.${ident.name()}: unknown procedure — available: " +
+        SnapshotProcedures.procedureNames.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty && !namespace.sameElements(Array("system"))) Array.empty
+    else SnapshotProcedures.procedureNames
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 /** The catalog's table shape: READS delegate verbatim to Spark's own
