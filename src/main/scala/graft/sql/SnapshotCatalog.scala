@@ -76,6 +76,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * plus one matching-rows subquery per row-level statement (the price
   * of rewriting only matched files). */
 class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import graft.core.SnapshotStore
 
@@ -258,6 +259,29 @@ class SnapshotCatalog extends TableCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("renameTable")
+
+  /** ATOMIC CTAS (`StagingTableCatalog`): the staged table writes its
+    * data under the final root but publishes NO `_snapshots` until
+    * `commitStagedChanges` — readers see "no such table" for the whole
+    * build, then v1 with the full content, never an empty or partial
+    * table (the non-atomic create-then-insert window the plain
+    * [[createTable]] path would have). A failed CTAS aborts by
+    * deleting exactly the staged files. `REPLACE TABLE` intentionally
+    * keeps the interface defaults (refused) — replacing content is
+    * [[graft.core.SnapshotStore.compact]]/merge territory. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      s"$cname.${ident.name()}: PARTITIONED BY is refused — partition-dir " +
+      "layouts are born through the Layout writers (flat-table contract)")
+    val root = rootOf(ident)
+    if (Files.exists(root.resolve("_snapshots")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(cname, ident.name()))
+    new StagedSnapshotTable(s"$cname.${ident.name()}", root, schema)
+  }
 
   /** `CALL $cname.system.<proc>(…)` — the SQL maintenance surface
     * (see [[SnapshotProcedures]]): compaction, retention, CDC/MOR
@@ -555,6 +579,89 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
           }
       }
     }
+  }
+}
+
+/** The ATOMIC-CTAS staged table (see
+  * [[SnapshotCatalog.stageCreate]]): collects the CTAS query's output
+  * as staged parquet under the final root — invisible to every reader
+  * (no `_snapshots` yet) — and publishes v1 with the full content in
+  * `commitStagedChanges`; a CTAS with no rows still seeds the declared
+  * schema via one 0-row file. Abort deletes exactly what was staged. */
+private[sql] class StagedSnapshotTable(tname: String, root: Path,
+                                       schema0: StructType)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+  import graft.core.{IndexStore, SnapshotStore}
+
+  private val staged =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  override def name(): String = tname
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val aligned = data.toDF(schema0.fieldNames.toIndexedSeq: _*)
+                .select(schema0.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+              val rel = s"data/ctas_${java.util.UUID.randomUUID().toString.take(12)}"
+              stagedDirs.add(rel)
+              aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+              import scala.jdk.CollectionConverters._
+              val s = Files.walk(root.resolve(rel))
+              val fresh =
+                try s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .map(p => root.relativize(p).toString).toSeq.sorted
+                finally s.close()
+              staged.updateAndGet(prev => prev ++ fresh)
+              ()
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val files =
+      if (staged.get().nonEmpty) staged.get()
+      else {
+        // a CTAS whose query produced zero rows (or a staged plain
+        // create): seed the declared schema exactly like createTable
+        val rel = s"data/ctas_seed_${java.util.UUID.randomUUID().toString.take(12)}"
+        stagedDirs.add(rel)
+        spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema0)
+          .coalesce(1).write.parquet(root.resolve(rel).toString)
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(root.resolve(rel))
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSeq.sorted
+        finally s.close()
+      }
+    SnapshotStore.commit(spark, root, files) // v1: the table is BORN here
+  }
+
+  override def abortStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    stagedDirs.iterator().asScala.foreach(rel =>
+      IndexStore.deleteRecursively(root.resolve(rel)))
+    // reclaim the now-empty skeleton (non-recursive: only if we left
+    // nothing behind — a shared warehouse dir never loses other content)
+    try {
+      Files.deleteIfExists(root.resolve("data"))
+      Files.deleteIfExists(root)
+    } catch { case _: java.io.IOException => () } // non-empty: leave it
   }
 }
 

@@ -64,6 +64,35 @@ class SqlDdlSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(wh)
   }
 
+  test("CTAS is ATOMIC: the table is born as ONE v1 commit; a failed CTAS leaves no table and no staged files") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("atomic")
+    try {
+      Seq((1L, "x"), (2L, "y")).toDF("k", "p").createOrReplaceTempView("ddl_at_src")
+      spark.sql(s"CREATE TABLE $cat.ta AS SELECT k, p FROM ddl_at_src")
+      val root = wh.resolve("ta")
+      assert(SnapshotStore.headVersion(root).contains(1L),
+        "atomic CTAS must publish exactly one version carrying the content")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ta").as[Long].head() == 2L)
+      // a FAILING CTAS: no _snapshots ever appears, staged files reclaimed
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE $cat.tb AS SELECT k, raise_error('boom') AS p FROM ddl_at_src"))
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else x.getMessage +: msgs(x.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("boom")), msgs(e).take(2))
+      val tb = wh.resolve("tb")
+      assert(!java.nio.file.Files.exists(tb.resolve("_snapshots")),
+        "a failed CTAS must leave no table")
+      assert(!java.nio.file.Files.exists(tb.resolve("data")) ||
+        !java.nio.file.Files.list(tb.resolve("data")).findFirst().isPresent,
+        "a failed CTAS must leave no staged data")
+      // zero-row CTAS still seeds the schema
+      spark.sql(s"CREATE TABLE $cat.tc AS SELECT k, p FROM ddl_at_src WHERE k < 0")
+      assert(spark.sql(s"SELECT * FROM $cat.tc").columns.toSeq == Seq("k", "p"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.tc").as[Long].head() == 0L)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
   test("ALTER TABLE ADD COLUMN is metadata-only: zero files rewritten, old rows NULL, pinned old versions stay narrow (q26k semantics)") {
     import spark.implicits._
     val (cat, wh) = freshCatalog("add")
