@@ -151,6 +151,7 @@ object SparkEntry {
     "q26u_stream_incremental" -> (graft.streaming.StreamingPipelines.q26uStreamIncremental _),
     "q28_stream_compact_skip" -> (graft.streaming.StreamingPipelines.q28StreamCompactSkip _),
     "q28b_stream_cdc_feed" -> (graft.streaming.StreamingPipelines.q28bStreamCdcFeed _),
+    "q28f_stream_mor_feed" -> (graft.streaming.StreamingPipelines.q28fStreamMorFeed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
     "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
@@ -777,6 +778,25 @@ object SparkEntry {
         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |  FROM events GROUP BY event_type)
         |SELECT * FROM roll ORDER BY snap, event_type""".stripMargin,
+    // q28f: the MOR-delete table streamed as a cdcFeed — retraction
+    // rows for the two pre-fold deletes AND the late post-fold one, the
+    // fold itself a no-op; the consumer argmax and the at-rest MOR read
+    // both equal the corpus minus id-deciles 4-6
+    "q28f_stream_mor_feed" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo + 3 * (hi - lo) // 10 AS cut3,
+        |             lo + 6 * (hi - lo) // 10 AS cut6 FROM b),
+        |kept AS (SELECT e.* FROM events e, c
+        |         WHERE NOT (e.event_id > c.cut3 AND e.event_id <= c.cut6)),
+        |roll AS (
+        |  SELECT 'feed' AS src, event_type, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'mor', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM kept GROUP BY event_type)
+        |SELECT * FROM roll ORDER BY src, event_type""".stripMargin,
     // q26n: the streamed recency-resolved MERGE must converge to q25's
     // batch upsert exactly — same SQL, the strongest check a stateful
     // multi-epoch merge admits
@@ -1850,7 +1870,9 @@ object SparkEntry {
     // both sides of the boundary read under the right declared schema
     "q28c_sql_ddl" ->
       """SELECT event_type,
-        |  CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'base' ELSE 'late' END AS src,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-12' THEN 'base'
+        |       WHEN ts < TIMESTAMP '2024-01-20' THEN 'late'
+        |       ELSE 'late2' END AS src,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events

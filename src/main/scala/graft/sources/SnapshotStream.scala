@@ -79,9 +79,26 @@ import graft.core.SnapshotStore
   *    re-materialization of changes the feed already carried. The
   *    consumer owns resolution: one per-key argmax over
   *    `(orderCols, _seq)` with base rows at seq 0 reproduces
-  *    [[SnapshotStore.readAtCdc]] exactly (spec-pinned). MOR-delete
-  *    tables still refuse (key-only tombstone files have no row
-  *    representation a feed can fold exactly).
+  *    [[SnapshotStore.readAtCdc]] exactly (spec-pinned).
+  *  - MOR-DELETE tables under `cdcFeed` (VERDICT r16 #1, the Delta-CDF
+  *    delete-retraction shape): delete-key files drain as RETRACTION
+  *    rows — key column populated, payload columns NULL, `_tombstone`
+  *    true, and `_seq` stamped with the delete's COMMIT VERSION (the
+  *    `data/_deletes_a<v>` attempt dir is keyed to the committed
+  *    version by construction — [[SnapshotStore.deleteMor]]/`mergeCow`
+  *    CAS-pin `expectedBase`, so attempt = version, loudly verified at
+  *    plan time). Data rows carry `_tombstone` false (a constant-per-
+  *    file tag — the vectorized reader path survives it). The consumer
+  *    argmax then folds deletes exactly like [[SnapshotStore.readAtMor]]:
+  *    a tombstone (seq = its version > 0) beats the standing row (seq
+  *    0), and a [[SnapshotStore.foldMor]] drains as a no-op (op stamp
+  *    "fold" — its rewrite re-materializes exactly the data-minus-
+  *    tombstones state the feed already carried). Honest bound, same
+  *    class as readAtMor's accumulated-delete contract: a key deleted
+  *    through the feed stays deleted for the feed's LIFE — re-inserting
+  *    it via a plain append (legal at-rest only after a fold) is not
+  *    representable downstream, because feed data rows carry seq 0;
+  *    restart the feed from the fold version to pick re-inserts up.
   *  - EXACTLY-ONCE composition: offsets live in the sink's checkpoint;
   *    replayed batches re-plan the identical (v_a, v_b] file set
   *    (manifests are immutable), so a retried epoch re-reads the same
@@ -126,10 +143,14 @@ class SnapshotStreamSource extends TableProvider
 object SnapshotStreamSource {
   /** The stream's fixed read schema: HEAD's, under the same rules as
     * [[SnapshotStore.readAt]] (declared schema wins; else basePath
-    * partition recovery). In `cdcFeed` mode the commit-sequence column
-    * `_seq` is appended (nullable — base/plain files read it as NULL,
-    * CDC delta files carry theirs), so the consumer can recency-resolve
-    * exactly like [[SnapshotStore.readAtCdc]]. */
+    * partition recovery). In `cdcFeed` mode two feed columns are
+    * appended: the commit-sequence column `_seq` (nullable — base/plain
+    * files read it as NULL, CDC delta files carry theirs, MOR delete
+    * rows get their commit version) and the retraction flag
+    * `_tombstone` (false on data rows, true on delete-key rows), so the
+    * consumer can recency-resolve exactly like
+    * [[SnapshotStore.readAtCdc]] / fold deletes like
+    * [[SnapshotStore.readAtMor]]. */
   private[sources] def tableSchema(spark: SparkSession, root: Path,
                                    cdcFeed: Boolean = false): StructType = {
     val head = SnapshotStore.headVersion(root).getOrElse(
@@ -139,10 +160,15 @@ object SnapshotStreamSource {
     // renamed table's old generations would misread; refuse
     SnapshotStore.requireNoRenames(root, head, "graft-snapshot stream")
     val base = SnapshotStore.readAt(spark, root, Some(head)).schema
-    if (!cdcFeed || base.fieldNames.contains("_seq")) base
-    else StructType(base.fields :+
-      org.apache.spark.sql.types.StructField("_seq",
-        org.apache.spark.sql.types.LongType, nullable = true))
+    if (!cdcFeed) base
+    else {
+      import org.apache.spark.sql.types.{StructField, LongType, BooleanType}
+      val withSeq =
+        if (base.fieldNames.contains("_seq")) base
+        else StructType(base.fields :+ StructField("_seq", LongType, nullable = true))
+      StructType(withSeq.fields :+
+        StructField("_tombstone", BooleanType, nullable = true))
+    }
   }
 
   /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
@@ -245,6 +271,14 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     val (a, b) = (start.asInstanceOf[VOffset].v, end.asInstanceOf[VOffset].v)
     if (b <= a) { lastBatch = None; return Array.empty }
     val spark = SparkSession.active
+    // re-asserted PER BATCH, not just at stream-start schema inference
+    // (ADVICE r16): a renameColumnMapped committed mid-stream would
+    // otherwise plan later batches against the post-rename declared
+    // schema while the sink holds the pre-rename stream schema — refuse
+    // with the documented restart contract instead of relying on
+    // ordinal binding. One tiny `_renames` metadata read per batch.
+    SnapshotStore.requireNoRenames(root, b,
+      s"graft-snapshot stream on $root: batch ($a, $b]")
     // O(delta) planning (the read-side twin of commitAppend's O(delta)
     // metadata): an append-chain interval diffs at the manifest-PART
     // level — the driver materializes only the NEW parts' file names,
@@ -276,28 +310,34 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
       }
     }
     // cdcFeed: CDC delta files ARE the payload — their rows (with
-    // `_seq`) stream raw for downstream recency resolution; MOR delete
-    // files still refuse (key-only tombstone files with null payloads
-    // have no row representation a feed consumer can fold exactly)
+    // `_seq`) stream raw for downstream recency resolution — and so
+    // are MOR delete-key files, drained as retraction rows (VERDICT
+    // r16 #1; key + `_tombstone` + `_seq` = commit version). Without
+    // the option both refuse: their logical rows need resolution.
     val pending = delta.filter(f =>
-      (!cdcFeed && SnapshotStore.isCdcDeltaFile(f)) || SnapshotStore.isDeleteFile(f))
+      !cdcFeed && (SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f)))
     if (pending.nonEmpty) throw new IllegalStateException(
       s"graft-snapshot stream on $root: interval ($a, $b] carries " +
       s"${pending.size} pending CDC-delta/MOR-delete file(s) — fold first " +
-      "(their logical rows need resolution, not file replay)" +
-      (if (!cdcFeed && delta.exists(SnapshotStore.isCdcDeltaFile))
-         " — or stream with .option(\"cdcFeed\", \"true\") to drain CDC " +
-         "delta rows raw for downstream resolution" else ""))
+      "(their logical rows need resolution, not file replay) — or stream " +
+      "with .option(\"cdcFeed\", \"true\") to drain CDC delta rows raw / " +
+      "MOR delete keys as retraction rows for downstream resolution")
     SnapshotStreamSource.logPlan((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
-    // stock DSv2 parquet scan over EXACTLY the delta files — same
-    // schema rules as the stream's table schema. In cdcFeed mode the
-    // stream schema (data columns + nullable `_seq`) binds every batch:
-    // plain files read `_seq` as NULL, delta files carry theirs.
+    val batch =
+      if (cdcFeed) planFeedBatch(spark, a, b, delta)
+      else planPlainBatch(spark, a, b, delta)
+    lastBatch = Some(batch)
+    batch.planInputPartitions()
+  }
+
+  /** The plain (non-feed) per-batch scan: stock DSv2 parquet over
+    * EXACTLY the delta files — same schema rules as the stream's table
+    * schema. */
+  private def planPlainBatch(spark: SparkSession, a: Long, b: Long,
+                             delta: Seq[String]): Batch = {
     val opts = new java.util.HashMap[String, String]()
-    val declared =
-      if (cdcFeed) Some(schema)
-      else SnapshotStore.declaredSchema(root, b).map(StructType.fromDDL)
+    val declared = SnapshotStore.declaredSchema(root, b).map(StructType.fromDDL)
     if (declared.isEmpty) opts.put("basePath", root.resolve("data").toString)
     val cmap = new CaseInsensitiveStringMap(opts)
     val pq = ParquetTable(s"graft-snapshot-batch.`$root`@($a,$b]", spark, cmap,
@@ -306,9 +346,47 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     require(scan.readSchema() == schema,
       s"graft-snapshot stream on $root: schema changed mid-stream " +
       s"(${scan.readSchema().toDDL} vs ${schema.toDDL}) — restart the stream")
-    val batch = scan.toBatch
-    lastBatch = Some(batch)
-    batch.planInputPartitions()
+    scan.toBatch
+  }
+
+  /** The `cdcFeed` per-batch plan: data + CDC-delta files scan under
+    * (data columns + `_seq`) and get `_tombstone` = false appended as a
+    * constant-per-partition tag; MOR delete-key files scan under the
+    * data columns alone and get `_seq` = their COMMIT VERSION (parsed
+    * from the `_deletes_a<v>` attempt dir — pinned to the committed
+    * version by deleteMor/mergeCow's `expectedBase` CAS) plus
+    * `_tombstone` = true appended per file. Both sides are stock DSv2
+    * parquet scans; the tag append preserves the vectorized path
+    * (ConstantColumnVector), mirroring the SQL catalog's `_file`
+    * tagging. */
+  private def planFeedBatch(spark: SparkSession, a: Long, b: Long,
+                            delta: Seq[String]): Batch = {
+    import org.apache.spark.sql.types.StructType
+    val (delFiles, dataFiles) = delta.partition(SnapshotStore.isDeleteFile)
+    val dataSchema = StructType(schema.filterNot(f =>
+      f.name == "_seq" || f.name == "_tombstone"))
+    val withSeq = StructType(schema.filterNot(_.name == "_tombstone"))
+    def pqBatch(files: Seq[String], declared: StructType, label: String): Batch = {
+      val cmap = new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())
+      val pq = ParquetTable(s"graft-snapshot-feed-$label.`$root`@($a,$b]", spark,
+        cmap, files.map(f => root.resolve(f).toString), Some(declared),
+        classOf[ParquetFileFormat])
+      val scan = pq.newScanBuilder(cmap).build()
+      require(scan.readSchema() == declared,
+        s"graft-snapshot stream on $root: feed $label schema drift " +
+        s"(${scan.readSchema().toDDL} vs ${declared.toDDL}) — restart the stream")
+      scan.toBatch
+    }
+    val seqOf: String => Long = { rel =>
+      FeedBatch.DeleteAttempt.findFirstMatchIn(rel).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-snapshot stream on $root: delete file $rel does not encode " +
+          "its commit version (_deletes_a<v>) — cannot stamp the retraction _seq"))
+    }
+    new FeedBatch(
+      if (dataFiles.isEmpty) None else Some(pqBatch(dataFiles, withSeq, "data")),
+      if (delFiles.isEmpty) None else Some(pqBatch(delFiles, dataSchema, "del")),
+      seqOf, root.toAbsolutePath.normalize.toString)
   }
 
   /** `skipRewrites` planning over an interval the part-level fast path
@@ -362,4 +440,117 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
         override def createReader(p: InputPartition) =
           throw new IllegalStateException("empty micro-batch has no readers")
       })
+}
+
+/** One feed partition: the wrapped stock parquet partition plus its
+  * constant tags — `tombstone` decides which appended columns the
+  * reader adds (`_tombstone` alone for data partitions; `_seq` +
+  * `_tombstone` for delete-key partitions, with `seq` = the delete's
+  * commit version). */
+private[sources] case class FeedPartition(inner: InputPartition,
+    tombstone: Boolean, seq: Long) extends InputPartition
+
+private[sources] object FeedBatch {
+  /** The delete-attempt dir pattern whose number IS the commit version
+    * (deleteMor/mergeCow pin `expectedBase`, so attempt = version). */
+  val DeleteAttempt = """_deletes_a(\d+)/""".r
+}
+
+/** The `cdcFeed` batch over one version interval: data-side partitions
+  * pass through with a `_tombstone` = false tag; delete-side partitions
+  * are split ONE FILE PER PARTITION (delete commits are tiny single
+  * files; splitting only unpacks Spark's small-file packing) so each
+  * can carry its own commit-version `_seq`. See
+  * [[SnapshotMicroBatchStream.planFeedBatch]]. */
+private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
+                                 seqOf: String => Long,
+                                 rootStr: String) extends Batch {
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val data = dataB.toSeq.flatMap(_.planInputPartitions().toSeq)
+      .map(p => FeedPartition(p, tombstone = false, 0L): InputPartition)
+    val dels = delB.toSeq.flatMap { b =>
+      b.planInputPartitions().toSeq.flatMap {
+        case fp: FilePartition => fp.files.map(pf => Array(pf))
+        case other => throw new IllegalStateException(
+          s"graft-snapshot feed planned a non-file partition ${other.getClass.getName}")
+      }.zipWithIndex.map { case (fs, i) =>
+        val rel = Paths.get(rootStr)
+          .relativize(Paths.get(fs.head.filePath.toUri)).toString
+        FeedPartition(FilePartition(i, fs), tombstone = true, seqOf(rel))
+          : InputPartition
+      }
+    }
+    (data ++ dels).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(dataB.map(_.createReaderFactory()),
+      delB.map(_.createReaderFactory()))
+}
+
+/** Dispatches each [[FeedPartition]] to its side's stock parquet reader
+  * and appends the constant feed-tag columns — rows via a JoinedRow,
+  * vectorized batches via ConstantColumnVector(s), so the columnar path
+  * survives the tagging (the SQL catalog's `_file` pattern). */
+private[sources] class FeedReaderFactory(
+    dataF: Option[PartitionReaderFactory],
+    delF: Option[PartitionReaderFactory]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.types.{BooleanType, LongType}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  private def sideOf(p: InputPartition): (PartitionReaderFactory, InputPartition,
+      FeedPartition) = {
+    val fp = p.asInstanceOf[FeedPartition]
+    val f = (if (fp.tombstone) delF else dataF).getOrElse(
+      throw new IllegalStateException("feed partition for an unplanned side"))
+    (f, fp.inner, fp)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, inner, _) = sideOf(p)
+    f.supportColumnarReads(inner)
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (f, inner, fp) = sideOf(p)
+    val r = f.createReader(inner)
+    val right =
+      if (fp.tombstone) new GenericInternalRow(Array[Any](fp.seq, true))
+      else new GenericInternalRow(Array[Any](false))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), right)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (f, inner, fp) = sideOf(p)
+    val r = f.createColumnarReader(inner)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        val cols = Array.tabulate[ColumnVector](b.numCols)(b.column)
+        val tomb = new ConstantColumnVector(b.numRows, BooleanType)
+        tomb.setBoolean(fp.tombstone)
+        val extra: Array[ColumnVector] =
+          if (!fp.tombstone) Array(tomb)
+          else {
+            val seq = new ConstantColumnVector(b.numRows, LongType)
+            seq.setLong(fp.seq)
+            Array(seq, tomb)
+          }
+        new ColumnarBatch(cols ++ extra, b.numRows)
+      }
+      override def close(): Unit = r.close()
+    }
+  }
 }

@@ -177,8 +177,9 @@ class SnapshotCatalog extends TableCatalog
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$cname supports reads, DML, CREATE/CTAS, ADD COLUMN and type widening — " +
-      s"$op goes through the SnapshotStore API (a discipline SQL DDL cannot express)")
+      s"$cname supports reads, DML, CREATE/CTAS, ADD/DROP COLUMN and type " +
+      s"widening — $op goes through the SnapshotStore API (a discipline SQL " +
+      "DDL cannot express)")
 
   /** `CREATE TABLE` / the create half of CTAS (VERDICT r15 #5): a new
     * snapshot table born entirely through SQL. Version 1 is ONE 0-row
@@ -215,12 +216,15 @@ class SnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE` — the two metadata-only evolutions the seam
+  /** `ALTER TABLE` — the three metadata-only evolutions the seam
     * sanctions, mapped to their API twins: ADD COLUMN (nullable,
     * top-level → [[graft.core.SnapshotStore.addColumn]], the q26k
-    * additive semantics) and type WIDENING (int→bigint, float→double →
-    * [[graft.core.SnapshotStore.widenColumn]]). Everything else —
-    * rename (no field IDs, documented refusal), drops, nested edits —
+    * additive semantics), type WIDENING (int→bigint, float→double →
+    * [[graft.core.SnapshotStore.widenColumn]]), and DROP COLUMN
+    * (→ [[graft.core.SnapshotStore.dropColumn]] — pinned reads below
+    * the drop keep the column; re-adding the name refuses until a
+    * compaction retires the old files, VERDICT r16 #3). Everything
+    * else — rename (no field IDs, documented refusal), nested edits —
     * refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
@@ -241,6 +245,11 @@ class SnapshotCatalog extends TableCatalog
           s"$cname.${ident.name()}: only top-level type changes are supported")
         SnapshotStore.widenColumn(spark, root, upd.fieldNames()(0),
           upd.newDataType().sql)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"$cname.${ident.name()}: only top-level DROP COLUMN is supported " +
+          s"(got ${del.fieldNames().mkString(".")})")
+        SnapshotStore.dropColumn(spark, root, del.fieldNames()(0))
       case other => readOnly(s"alterTable(${other.getClass.getSimpleName})")
     }
     loadTable(ident)
@@ -761,11 +770,23 @@ private[sql] class SnapshotRowLevelOperation(
                   SnapshotSqlTable.lastMergeStats =
                     Some((matched.size, filesRel.size))
                   if (matched.isEmpty) {
-                    // nothing matched: the version stands (DELETE's
-                    // no-match contract) — the scan read zero files, so
-                    // any staged output is a 0-row write artifact;
-                    // reclaim the staging dir
-                    IndexStore.deleteRecursively(staging)
+                    // zero matched target files — but the staged output
+                    // is NOT necessarily empty: a MERGE with WHEN NOT
+                    // MATCHED THEN INSERT still writes the inserted
+                    // source rows through ReplaceData even when no
+                    // target row matched (ADVICE r16 — the old
+                    // reclaim-always path silently dropped every such
+                    // insert). Commit staged rows as pure additions,
+                    // every standing file carried by reference; reclaim
+                    // only a genuinely row-free artifact (DELETE's
+                    // no-match contract: the version stands).
+                    val stagedRows =
+                      if (fresh.isEmpty) 0L
+                      else spark.read.parquet(
+                        fresh.map(f => root.resolve(f).toString): _*).count()
+                    if (stagedRows == 0L) IndexStore.deleteRecursively(staging)
+                    else SnapshotStore.commit(spark, root, filesRel ++ fresh,
+                      expectedBase = baseVersion)
                   } else {
                     require(carried.nonEmpty || fresh.nonEmpty,
                       s"snapshot $cmd on $root produced an empty table — emptying a " +

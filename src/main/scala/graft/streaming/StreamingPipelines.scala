@@ -2209,6 +2209,89 @@ object StreamingPipelines {
       .orderBy("user_id")
   }
 
+  /** Q28f — STREAMING SOURCE OVER A MOR-DELETE TABLE (VERDICT r16
+    * missing #1 / next #1, the last refused consumer shape): the q26o
+    * table — flat events key-clustered as v1, two deferred
+    * [[graft.core.SnapshotStore.deleteMor]] batches, a MID-STREAM
+    * [[graft.core.SnapshotStore.foldMor]], and a LATE delete landing
+    * AFTER the fold — consumed LIVE under `cdcFeed`: delete-key files
+    * drain as RETRACTION rows (key + `_tombstone` + `_seq` = commit
+    * version), the fold drains as a no-op (its rewrite re-materializes
+    * exactly the data-minus-tombstones state the feed already carried —
+    * the Delta-CDF-across-OPTIMIZE semantics, extended to deletes), and
+    * the CONSUMER owns resolution: one per-key argmax over
+    * `coalesce(_seq, 0)` whose tombstone winners drop — exactly
+    * [[graft.core.SnapshotStore.readAtMor]]'s accumulated-delete
+    * semantics, spec-pinned in SnapshotStreamSpec. The resolved state
+    * AND the at-rest MOR read answer one oracle (corpus minus
+    * id-deciles 4–6): a re-streamed fold (double count), a lost
+    * retraction, or a mis-stamped `_seq` all move the rollup. At
+    * 100 TB this closes the CDC-bus pattern for delete-heavy tables:
+    * GDPR-style key deletions cost O(|keys|) writes, folds run under
+    * policy, and downstream consumers drain through both. */
+  def q28fStreamMorFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.SnapshotStore
+    val root = Files.createTempDirectory("graft-q28f")
+    val ckpt = Files.createTempDirectory("graft-q28f-ckpt")
+    val out = root.resolve("drained").toString
+    val flat = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    flat.repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(root.resolve("data/load1").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("event_id")) // v1: the standing corpus
+    val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+    def cut(k: Int) = lo + k * span / 10
+    def delDecile(k: Int): Unit = {
+      SnapshotStore.deleteMor(spark, root,
+        flat.where(col("event_id") > cut(k - 1) && col("event_id") <= cut(k))
+          .select("event_id"), "event_id")
+      ()
+    }
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .option("cdcFeed", "true")
+      .load()
+      .writeStream
+      .foreachBatch((bt: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        bt.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // drains v1: data rows, _tombstone false
+      delDecile(4) // v2: O(|keys|) delete commit
+      q.processAllAvailable() // drains the retraction rows, _seq = 2
+      delDecile(5) // v3: deletes accumulate
+      q.processAllAvailable()
+      // v4: MID-STREAM FOLD — deletes applied at rest; drains as a no-op
+      SnapshotStore.foldMor(spark, root, "event_id", numFiles = 4,
+        statsCols = Seq("event_id"))
+      q.processAllAvailable()
+      delDecile(6) // v5: a LATE delete AFTER the fold
+      q.processAllAvailable() // its retraction must still fold downstream
+    } finally q.stop()
+    // consumer-side resolution: readAtMor's semantics as one argmax —
+    // a tombstone's _seq (= its commit version) beats every data row's 0
+    val resolved = spark.read.parquet(out)
+      .withColumn("_s", coalesce(col("_seq"), lit(0L)))
+      .groupBy("event_id")
+      .agg(max_by(struct(col("event_type"), col("value"), col("_tombstone")),
+        col("_s")).as("w"))
+      .where(!col("w._tombstone"))
+      .select(col("event_id"), col("w.event_type").as("event_type"),
+        col("w.value").as("value"))
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("src"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    roll(resolved, "feed")
+      .unionByName(roll(
+        SnapshotStore.readAtMor(spark, root, None, "event_id"), "mor"))
+      .orderBy("src", "event_type")
+  }
+
   // ---- streamed CDC MERGE into the snapshot seam (q26n) ---------------
 
   val snapCdcBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -104,7 +104,8 @@ class SqlDdlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.t3 ADD COLUMN src STRING") // v3, metadata-only
       assert(SnapshotStore.filesAt(spark, root, 3L) == filesBefore,
         "ADD COLUMN must rewrite zero data files")
-      assert(SnapshotStore.opTypeOf(root, 3L).contains("widen"))
+      assert(SnapshotStore.opTypeOf(root, 3L).contains("add-column"),
+        "ADD COLUMN stamps its own op type, distinct from widening (ADVICE r16)")
       spark.sql(s"INSERT INTO $cat.t3 VALUES (2, 'b', 'late')")
       assert(spark.sql(s"SELECT k, p, src FROM $cat.t3 ORDER BY k")
         .as[(Long, String, Option[String])].collect().toSeq ==
@@ -118,6 +119,53 @@ class SqlDdlSpec extends AnyFunSuite {
         spark.sql(s"ALTER TABLE $cat.t3 RENAME COLUMN p TO q"))
       assert(r.getMessage.contains("alterTable") || r.getMessage.contains("refused"),
         r.getMessage)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only: HEAD loses the column, pinned reads below keep it, re-ADD refuses until compaction retires the old files (VERDICT r16 #3)") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("drop")
+    try {
+      spark.sql(s"CREATE TABLE $cat.t5 (k BIGINT, p STRING, junk STRING)")
+      spark.sql(s"INSERT INTO $cat.t5 VALUES (1, 'a', 'x'), (2, 'b', 'y')") // v2
+      val root = wh.resolve("t5")
+      val filesBefore = SnapshotStore.filesAt(spark, root, 2L)
+      spark.sql(s"ALTER TABLE $cat.t5 DROP COLUMN junk") // v3, metadata-only
+      assert(SnapshotStore.filesAt(spark, root, 3L) == filesBefore,
+        "DROP COLUMN must rewrite zero data files")
+      assert(SnapshotStore.opTypeOf(root, 3L).contains("drop-column"))
+      // HEAD no longer serves the column; pinned reads below still do
+      assert(spark.sql(s"SELECT * FROM $cat.t5").columns.toSeq == Seq("k", "p"))
+      intercept[Exception](spark.sql(s"SELECT junk FROM $cat.t5").collect())
+      assert(spark.sql(s"SELECT junk FROM $cat.t5 VERSION AS OF 2 ORDER BY junk")
+        .as[String].collect().toSeq == Seq("x", "y"),
+        "a pinned pre-drop version must still serve the column")
+      // inserts keep working post-drop under the narrowed schema
+      spark.sql(s"INSERT INTO $cat.t5 VALUES (3, 'c')") // v4
+      assert(spark.sql(s"SELECT k, p FROM $cat.t5 ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // re-ADD of the dropped name REFUSES: files carrying the old
+      // values are still referenced — name-based resolution would
+      // resurrect them instead of reading NULL (the documented choice)
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.t5 ADD COLUMN junk STRING"))
+      assert(e.getMessage.contains("DROPPED"), e.getMessage)
+      // compaction rewrites every file under the narrowed schema;
+      // retirement then reopens the name
+      SnapshotStore.compact(spark, root, numFiles = 1)
+      SnapshotStore.dropRetiredRenames(spark, root)
+      assert(SnapshotStore.droppedAt(root,
+        SnapshotStore.headVersion(root).get).isEmpty,
+        "post-compaction retirement must clear the dropped-name ledger")
+      spark.sql(s"ALTER TABLE $cat.t5 ADD COLUMN junk STRING")
+      assert(spark.sql(s"SELECT junk FROM $cat.t5").as[Option[String]]
+        .collect().toSeq.forall(_.isEmpty),
+        "the re-added column reads NULL everywhere — old values are gone")
+      // the boundary tag pinned the pre-drop manifest under retention
+      // until retirement, and retirement dropped the pin
+      assert(!SnapshotStore.tags(root).exists(_.startsWith("drop-boundary")),
+        "retirement must drop the boundary pin")
     } finally IndexStore.deleteRecursively(wh)
   }
 

@@ -126,6 +126,35 @@ class SqlRuntimeGroupFilterSpec extends AnyFunSuite {
     } finally IndexStore.deleteRecursively(root)
   }
 
+  test("insert-only MERGE with zero matched target files still inserts (ADVICE r16 high)") {
+    import spark.implicits._
+    val root = clusteredTable("sql-rgf-insonly", nFiles = 3)
+    try {
+      catalogOn()
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      val beforeFiles = SnapshotStore.filesAt(spark, root, 1L)
+      // the source holds ONLY new keys: runtime group filtering finds
+      // zero matched target files, but WHEN NOT MATCHED THEN INSERT
+      // must still land every source row — the old path reclaimed the
+      // staging dir wholesale and silently dropped them
+      Seq((500001L, "ins-a"), (500002L, "ins-b"))
+        .toDF("k", "p").createOrReplaceTempView("rgf_ins_src")
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING rgf_ins_src AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET p = src.p
+           |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (src.k, src.p)""".stripMargin)
+      assert(SnapshotStore.headVersion(root).contains(2L),
+        "an insert-only merge must publish a new version")
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 302L,
+        "both source rows must insert")
+      assert(spark.sql(s"SELECT p FROM $t WHERE k = 500001").as[String].head() == "ins-a")
+      // every standing file carried by reference, none rewritten
+      val afterFiles = SnapshotStore.filesAt(spark, root, 2L)
+      assert(beforeFiles.forall(afterFiles.toSet),
+        "zero matched files: all standing files must carry by reference")
+    } finally IndexStore.deleteRecursively(root)
+  }
+
   test("no-match row-level statement leaves the version standing") {
     val root = clusteredTable("sql-rgf-nomatch", nFiles = 2)
     try {
