@@ -155,6 +155,7 @@ object SparkEntry {
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
     "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
+    "q28g_sql_partitioned" -> (LayoutQueries.q28gSqlPartitioned _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
@@ -1885,6 +1886,20 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28g: the SQL daily-load loop on a PARTITIONED snapshot table —
+    // CTAS PARTITIONED BY + INSERT INTO + a partition-scoped INSERT
+    // OVERWRITE correction (click values doubled); an overwrite that
+    // leaked into another partition, dropped the tail, or missed a
+    // click row hash-fails
+    "q28g_sql_partitioned" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |                     ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(ts) AS max_ts
         |FROM events
         |GROUP BY event_type

@@ -583,6 +583,50 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Q28g — PARTITIONED TABLES + `INSERT OVERWRITE` through plain SQL
+    * (VERDICT r16 #4): the daily-load pattern end-to-end in `spark.sql`
+    * on the snapshot seam — CTAS `PARTITIONED BY (event_type)` from the
+    * pre-cutoff events (partition-dir-shaped files, directory pruning
+    * on read), `INSERT INTO` appending the post-cutoff tail into the
+    * same dirs (O(delta) metadata), then `INSERT OVERWRITE` landing a
+    * CORRECTION — the 'click' partition re-derived from the full corpus
+    * with doubled values — as a manifest-level DYNAMIC partition
+    * replacement: only click files leave the version, every other
+    * partition carries by reference byte-identical (spec-pinned in
+    * SqlDdlSpec), and the superseded click files stay on disk for
+    * pinned readers — the snapshot upgrade over q26b's physical
+    * `overwritePartitions`. The rollup hash-fails if the overwrite
+    * leaked into another partition, dropped the tail, or missed a
+    * click row. At 100 TB this is the backfill story in SQL: one day's
+    * correction rewrites one partition, never lists the rest. */
+  def q28gSqlPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28g").resolve("tbl")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).createOrReplaceTempView("q28g_base")
+    events.where(col("ts") >= cut).createOrReplaceTempView("q28g_tail")
+    events.where(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+      .createOrReplaceTempView("q28g_fix")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (event_type) AS " +
+      "SELECT event_id, ts, event_type, user_id, value FROM q28g_base") // v1
+    spark.sql(s"INSERT INTO $t " +
+      "SELECT event_id, ts, user_id, value, event_type FROM q28g_tail") // v2
+    spark.sql(s"INSERT OVERWRITE $t " +
+      "SELECT event_id, ts, user_id, value, event_type FROM q28g_fix") // v3
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   // ---- events: PARTITION-SPEC EVOLUTION on the snapshot seam ---------
 
   val specEvoBuildCount = new AtomicInteger(0)

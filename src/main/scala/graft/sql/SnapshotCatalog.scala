@@ -75,6 +75,90 @@ import org.apache.spark.unsafe.types.UTF8String
   * one list read + the version's manifest parts — per query planning,
   * plus one matching-rows subquery per row-level statement (the price
   * of rewriting only matched files). */
+object SnapshotCatalog {
+  /** The PARTITION SPEC a SQL-born partitioned table was created with
+    * (identity columns, in order) — recorded once at birth under
+    * `_snapshots/_partition_spec` so INSERTs shape their writes and the
+    * write surface can refuse what partition-dir layouts cannot take
+    * (row-level rewrites). The spec is declared for the table's life;
+    * partition-spec EVOLUTION stays on the API (q26x). Empty = flat. */
+  private[sql] def specPath(root: Path): Path =
+    root.resolve("_snapshots").resolve("_partition_spec")
+  private[sql] def readSpec(root: Path): Seq[String] =
+    if (!Files.exists(specPath(root))) Seq.empty
+    else new String(Files.readAllBytes(specPath(root)), "UTF-8")
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  private[sql] def writeSpec(root: Path, cols: Seq[String]): Unit = {
+    Files.createDirectories(specPath(root).getParent)
+    Files.write(specPath(root), cols.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** CREATE's transforms → identity partition columns; anything else
+    * (days/bucket/truncate) refuses — hidden-partitioning transforms
+    * are the API's partition-spec territory (q26x), not SQL DDL's. */
+  private[sql] def identityCols(catName: String, tname: String,
+                                partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"$catName.$tname: only identity PARTITIONED BY columns are supported " +
+        s"(got ${t.describe}) — transform partitioning (days/bucket/…) goes " +
+        "through the Layout/partition-spec API")
+      t.references.head.fieldNames.head
+    }
+
+  /** The 0-row SEED a partitioned CREATE publishes as v1 so the empty
+    * table is readable: one flat parquet carrying the full schema with
+    * partition columns LAST (matching the partition-recovery column
+    * order of every later version). The first partitioned INSERT drops
+    * it from the manifest — a flat file cannot coexist with key=value
+    * dirs under one basePath. */
+  private[sql] def seedPrefix = "data/_seed_"
+  private[sql] def isSeedFile(rel: String): Boolean = rel.startsWith(seedPrefix)
+
+  /** Schema with the partition columns moved last (Spark's own order
+    * for path-partitioned reads). */
+  private[sql] def partitionLast(schema: StructType, parts: Seq[String]): StructType = {
+    val (p, d) = schema.fields.partition(f => parts.contains(f.name))
+    StructType(d ++ parts.flatMap(n => p.find(_.name == n)))
+  }
+
+  /** Write `aligned` partition-dir-shaped and land the files DIRECTLY
+    * under `data/<k=v>/…` — Spark's partition inference demands ONE
+    * aligned dir depth per table, so per-insert attempt dirs are out.
+    * The write goes to a staging dir (a stock distributed partitioned
+    * write, repartition-first per the Layout discipline), then each
+    * leaf file RENAMES into its partition dir (part-file names carry a
+    * job UUID, so appends never collide). Returns the fresh files'
+    * table-relative paths — exactly the moved set, O(delta), no
+    * standing-directory walk. Rename is metadata-cheap on POSIX/HDFS;
+    * object stores pay a copy (same deployment note as the commit
+    * arbiter). */
+  private[sql] def writePartitionedFresh(aligned: DataFrame, root: Path,
+                                         parts: Seq[String], tag: String): Seq[String] = {
+    val stagingRel = s"_staging/${tag}_${java.util.UUID.randomUUID().toString.take(12)}"
+    graft.sources.Layout.writePartitioned(aligned,
+      root.resolve(stagingRel).toString, partitionCols = parts,
+      sortCols = Seq.empty)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(stagingRel))
+    val staged =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    val fresh = staged.map { sf =>
+      val rel = "data/" + sf.stripPrefix(s"$stagingRel/")
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(root.resolve(sf), target)
+      rel
+    }
+    graft.core.IndexStore.deleteRecursively(root.resolve(stagingRel))
+    fresh
+  }
+}
+
 class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -141,7 +225,8 @@ class SnapshotCatalog extends TableCatalog
     // version/tag/timestamp loads stay read-only — appending "into the
     // past" has no honest meaning
     new SnapshotSqlTable(root, mkTable(filesRel), mkTable, filesRel,
-      writable = version.isEmpty, loadedVersion = v)
+      writable = version.isEmpty, loadedVersion = v,
+      partitionCols = SnapshotCatalog.readSpec(root))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -181,27 +266,37 @@ class SnapshotCatalog extends TableCatalog
       s"widening — $op goes through the SnapshotStore API (a discipline SQL " +
       "DDL cannot express)")
 
-  /** `CREATE TABLE` / the create half of CTAS (VERDICT r15 #5): a new
-    * snapshot table born entirely through SQL. Version 1 is ONE 0-row
-    * parquet file carrying the declared schema — every invariant of
-    * the seam (manifest parts, stats shape, declared-schema
-    * inheritance) holds from birth, and the CTAS insert that follows
-    * is the standard `commitAppend` V1 write. Flat-table contract:
-    * PARTITIONED BY is refused (partition-dir layouts are born through
-    * the Layout writers, which stamp the spec the scan prunes on). */
+  /** `CREATE TABLE` / the create half of CTAS (VERDICT r15 #5;
+    * PARTITIONED BY since r17 — VERDICT r16 #4): a new snapshot table
+    * born entirely through SQL. Version 1 is ONE 0-row parquet file
+    * carrying the declared schema — every invariant of the seam
+    * (manifest parts, stats shape, declared-schema inheritance) holds
+    * from birth, and the CTAS insert that follows is the standard
+    * `commitAppend` V1 write. `PARTITIONED BY (identity cols)` records
+    * the spec at birth ([[SnapshotCatalog.writeSpec]]): INSERTs then
+    * land partition-dir-shaped fresh files (directory pruning on read,
+    * the q26 layout), `INSERT OVERWRITE` replaces exactly the touched
+    * partitions in the manifest, and the first partitioned INSERT
+    * retires the flat 0-row seed. Transform partitioning (days/bucket)
+    * stays on the API. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"$cname.${ident.name()}: PARTITIONED BY is refused — partition-dir " +
-      "layouts are born through the Layout writers (flat-table contract)")
+    val parts = SnapshotCatalog.identityCols(cname, ident.name(), partitions)
+    parts.foreach(p => require(schema.fieldNames.contains(p),
+      s"$cname.${ident.name()}: partition column $p is not in the schema"))
     val root = rootOf(ident)
     if (Files.exists(root.resolve("_snapshots")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(cname, ident.name()))
     val spark = SparkSession.active
-    val rel = s"data/create_${java.util.UUID.randomUUID().toString.take(12)}"
+    val ordered =
+      if (parts.isEmpty) schema else SnapshotCatalog.partitionLast(schema, parts)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val rel =
+      if (parts.isEmpty) s"data/create_$uuid"
+      else s"${SnapshotCatalog.seedPrefix}$uuid"
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema)
+        ordered)
       .coalesce(1).write.parquet(root.resolve(rel).toString)
     import scala.jdk.CollectionConverters._
     val s = Files.walk(root.resolve(rel))
@@ -213,6 +308,7 @@ class SnapshotCatalog extends TableCatalog
     require(fresh.nonEmpty,
       s"$cname.${ident.name()}: empty-table seed write produced no parquet file")
     graft.core.SnapshotStore.commit(spark, root, fresh)
+    if (parts.nonEmpty) SnapshotCatalog.writeSpec(root, parts)
     loadTable(ident)
   }
 
@@ -229,6 +325,13 @@ class SnapshotCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!Files.exists(root.resolve("_snapshots"))) throw new NoSuchTableException(ident)
+    // schema evolution rides the DECLARED read schema, which a
+    // partition-dir layout cannot carry (a wholesale declaration would
+    // drop the dir-derived columns from every read) — refuse loudly
+    require(SnapshotCatalog.readSpec(root).isEmpty,
+      s"$cname.${ident.name()}: ALTER TABLE on a partitioned table is refused — " +
+      "schema evolution rides the declared read schema, which partition-dir " +
+      "layouts do not carry (flat-table contract)")
     val spark = SparkSession.active
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -282,14 +385,12 @@ class SnapshotCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty,
-      s"$cname.${ident.name()}: PARTITIONED BY is refused — partition-dir " +
-      "layouts are born through the Layout writers (flat-table contract)")
+    val parts = SnapshotCatalog.identityCols(cname, ident.name(), partitions)
     val root = rootOf(ident)
     if (Files.exists(root.resolve("_snapshots")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(cname, ident.name()))
-    new StagedSnapshotTable(s"$cname.${ident.name()}", root, schema)
+    new StagedSnapshotTable(s"$cname.${ident.name()}", root, schema, parts)
   }
 
   /** `CALL $cname.system.<proc>(…)` — the SQL maintenance surface
@@ -408,7 +509,8 @@ object SnapshotSqlTable {
 private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
                                     mkTable: Seq[String] => ParquetTable,
                                     filesRel: Seq[String],
-                                    writable: Boolean, loadedVersion: Long)
+                                    writable: Boolean, loadedVersion: Long,
+                                    partitionCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -460,6 +562,11 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(writable,
       s"${name()}: ${info.command()} on a version-pinned load is refused")
+    require(partitionCols.isEmpty,
+      s"${name()}: ${info.command()} on a partitioned table is refused — " +
+      "the COW rewrite stages flat files, which cannot coexist with " +
+      "partition dirs; partition-dir layouts take row-level changes " +
+      "through the API's merge machinery (flat-table contract)")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new SnapshotRowLevelOperation(info.command(), root, loadedVersion,
@@ -471,7 +578,13 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable)
-      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      // TRUNCATE names the capability Spark's analyzer demands for
+      // INSERT OVERWRITE's V1 fallback (insert(df, overwrite = true));
+      // the write path then implements DYNAMIC partition replacement on
+      // partitioned tables and REFUSES the flat-table truncate — the
+      // capability admits the statement, the table decides the contract
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // plain reads delegate verbatim unless `_file` is selected — then
@@ -501,11 +614,16 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     * survivors land outside the partition dirs; partition-dir layouts
     * take row-level changes through the API's merge machinery). */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    writable && filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
+    writable && partitionCols.isEmpty &&
+      filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(writable,
       s"${name()}: DELETE on a version-pinned load is refused — deletes land on HEAD")
+    require(partitionCols.isEmpty,
+      s"${name()}: DELETE on a partitioned table is refused — rewritten " +
+      "survivors would land outside the partition dirs (flat-table contract); " +
+      "use the API's merge machinery or INSERT OVERWRITE the partition")
     val spark = SparkSession.active
     val pred = filters.map(f => SnapshotSqlTable.toColumn(f).getOrElse(
         throw new UnsupportedOperationException(
@@ -559,35 +677,101 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
       s"${name()}: INSERT INTO a version-pinned load is refused — writes land on HEAD")
-    new WriteBuilder {
+    // SupportsTruncate admits OverwriteByExpression(true) — Spark's
+    // plan for INSERT OVERWRITE — into the V1 fallback; the insert body
+    // then receives overwrite = true and applies the table's contract
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                s"${name()}: INSERT OVERWRITE refused — content replacement goes " +
-                "through the SnapshotStore maintenance API (compact/merge), not an " +
-                "implicit truncate")
+            override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+              val overwrite = overwriteArg || overwriteAll
+              require(!overwrite || partitionCols.nonEmpty,
+                s"${name()}: INSERT OVERWRITE on a FLAT table refused — content " +
+                "replacement goes through the SnapshotStore maintenance API " +
+                "(compact/merge), not an implicit truncate; on a PARTITIONED " +
+                "table it replaces exactly the touched partitions")
               val target = schema()
               // positional align + cast to the table schema (the V1 seam
               // hands the query's own output names)
               val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
                 .select(target.fields.map(f =>
                   col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-              val rel = s"data/sqlinsert_${java.util.UUID.randomUUID().toString.take(12)}"
-              aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
-              import scala.jdk.CollectionConverters._
-              val s = Files.walk(root.resolve(rel))
-              val fresh =
-                try s.iterator().asScala
-                  .filter(_.getFileName.toString.endsWith(".parquet"))
-                  .map(p => root.relativize(p).toString).toSeq.sorted
-                finally s.close()
-              SnapshotStore.commitAppend(aligned.sparkSession, root, fresh)
+              if (partitionCols.isEmpty) insertFlat(aligned)
+              else insertPartitioned(aligned, overwrite)
             }
           }
       }
     }
+  }
+
+  private def walkFresh(rel: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toSeq.sorted
+    finally s.close()
+  }
+
+  private def insertFlat(aligned: DataFrame): Unit = {
+    val rel = s"data/sqlinsert_${java.util.UUID.randomUUID().toString.take(12)}"
+    aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+    SnapshotStore.commitAppend(aligned.sparkSession, root, walkFresh(rel))
+    ()
+  }
+
+  /** Partitioned INSERT / INSERT OVERWRITE (VERDICT r16 #4): rows land
+    * as partition-dir-shaped fresh files under ONE new attempt dir (the
+    * q26 Layout discipline — repartition-first so each partition value
+    * writes from a bounded task set; `basePath` recovery composes the
+    * attempt dirs into one partitioned relation). INSERT INTO appends
+    * (O(delta) metadata); the first one retires the flat 0-row creation
+    * seed. INSERT OVERWRITE is the manifest-level DYNAMIC partition
+    * overwrite — the daily-load/backfill pattern: every head file whose
+    * partition tuple matches one present in the inserted rows is
+    * REPLACED in the new version; untouched partitions carry by
+    * reference, byte-identical (spec-pinned), and the superseded files
+    * stay on disk for readers pinned below (retention's job) — the
+    * snapshot upgrade over `Layout.overwritePartitions`' physical
+    * delete. At 100 TB: a single-day correction rewrites one
+    * partition's files and never lists the others. */
+  private def insertPartitioned(aligned: DataFrame, overwrite: Boolean): Unit = {
+    val spark = aligned.sparkSession
+    val fresh = SnapshotCatalog.writePartitionedFresh(aligned, root,
+      partitionCols, if (overwrite) "sqloverwrite" else "sqlinsert")
+    if (fresh.isEmpty) return // zero-row insert: the version stands
+    val head = SnapshotStore.headVersion(root).getOrElse(
+      throw new IllegalStateException(s"${name()}: INSERT on an uncommitted table"))
+    val headFiles = SnapshotStore.filesAt(spark, root, head)
+    // the file's partition tuple, from its own path (the specOfFile
+    // contract: the path IS the spec record); None = the file does not
+    // encode every spec key (the creation seed, a pre-spec legacy file)
+    def tupleOf(f: String): Option[Seq[String]] = {
+      val segs = f.split('/').dropRight(1)
+        .filter(s => s.contains('=') && !s.startsWith("_"))
+        .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail).toMap
+      val vals = partitionCols.flatMap(segs.get)
+      if (vals.length == partitionCols.length) Some(vals) else None
+    }
+    val seed = headFiles.filter(SnapshotCatalog.isSeedFile)
+    if (!overwrite) {
+      // plain append — unless the creation seed must retire (a flat
+      // file cannot coexist with partition dirs under one basePath)
+      if (seed.isEmpty) SnapshotStore.commitAppend(spark, root, fresh)
+      else SnapshotStore.commit(spark, root,
+        headFiles.filterNot(SnapshotCatalog.isSeedFile) ++ fresh,
+        expectedBase = head)
+    } else {
+      val newTuples = fresh.flatMap(tupleOf).toSet
+      val carried = headFiles.filterNot(SnapshotCatalog.isSeedFile)
+        .filterNot(f => tupleOf(f).exists(newTuples.contains))
+      SnapshotStore.commit(spark, root, carried ++ fresh,
+        expectedBase = head, opType = "overwrite")
+    }
+    ()
   }
 }
 
@@ -598,7 +782,8 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
   * `commitStagedChanges`; a CTAS with no rows still seeds the declared
   * schema via one 0-row file. Abort deletes exactly what was staged. */
 private[sql] class StagedSnapshotTable(tname: String, root: Path,
-                                       schema0: StructType)
+                                       schema0: StructType,
+                                       parts: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
   import graft.core.{IndexStore, SnapshotStore}
@@ -622,16 +807,25 @@ private[sql] class StagedSnapshotTable(tname: String, root: Path,
               val aligned = data.toDF(schema0.fieldNames.toIndexedSeq: _*)
                 .select(schema0.fields.map(f =>
                   col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-              val rel = s"data/ctas_${java.util.UUID.randomUUID().toString.take(12)}"
-              stagedDirs.add(rel)
-              aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
-              import scala.jdk.CollectionConverters._
-              val s = Files.walk(root.resolve(rel))
+              // partitioned CTAS stages partition-dir-shaped files
+              // directly under data/ (one aligned depth per table — the
+              // writePartitionedFresh contract); invisible to readers
+              // either way until the v1 commit below
               val fresh =
-                try s.iterator().asScala
-                  .filter(_.getFileName.toString.endsWith(".parquet"))
-                  .map(p => root.relativize(p).toString).toSeq.sorted
-                finally s.close()
+                if (parts.nonEmpty)
+                  SnapshotCatalog.writePartitionedFresh(aligned, root, parts, "ctas")
+                else {
+                  val rel = s"data/ctas_${java.util.UUID.randomUUID().toString.take(12)}"
+                  stagedDirs.add(rel)
+                  aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+                  import scala.jdk.CollectionConverters._
+                  val s = Files.walk(root.resolve(rel))
+                  try s.iterator().asScala
+                    .filter(_.getFileName.toString.endsWith(".parquet"))
+                    .map(p => root.relativize(p).toString).toSeq.sorted
+                  finally s.close()
+                }
+              if (parts.nonEmpty) fresh.foreach(stagedDirs.add)
               staged.updateAndGet(prev => prev ++ fresh)
               ()
             }
@@ -645,11 +839,19 @@ private[sql] class StagedSnapshotTable(tname: String, root: Path,
       if (staged.get().nonEmpty) staged.get()
       else {
         // a CTAS whose query produced zero rows (or a staged plain
-        // create): seed the declared schema exactly like createTable
-        val rel = s"data/ctas_seed_${java.util.UUID.randomUUID().toString.take(12)}"
+        // create): seed the declared schema exactly like createTable —
+        // for a partitioned table the seed is flat and retired by the
+        // first partitioned INSERT (see SnapshotCatalog.seedPrefix)
+        val uuid = java.util.UUID.randomUUID().toString.take(12)
+        val rel =
+          if (parts.isEmpty) s"data/ctas_seed_$uuid"
+          else s"${SnapshotCatalog.seedPrefix}$uuid"
         stagedDirs.add(rel)
+        val ordered =
+          if (parts.isEmpty) schema0
+          else SnapshotCatalog.partitionLast(schema0, parts)
         spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema0)
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), ordered)
           .coalesce(1).write.parquet(root.resolve(rel).toString)
         import scala.jdk.CollectionConverters._
         val s = Files.walk(root.resolve(rel))
@@ -659,6 +861,7 @@ private[sql] class StagedSnapshotTable(tname: String, root: Path,
         finally s.close()
       }
     SnapshotStore.commit(spark, root, files) // v1: the table is BORN here
+    if (parts.nonEmpty) SnapshotCatalog.writeSpec(root, parts)
   }
 
   override def abortStagedChanges(): Unit = {
