@@ -156,6 +156,8 @@ object SparkEntry {
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
     "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
     "q28g_sql_partitioned" -> (LayoutQueries.q28gSqlPartitioned _),
+    "q28h_dv_delete"       -> (LayoutQueries.q28hDvDelete _),
+    "q28i_sql_renamed_read" -> (LayoutQueries.q28iSqlRenamedRead _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
     "q26k_schema_evolution" -> (LayoutQueries.q26kSchemaEvolution _),
     "q26l_merge_cow"       -> (LayoutQueries.q26lMergeCow _),
@@ -1913,6 +1915,46 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val_amt,
         |  MAX(ts) AS max_ts
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28h: positional deletion vectors — clicks in id-decile 4 and
+    // purchases in decile 5 deleted by (file, row position) with no
+    // key discipline; v1 pre-delete, v3 under DV semantics, v4
+    // post-fold must all equal the flat-corpus recomputation
+    "q28h_dv_delete" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo + 3 * (hi - lo) // 10 AS cut3,
+        |             lo + 4 * (hi - lo) // 10 AS cut4,
+        |             lo + 5 * (hi - lo) // 10 AS cut5 FROM b),
+        |kept AS (SELECT e.* FROM events e, c
+        |         WHERE NOT (e.event_type = 'click'
+        |                    AND e.event_id > c.cut3 AND e.event_id <= c.cut4)
+        |           AND NOT (e.event_type = 'purchase'
+        |                    AND e.event_id > c.cut4 AND e.event_id <= c.cut5)),
+        |roll AS (
+        |  SELECT 'dv' AS snap, event_type, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'folded', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v1', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM events GROUP BY event_type)
+        |SELECT * FROM roll ORDER BY snap, event_type""".stripMargin,
+    // q28i: the renamed table read through the SQL catalog — the
+    // filtered rollup over the twice-renamed column spans both file
+    // generations; nulling the old generation, or pushing the filter
+    // to parquet against the newest physical name alone, hash-fails
+    "q28i_sql_renamed_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |WHERE value > 25.0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q26x: partition evolution — the type+time box spans the spec

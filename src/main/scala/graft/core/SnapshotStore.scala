@@ -912,7 +912,7 @@ object SnapshotStore {
     * base. Returns the committed version. */
   def commitAppend(spark: SparkSession, root: Path, addFiles: Seq[String],
                    statsCols: Seq[String] = Nil, expectedBase: Long = -1L,
-                   ref: String = "HEAD"): Long = {
+                   ref: String = "HEAD", opType: String = "append"): Long = {
     require(addFiles.nonEmpty, s"empty append for $root")
     var prev =
       if (expectedBase < 0)
@@ -922,12 +922,12 @@ object SnapshotStore {
     var rebases = 0
     while (true) {
       try {
-        appendOnce(spark, root, addFiles, statsCols, prev, ref) match {
+        appendOnce(spark, root, addFiles, statsCols, prev, ref, opType) match {
           case Some(v) => return v
           case None => // legacy layout / stats-shape change: migrate once
             return commit(spark, root,
               prev.map(v => filesAt(spark, root, v)).getOrElse(Seq.empty) ++ addFiles,
-              statsCols, if (expectedBase == 0) 0L else expectedBase, ref)
+              statsCols, if (expectedBase == 0) 0L else expectedBase, ref, opType)
         }
       } catch {
         case cme: java.util.ConcurrentModificationException =>
@@ -947,7 +947,7 @@ object SnapshotStore {
     * whose carried files must rescan). */
   private def appendOnce(spark: SparkSession, root: Path, addFiles: Seq[String],
                          statsCols: Seq[String], prev: Option[Long],
-                         ref: String): Option[Long] = {
+                         ref: String, opType: String = "append"): Option[Long] = {
     import spark.implicits._
     commitAttemptHook(root, prev)
     val next = prev.getOrElse(0L) + 1
@@ -996,7 +996,7 @@ object SnapshotStore {
             mergedDeclared(spark, root, prev, addAbs)
               .orElse(birthDeclared(spark, root, prev, addFiles, addAbs))
           },
-          opType = "append")
+          opType = opType)
         val live = listRows.map(_.mpath).toSet
         written.filterNot(r => live(r.mpath))
           .foreach(r => IndexStore.deleteRecursively(root.resolve(r.mpath)))
@@ -1600,18 +1600,19 @@ object SnapshotStore {
   }
 
   /** Refusal guard for surfaces that read raw footers or plan ONE
-    * relation over every file (the SQL catalog's single scan, the
-    * streaming source, the row-op rungs): they cannot alias per file
-    * generation, so a renamed table refuses there until a compaction
-    * rewrites everything under current names (+
-    * [[dropRetiredRenames]]). */
+    * relation over every file and cannot coalesce name chains (the
+    * streaming source, the row-op rungs; the SQL catalog's plain READ
+    * serves renamed tables via its chain-coalescing scan instead): a
+    * renamed table refuses there until a compaction rewrites
+    * everything under current names (+ [[dropRetiredRenames]]). */
   private[graft] def requireNoRenames(root: Path, v: Long, op: String): Unit = {
     val rs = renamesAt(root, v)
     require(rs.isEmpty,
       s"$op on $root: the table carries ${rs.size} active name mapping(s) " +
       s"(${rs.map(r => s"${r._2}->${r._1}").mkString(", ")}) — this surface " +
       "plans one relation over every file and cannot alias per generation; " +
-      "read through the API (readAt), or compact + dropRetiredRenames first")
+      "read through the API (readAt) or plain SQL SELECT, or compact + " +
+      "dropRetiredRenames first")
   }
 
   /** COLUMN RENAME VIA NAME MAPPING (VERDICT r15 #7 — the metadata-only
@@ -1636,13 +1637,18 @@ object SnapshotStore {
     *  - no stat envelopes on the renamed column (carried `min_from`
     *    rows and fresh `min_to` ones cannot union — re-stat via
     *    compaction first);
-    *  - single-relation surfaces that cannot alias per file generation
-    *    (the SQL catalog's one-scan plan, the streaming source, the
-    *    raw-footer row ops) REFUSE renamed tables until a compaction
-    *    rewrites everything under the current names — after which
-    *    [[dropRetiredRenames]] clears the ledger and every surface
-    *    reopens. At 100 TB the rename itself is O(1) metadata; readers
-    *    pay one extra manifest list per boundary. */
+    *  - the SQL catalog READS renamed tables through its
+    *    chain-coalescing scan (retired names appended to the parquet
+    *    read schema, coalesced newest-first — sound exactly because
+    *    retired names are unreusable); the remaining single-relation
+    *    surfaces that cannot alias per file generation (the streaming
+    *    source, the raw-footer row-level ops) REFUSE renamed tables
+    *    until a compaction rewrites everything under the current names
+    *    — after which [[dropRetiredRenames]] clears the ledger and
+    *    every surface reopens vectorized. At 100 TB the rename itself
+    *    is O(1) metadata; readers pay one extra manifest list per
+    *    boundary (API) or a row-based coalescing scan (SQL) until the
+    *    compaction slot. */
   def renameColumnMapped(spark: SparkSession, root: Path,
                          from: String, to: String): Long = {
     import org.apache.spark.sql.types._
@@ -1860,7 +1866,7 @@ object SnapshotStore {
     // compact reads PLAIN rows — pending special files must fold first
     // (their own fold IS the compaction for those rungs)
     requireNoPending(filesAt(spark, root, attempt - 1), "compact",
-      cdcDeltas = true, morDeletes = true)
+      cdcDeltas = true, morDeletes = true, dvs = true)
     val df = readAt(spark, root, inferPartitions = false)
     val shaped = sortCol match {
       case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
@@ -1943,7 +1949,7 @@ object SnapshotStore {
     val headFiles = filesAt(spark, root, head)
     // MOR deletes are handled below; CDC deltas are a different
     // resolution discipline (per-key _seq argmax) — refuse, fold first
-    requireNoPending(headFiles, "mergeCow", cdcDeltas = true)
+    requireNoPending(headFiles, "mergeCow", cdcDeltas = true, dvs = true)
     val (delFiles, dataFiles) = headFiles.partition(isDeleteFile)
     val changeKeys = changes.select(col(keyCol)).distinct()
     // file-scoped planning: envelope ∩ change-keys, with the MANIFEST
@@ -2041,6 +2047,13 @@ object SnapshotStore {
   def isDeleteFile(relPath: String): Boolean =
     relPath.contains("/_deletes_a") || relPath.startsWith("data/_deletes_a")
 
+  /** Is this manifest path a POSITIONAL DELETION-VECTOR file? DVs live
+    * under `data/_dv_a<attempt>/` by path convention, like MOR delete
+    * files and CDC deltas — manifest schema untouched, every version's
+    * file list fully describes content (data files ∖ DV positions). */
+  def isDvFile(relPath: String): Boolean =
+    relPath.contains("/_dv_a") || relPath.startsWith("data/_dv_a")
+
   /** MERGE-ON-READ DELETE — the other half of the COW/MOR pairing
     * ([[mergeCow]] is copy-on-write): deleting a cohort commits a TINY
     * delete-key file instead of rewriting the files the keys live in.
@@ -2058,7 +2071,7 @@ object SnapshotStore {
     val head = headVersion(root).getOrElse(
       throw new IllegalStateException(s"deleteMor on uncommitted table $root"))
     requireNoRenames(root, head, "deleteMor")
-    requireNoPendingAt(spark, root, head, "deleteMor", cdcDeltas = true)
+    requireNoPendingAt(spark, root, head, "deleteMor", cdcDeltas = true, dvs = true)
     // the key-padding schema probe needs ONE data file's name, not the
     // table's list (round 14: O(1) metadata, O(|keys|) write)
     val firstData = manifest(spark, root, head)
@@ -2108,7 +2121,7 @@ object SnapshotStore {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver)
-    requireNoPending(files, "readAtMor", cdcDeltas = true)
+    requireNoPending(files, "readAtMor", cdcDeltas = true, dvs = true)
     val (del, data) = files.partition(isDeleteFile)
     val base = readFiles(spark, root, data, inferPartitions = false)
     if (del.isEmpty) base
@@ -2168,6 +2181,177 @@ object SnapshotStore {
     commit(spark, root, cold ++ fresh, statsCols, opType = "fold")
   }
 
+  // ---- positional deletion vectors (the per-file position rung) ------
+
+  /** Table-root-RELATIVE path of each row's source file, derived from
+    * the scan's `_metadata.file_path` (an absolute file URI whose
+    * exact rendering differs between Hadoop and java.nio) — every
+    * plausible prefix form is tried so the DV ledger always keys the
+    * same relative names the manifest carries. */
+  private def relFileCol(root: Path): org.apache.spark.sql.Column = {
+    val norm = root.toAbsolutePath.normalize
+    val prefixes = Seq(
+      new org.apache.hadoop.fs.Path(norm.toUri).toString,
+      norm.toUri.toString,
+      norm.toString).map(_.stripSuffix("/") + "/").distinct
+    val fp = col("_metadata.file_path")
+    coalesce(prefixes.map(p =>
+      when(fp.startsWith(p), fp.substr(lit(p.length + 1), length(fp)))): _*)
+  }
+
+  /** POSITIONAL DELETE — the deletion-vector rung below [[deleteMor]]
+    * (Iceberg v2 position deletes / Delta deletion vectors; the scale
+    * rung q26n's own note names): deleting the rows matching `cond`
+    * commits one TINY file of (data file, row position) pairs instead
+    * of rewriting the files the rows live in — and unlike the
+    * equality-key path it needs NO key discipline at all (the position
+    * IS the identity), so it serves tables without a unique key.
+    * Write cost is O(|matched positions|) plus one pushed-down scan to
+    * find them; every standing data file is carried into the new
+    * version untouched (spec-pinned). Reads pay [[readAtDv]]'s
+    * broadcast (file, position) anti-join until [[foldDv]] compacts
+    * the vectors away. Positions are stable by construction — data
+    * files are immutable — but any op that REWRITES files invalidates
+    * them, so every rewriting/resolving op refuses on pending DVs
+    * (fold first), exactly like the other MOR rungs. DVs ACCUMULATE
+    * across commits (positions are file-scoped, so later vectors
+    * compose by union; a position deleted twice is one deletion; the
+    * predicate is evaluated against the RAW data files, so re-matching
+    * an already-deleted position is harmless). Stored as parquet rows
+    * (`_dv_file`, `_dv_pos`) padded with the table schema so the
+    * manifest stats machinery treats the file like any other; the
+    * underscore prefix keeps the ledger columns out of the declared
+    * schema (the `_seq` discipline). A production format would pack
+    * positions as roaring bitmaps per file; parquet pairs carry the
+    * identical contract at this rung. CAS-pinned to the HEAD the
+    * positions were derived from; a predicate matching NOTHING is a
+    * no-op returning the current head. Returns the committed
+    * version. */
+  def deleteDv(spark: SparkSession, root: Path,
+               cond: org.apache.spark.sql.Column): Long = {
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"deleteDv on uncommitted table $root"))
+    requireNoRenames(root, head, "deleteDv")
+    requireNoPendingAt(spark, root, head, "deleteDv",
+      cdcDeltas = true, morDeletes = true)
+    val data = filesAt(spark, root, head).filterNot(isDvFile)
+    val base = readFiles(spark, root, data, inferPartitions = false)
+    val schema = base.schema
+    val matches = base.where(cond).select(
+      relFileCol(root).as("_dv_file"),
+      col("_metadata.row_index").as("_dv_pos"))
+    val padded = matches.select(
+      schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq ++
+        Seq(col("_dv_file"), col("_dv_pos")): _*)
+    val attempt = head + 1
+    val rel = s"data/_dv_a$attempt"
+    padded.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    // explicit file paths (a `_`-prefixed dir is hidden to listing);
+    // a null ledger key means the file-path relativization missed —
+    // fail loudly before a vector that silently never applies commits
+    val back = spark.read.parquet(fresh.map(f => root.resolve(f).toString): _*)
+    require(back.where(col("_dv_file").isNull).isEmpty,
+      s"deleteDv on $root: _metadata.file_path did not relativize against " +
+      "the table root — the deletion vector would never apply")
+    if (back.isEmpty) {
+      IndexStore.deleteRecursively(root.resolve(rel))
+      return head
+    }
+    commitAppend(spark, root, fresh, expectedBase = head, opType = "dv-delete")
+  }
+
+  /** Read a version UNDER DELETION-VECTOR SEMANTICS: data rows minus
+    * the (file, position) pairs the version's manifest carries. The
+    * delete side is bounded by the accumulated position count — a
+    * broadcast anti-join on (source file, row index), an O(1) probe
+    * per scanned row, which is the "DV applied at scan time" read:
+    * each file's surviving rows are decided by a per-file positional
+    * membership test, never by a data-column join (contrast
+    * [[readAtMor]]'s key anti-join over O(keys)). A version with no
+    * DV files degrades to a plain [[readFiles]]. Flat tables
+    * (`inferPartitions = false` read shape). */
+  def readAtDv(spark: SparkSession, root: Path,
+               v: Option[Long] = None): DataFrame = {
+    val ver = v.orElse(headVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val files = filesAt(spark, root, ver)
+    requireNoPending(files, "readAtDv", cdcDeltas = true, morDeletes = true)
+    val (dv, data) = files.partition(isDvFile)
+    val base = readFiles(spark, root, data, inferPartitions = false)
+    if (dv.isEmpty) base
+    else {
+      val cols = base.columns.toSeq
+      val positions = spark.read
+        .parquet(dv.map(f => root.resolve(f).toString): _*)
+        .select(col("_dv_file"), col("_dv_pos")).distinct()
+      base
+        .withColumn("_dv_file", relFileCol(root))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(positions), Seq("_dv_file", "_dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** FOLD the accumulated deletion vectors (the compaction slot's DV
+    * maintenance op): data files NAMED by a pending vector are
+    * rewritten minus their deleted positions; files no vector names —
+    * the common case, since a vector names exactly the files its
+    * delete touched — are CARRIED untouched, so a fold costs O(files
+    * the deletes touched), not a table rewrite. The DV ledger is its
+    * own file-pruning index (no stats envelope needed, contrast
+    * [[foldMor]]'s key-envelope scoping). DV files gone after the
+    * fold, reads back to plain scans. Content-preserving by
+    * construction ([[readAtDv]] before == a plain read after, which
+    * the caller's oracle hash-checks). A fold with nothing pending is
+    * a NO-OP returning the current head. Offline-slot contract;
+    * superseded files retire via [[vacuum]] on the retention
+    * policy. */
+  def foldDv(spark: SparkSession, root: Path, numFiles: Int,
+             statsCols: Seq[String] = Nil): Long = {
+    import spark.implicits._
+    val head = headVersion(root).getOrElse(
+      throw new IllegalStateException(s"foldDv on uncommitted table $root"))
+    requireNoRenames(root, head, "foldDv")
+    val files = filesAt(spark, root, head)
+    requireNoPending(files, "foldDv", cdcDeltas = true, morDeletes = true)
+    val (dv, data) = files.partition(isDvFile)
+    if (dv.isEmpty) return head
+    val positions = spark.read
+      .parquet(dv.map(f => root.resolve(f).toString): _*)
+      .select(col("_dv_file"), col("_dv_pos")).distinct()
+    // the vectors name their files — O(touched) driver names, the
+    // same bounded-metadata class as manifest file lists
+    val touched = positions.select("_dv_file").distinct()
+      .as[String].collect().toSet
+    val (hot, cold) = data.partition(touched)
+    val attempt = head + 1
+    val rel = s"data/dvfold_a$attempt"
+    val hotDf = readFiles(spark, root, hot, inferPartitions = false)
+    val cols = hotDf.columns.toSeq
+    hotDf
+      .withColumn("_dv_file", relFileCol(root))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(positions), Seq("_dv_file", "_dv_pos"), "left_anti")
+      .select(cols.map(col): _*)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root.resolve(rel))
+    val fresh =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally s.close()
+    commit(spark, root, cold ++ fresh, statsCols, opType = "fold")
+  }
+
   // ---- CDC delta files (the merge-on-read UPSERT rung; q26r) ---------
 
   /** PENDING-FILE GUARD (round 13; the API-combination class ADVICE
@@ -2185,7 +2369,8 @@ object SnapshotStore {
     * that unblocks. */
   private def requireNoPending(files: Seq[String], op: String,
                                cdcDeltas: Boolean = false,
-                               morDeletes: Boolean = false): Unit = {
+                               morDeletes: Boolean = false,
+                               dvs: Boolean = false): Unit = {
     if (cdcDeltas) {
       val d = files.filter(isCdcDeltaFile)
       if (d.nonEmpty) throw new IllegalStateException(
@@ -2198,6 +2383,12 @@ object SnapshotStore {
         s"$op on a table with ${d.size} un-folded MOR delete file(s) — " +
         s"run foldMor first (pending: ${d.take(3).mkString(", ")}…)")
     }
+    if (dvs) {
+      val d = files.filter(isDvFile)
+      if (d.nonEmpty) throw new IllegalStateException(
+        s"$op on a table with ${d.size} un-folded deletion-vector file(s) — " +
+        s"run foldDv first (pending: ${d.take(3).mkString(", ")}…)")
+    }
   }
 
   /** [[requireNoPending]] as a METADATA-ONLY probe (round 14): one
@@ -2206,7 +2397,8 @@ object SnapshotStore {
     * 10⁶ files. */
   private def requireNoPendingAt(spark: SparkSession, root: Path, v: Long, op: String,
                                  cdcDeltas: Boolean = false,
-                                 morDeletes: Boolean = false): Unit = {
+                                 morDeletes: Boolean = false,
+                                 dvs: Boolean = false): Unit = {
     val m = manifest(spark, root, v)
     def probe(pred: org.apache.spark.sql.Column): Seq[String] =
       m.where(pred).select("file").limit(3).collect().map(_.getString(0)).toSeq
@@ -2223,6 +2415,13 @@ object SnapshotStore {
       if (d.nonEmpty) throw new IllegalStateException(
         s"$op on a table with un-folded MOR delete file(s) — " +
         s"run foldMor first (pending: ${d.mkString(", ")}…)")
+    }
+    if (dvs) {
+      val d = probe(col("file").contains("/_dv_a") ||
+        col("file").startsWith("data/_dv_a"))
+      if (d.nonEmpty) throw new IllegalStateException(
+        s"$op on a table with un-folded deletion-vector file(s) — " +
+        s"run foldDv first (pending: ${d.mkString(", ")}…)")
     }
   }
 
@@ -2258,7 +2457,7 @@ object SnapshotStore {
     // the delta rung's recency argmax does not know how to apply MOR
     // delete keys — the two merge-on-read disciplines must not mix.
     // Metadata-only probe: a delta commit never collects table names.
-    requireNoPendingAt(spark, root, head, "commitCdcDelta", morDeletes = true)
+    requireNoPendingAt(spark, root, head, "commitCdcDelta", morDeletes = true, dvs = true)
     val attempt = head + 1
     val rel = s"data/_cdcdelta_a$attempt"
     changes.withColumn("_seq", lit(attempt))
@@ -2329,7 +2528,7 @@ object SnapshotStore {
     val ver = v.orElse(headVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val files = filesAt(spark, root, ver)
-    requireNoPending(files, "readAtCdc", morDeletes = true)
+    requireNoPending(files, "readAtCdc", morDeletes = true, dvs = true)
     if (!files.exists(isCdcDeltaFile))
       return readFiles(spark, root, files, inferPartitions = false)
     val (_, cold, resolved, dataCols) = cdcResolve(spark, root, ver, keyCol, orderCols)
@@ -2443,8 +2642,8 @@ object SnapshotStore {
     val toFiles = filesAt(spark, root, toV)
     // the diff resolves MOR deletes; CDC deltas need their own
     // resolution (fold first — a folded endpoint diffs exactly)
-    requireNoPending(fromFiles, s"changesBetween(from=v$fromV)", cdcDeltas = true)
-    requireNoPending(toFiles, s"changesBetween(to=v$toV)", cdcDeltas = true)
+    requireNoPending(fromFiles, s"changesBetween(from=v$fromV)", cdcDeltas = true, dvs = true)
+    requireNoPending(toFiles, s"changesBetween(to=v$toV)", cdcDeltas = true, dvs = true)
     val changed = (fromFiles.filterNot(toFiles.toSet) ++
       toFiles.filterNot(fromFiles.toSet)).distinct
     val fromAll = readAtMor(spark, root, Some(fromV), keyCol)
@@ -2513,7 +2712,7 @@ object SnapshotStore {
     // physical n_rows ≠ logical count when pending special files carry
     // superseded versions / delete keys — refuse rather than overcount
     requireNoPendingAt(spark, root, ver, "countAt",
-      cdcDeltas = true, morDeletes = true)
+      cdcDeltas = true, morDeletes = true, dvs = true)
     manifest(spark, root, ver).agg(sum(col("n_rows"))).head().getLong(0)
   }
 

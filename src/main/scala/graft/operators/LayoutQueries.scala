@@ -541,6 +541,47 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  /** Q28i — RENAMED tables served through plain `spark.sql` (VERDICT
+    * r16 #5, closing q28d's single-relation refusal): the catalog
+    * appends each rename chain's retired physical names to the parquet
+    * read schema and the scan coalesces them newest-first back to one
+    * logical column — the generation-grouped union of `readAt` as ONE
+    * relation, no compaction required. The loop is all SQL: `ALTER
+    * TABLE RENAME COLUMN value TO val_amt` (v2, metadata-only),
+    * `INSERT INTO` the tail under the new name (v3), a SECOND chained
+    * rename to `amount` (v4 — no file anywhere carries the name), then
+    * a filtered rollup over `amount` whose WHERE crosses both file
+    * generations: a read that nulls the old generation under the new
+    * name, or a filter pushed to parquet against the newest physical
+    * column alone, loses every pre-rename row and hash-fails. Row-level
+    * DML stays refused until compaction (the store's contract). */
+  def q28iSqlRenamedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28i")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).repartition(4)
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts")) // v1: declared-at-birth (event_id…value)
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO val_amt") // v2
+    events.where(col("ts") >= cut).withColumnRenamed("value", "val_amt")
+      .createOrReplaceTempView("q28i_tail")
+    spark.sql(s"INSERT INTO $t SELECT * FROM q28i_tail") // v3: new-name files
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN val_amt TO amount") // v4: chained
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |WHERE amount > 25.0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Q28e — the SQL MAINTENANCE loop (`CALL graft_lake.system.*`, the
     * Iceberg procedure surface on Spark 4's stored-procedure API): the
     * pre-cutoff events commit as a multi-file v1, the tail lands via
@@ -1043,6 +1084,77 @@ object LayoutQueries {
     roll(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false), "v1")
       .unionByName(roll(
         SnapshotStore.readAtMor(spark, root, Some(3L), "event_id"), "mor"))
+      .unionByName(roll(
+        SnapshotStore.readAt(spark, root, Some(4L), inferPartitions = false), "folded"))
+      .orderBy("snap", "event_type")
+  }
+
+  // ---- events: positional deletion vectors (q28h) ---------------------
+
+  val snapDvBuildCount = new AtomicInteger(0)
+  private val SnapDvFamily = "graft-snap-dv"
+
+  /** Build-or-load the DELETION-VECTOR table: the flat 5-column events
+    * key-clustered as v1 (the q26o shape), then TWO positional deletes
+    * — clicks in id-decile 4, purchases in id-decile 5 — committed as
+    * tiny (file, row position) vectors (v2, v3: no data file
+    * rewritten, spec-pinned; NO key discipline used — the predicates
+    * mix columns and the position alone is the row identity), then the
+    * FOLD ([[graft.core.SnapshotStore.foldDv]]) rewriting ONLY the
+    * files the vectors name (v4: decile-clustered layout, so the
+    * untouched deciles carry by reference). Both read paths stay live:
+    * q28h reads v3 under DV semantics AND v4 as a plain scan — same
+    * answer, one oracle. */
+  def eventsDvRoot(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val events = Tables.load(spark, dir, "events")
+    val fp = "h1:" + SimilarityQueries.corpusFingerprint(events, "event_id",
+      Seq(col("event_type"), col("ts"), col("value")))
+    IndexStore.buildOrLoad(
+        SnapDvFamily, dir, fp, Seq("data", "_snapshots"), snapDvBuildCount) { r =>
+      IndexStore.deleteRecursively(r.resolve("data"))
+      IndexStore.deleteRecursively(r.resolve("_snapshots"))
+      val flat = events.select("event_id", "ts", "user_id", "event_type", "value")
+      flat.repartitionByRange(SnapMergeFiles, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(r.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, r, SnapshotStore.dataFiles(r),
+        statsCols = Seq("event_id")) // v1
+      val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+      def cut(k: Int) = lo + k * span / 10
+      SnapshotStore.deleteDv(spark, r, // v2: O(|positions|) write
+        col("event_type") === "click" &&
+          col("event_id") > cut(3) && col("event_id") <= cut(4))
+      SnapshotStore.deleteDv(spark, r, // v3: vectors accumulate
+        col("event_type") === "purchase" &&
+          col("event_id") > cut(4) && col("event_id") <= cut(5))
+      SnapshotStore.foldDv(spark, r, SnapMergeFiles,
+        statsCols = Seq("event_id")) // v4: vectors folded away
+    }
+  }
+
+  /** Q28h — POSITIONAL DELETION VECTORS made load-bearing (VERDICT r16
+    * #2, the rung q26n's scale note names): deleting two
+    * multi-column cohorts costs two tiny (file, row position) commits
+    * — no data file rewritten and NO unique key required, the
+    * difference from q26o's equality-key path — and reads pay a
+    * broadcast positional anti-join (O(1) probe per row against the
+    * tiny vector set) until the fold rewrites exactly the files the
+    * vectors name. The query answers the same rollup THREE ways from
+    * one table's history: v1 plain (pre-delete), v3 under DV
+    * semantics, v4 plain post-fold; the oracle recomputes all three
+    * from the flat corpus, so a leaked deleted row on EITHER read
+    * path, a fold that dropped a survivor, or a vector that
+    * over-matched all hash-fail. */
+  def q28hDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsDvRoot(spark, dir)
+    def roll(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(lit(tag).as("snap"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    roll(SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false), "v1")
+      .unionByName(roll(
+        SnapshotStore.readAtDv(spark, root, Some(3L)), "dv"))
       .unionByName(roll(
         SnapshotStore.readAt(spark, root, Some(4L), inferPartitions = false), "folded"))
       .orderBy("snap", "event_type")

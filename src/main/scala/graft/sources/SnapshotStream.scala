@@ -322,6 +322,15 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
       "(their logical rows need resolution, not file replay) — or stream " +
       "with .option(\"cdcFeed\", \"true\") to drain CDC delta rows raw / " +
       "MOR delete keys as retraction rows for downstream resolution")
+    // deletion-vector files refuse under BOTH modes: a (file, position)
+    // pair has no row representation a feed consumer can fold without
+    // re-reading the base file it points into — stream between folds
+    val dvPending = delta.filter(SnapshotStore.isDvFile)
+    if (dvPending.nonEmpty) throw new IllegalStateException(
+      s"graft-snapshot stream on $root: interval ($a, $b] carries " +
+      s"${dvPending.size} pending deletion-vector file(s) — positional " +
+      "deletes have no per-row feed representation; run foldDv and " +
+      s"restart the stream from startVersion=$b")
     SnapshotStreamSource.logPlan((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
     val batch =

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Coalesce, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -200,10 +200,23 @@ class SnapshotCatalog extends TableCatalog
             s"$cname.${ident.name()}: '$named' is neither a version number, " +
             "a tag, nor a live ref"))
     }
-    // renamed tables refuse here: one parquet relation cannot alias
-    // old-generation files (see SnapshotStore.renameColumnMapped)
-    SnapshotStore.requireNoRenames(root, v, s"$cname.${ident.name()}")
+    // RENAMED tables read through the CHAIN-COALESCING scan (VERDICT
+    // r16 #5): the ledger's retired physical names are appended to the
+    // parquet read schema (retired names are unreusable, so each
+    // appears in at most one generation's files and reads NULL
+    // everywhere else), and the scan coalesces each chain newest-first
+    // back to ONE logical column — the generation-grouped union of
+    // SnapshotStore.readAt, expressed as a single relation. Writes and
+    // row-level ops on renamed tables keep the store's refusals.
+    val renames = SnapshotStore.renamesAt(root, v)
     val filesRel = SnapshotStore.filesAt(spark, root, v)
+    // deletion vectors refuse outright: one parquet relation would
+    // surface DV ledger rows as all-null data rows with no column to
+    // tell them apart (unlike MOR delete files, which carry the table
+    // schema) — fold first
+    require(!filesRel.exists(SnapshotStore.isDvFile),
+      s"$cname.${ident.name()}@v$v carries pending deletion-vector " +
+      "file(s) — run foldDv (or CALL system.fold_dv) first")
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", root.resolve("data").toString)
     // the version's DECLARED read schema binds the SQL path exactly like
@@ -211,8 +224,33 @@ class SnapshotCatalog extends TableCatalog
     // as ONE type; with no declaration, mergeSchema makes an
     // add-column-evolved version surface late columns instead of
     // silently dropping them behind one footer's schema
-    val declared = SnapshotStore.declaredSchema(root, v)
+    val logicalDeclared = SnapshotStore.declaredSchema(root, v)
       .map(StructType.fromDDL)
+    // each renamed logical column's physical name CHAIN, newest-first
+    // (the logical name itself heads the chain); retired names along a
+    // chain are typed like the logical head — widening after a rename
+    // upcasts the old generation exactly like any narrow file
+    val chains: Seq[(String, Seq[String])] =
+      if (renames.isEmpty) Seq.empty
+      else {
+        val logical = logicalDeclared.getOrElse(throw new IllegalStateException(
+          s"renamed table $cname.${ident.name()}@v$v lost its declared schema"))
+        logical.fields.toSeq.map { f =>
+          val acc = scala.collection.mutable.ArrayBuffer(f.name)
+          renames.reverse.foreach { case (to, from, _) =>
+            if (to == acc.last) acc += from
+          }
+          f.name -> acc.toSeq
+        }.filter(_._2.size > 1)
+      }
+    val declared = chains match {
+      case Seq() => logicalDeclared
+      case cs => logicalDeclared.map(logical => StructType(
+        logical.fields ++ cs.flatMap { case (name, chain) =>
+          val dt = logical(name).dataType
+          chain.tail.map(pn => StructField(pn, dt, nullable = true))
+        }))
+    }
     if (declared.isEmpty) opts.put("mergeSchema", "true")
     val cmap = new CaseInsensitiveStringMap(opts)
     // the delegate factory takes table-root-RELATIVE names so the
@@ -226,7 +264,9 @@ class SnapshotCatalog extends TableCatalog
     // past" has no honest meaning
     new SnapshotSqlTable(root, mkTable(filesRel), mkTable, filesRel,
       writable = version.isEmpty, loadedVersion = v,
-      partitionCols = SnapshotCatalog.readSpec(root))
+      partitionCols = SnapshotCatalog.readSpec(root),
+      logicalOverride = if (chains.isEmpty) None else logicalDeclared,
+      renameChains = chains)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -353,6 +393,14 @@ class SnapshotCatalog extends TableCatalog
           s"$cname.${ident.name()}: only top-level DROP COLUMN is supported " +
           s"(got ${del.fieldNames().mkString(".")})")
         SnapshotStore.dropColumn(spark, root, del.fieldNames()(0))
+      case ren: TableChange.RenameColumn =>
+        // metadata-only name mapping (VERDICT r16 #5): reads serve the
+        // chain-coalescing scan; row-level DML refuses until compaction
+        require(ren.fieldNames().length == 1,
+          s"$cname.${ident.name()}: only top-level RENAME COLUMN is supported " +
+          s"(got ${ren.fieldNames().mkString(".")})")
+        SnapshotStore.renameColumnMapped(spark, root, ren.fieldNames()(0),
+          ren.newName())
       case other => readOnly(s"alterTable(${other.getClass.getSimpleName})")
     }
     loadTable(ident)
@@ -510,7 +558,9 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
                                     mkTable: Seq[String] => ParquetTable,
                                     filesRel: Seq[String],
                                     writable: Boolean, loadedVersion: Long,
-                                    partitionCols: Seq[String] = Seq.empty)
+                                    partitionCols: Seq[String] = Seq.empty,
+                                    logicalOverride: Option[StructType] = None,
+                                    renameChains: Seq[(String, Seq[String])] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -567,6 +617,10 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       "the COW rewrite stages flat files, which cannot coexist with " +
       "partition dirs; partition-dir layouts take row-level changes " +
       "through the API's merge machinery (flat-table contract)")
+    require(renameChains.isEmpty,
+      s"${name()}: ${info.command()} on a RENAMED table is refused — the " +
+      "COW rewrite would mix generations under one physical schema; " +
+      "compact first (the store's mergeCow refusal, surfaced early)")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new SnapshotRowLevelOperation(info.command(), root, loadedVersion,
@@ -575,7 +629,10 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
   }
 
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+  /** The LOGICAL schema: on a renamed table the delegate reads the
+    * chain-extended physical schema, but users see (and writes align
+    * to) the declared logical names alone. */
+  override def schema(): StructType = logicalOverride.getOrElse(delegate.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     if (writable)
       // TRUNCATE names the capability Spark's analyzer demands for
@@ -588,8 +645,11 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // plain reads delegate verbatim unless `_file` is selected — then
-    // the same tagging wrapper the row-level path uses serves it
-    new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None)
+    // the same tagging wrapper the row-level path uses serves it — or
+    // the table is RENAMED, in which case the chain-coalescing wrapper
+    // folds each retired physical column back into its logical name
+    new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None,
+      renameChains = renameChains, logicalSchema = logicalOverride)
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
@@ -614,7 +674,7 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     * survivors land outside the partition dirs; partition-dir layouts
     * take row-level changes through the API's merge machinery). */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    writable && partitionCols.isEmpty &&
+    writable && partitionCols.isEmpty && renameChains.isEmpty &&
       filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
@@ -633,8 +693,10 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       throw new IllegalStateException(s"${name()}: DELETE on an uncommitted table"))
     val headFiles = SnapshotStore.filesAt(spark, root, head)
     require(!headFiles.exists(f =>
-        SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f)),
-      s"${name()}: DELETE on a table with pending CDC-delta/MOR-delete files — fold first")
+        SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f) ||
+        SnapshotStore.isDvFile(f)),
+      s"${name()}: DELETE on a table with pending CDC-delta/MOR-delete/" +
+      "deletion-vector files — fold first")
     // tier 1 — MANIFEST ENVELOPE pruning: when (part of) the predicate
     // is envelope-expressible against the table's stamped stats, files
     // provably disjoint from every matching row drop before a single
@@ -1094,10 +1156,15 @@ private[sql] class SnapshotScanBuilder(
     mkTable: Seq[String] => ParquetTable,
     filesRel: Seq[String],
     options: CaseInsensitiveStringMap,
-    onNarrow: Option[Seq[String] => Unit])
+    onNarrow: Option[Seq[String] => Unit],
+    renameChains: Seq[(String, Seq[String])] = Seq.empty,
+    logicalSchema: Option[StructType] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
+
+  require(renameChains.isEmpty || onNarrow.isEmpty,
+    "row-level operations never plan over a renamed table")
 
   private def mkDelegate(files: Seq[String]) =
     mkTable(files).newScanBuilder(options)
@@ -1107,20 +1174,42 @@ private[sql] class SnapshotScanBuilder(
   private var wantFile = false
   private var pushed: Seq[Expression] = Nil
 
+  private val chainOf: Map[String, Seq[String]] = renameChains.toMap
+
+  /** The delegate-side (physical) projection for a logical request:
+    * each renamed column expands to its full name chain, typed like
+    * the logical head. */
+  private def toPhysical(logical: StructType): StructType =
+    if (chainOf.isEmpty) logical
+    else StructType(logical.fields.flatMap { f =>
+      chainOf.get(f.name) match {
+        case Some(chain) => chain.map(pn => StructField(pn, f.dataType, true))
+        case None => Seq(f)
+      }
+    })
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantFile = requiredSchema.fieldNames.contains("_file")
     val stripped = StructType(requiredSchema.filterNot(_.name == "_file"))
     pruned = Some(stripped)
-    delegateB.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(stripped)
+    delegateB.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(toPhysical(stripped))
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    val (onFile, rest) = filters.partition(
+    val (onFile, rest0) = filters.partition(
       _.references.exists(_.name.equalsIgnoreCase("_file")))
+    // filters over a RENAMED column stay post-scan residuals: parquet
+    // would evaluate them against the newest physical column alone and
+    // silently drop every old-generation row (NULL under the new name
+    // there) — the coalescing scan restores the value first, then the
+    // residual filter sees it
+    val (onRenamed, rest) = rest0.partition(
+      _.references.exists(a => chainOf.contains(a.name)))
     pushed = rest
     val residual = delegateB.asInstanceOf[SupportsPushDownCatalystFilters]
       .pushFilters(rest)
-    residual ++ onFile
+    residual ++ onRenamed ++ onFile
   }
   override def pushedFilters: Array[Predicate] =
     delegateB.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
@@ -1137,7 +1226,14 @@ private[sql] class SnapshotScanBuilder(
   }
 
   override def build(): Scan = {
-    val base = delegateB.build()
+    val base0 = delegateB.build()
+    // chain-coalescing first (innermost), so the `_file` tag — and
+    // Spark's own residual filters — see logical rows
+    val base =
+      if (chainOf.isEmpty) base0
+      else new RenameCoalescingScan(base0,
+        pruned.orElse(logicalSchema).getOrElse(throw new IllegalStateException(
+          "renamed-table scan built without a logical schema")), chainOf)
     if (!wantFile && onNarrow.isEmpty) base // plain read, zero wrapping
     else if (onNarrow.isEmpty)
       new TaggedSnapshotScan(root, base, wantFile)
@@ -1170,6 +1266,81 @@ private[sql] class TaggedSnapshotScan(root: Path, protected var delegate: Scan,
   }
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
+}
+
+/** The RENAMED-table scan (VERDICT r16 #5): the delegate reads the
+  * CHAIN-EXTENDED physical schema — every retired name along a rename
+  * chain next to its logical head — and this wrapper coalesces each
+  * chain newest-first back to one logical column per row. Sound
+  * because retired names are UNREUSABLE
+  * ([[graft.core.SnapshotStore.renameColumnMapped]]'s refusal), so a
+  * physical name holds the value in exactly one file generation and
+  * reads NULL in every other; a genuinely-NULL value coalesces to NULL
+  * from either side. This is the generation-grouped union of
+  * `readAt`, expressed as ONE relation — no per-generation plan, no
+  * union node, one pass. The read is ROW-BASED (the projection is a
+  * per-row coalesce); renamed tables are a bounded state between a
+  * rename and the next compaction, and correctness of the read beats
+  * a vectorized refusal. Filters on renamed columns stay post-scan
+  * (see [[SnapshotScanBuilder.pushFilters]]); everything else keeps
+  * full pushdown. */
+private[sql] class RenameCoalescingScan(delegate: Scan, logical: StructType,
+                                        chains: Map[String, Seq[String]])
+    extends Scan with SupportsReportStatistics {
+  private[sql] def delegateScan: Scan = delegate
+  override def readSchema(): StructType = logical
+  override def toBatch: Batch = {
+    val inner = delegate.toBatch
+    val input = delegate.readSchema()
+    new Batch {
+      // partitions pass through untouched (still FilePartitions, so
+      // the `_file` tagger can split them one-file-per-partition)
+      override def planInputPartitions(): Array[InputPartition] =
+        inner.planInputPartitions()
+      override def createReaderFactory(): PartitionReaderFactory =
+        new RenameCoalescingReaderFactory(inner.createReaderFactory(),
+          input, logical, chains)
+    }
+  }
+  override def description(): String =
+    s"snapshot-rename-coalesce(${delegate.description()})"
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.UNSUPPORTED
+}
+
+/** Per-row chain coalesce via one codegen'd [[UnsafeProjection]] —
+  * logical column = Coalesce(newest physical, …, oldest). */
+private[sql] class RenameCoalescingReaderFactory(
+    inner: PartitionReaderFactory, input: StructType,
+    logical: StructType, chains: Map[String, Seq[String]])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val ordinal = input.fieldNames.zipWithIndex.toMap
+    val exprs = logical.fields.toSeq.map { f =>
+      chains.get(f.name) match {
+        case Some(chain) => Coalesce(chain.flatMap(ordinal.get).map(i =>
+          BoundReference(i, f.dataType, nullable = true)))
+        case None => BoundReference(ordinal(f.name), f.dataType, nullable = true)
+      }
+    }
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 /** The row-level operation's scan: [[TaggedSnapshotScan]] plus the

@@ -25,6 +25,7 @@ import graft.core.SnapshotStore
   *   CALL graft_lake.system.fold_cdc(table => '/t', key => 'user_id',
   *                                   order_cols => 'last_ts,last_eid', num_files => 8)
   *   CALL graft_lake.system.fold_mor(table => '/t', key => 'k', num_files => 8)
+  *   CALL graft_lake.system.fold_dv(table => '/t', num_files => 8)
   *   CALL graft_lake.system.drop_retired_renames(table => '/t')
   * }}}
   *
@@ -37,7 +38,7 @@ import graft.core.SnapshotStore
 private[sql] object SnapshotProcedures {
 
   private val names = Seq("compact", "vacuum", "vacuum_older_than",
-    "fold_cdc", "fold_mor", "drop_retired_renames")
+    "fold_cdc", "fold_mor", "fold_dv", "drop_retired_renames")
 
   def procedureNames: Seq[String] = names
 
@@ -83,6 +84,8 @@ private[sql] object SnapshotProcedures {
           inDefault("order_cols", StringType, "''")) // optional last (CALL rule)
         case "fold_mor" => Array(in("table", StringType), in("key", StringType),
           in("num_files", IntegerType))
+        case "fold_dv" => Array(in("table", StringType),
+          in("num_files", IntegerType))
         case "drop_retired_renames" => Array(in("table", StringType))
       }
 
@@ -113,6 +116,9 @@ private[sql] object SnapshotProcedures {
           case "fold_mor" =>
             oneRow(versionOut, SnapshotStore.foldMor(spark, root,
               input.getUTF8String(1).toString, numFiles = input.getInt(2)))
+          case "fold_dv" =>
+            oneRow(versionOut,
+              SnapshotStore.foldDv(spark, root, numFiles = input.getInt(1)))
           case "drop_retired_renames" =>
             oneRow(versionOut, SnapshotStore.dropRetiredRenames(spark, root))
         }

@@ -1126,14 +1126,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(v3.count(SnapshotStore.isDeleteFile) == 2, "delete files accumulate")
     // the fold: only fresh files, no delete files, clustered count
     assert(v4.count(SnapshotStore.isDeleteFile) == 0)
-    assert(v4.forall(_.contains("morfold")) && v4.intersect(v3).isEmpty,
-      "fold must commit only rewritten files")
-    // three-way equality: MOR read at v3 == plain read at v4 == direct
-    // recomputation from the corpus
     val flat = Tables.load(spark, sf, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val b = flat.agg(min(col("event_id")), max(col("event_id"))).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1)); val span = hi - lo
+    // the fold is ENVELOPE-SCOPED (round 13): v4 = fresh morfold files
+    // plus EXACTLY the v1 data files whose key envelope is provably
+    // disjoint from the deleted deciles — carried by reference, never
+    // rewritten (at 100 TB the fold costs the touched region, not the
+    // table); delete files gone either way
+    val (cut3, cut5) = (lo + 3 * span / 10, lo + 5 * span / 10)
+    val env = SnapshotStore.manifest(spark, root, 1L)
+      .select("file", "min_event_id", "max_event_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expectCold = v1.filter { f =>
+      val (mn, mx) = env(f); mx <= cut3 || mn > cut5
+    }
+    assert(v4.filter(v1.toSet) == expectCold,
+      s"fold must carry exactly the envelope-disjoint files: " +
+      s"carried ${v4.filter(v1.toSet).size}, expected ${expectCold.size}")
+    assert(v4.filterNot(v1.toSet).nonEmpty &&
+      v4.filterNot(v1.toSet).forall(_.contains("morfold")),
+      "rewritten content must land in fresh morfold files")
+    // three-way equality: MOR read at v3 == plain read at v4 == direct
+    // recomputation from the corpus
     val expected = flat.where(
       !(col("event_id") > lo + 3 * span / 10 && col("event_id") <= lo + 5 * span / 10))
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -1,0 +1,164 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** POSITIONAL DELETION VECTORS (VERDICT r16 #2): a delete commits
+  * (file, row position) pairs instead of rewriting files — no key
+  * discipline, O(|matched positions|) write cost, every standing data
+  * file carried by reference — and [[SnapshotStore.foldDv]] rewrites
+  * ONLY the files the vectors name. Pins the write-cost contract, the
+  * read/fold equivalences (including genuinely-null payload rows,
+  * which a key-based path cannot even address), vector accumulation,
+  * the no-match no-op, and the full refusal matrix between DVs and
+  * the other pending-file rungs. */
+class DvDeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 30 rows over THREE range-clustered files (k 1-10 / 11-20 / 21-30),
+    * `v` null on every k % 7 == 0 row so positional identity is
+    * exercised where equality keys would go blind. */
+  private def mkTable(): java.nio.file.Path = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dv-spec")
+    (1L to 30L).map(k => (k, if (k % 2 == 0) "a" else "b",
+        if (k % 7 == 0) null else s"p$k"))
+      .toDF("k", "grp", "p")
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.parquet(root.resolve("data/load1").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("k"))
+    root
+  }
+
+  test("deleteDv commits O(|positions|): one tiny vector file, every data file carried untouched, no key used") {
+    val root = mkTable()
+    try {
+      val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+      assert(v1Files.size == 3)
+      // multi-column predicate, no unique key named anywhere
+      val v2 = SnapshotStore.deleteDv(spark, root,
+        col("grp") === "a" && col("k").between(11L, 20L))
+      assert(v2 == 2L)
+      val v2Files = SnapshotStore.filesAt(spark, root, 2L)
+      // every v1 data file carried by reference; exactly the vector added
+      assert(v2Files.filterNot(SnapshotStore.isDvFile).toSet == v1Files.toSet)
+      val dvs = v2Files.filter(SnapshotStore.isDvFile)
+      assert(dvs.size == 1 && dvs.head.startsWith("data/_dv_a2/"))
+      // the vector holds EXACTLY the matched positions, keyed by the
+      // same root-relative names the manifest carries
+      val ledger = spark.read.parquet(root.resolve(dvs.head).toString)
+        .select("_dv_file", "_dv_pos")
+      assert(ledger.count() == 5L) // k = 12, 14, 16, 18, 20
+      val files = ledger.select("_dv_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(files.size == 1 && v1Files.contains(files.head),
+        s"vector names $files, manifest holds $v1Files")
+      // audit trail: the commit stamps its own op type
+      assert(SnapshotStore.opTypeOf(root, 2L).contains("dv-delete"))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("readAtDv == predicate-filtered read; vectors accumulate; overlapping re-delete is idempotent; null payloads survive exactly") {
+    val root = mkTable()
+    try {
+      val before = SnapshotStore.readAt(spark, root, Some(1L), inferPartitions = false)
+      SnapshotStore.deleteDv(spark, root,
+        col("grp") === "a" && col("k").between(11L, 20L)) // v2
+      val expect2 = before.where(!(col("grp") === "a" && col("k").between(11L, 20L)))
+      assert(SnapshotStore.readAtDv(spark, root, Some(2L))
+        .exceptAll(expect2).isEmpty)
+      assert(expect2.exceptAll(
+        SnapshotStore.readAtDv(spark, root, Some(2L))).isEmpty)
+      // k = 14 has a NULL payload and is gone; k = 7 (null payload,
+      // grp b) survives — positional identity, not key equality
+      assert(SnapshotStore.readAtDv(spark, root, Some(2L))
+        .where(col("k") === 14L).isEmpty)
+      assert(SnapshotStore.readAtDv(spark, root, Some(2L))
+        .where(col("k") === 7L).count() == 1L)
+      // second vector ACCUMULATES (overlaps the first on k in 11-20:
+      // re-matching an already-deleted position is one deletion)
+      SnapshotStore.deleteDv(spark, root, col("k") % 7 === 0) // v3
+      val expect3 = expect2.where(!(col("k") % 7 === 0))
+      assert(SnapshotStore.readAtDv(spark, root, Some(3L))
+        .exceptAll(expect3).isEmpty)
+      assert(expect3.exceptAll(
+        SnapshotStore.readAtDv(spark, root, Some(3L))).isEmpty)
+      // 30 − 5 (v2) − 3 (v3: k = 7, 21, 28; 14 already gone) = 22
+      assert(SnapshotStore.readAtDv(spark, root, Some(3L)).count() == 22L)
+      // a predicate matching NOTHING is a no-op: no version, no file
+      assert(SnapshotStore.deleteDv(spark, root, lit(false)) == 3L)
+      assert(SnapshotStore.headVersion(root).contains(3L))
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("foldDv rewrites ONLY the files the vectors name; vectors gone; plain read == DV read; untouched files carried") {
+    val root = mkTable()
+    try {
+      SnapshotStore.deleteDv(spark, root,
+        col("grp") === "a" && col("k").between(11L, 20L)) // v2: file 2 only
+      val dvRead = SnapshotStore.readAtDv(spark, root, Some(2L))
+      val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+      val touched = spark.read
+        .parquet(SnapshotStore.filesAt(spark, root, 2L)
+          .filter(SnapshotStore.isDvFile).map(f => root.resolve(f).toString): _*)
+        .select("_dv_file").distinct().collect().map(_.getString(0)).toSet
+      assert(touched.size == 1)
+      val v3 = SnapshotStore.foldDv(spark, root, numFiles = 1,
+        statsCols = Seq("k"))
+      val v3Files = SnapshotStore.filesAt(spark, root, v3)
+      // vectors retired; the two cold files carried BY REFERENCE; only
+      // the named file was rewritten
+      assert(!v3Files.exists(SnapshotStore.isDvFile))
+      val cold = v1Files.filterNot(touched)
+      assert(cold.forall(v3Files.contains), s"cold $cold missing from $v3Files")
+      assert(!v3Files.exists(touched), "folded file still referenced")
+      assert(v3Files.exists(_.startsWith("data/dvfold_a")))
+      val after = SnapshotStore.readAt(spark, root, Some(v3), inferPartitions = false)
+      assert(after.exceptAll(dvRead).isEmpty && dvRead.exceptAll(after).isEmpty)
+      // fold with nothing pending is a no-op
+      assert(SnapshotStore.foldDv(spark, root, numFiles = 1) == v3)
+      // pinned reader BELOW the fold still resolves the DV view
+      assert(SnapshotStore.readAtDv(spark, root, Some(2L)).count() == 25L)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("refusal matrix: resolving/rewriting ops refuse pending DVs; deleteDv refuses pending MOR keys; SQL catalog refuses until fold") {
+    import spark.implicits._
+    val root = mkTable()
+    try {
+      SnapshotStore.deleteDv(spark, root, col("k") === 1L) // v2: pending DV
+      def refuses(tag: String)(f: => Any): Unit = {
+        val e = intercept[Exception](f)
+        assert(e.getMessage.contains("deletion-vector"),
+          s"$tag refused for the wrong reason: ${e.getMessage}")
+      }
+      refuses("compact")(SnapshotStore.compact(spark, root, 1))
+      refuses("readAtMor")(
+        SnapshotStore.readAtMor(spark, root, keyCol = "k").count())
+      refuses("deleteMor")(SnapshotStore.deleteMor(spark, root,
+        Seq(2L).toDF("k"), "k"))
+      refuses("countAt")(SnapshotStore.countAt(spark, root))
+      refuses("mergeCow")(SnapshotStore.mergeCow(spark, root,
+        Seq((2L, "a", "x", false)).toDF("k", "grp", "p", "_del"), "k", "_del"))
+      refuses("changesBetween")(
+        SnapshotStore.changesBetween(spark, root, 1L, 2L, "k").count())
+      // SQL: one parquet relation would surface ledger rows as all-null
+      // data rows — refused until the fold
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      refuses("sql-load")(
+        spark.sql(s"SELECT COUNT(*) FROM graft_lake.`$root`").collect())
+      // the fold unblocks every surface, via SQL CALL to close the loop
+      spark.sql(s"CALL graft_lake.system.fold_dv(`table` => '$root', num_files => 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft_lake.`$root`")
+        .head().getLong(0) == 29L)
+      // and the mirror guard: a pending MOR key blocks deleteDv
+      SnapshotStore.deleteMor(spark, root, Seq(3L).toDF("k"), "k")
+      val e = intercept[Exception](
+        SnapshotStore.deleteDv(spark, root, col("k") === 4L))
+      assert(e.getMessage.contains("MOR delete"),
+        s"wrong refusal: ${e.getMessage}")
+    } finally IndexStore.deleteRecursively(root)
+  }
+}

@@ -361,14 +361,16 @@ class SnapshotShapeEvolutionSpec extends AnyFunSuite {
       assert(apiErr.get() == null, s"API writer failed: ${apiErr.get()}")
       assert(spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq ==
         Seq(1L, 2L, 3L, 100L, 200L))
-      // refusal: INSERT OVERWRITE — the table declares no truncate/
-      // overwrite capability, so Spark itself refuses at analysis
+      // refusal: INSERT OVERWRITE on a FLAT table — the TRUNCATE
+      // capability admits the statement (it is what enables dynamic
+      // partition overwrite on PARTITIONED tables, VERDICT r16 #4),
+      // and the write path then refuses the flat-table truncate
       // (content replacement is compact/merge territory)
       val o = intercept[Exception] {
         spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'x')")
       }
-      assert(o.getMessage.contains("does not support truncate") ||
-        o.getMessage.contains("TABLE_OPERATION"), s"unexpected: ${o.getMessage}")
+      assert(o.getMessage.contains("INSERT OVERWRITE on a FLAT table refused"),
+        s"unexpected: ${o.getMessage}")
     } finally IndexStore.deleteRecursively(root)
   }
 
