@@ -152,6 +152,7 @@ object SparkEntry {
     "q28_stream_compact_skip" -> (graft.streaming.StreamingPipelines.q28StreamCompactSkip _),
     "q28b_stream_cdc_feed" -> (graft.streaming.StreamingPipelines.q28bStreamCdcFeed _),
     "q28f_stream_mor_feed" -> (graft.streaming.StreamingPipelines.q28fStreamMorFeed _),
+    "q28j_stream_renamed" -> (graft.streaming.StreamingPipelines.q28jStreamRenamed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
     "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
@@ -1955,6 +1956,18 @@ object SparkEntry {
         |  MAX(ts) AS max_ts
         |FROM events
         |WHERE value > 25.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28j: the renamed table drained by the streaming source — the
+    // rollup over the renamed column spans both drained generations;
+    // a batch that nulls the old generation under the new name loses
+    // the pre-cutoff sums
+    "q28j_stream_renamed" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val_amt,
+        |  MAX(ts) AS max_ts
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q26x: partition evolution — the type+time box spans the spec

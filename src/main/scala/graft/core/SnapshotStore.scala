@@ -1599,6 +1599,36 @@ object SnapshotStore {
       }.sortBy(_._3)
   }
 
+  /** Each renamed logical column's PHYSICAL NAME CHAIN, newest-first
+    * (the logical name itself heads the chain) — what the
+    * chain-coalescing scans (SQL catalog, streaming source) expand a
+    * renamed table's read schema with. Only columns with an actual
+    * rename history appear. */
+  def renameChainsOf(logical: org.apache.spark.sql.types.StructType,
+                     renames: Seq[(String, String, Long)]): Seq[(String, Seq[String])] =
+    logical.fields.toSeq.map { f =>
+      val acc = scala.collection.mutable.ArrayBuffer(f.name)
+      renames.reverse.foreach { case (to, from, _) =>
+        if (to == acc.last) acc += from
+      }
+      f.name -> acc.toSeq
+    }.filter(_._2.size > 1)
+
+  /** The logical schema EXTENDED with every chain's retired physical
+    * names, typed like the logical head (a widen after a rename
+    * upcasts the old generation exactly like any narrow file) — the
+    * parquet read schema a single-relation chain-coalescing scan
+    * plans with. */
+  def chainExtendedSchema(logical: org.apache.spark.sql.types.StructType,
+                          chains: Seq[(String, Seq[String])])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    StructType(logical.fields ++ chains.flatMap { case (name, chain) =>
+      val dt = logical(name).dataType
+      chain.tail.map(pn => StructField(pn, dt, nullable = true))
+    })
+  }
+
   /** Refusal guard for surfaces that read raw footers or plan ONE
     * relation over every file and cannot coalesce name chains (the
     * streaming source, the row-op rungs; the SQL catalog's plain READ

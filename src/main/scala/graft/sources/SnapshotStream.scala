@@ -156,9 +156,13 @@ object SnapshotStreamSource {
     val head = SnapshotStore.headVersion(root).getOrElse(
       throw new IllegalStateException(
         s"graft-snapshot stream on $root: no committed snapshot yet"))
-    // per-batch scans plan one relation over the delta files — a
-    // renamed table's old generations would misread; refuse
-    SnapshotStore.requireNoRenames(root, head, "graft-snapshot stream")
+    // plain streams serve RENAMED tables through the chain-coalescing
+    // per-batch scan (the SQL catalog's read, VERDICT r16 #5 — readAt's
+    // schema below is already the logical one); the feed's extra
+    // columns and tombstone tagging do not compose with chains, so
+    // cdcFeed keeps the refusal (CDC/MOR writes refuse renames anyway)
+    if (cdcFeed)
+      SnapshotStore.requireNoRenames(root, head, "graft-snapshot cdcFeed stream")
     val base = SnapshotStore.readAt(spark, root, Some(head)).schema
     if (!cdcFeed) base
     else {
@@ -274,11 +278,17 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     // re-asserted PER BATCH, not just at stream-start schema inference
     // (ADVICE r16): a renameColumnMapped committed mid-stream would
     // otherwise plan later batches against the post-rename declared
-    // schema while the sink holds the pre-rename stream schema — refuse
-    // with the documented restart contract instead of relying on
-    // ordinal binding. One tiny `_renames` metadata read per batch.
-    SnapshotStore.requireNoRenames(root, b,
-      s"graft-snapshot stream on $root: batch ($a, $b]")
+    // schema while the sink holds the pre-rename stream schema. The
+    // cdcFeed refuses outright (chains do not compose with the feed
+    // tagging); the plain path serves standing renames through the
+    // chain-coalescing scan, whose logical read schema the per-batch
+    // schema guard compares against the stream's fixed schema — a
+    // MID-STREAM rename changes a logical name and fails that guard
+    // with the documented restart contract. One tiny `_renames`
+    // metadata read per batch either way.
+    if (cdcFeed)
+      SnapshotStore.requireNoRenames(root, b,
+        s"graft-snapshot cdcFeed stream on $root: batch ($a, $b]")
     // O(delta) planning (the read-side twin of commitAppend's O(delta)
     // metadata): an append-chain interval diffs at the manifest-PART
     // level — the driver materializes only the NEW parts' file names,
@@ -346,12 +356,30 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
   private def planPlainBatch(spark: SparkSession, a: Long, b: Long,
                              delta: Seq[String]): Batch = {
     val opts = new java.util.HashMap[String, String]()
-    val declared = SnapshotStore.declaredSchema(root, b).map(StructType.fromDDL)
+    val logical = SnapshotStore.declaredSchema(root, b).map(StructType.fromDDL)
+    val renames = SnapshotStore.renamesAt(root, b)
+    val chains =
+      if (renames.isEmpty) Seq.empty[(String, Seq[String])]
+      else SnapshotStore.renameChainsOf(logical.getOrElse(
+        throw new IllegalStateException(s"graft-snapshot stream on $root: " +
+          "renamed table lost its declared schema")), renames)
+    val declared =
+      if (chains.isEmpty) logical
+      else logical.map(SnapshotStore.chainExtendedSchema(_, chains))
     if (declared.isEmpty) opts.put("basePath", root.resolve("data").toString)
     val cmap = new CaseInsensitiveStringMap(opts)
     val pq = ParquetTable(s"graft-snapshot-batch.`$root`@($a,$b]", spark, cmap,
       delta.map(f => root.resolve(f).toString), declared, classOf[ParquetFileFormat])
-    val scan = pq.newScanBuilder(cmap).build()
+    val scan0 = pq.newScanBuilder(cmap).build()
+    // RENAMED tables stream through the chain-coalescing scan (the SQL
+    // catalog's read shape): the batch plans the chain-extended
+    // physical schema and coalesces newest-first back to the logical
+    // columns, so every file generation inside the interval serves the
+    // stream schema. A mid-stream rename changes a logical name and
+    // fails the schema guard below — the documented restart contract.
+    val scan =
+      if (chains.isEmpty) scan0
+      else new graft.sql.RenameCoalescingScan(scan0, logical.get, chains.toMap)
     require(scan.readSchema() == schema,
       s"graft-snapshot stream on $root: schema changed mid-stream " +
       s"(${scan.readSchema().toDDL} vs ${schema.toDDL}) — restart the stream")

@@ -232,25 +232,13 @@ class SnapshotCatalog extends TableCatalog
     // upcasts the old generation exactly like any narrow file
     val chains: Seq[(String, Seq[String])] =
       if (renames.isEmpty) Seq.empty
-      else {
-        val logical = logicalDeclared.getOrElse(throw new IllegalStateException(
-          s"renamed table $cname.${ident.name()}@v$v lost its declared schema"))
-        logical.fields.toSeq.map { f =>
-          val acc = scala.collection.mutable.ArrayBuffer(f.name)
-          renames.reverse.foreach { case (to, from, _) =>
-            if (to == acc.last) acc += from
-          }
-          f.name -> acc.toSeq
-        }.filter(_._2.size > 1)
-      }
-    val declared = chains match {
-      case Seq() => logicalDeclared
-      case cs => logicalDeclared.map(logical => StructType(
-        logical.fields ++ cs.flatMap { case (name, chain) =>
-          val dt = logical(name).dataType
-          chain.tail.map(pn => StructField(pn, dt, nullable = true))
-        }))
-    }
+      else SnapshotStore.renameChainsOf(
+        logicalDeclared.getOrElse(throw new IllegalStateException(
+          s"renamed table $cname.${ident.name()}@v$v lost its declared schema")),
+        renames)
+    val declared =
+      if (chains.isEmpty) logicalDeclared
+      else logicalDeclared.map(SnapshotStore.chainExtendedSchema(_, chains))
     if (declared.isEmpty) opts.put("mergeSchema", "true")
     val cmap = new CaseInsensitiveStringMap(opts)
     // the delegate factory takes table-root-RELATIVE names so the
@@ -1284,7 +1272,7 @@ private[sql] class TaggedSnapshotScan(root: Path, protected var delegate: Scan,
   * a vectorized refusal. Filters on renamed columns stay post-scan
   * (see [[SnapshotScanBuilder.pushFilters]]); everything else keeps
   * full pushdown. */
-private[sql] class RenameCoalescingScan(delegate: Scan, logical: StructType,
+private[graft] class RenameCoalescingScan(delegate: Scan, logical: StructType,
                                         chains: Map[String, Seq[String]])
     extends Scan with SupportsReportStatistics {
   private[sql] def delegateScan: Scan = delegate
@@ -1317,7 +1305,7 @@ private[sql] class RenameCoalescingScan(delegate: Scan, logical: StructType,
 
 /** Per-row chain coalesce via one codegen'd [[UnsafeProjection]] —
   * logical column = Coalesce(newest physical, …, oldest). */
-private[sql] class RenameCoalescingReaderFactory(
+private[graft] class RenameCoalescingReaderFactory(
     inner: PartitionReaderFactory, input: StructType,
     logical: StructType, chains: Map[String, Seq[String]])
     extends PartitionReaderFactory {

@@ -2292,6 +2292,59 @@ object StreamingPipelines {
       .orderBy("src", "event_type")
   }
 
+  /** Q28j — a RENAMED table consumed by the STREAMING source (the
+    * stream-side twin of q28i's SQL read): the pre-cutoff events
+    * commit under `value` (v1), the column renames to `val_amt`
+    * metadata-only (v2), and THEN the stream starts from genesis — so
+    * its very first batch drains old-generation files whose physical
+    * column no longer matches the logical schema. The per-batch
+    * chain-coalescing scan (shared with the SQL catalog) serves them
+    * under the logical name; the tail then appends MID-STREAM under
+    * the new name (v3) and drains through the same plan. The drained
+    * rollup must equal the flat corpus: a batch that nulled the old
+    * generation under the new name loses every pre-cutoff row and
+    * hash-fails. A rename committed mid-stream still refuses via the
+    * per-batch schema guard (spec-pinned; restart contract). */
+  def q28jStreamRenamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.SnapshotStore
+    val root = Files.createTempDirectory("graft-q28j")
+    val ckpt = Files.createTempDirectory("graft-q28j-ckpt")
+    val out = root.resolve("drained").toString
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(graft.operators.LayoutQueries.SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).repartition(4)
+      .write.mode("overwrite").parquet(root.resolve("data/base").toString)
+    SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+      statsCols = Seq("ts")) // v1: old-generation files under `value`
+    SnapshotStore.renameColumnMapped(spark, root, "value", "val_amt") // v2
+    val q = spark.readStream
+      .format("graft-snapshot")
+      .option("path", root.toString)
+      .load()
+      .writeStream
+      .foreachBatch((bt: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        bt.write.mode("append").parquet(out))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // drains v2 = the OLD generation, coalesced
+      events.where(col("ts") >= cut).withColumnRenamed("value", "val_amt")
+        .repartition(2)
+        .write.mode("overwrite").parquet(root.resolve("data/tail").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/tail/"))) // v3
+      q.processAllAvailable() // the new generation, same plan
+    } finally q.stop()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("val_amt").cast("decimal(18,4)")).cast("double").as("sum_val_amt"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   // ---- streamed CDC MERGE into the snapshot seam (q26n) ---------------
 
   val snapCdcBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -684,4 +684,43 @@ class PlanShapeSpec extends AnyFunSuite {
            "(?i)functions=\\[partial".r.findFirstIn(s).nonEmpty,
       s"expected a PARTIAL aggregation phase before the exchange:\n${s.take(600)}")
   }
+
+  test("q28h: the DV read is a broadcast LEFT ANTI positional join; data filters still push to parquet under the metadata tag") {
+    import graft.core.SnapshotStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val root = LayoutQueries.eventsDvRoot(spark, dir)
+    val df = SnapshotStore.readAtDv(spark, root, Some(3L))
+      .where(col("event_type") === "view")
+    val (_, plan) = executedRowsAndPlan(df)
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children.flatMap(all) ++ below)
+    }
+    val anti = all(plan).collectFirst {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty,
+      "DV application must be a broadcast LEFT ANTI hash join on " +
+      s"(file, position), got:\n${plan.toString.take(600)}")
+    // the positional tag costs no pushdown: the user predicate still
+    // reaches the parquet scan under the _metadata projection
+    val scans = all(plan).collect { case f: FileSourceScanExec => f }
+    val dataScan = scans.maxBy(_.selectedPartitions.totalNumberOfFiles)
+    assert(dataScan.metadata.getOrElse("PushedFilters", "")
+      .contains("EqualTo(event_type,view)"),
+      s"user filter lost from the DV base scan: ${dataScan.metadata.get("PushedFilters")}")
+    // the probe side reads only data files — the vectors never ride
+    // the big scan
+    val v3Data = SnapshotStore.filesAt(spark, root, 3L)
+      .filterNot(SnapshotStore.isDvFile).size
+    assert(dataScan.selectedPartitions.totalNumberOfFiles == v3Data,
+      "the DV base scan must read exactly the version's data files")
+  }
 }

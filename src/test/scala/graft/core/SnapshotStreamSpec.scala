@@ -536,4 +536,52 @@ class SnapshotStreamSpec extends AnyFunSuite {
       IndexStore.deleteRecursively(ckpt)
     }
   }
+
+  test("a RENAMED table streams through the chain-coalescing scan; a mid-stream rename fails the schema guard (restart contract)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-renamed")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-renamed-ckpt")
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      SnapshotStore.renameColumnMapped(spark, root, "v", "amount") // v2
+      Seq((3L, 30.0)).toDF("k", "amount").coalesce(1)
+        .write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v3
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root.toString).load()
+        .writeStream.format("memory").queryName("snapstream_renamed")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        // both file generations drain under the LOGICAL name — the
+        // per-batch chain-coalescing scan, no compaction required
+        assert(spark.table("snapstream_renamed").columns.toSeq ==
+          Seq("k", "amount"))
+        assert(spark.table("snapstream_renamed").as[(Long, Double)]
+          .collect().sorted.toSeq ==
+          Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+        // a MID-STREAM rename changes a logical name: the next DATA
+        // batch fails the schema guard with the restart contract (the
+        // metadata-only rename version itself drains as an empty delta)
+        SnapshotStore.renameColumnMapped(spark, root, "amount", "amt") // v4
+        Seq((4L, 40.0)).toDF("k", "amt").coalesce(1)
+          .write.parquet(root.resolve("data/l3").toString)
+        SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith("data/l3/"))) // v5
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          q.processAllAvailable())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("schema changed mid-stream")),
+          msgs(e).mkString(" | "))
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
 }
