@@ -161,4 +161,53 @@ class DvDeleteSpec extends AnyFunSuite {
         s"wrong refusal: ${e.getMessage}")
     } finally IndexStore.deleteRecursively(root)
   }
+
+  test("maybeFoldDv policy: quiet below both thresholds, fires on position count OR commit count, metadata-only probe") {
+    val root = mkTable()
+    try {
+      // no pending DVs at all: trivially quiet
+      assert(SnapshotStore.maybeFoldDv(spark, root, 1).isEmpty)
+      SnapshotStore.deleteDv(spark, root, col("k").between(1L, 4L)) // v2: 4 positions
+      // under both thresholds: no fold, the vector stands
+      assert(SnapshotStore.maybeFoldDv(spark, root, 1,
+        maxPendingPositions = 100L, maxDvCommits = 8).isEmpty)
+      assert(SnapshotStore.filesAt(spark, root,
+        SnapshotStore.headVersion(root).get).exists(SnapshotStore.isDvFile))
+      // position threshold crossed (4 >= 4): fold fires, vectors gone
+      val v = SnapshotStore.maybeFoldDv(spark, root, 1,
+        maxPendingPositions = 4L, maxDvCommits = 8)
+      assert(v.nonEmpty)
+      assert(!SnapshotStore.filesAt(spark, root, v.get)
+        .exists(SnapshotStore.isDvFile))
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .count() == 26L)
+      // commit-count threshold: two tiny vectors under the position
+      // bound still fire at maxDvCommits = 2 (per-read ledger fan-in)
+      SnapshotStore.deleteDv(spark, root, col("k") === 5L)
+      SnapshotStore.deleteDv(spark, root, col("k") === 6L)
+      assert(SnapshotStore.maybeFoldDv(spark, root, 1,
+        maxPendingPositions = 1000L, maxDvCommits = 3).isEmpty)
+      val v2 = SnapshotStore.maybeFoldDv(spark, root, 1,
+        maxPendingPositions = 1000L, maxDvCommits = 2)
+      assert(v2.nonEmpty)
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .count() == 24L)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("renameColumnMapped refuses pending DVs (ADVICE r17): a rename over an un-folded vector would wedge maintenance permanently") {
+    val root = mkTable()
+    try {
+      SnapshotStore.deleteDv(spark, root, col("k") === 1L) // v2: pending DV
+      val e = intercept[Exception](
+        SnapshotStore.renameColumnMapped(spark, root, "p", "payload"))
+      assert(e.getMessage.contains("deletion-vector"),
+        s"wrong refusal: ${e.getMessage}")
+      // fold first, then the rename is legal
+      SnapshotStore.foldDv(spark, root, 1)
+      SnapshotStore.renameColumnMapped(spark, root, "p", "payload")
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .columns.contains("payload"))
+    } finally IndexStore.deleteRecursively(root)
+  }
 }

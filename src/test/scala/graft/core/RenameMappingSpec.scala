@@ -100,4 +100,68 @@ class RenameMappingSpec extends AnyFunSuite {
       IndexStore.deleteRecursively(root)
     }
   }
+
+  test("addColumn refuses a RETIRED rename source name (ADVICE r17): re-adding it would duplicate the chain-extended read schema") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rename-readd")
+    try {
+      Seq((1L, 10.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      SnapshotStore.renameColumnMapped(spark, root, "v", "amount") // v2
+      // re-adding the retired source refuses — both API reads and the
+      // SQL chain-coalescing scan would otherwise read `v` twice
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.addColumn(spark, root, "v", "double"))
+      assert(e.getMessage.contains("RETIRED rename source"), e.getMessage)
+      // the implicit merge path is guarded too: a fresh file physically
+      // carrying the retired name must not re-graduate it
+      Seq((2L, 20.0, 99.0)).toDF("k", "amount", "v")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v3
+      val declared = SnapshotStore.declaredSchema(root,
+        SnapshotStore.headVersion(root).get).get
+      assert(!declared.split(',').exists(_.trim.startsWith("v ")),
+        s"retired name re-graduated into the declaration: $declared")
+      // HEAD stays readable — the stray physical column is ignored…
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .select(sum(col("amount"))).as[Double].head() == 30.0)
+      // …and once compaction + retirement clear the ledger, the name
+      // reopens (the documented unblock path)
+      SnapshotStore.compact(spark, root, numFiles = 1)
+      SnapshotStore.dropRetiredRenames(spark, root)
+      SnapshotStore.addColumn(spark, root, "v", "double")
+      assert(SnapshotStore.readAt(spark, root, inferPartitions = false)
+        .columns.toSeq.count(_ == "v") == 1)
+    } finally IndexStore.deleteRecursively(root)
+  }
+
+  test("readAt on a renamed table refuses LOUDLY when a boundary manifest is missing (VERDICT r17 wrong #1) — never silent NULLs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rename-boundary")
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      SnapshotStore.renameColumnMapped(spark, root, "v", "amount") // v2, boundary v1
+      Seq((3L, 30.0)).toDF("k", "amount")
+        .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v3
+      // destroy the boundary manifest OUT-OF-BAND (the pin tag exists
+      // precisely to prevent this; simulate an operator mistake)
+      IndexStore.deleteRecursively(root.resolve("_snapshots/v=1"))
+      val e = intercept[IllegalArgumentException](
+        SnapshotStore.readAt(spark, root, inferPartitions = false).collect())
+      assert(e.getMessage.contains("MISSING"), e.getMessage)
+      // the SQL chain-coalescing path never groups by generation, so it
+      // stays NATURALLY immune — same rows, no boundary consulted
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val got = spark.sql(
+          s"SELECT k, amount FROM graft_lake.`${root.toAbsolutePath.normalize}` ORDER BY k")
+        .as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), got.toString)
+    } finally IndexStore.deleteRecursively(root)
+  }
 }
