@@ -152,11 +152,15 @@ object SparkEntry {
     "q28_stream_compact_skip" -> (graft.streaming.StreamingPipelines.q28StreamCompactSkip _),
     "q28b_stream_cdc_feed" -> (graft.streaming.StreamingPipelines.q28bStreamCdcFeed _),
     "q28f_stream_mor_feed" -> (graft.streaming.StreamingPipelines.q28fStreamMorFeed _),
+    "q28k_stream_dv_feed" -> (graft.streaming.StreamingPipelines.q28kStreamDvFeed _),
+    "q28l_sql_stream_read" -> (graft.streaming.StreamingPipelines.q28lSqlStreamRead _),
     "q28j_stream_renamed" -> (graft.streaming.StreamingPipelines.q28jStreamRenamed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
     "q28e_sql_maintenance" -> (LayoutQueries.q28eSqlMaintenance _),
     "q28g_sql_partitioned" -> (LayoutQueries.q28gSqlPartitioned _),
+    "q28m_sql_partitioned_evolve" -> (LayoutQueries.q28mSqlPartitionedEvolve _),
+    "q28n_sql_wap" -> (LayoutQueries.q28nSqlWap _),
     "q28h_dv_delete"       -> (LayoutQueries.q28hDvDelete _),
     "q28i_sql_renamed_read" -> (LayoutQueries.q28iSqlRenamedRead _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
@@ -624,6 +628,23 @@ object SparkEntry {
         |       MAX(event_id), MAX(ts)
         |FROM events GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
+    // q28n: the q26m WAP cycle run ENTIRELY in SQL (wap.branch conf +
+    // CALL publish_branch/drop_branch) — same pins: HEAD = base ∪ the
+    // even-id tail and NOTHING else
+    "q28n_sql_wap" ->
+      """WITH wap AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20' OR event_id % 2 = 0)
+        |SELECT 'head' AS snap, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       ROUND(MIN(value), 6) AS min_value, MAX(event_id) AS max_id
+        |FROM wap GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1', event_type, COUNT(*),
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE),
+        |       ROUND(MIN(value), 6), MAX(event_id)
+        |FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
     // q26m: write-audit-publish — HEAD must be base ∪ the even-id tail
     // (the published batch) and NOTHING else: a leaked poisoned row
     // (negative value / +2e9 id) or a HEAD moved by the rejected cycle
@@ -798,6 +819,33 @@ object SparkEntry {
         |  FROM kept GROUP BY event_type
         |  UNION ALL
         |  SELECT 'mor', event_type, COUNT(*),
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM kept GROUP BY event_type)
+        |SELECT * FROM roll ORDER BY src, event_type""".stripMargin,
+    // q28k: the DELETION-VECTOR table streamed as a cdcFeed — derived
+    // retraction rows for the two pre-fold vectors AND the late
+    // post-fold one, the fold itself a no-op; the consumer argmax and
+    // the at-rest DV read both equal the corpus minus the three
+    // (event_type × id-decile) cohorts
+    "q28k_stream_dv_feed" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo + 3 * (hi - lo) // 10 AS cut3,
+        |             lo + 4 * (hi - lo) // 10 AS cut4,
+        |             lo + 5 * (hi - lo) // 10 AS cut5,
+        |             lo + 6 * (hi - lo) // 10 AS cut6 FROM b),
+        |kept AS (SELECT e.* FROM events e, c
+        |         WHERE NOT (e.event_type = 'click'
+        |                    AND e.event_id > c.cut3 AND e.event_id <= c.cut4)
+        |           AND NOT (e.event_type = 'purchase'
+        |                    AND e.event_id > c.cut4 AND e.event_id <= c.cut5)
+        |           AND NOT (e.event_type = 'click'
+        |                    AND e.event_id > c.cut5 AND e.event_id <= c.cut6)),
+        |roll AS (
+        |  SELECT 'dv' AS src, event_type, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM kept GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'feed', event_type, COUNT(*),
         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |  FROM kept GROUP BY event_type)
         |SELECT * FROM roll ORDER BY src, event_type""".stripMargin,
@@ -1844,6 +1892,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q28l: the same drain bound through the SQL catalog
+    // (readStream.table) — identical oracle; a catalog binding that
+    // re-drained a version, lost a mid-stream commit, or mis-bound the
+    // schema hash-fails
+    "q28l_sql_stream_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q28: the q26u consumer surviving a MID-STREAM compaction under
     // skipRewrites — the drained store must still reassemble exactly
     // the flat corpus; draining the compaction's output (double count),
@@ -1905,6 +1965,26 @@ object SparkEntry {
         |                     ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  MAX(ts) AS max_ts
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28m: schema evolution + row-level DML on the partitioned table —
+    // ADD COLUMN (old rows NULL), a scoped UPDATE tagging high-value
+    // purchases, a partition-scoped DELETE of cheap clicks; a leaked
+    // deleted row, a lost/over-applied tag, or a dropped partition
+    // column hash-fails
+    "q28m_sql_partitioned_evolve" ->
+      """WITH kept AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'purchase' AND value > 90.0
+        |         THEN 'flagged' END AS batch_tag
+        |  FROM events
+        |  WHERE NOT (event_type = 'click' AND value < 10.0))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(batch_tag) AS n_tagged,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM kept
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q28d: rename via name-mapping — the rollup over the RENAMED

@@ -547,9 +547,17 @@ object SnapshotStore {
     * appenders. */
   private val MaxAppendRebases = 15
 
+  /** `declareDdl` (VERDICT r17 #3): an EXPLICIT declared read schema for
+    * this commit, overriding the inherit/birth inference — what a
+    * partitioned CTAS uses to declare at birth (its fresh files are
+    * partition-dir shaped, so footer-based [[birthDeclared]] cannot see
+    * the dir-derived columns, but the DDL author knows the full
+    * schema). Inherited by every later commit via [[mergedDeclared]]
+    * like any declaration. */
   def commit(spark: SparkSession, root: Path, files: Seq[String],
              statsCols: Seq[String] = Nil, expectedBase: Long = -1L,
-             ref: String = "HEAD", opType: String = "overwrite"): Long = {
+             ref: String = "HEAD", opType: String = "overwrite",
+             declareDdl: Option[String] = None): Long = {
     require(files.nonEmpty, s"empty commit for $root")
     var prev =
       if (expectedBase < 0)
@@ -559,7 +567,8 @@ object SnapshotStore {
     var target = files
     var rebases = 0
     while (true) {
-      try return commitOnce(spark, root, target, statsCols, prev, ref, opType)
+      try return commitOnce(spark, root, target, statsCols, prev, ref, opType,
+        declareDdl)
       catch {
         case cme: java.util.ConcurrentModificationException =>
           // Iceberg-style optimistic RETRY (VERDICT r12 #3): a commit
@@ -670,7 +679,8 @@ object SnapshotStore {
 
   private def commitOnce(spark: SparkSession, root: Path, files: Seq[String],
                          statsCols: Seq[String], prev: Option[Long],
-                         ref: String, opType: String = "overwrite"): Long = {
+                         ref: String, opType: String = "overwrite",
+                         declareDdl: Option[String] = None): Long = {
     import spark.implicits._
     commitAttemptHook(root, prev)
     val next = prev.getOrElse(0L) + 1
@@ -761,7 +771,7 @@ object SnapshotStore {
         written ++= extra
         require(listRows.nonEmpty, s"empty commit for $root")
         publishVersion(root, ref, prev, next, listRows,
-          schemaDdl = {
+          schemaDdl = declareDdl.orElse {
             val freshAbs = fresh.map(f => root.resolve(f).toString)
             mergedDeclared(spark, root, prev, freshAbs)
               .orElse(birthDeclared(spark, root, prev, files, freshAbs))

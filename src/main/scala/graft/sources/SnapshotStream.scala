@@ -54,8 +54,9 @@ import graft.core.SnapshotStore
   *    the source fails loudly (Delta's default without
   *    `ignoreChanges`), telling the operator to restart the stream
   *    from a fresh checkpoint above the rewrite. Pending special files
-  *    (CDC deltas / MOR deletes) are refused the same way — their
-  *    logical rows need fold-time resolution, not file replay.
+  *    (CDC deltas / MOR deletes / deletion vectors) are refused the
+  *    same way — their logical rows need fold-time resolution, not
+  *    file replay — unless `cdcFeed` drains them as a change feed.
   *  - `skipRewrites` (VERDICT r15 #2, Delta's `skipChangeCommits` /
   *    Iceberg's rewrite-tolerant streams): with
   *    `.option("skipRewrites", "true")`, an interval containing a
@@ -99,6 +100,17 @@ import graft.core.SnapshotStore
   *    it via a plain append (legal at-rest only after a fold) is not
   *    representable downstream, because feed data rows carry seq 0;
   *    restart the feed from the fold version to pick re-inserts up.
+  *  - DELETION-VECTOR tables under `cdcFeed` (VERDICT r17 #1, the last
+  *    refused consumer shape): a vector names (file, position) pairs,
+  *    so its retraction rows are DERIVED — the batch reads EXACTLY the
+  *    named base files (whole-file, in order) and emits the named
+  *    positions' rows with FULL payload, `_tombstone` true, `_seq` =
+  *    the vector's commit version (the `data/_dv_a<v>` attempt dir,
+  *    CAS-pinned by [[SnapshotStore.deleteDv]]'s `expectedBase`) —
+  *    bounded by O(positions ∪ named files), the fold's own cost, and
+  *    [[SnapshotStore.foldDv]] drains as a no-op (op stamp "fold").
+  *    The same consumer argmax as the MOR shape resolves; same
+  *    re-insert caveat. Without `cdcFeed` DV intervals still refuse.
   *  - EXACTLY-ONCE composition: offsets live in the sink's checkpoint;
   *    replayed batches re-plan the identical (v_a, v_b] file set
   *    (manifests are immutable), so a retried epoch re-reads the same
@@ -151,8 +163,8 @@ object SnapshotStreamSource {
     * consumer can recency-resolve exactly like
     * [[SnapshotStore.readAtCdc]] / fold deletes like
     * [[SnapshotStore.readAtMor]]. */
-  private[sources] def tableSchema(spark: SparkSession, root: Path,
-                                   cdcFeed: Boolean = false): StructType = {
+  private[graft] def tableSchema(spark: SparkSession, root: Path,
+                                 cdcFeed: Boolean = false): StructType = {
     val head = SnapshotStore.headVersion(root).getOrElse(
       throw new IllegalStateException(
         s"graft-snapshot stream on $root: no committed snapshot yet"))
@@ -167,10 +179,14 @@ object SnapshotStreamSource {
     if (!cdcFeed) base
     else {
       import org.apache.spark.sql.types.{StructField, LongType, BooleanType}
-      val withSeq =
-        if (base.fieldNames.contains("_seq")) base
-        else StructType(base.fields :+ StructField("_seq", LongType, nullable = true))
-      StructType(withSeq.fields :+
+      // underscore-prefixed LEDGER columns (`_dv_file`/`_dv_pos` on a
+      // pending vector, `_seq` on a delta file) never enter the feed's
+      // DATA schema — a stream starting on an undeclared table with
+      // pending special files would otherwise leak them from a raw
+      // footer; the feed's own `_seq` is appended below
+      val data = StructType(base.filterNot(_.name.startsWith("_")))
+      StructType(data.fields :+
+        StructField("_seq", LongType, nullable = true) :+
         StructField("_tombstone", BooleanType, nullable = true))
     }
   }
@@ -210,7 +226,7 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
 
 /** One version-interval micro-batch stream (see
   * [[SnapshotStreamSource]] for the contract). */
-private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
+private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
                                                 startVersion: Long,
                                                 maxFilesPerTrigger: Option[Int],
                                                 skipRewrites: Boolean = false,
@@ -322,25 +338,24 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     // cdcFeed: CDC delta files ARE the payload — their rows (with
     // `_seq`) stream raw for downstream recency resolution — and so
     // are MOR delete-key files, drained as retraction rows (VERDICT
-    // r16 #1; key + `_tombstone` + `_seq` = commit version). Without
-    // the option both refuse: their logical rows need resolution.
+    // r16 #1; key + `_tombstone` + `_seq` = commit version), and
+    // DELETION-VECTOR files, whose retraction rows are DERIVED
+    // (VERDICT r17 #1): a vector names (file, position) pairs, so
+    // reading EXACTLY the named base files and selecting the named
+    // positions' rows yields the deleted rows — full payload,
+    // `_tombstone` = true, `_seq` = the DV's commit version — bounded
+    // by O(positions ∪ named files), the fold's own cost. Without the
+    // option all three refuse: their logical rows need resolution.
     val pending = delta.filter(f =>
-      !cdcFeed && (SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f)))
+      !cdcFeed && (SnapshotStore.isCdcDeltaFile(f) || SnapshotStore.isDeleteFile(f) ||
+        SnapshotStore.isDvFile(f)))
     if (pending.nonEmpty) throw new IllegalStateException(
       s"graft-snapshot stream on $root: interval ($a, $b] carries " +
-      s"${pending.size} pending CDC-delta/MOR-delete file(s) — fold first " +
-      "(their logical rows need resolution, not file replay) — or stream " +
-      "with .option(\"cdcFeed\", \"true\") to drain CDC delta rows raw / " +
-      "MOR delete keys as retraction rows for downstream resolution")
-    // deletion-vector files refuse under BOTH modes: a (file, position)
-    // pair has no row representation a feed consumer can fold without
-    // re-reading the base file it points into — stream between folds
-    val dvPending = delta.filter(SnapshotStore.isDvFile)
-    if (dvPending.nonEmpty) throw new IllegalStateException(
-      s"graft-snapshot stream on $root: interval ($a, $b] carries " +
-      s"${dvPending.size} pending deletion-vector file(s) — positional " +
-      "deletes have no per-row feed representation; run foldDv and " +
-      s"restart the stream from startVersion=$b")
+      s"${pending.size} pending CDC-delta/MOR-delete/deletion-vector " +
+      "file(s) — fold first (their logical rows need resolution, not file " +
+      "replay) — or stream with .option(\"cdcFeed\", \"true\") to drain CDC " +
+      "delta rows raw / MOR delete keys and DV positions as retraction rows " +
+      "for downstream resolution")
     SnapshotStreamSource.logPlan((root.toString, a, b, delta.size, fast.isDefined))
     if (delta.isEmpty) { lastBatch = None; return Array.empty }
     val batch =
@@ -392,14 +407,27 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     * data columns alone and get `_seq` = their COMMIT VERSION (parsed
     * from the `_deletes_a<v>` attempt dir — pinned to the committed
     * version by deleteMor/mergeCow's `expectedBase` CAS) plus
-    * `_tombstone` = true appended per file. Both sides are stock DSv2
-    * parquet scans; the tag append preserves the vectorized path
-    * (ConstantColumnVector), mirroring the SQL catalog's `_file`
-    * tagging. */
+    * `_tombstone` = true appended per file. DELETION-VECTOR files
+    * (VERDICT r17 #1) drain as DERIVED retractions: the driver reads
+    * the interval's vectors — O(positions), the same bound
+    * [[graft.core.SnapshotStore.readAtDv]]'s broadcast already pays —
+    * groups them (commit version, named base file) and plans ONE
+    * whole-file scan partition per pair; the reader walks the base
+    * file in order, counting rows (the `_metadata.row_index`
+    * contract: no filter is pushed, so nothing skips), and emits
+    * EXACTLY the named positions' rows with `_seq` = the vector's
+    * commit version (the `_dv_a<v>` attempt dir, CAS-pinned by
+    * deleteDv's `expectedBase`) and `_tombstone` = true. All sides are
+    * stock DSv2 parquet scans; the tag append preserves the vectorized
+    * path on data partitions (ConstantColumnVector), mirroring the SQL
+    * catalog's `_file` tagging; DV partitions read row-based (the
+    * position filter is per-row by nature, and vectors are tiny by
+    * contract). */
   private def planFeedBatch(spark: SparkSession, a: Long, b: Long,
                             delta: Seq[String]): Batch = {
     import org.apache.spark.sql.types.StructType
-    val (delFiles, dataFiles) = delta.partition(SnapshotStore.isDeleteFile)
+    val (dvFiles, rest) = delta.partition(SnapshotStore.isDvFile)
+    val (delFiles, dataFiles) = rest.partition(SnapshotStore.isDeleteFile)
     val dataSchema = StructType(schema.filterNot(f =>
       f.name == "_seq" || f.name == "_tombstone"))
     val withSeq = StructType(schema.filterNot(_.name == "_tombstone"))
@@ -420,10 +448,34 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
           s"graft-snapshot stream on $root: delete file $rel does not encode " +
           "its commit version (_deletes_a<v>) — cannot stamp the retraction _seq"))
     }
+    // DV side: (commit version, named base file) -> deleted positions.
+    // Driver-side and bounded by the interval's position count — a DV
+    // is tiny by the deleteDv contract (readAtDv broadcasts this same
+    // set; maybeFoldDv's threshold bounds accumulation).
+    val dvGroups: Seq[(Long, String, Array[Long])] =
+      if (dvFiles.isEmpty) Seq.empty
+      else {
+        def dvSeqOf(rel: String): Long =
+          FeedBatch.DvAttempt.findFirstMatchIn(rel).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"graft-snapshot stream on $root: DV file $rel does not encode " +
+              "its commit version (_dv_a<v>) — cannot stamp the retraction _seq"))
+        dvFiles.groupBy(dvSeqOf).toSeq.flatMap { case (v, fs) =>
+          spark.read.parquet(fs.map(f => root.resolve(f).toString): _*)
+            .select("_dv_file", "_dv_pos").distinct()
+            .collect().groupBy(_.getString(0)).toSeq
+            .map { case (bf, rows) =>
+              (v, bf, rows.map(_.getLong(1)).sorted)
+            }
+        }.sortBy(g => (g._1, g._2))
+      }
+    val dvBase: Option[Batch] =
+      if (dvGroups.isEmpty) None
+      else Some(pqBatch(dvGroups.map(_._2).distinct, dataSchema, "dv"))
     new FeedBatch(
       if (dataFiles.isEmpty) None else Some(pqBatch(dataFiles, withSeq, "data")),
       if (delFiles.isEmpty) None else Some(pqBatch(delFiles, dataSchema, "del")),
-      seqOf, root.toAbsolutePath.normalize.toString)
+      seqOf, root.toAbsolutePath.normalize.toString, dvBase, dvGroups)
   }
 
   /** `skipRewrites` planning over an interval the part-level fast path
@@ -487,21 +539,40 @@ private[sources] class SnapshotMicroBatchStream(root: Path, schema: StructType,
 private[sources] case class FeedPartition(inner: InputPartition,
     tombstone: Boolean, seq: Long) extends InputPartition
 
+/** One DERIVED-RETRACTION feed partition (VERDICT r17 #1): a
+  * whole-file scan of ONE DV-named base file plus the vector's
+  * deleted positions in it — the reader walks the file in order,
+  * counts rows, and emits exactly `positions`' rows tagged
+  * (`_seq` = `seq`, `_tombstone` = true). Positions ride the
+  * partition itself (serialized to the task) — tiny by the deleteDv
+  * contract. */
+private[sources] case class DvFeedPartition(inner: InputPartition,
+    seq: Long, positions: Array[Long]) extends InputPartition
+
 private[sources] object FeedBatch {
   /** The delete-attempt dir pattern whose number IS the commit version
     * (deleteMor/mergeCow pin `expectedBase`, so attempt = version). */
   val DeleteAttempt = """_deletes_a(\d+)/""".r
+  /** The DV-attempt dir pattern, same contract (deleteDv pins
+    * `expectedBase`, so attempt = the vector's commit version). */
+  val DvAttempt = """_dv_a(\d+)/""".r
 }
 
 /** The `cdcFeed` batch over one version interval: data-side partitions
   * pass through with a `_tombstone` = false tag; delete-side partitions
   * are split ONE FILE PER PARTITION (delete commits are tiny single
   * files; splitting only unpacks Spark's small-file packing) so each
-  * can carry its own commit-version `_seq`. See
-  * [[SnapshotMicroBatchStream.planFeedBatch]]. */
+  * can carry its own commit-version `_seq`; DV-side partitions are ONE
+  * WHOLE NAMED BASE FILE each — the row-counting position filter needs
+  * the file read in order from byte 0, so split-planned fragments are
+  * re-fused (a deliberate unsplit, bounded by the files the vectors
+  * actually name). See [[SnapshotMicroBatchStream.planFeedBatch]]. */
 private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
                                  seqOf: String => Long,
-                                 rootStr: String) extends Batch {
+                                 rootStr: String,
+                                 dvB: Option[Batch] = None,
+                                 dvGroups: Seq[(Long, String, Array[Long])] = Seq.empty)
+    extends Batch {
   import org.apache.spark.sql.execution.datasources.FilePartition
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -519,21 +590,49 @@ private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
           : InputPartition
       }
     }
-    (data ++ dels).toArray
+    // DV side: one WHOLE-FILE partition per (vector commit, named base
+    // file) — fragments Spark's packing/splitting produced are re-fused
+    // to (start = 0, length = fileSize) so the reader's row counter is
+    // the file-order row index (_metadata.row_index's definition)
+    val dvs = dvB.toSeq.flatMap { b =>
+      val byRel: Map[String, org.apache.spark.sql.execution.datasources.PartitionedFile] =
+        b.planInputPartitions().toSeq.flatMap {
+          case fp: FilePartition => fp.files.toSeq
+          case other => throw new IllegalStateException(
+            s"graft-snapshot feed planned a non-file partition ${other.getClass.getName}")
+        }.groupBy(pf => Paths.get(rootStr)
+          .relativize(Paths.get(pf.filePath.toUri)).toString)
+          .map { case (rel, pfs) =>
+            val pf = pfs.head
+            rel -> pf.copy(start = 0L, length = pf.fileSize)
+          }
+      dvGroups.zipWithIndex.map { case ((v, bf, positions), i) =>
+        val pf = byRel.getOrElse(bf, throw new IllegalStateException(
+          s"graft-snapshot feed: deletion vector names $bf but the scan " +
+          "planned no such file — vector/manifest drift"))
+        DvFeedPartition(FilePartition(i, Array(pf)), v, positions): InputPartition
+      }
+    }
+    (data ++ dels ++ dvs).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeedReaderFactory(dataB.map(_.createReaderFactory()),
-      delB.map(_.createReaderFactory()))
+      delB.map(_.createReaderFactory()),
+      dvB.map(_.createReaderFactory()))
 }
 
 /** Dispatches each [[FeedPartition]] to its side's stock parquet reader
   * and appends the constant feed-tag columns — rows via a JoinedRow,
   * vectorized batches via ConstantColumnVector(s), so the columnar path
-  * survives the tagging (the SQL catalog's `_file` pattern). */
+  * survives the tagging (the SQL catalog's `_file` pattern).
+  * [[DvFeedPartition]]s read ROW-BASED through a counting position
+  * filter — in-order whole-file read, emit exactly the vector's
+  * positions, tag (`_seq` = vector commit, `_tombstone` = true). */
 private[sources] class FeedReaderFactory(
     dataF: Option[PartitionReaderFactory],
-    delF: Option[PartitionReaderFactory]) extends PartitionReaderFactory {
+    delF: Option[PartitionReaderFactory],
+    dvF: Option[PartitionReaderFactory] = None) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
@@ -549,23 +648,46 @@ private[sources] class FeedReaderFactory(
     (f, fp.inner, fp)
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (f, inner, _) = sideOf(p)
-    f.supportColumnarReads(inner)
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: DvFeedPartition => false // per-row position filter by nature
+    case _ =>
+      val (f, inner, _) = sideOf(p)
+      f.supportColumnarReads(inner)
   }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val (f, inner, fp) = sideOf(p)
-    val r = f.createReader(inner)
-    val right =
-      if (fp.tombstone) new GenericInternalRow(Array[Any](fp.seq, true))
-      else new GenericInternalRow(Array[Any](false))
-    new PartitionReader[InternalRow] {
-      private val joined = new JoinedRow
-      override def next(): Boolean = r.next()
-      override def get(): InternalRow = joined(r.get(), right)
-      override def close(): Unit = r.close()
-    }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case dv: DvFeedPartition =>
+      val f = dvF.getOrElse(
+        throw new IllegalStateException("DV feed partition for an unplanned side"))
+      val r = f.createReader(dv.inner)
+      val right = new GenericInternalRow(Array[Any](dv.seq, true))
+      val wanted = dv.positions // sorted by the planner
+      new PartitionReader[InternalRow] {
+        private val joined = new JoinedRow
+        private var rowIdx = -1L // file-order row index of the CURRENT row
+        private var wi = 0      // next wanted position (both sides ascend)
+        override def next(): Boolean = {
+          while (wi < wanted.length && r.next()) {
+            rowIdx += 1
+            if (rowIdx == wanted(wi)) { wi += 1; return true }
+          }
+          false
+        }
+        override def get(): InternalRow = joined(r.get(), right)
+        override def close(): Unit = r.close()
+      }
+    case _ =>
+      val (f, inner, fp) = sideOf(p)
+      val r = f.createReader(inner)
+      val right =
+        if (fp.tombstone) new GenericInternalRow(Array[Any](fp.seq, true))
+        else new GenericInternalRow(Array[Any](false))
+      new PartitionReader[InternalRow] {
+        private val joined = new JoinedRow
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = joined(r.get(), right)
+        override def close(): Unit = r.close()
+      }
   }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {

@@ -353,14 +353,23 @@ class SnapshotCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!Files.exists(root.resolve("_snapshots"))) throw new NoSuchTableException(ident)
-    // schema evolution rides the DECLARED read schema, which a
-    // partition-dir layout cannot carry (a wholesale declaration would
-    // drop the dir-derived columns from every read) — refuse loudly
-    require(SnapshotCatalog.readSpec(root).isEmpty,
-      s"$cname.${ident.name()}: ALTER TABLE on a partitioned table is refused — " +
-      "schema evolution rides the declared read schema, which partition-dir " +
-      "layouts do not carry (flat-table contract)")
     val spark = SparkSession.active
+    // SQL-born PARTITIONED tables evolve too (VERDICT r17 #3): their
+    // creation seed stamps a declared read schema at birth (partition
+    // columns last), so ADD COLUMN and type WIDENING ride it exactly
+    // like the flat contract — the declaration's partition columns keep
+    // resolving from the dir layout (Spark splits a user schema into
+    // data + partition halves under basePath). Partition columns
+    // themselves are immutable (their values live in paths, not
+    // footers); DROP/RENAME stay refused on partitioned tables — their
+    // ledgers (re-add boundaries, name chains) assume the flat
+    // single-generation read.
+    val parts = SnapshotCatalog.readSpec(root)
+    def refusePartCol(c: String, what: String): Unit =
+      require(!parts.contains(c),
+        s"$cname.${ident.name()}: $what on PARTITION column $c is refused — " +
+        "partition values live in directory paths, not file footers; evolve " +
+        "the partition spec through the Layout/partition-spec API instead")
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -369,17 +378,28 @@ class SnapshotCatalog extends TableCatalog
         require(add.isNullable,
           s"$cname.${ident.name()}: ADD COLUMN must be nullable — a non-null " +
           "default over committed files needs a rewrite, not a metadata stamp")
+        if (parts.nonEmpty)
+          require(SnapshotStore.declaredSchema(root,
+              SnapshotStore.headVersion(root).getOrElse(0L)).nonEmpty,
+            s"$cname.${ident.name()}: this partitioned table predates " +
+            "declared-at-birth schemas — ALTER needs a declaration to ride; " +
+            "recreate through CREATE TABLE ... PARTITIONED BY")
         SnapshotStore.addColumn(spark, root, add.fieldNames()(0),
           add.dataType().sql)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1,
           s"$cname.${ident.name()}: only top-level type changes are supported")
+        refusePartCol(upd.fieldNames()(0), "type widening")
         SnapshotStore.widenColumn(spark, root, upd.fieldNames()(0),
           upd.newDataType().sql)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           s"$cname.${ident.name()}: only top-level DROP COLUMN is supported " +
           s"(got ${del.fieldNames().mkString(".")})")
+        require(parts.isEmpty,
+          s"$cname.${ident.name()}: DROP COLUMN on a partitioned table is " +
+          "refused — the drop ledger's re-add boundary assumes the flat " +
+          "single-generation read (flat-table contract)")
         SnapshotStore.dropColumn(spark, root, del.fieldNames()(0))
       case ren: TableChange.RenameColumn =>
         // metadata-only name mapping (VERDICT r16 #5): reads serve the
@@ -387,6 +407,10 @@ class SnapshotCatalog extends TableCatalog
         require(ren.fieldNames().length == 1,
           s"$cname.${ident.name()}: only top-level RENAME COLUMN is supported " +
           s"(got ${ren.fieldNames().mkString(".")})")
+        require(parts.isEmpty,
+          s"$cname.${ident.name()}: RENAME COLUMN on a partitioned table is " +
+          "refused — name chains assume the flat single-generation read " +
+          "(flat-table contract)")
         SnapshotStore.renameColumnMapped(spark, root, ren.fieldNames()(0),
           ren.newName())
       case other => readOnly(s"alterTable(${other.getClass.getSimpleName})")
@@ -600,11 +624,6 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(writable,
       s"${name()}: ${info.command()} on a version-pinned load is refused")
-    require(partitionCols.isEmpty,
-      s"${name()}: ${info.command()} on a partitioned table is refused — " +
-      "the COW rewrite stages flat files, which cannot coexist with " +
-      "partition dirs; partition-dir layouts take row-level changes " +
-      "through the API's merge machinery (flat-table contract)")
     require(renameChains.isEmpty,
       s"${name()}: ${info.command()} on a RENAMED table is refused — the " +
       "COW rewrite would mix generations under one physical schema; " +
@@ -612,7 +631,7 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new SnapshotRowLevelOperation(info.command(), root, loadedVersion,
-          mkTable, filesRel)
+          mkTable, filesRel, partitionCols)
     }
   }
 
@@ -627,8 +646,14 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       // INSERT OVERWRITE's V1 fallback (insert(df, overwrite = true));
       // the write path then implements DYNAMIC partition replacement on
       // partitioned tables and REFUSES the flat-table truncate — the
-      // capability admits the statement, the table decides the contract
+      // capability admits the statement, the table decides the contract.
+      // MICRO_BATCH_READ (VERDICT r16 #7 / r17 #2) binds the
+      // graft-snapshot incremental source behind the catalog, so
+      // `spark.readStream.table("graft_lake.`/t`")` drains commits
+      // without the format+path incantation; version-pinned loads stay
+      // batch-only (streaming "from the past" is startVersion's job).
       java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -637,7 +662,8 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     // the table is RENAMED, in which case the chain-coalescing wrapper
     // folds each retired physical column back into its logical name
     new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None,
-      renameChains = renameChains, logicalSchema = logicalOverride)
+      renameChains = renameChains, logicalSchema = logicalOverride,
+      streamable = writable, partitionCols = partitionCols)
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
@@ -662,16 +688,36 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     * survivors land outside the partition dirs; partition-dir layouts
     * take row-level changes through the API's merge machinery). */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    writable && partitionCols.isEmpty && renameChains.isEmpty &&
+    writable && renameChains.isEmpty &&
       filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
+
+  /** Top-level conjuncts `partCol = value` in the DELETE predicate —
+    * the PARTITION-PRUNING tier for partitioned tables: a candidate
+    * file whose path lacks the `col=value` segment provably holds no
+    * matching row (its partition value differs), so it never opens.
+    * Only conjunction-reachable equalities restrict (an OR branch
+    * can't); everything else is the probe scan's job. */
+  private def partitionPruned(filters: Array[sources.Filter],
+                              files: Seq[String]): Seq[String] = {
+    def eqs(f: sources.Filter): Seq[(String, String)] = f match {
+      case sources.EqualTo(a, v) if partitionCols.contains(a) && v != null =>
+        Seq(a -> v.toString)
+      case sources.And(l, r) => eqs(l) ++ eqs(r)
+      case _ => Seq.empty
+    }
+    val restricts = filters.flatMap(eqs).toSeq
+    if (restricts.isEmpty) files
+    else files.filter { f =>
+      val segs = f.split('/').dropRight(1)
+        .filter(s => s.contains('=') && !s.startsWith("_"))
+        .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').tail).toMap
+      restricts.forall { case (c, v) => segs.get(c).forall(_ == v) }
+    }
+  }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(writable,
       s"${name()}: DELETE on a version-pinned load is refused — deletes land on HEAD")
-    require(partitionCols.isEmpty,
-      s"${name()}: DELETE on a partitioned table is refused — rewritten " +
-      "survivors would land outside the partition dirs (flat-table contract); " +
-      "use the API's merge machinery or INSERT OVERWRITE the partition")
     val spark = SparkSession.active
     val pred = filters.map(f => SnapshotSqlTable.toColumn(f).getOrElse(
         throw new UnsupportedOperationException(
@@ -685,41 +731,62 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
         SnapshotStore.isDvFile(f)),
       s"${name()}: DELETE on a table with pending CDC-delta/MOR-delete/" +
       "deletion-vector files — fold first")
-    // tier 1 — MANIFEST ENVELOPE pruning: when (part of) the predicate
-    // is envelope-expressible against the table's stamped stats, files
-    // provably disjoint from every matching row drop before a single
-    // footer opens (null envelopes keep their file — prune only
-    // proven-dead). Tier 2 — the pushed-down probe scan over the
-    // candidates: names only cross the driver.
+    // tier 1 — pruning before any footer opens: MANIFEST ENVELOPES when
+    // (part of) the predicate is envelope-expressible against the
+    // table's stamped stats (null envelopes keep their file — prune
+    // only proven-dead), and PARTITION-DIR equality conjuncts on
+    // partitioned tables (VERDICT r17 #3 — `WHERE day = X AND …`
+    // opens only day=X's files at 10⁶ files). Tier 2 — the pushed-down
+    // probe scan over the candidates: names only cross the driver.
     val man = SnapshotStore.manifest(spark, root, head)
     val stats: String => Boolean =
       c => man.columns.contains(s"min_$c") && man.columns.contains(s"max_$c")
-    val candidates = filters.flatMap(SnapshotSqlTable.envelopePred(_, stats))
+    val envCandidates = filters.flatMap(SnapshotSqlTable.envelopePred(_, stats))
         .reduceOption(_ && _) match {
       case Some(env) =>
         SnapshotStore.filesAtWhere(spark, root, head, coalesce(env, lit(true)))
       case None => headFiles
     }
+    val candidates =
+      if (partitionCols.isEmpty) envCandidates
+      else partitionPruned(filters, envCandidates)
     SnapshotSqlTable.lastDeleteStats = Some((candidates.size, headFiles.size))
     val rootStr = root.toAbsolutePath.normalize.toString
-    val touched = SnapshotStore.readFiles(spark, root, candidates)
+    // the probe (and the survivor rewrite below) read under the
+    // DECLARED schema with basePath recovery, so partition columns
+    // resolve with their declared types — exactly the planner's view
+    def readCand(files: Seq[String]): DataFrame = {
+      var r = spark.read.option("basePath", root.resolve("data").toString)
+      SnapshotStore.declaredSchema(root, head).foreach(ddl =>
+        r = r.schema(StructType.fromDDL(ddl)))
+      r.parquet(files.map(f => root.resolve(f).toString): _*)
+    }
+    if (candidates.isEmpty) return // every file pruned: the version stands
+    val touched = readCand(candidates)
       .where(pred).select(input_file_name()).distinct()
       .collect().map(r => java.nio.file.Paths.get(rootStr)
         .relativize(java.nio.file.Paths.get(new java.net.URI(r.getString(0))))
         .toString).toSeq.sorted
     if (touched.isEmpty) return // nothing matches: the version stands
-    val survivors = SnapshotStore.readFiles(spark, root, touched)
+    val survivors = readCand(touched)
       .where(not(coalesce(pred, lit(false))))
-    val rel = s"data/sqldelete_${java.util.UUID.randomUUID().toString.take(12)}"
-    survivors.repartition(math.max(1, touched.size))
-      .write.mode("overwrite").parquet(root.resolve(rel).toString)
-    import scala.jdk.CollectionConverters._
-    val s = Files.walk(root.resolve(rel))
+    // survivors land back in their OWN layout: flat tables as flat
+    // rewrite files; partitioned tables partition-dir-shaped (the
+    // INSERT path's writer), so the rewrite never mixes layouts and
+    // untouched partitions carry by reference, byte-identical
     val fresh =
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toSeq.sorted
-      finally s.close()
+      if (partitionCols.isEmpty) {
+        val rel = s"data/sqldelete_${java.util.UUID.randomUUID().toString.take(12)}"
+        survivors.repartition(math.max(1, touched.size))
+          .write.mode("overwrite").parquet(root.resolve(rel).toString)
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(root.resolve(rel))
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSeq.sorted
+        finally s.close()
+      } else SnapshotCatalog.writePartitionedFresh(survivors, root,
+        partitionCols, "sqldelete")
     SnapshotStore.commit(spark, root,
       headFiles.filterNot(touched.toSet) ++ fresh, expectedBase = head)
   }
@@ -766,10 +833,24 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     finally s.close()
   }
 
+  /** WRITE-AUDIT-PUBLISH branch routing (VERDICT r17 #4 — Iceberg's
+    * `spark.wap.branch` session conf, on this seam): while
+    * `spark.graft.wap.branch` is set, INSERTs commit to that BRANCH ref
+    * (fork-from-HEAD on first commit — [[graft.core.SnapshotStore
+    * .commitAppend]]'s `ref` contract) instead of HEAD, so mainline
+    * readers see nothing until `CALL system.publish_branch` / the batch
+    * is rejected by `CALL system.drop_branch`. Audits read the staged
+    * state via `VERSION AS OF '<branch>'` (refs already resolve there).
+    * INSERT OVERWRITE refuses under a WAP branch — partition
+    * replacement on a fork is merge territory, not a staging append. */
+  private def wapBranch(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.wap.branch").map(_.trim).filter(_.nonEmpty)
+
   private def insertFlat(aligned: DataFrame): Unit = {
     val rel = s"data/sqlinsert_${java.util.UUID.randomUUID().toString.take(12)}"
     aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
-    SnapshotStore.commitAppend(aligned.sparkSession, root, walkFresh(rel))
+    SnapshotStore.commitAppend(aligned.sparkSession, root, walkFresh(rel),
+      ref = wapBranch(aligned.sparkSession).getOrElse("HEAD"))
     ()
   }
 
@@ -790,11 +871,20 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     * partition's files and never lists the others. */
   private def insertPartitioned(aligned: DataFrame, overwrite: Boolean): Unit = {
     val spark = aligned.sparkSession
+    val branch = wapBranch(spark)
+    require(branch.isEmpty || !overwrite,
+      s"${name()}: INSERT OVERWRITE under WAP branch '${branch.get}' is " +
+      "refused — partition replacement on a fork is merge territory; stage " +
+      "appends, publish, then overwrite on HEAD")
     val fresh = SnapshotCatalog.writePartitionedFresh(aligned, root,
       partitionCols, if (overwrite) "sqloverwrite" else "sqlinsert")
     if (fresh.isEmpty) return // zero-row insert: the version stands
-    val head = SnapshotStore.headVersion(root).getOrElse(
-      throw new IllegalStateException(s"${name()}: INSERT on an uncommitted table"))
+    // under a WAP branch the base is the BRANCH TIP (fork-from-HEAD on
+    // the first staged commit)
+    val baseRef = branch.getOrElse("HEAD")
+    val head = SnapshotStore.refVersion(root, baseRef)
+      .orElse(SnapshotStore.headVersion(root)).getOrElse(
+        throw new IllegalStateException(s"${name()}: INSERT on an uncommitted table"))
     val headFiles = SnapshotStore.filesAt(spark, root, head)
     // the file's partition tuple, from its own path (the specOfFile
     // contract: the path IS the spec record); None = the file does not
@@ -810,10 +900,11 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     if (!overwrite) {
       // plain append — unless the creation seed must retire (a flat
       // file cannot coexist with partition dirs under one basePath)
-      if (seed.isEmpty) SnapshotStore.commitAppend(spark, root, fresh)
+      if (seed.isEmpty)
+        SnapshotStore.commitAppend(spark, root, fresh, ref = baseRef)
       else SnapshotStore.commit(spark, root,
         headFiles.filterNot(SnapshotCatalog.isSeedFile) ++ fresh,
-        expectedBase = head)
+        expectedBase = head, ref = baseRef)
     } else {
       val newTuples = fresh.flatMap(tupleOf).toSet
       val carried = headFiles.filterNot(SnapshotCatalog.isSeedFile)
@@ -910,7 +1001,15 @@ private[sql] class StagedSnapshotTable(tname: String, root: Path,
           .map(p => root.relativize(p).toString).toSeq.sorted
         finally s.close()
       }
-    SnapshotStore.commit(spark, root, files) // v1: the table is BORN here
+    // v1: the table is BORN here. A partitioned CTAS declares its read
+    // schema EXPLICITLY (partition columns last) — its fresh files are
+    // partition-dir shaped, so the footer-based birth inference cannot
+    // see the dir-derived columns, and schema evolution (ALTER) rides
+    // the declaration (VERDICT r17 #3)
+    SnapshotStore.commit(spark, root, files,
+      declareDdl =
+        if (parts.isEmpty) None
+        else Some(SnapshotCatalog.partitionLast(schema0, parts).toDDL))
     if (parts.nonEmpty) SnapshotCatalog.writeSpec(root, parts)
   }
 
@@ -942,7 +1041,8 @@ private[sql] class StagedSnapshotTable(tname: String, root: Path,
 private[sql] class SnapshotRowLevelOperation(
     cmd: RowLevelOperation.Command, root: Path, baseVersion: Long,
     mkTable: Seq[String] => ParquetTable,
-    filesRel: Seq[String]) extends RowLevelOperation {
+    filesRel: Seq[String],
+    partitionCols: Seq[String] = Seq.empty) extends RowLevelOperation {
   import graft.core.{IndexStore, SnapshotStore}
 
   /** Files the runtime group filter narrowed the COW scan to — the
@@ -1009,11 +1109,30 @@ private[sql] class SnapshotRowLevelOperation(
               ib.commit(messages) // finalize the staged files
               import scala.jdk.CollectionConverters._
               val s = Files.walk(staging)
-              val fresh =
+              val stagedFresh =
                 try s.iterator().asScala
                   .filter(_.getFileName.toString.endsWith(".parquet"))
                   .map(p => root.relativize(p).toString).toSeq.sorted
                 finally s.close()
+              // PARTITIONED tables (VERDICT r17 #3): the COW rewrite
+              // stages FLAT files — partition values ride as data
+              // columns, recovered by the scan — so before the commit
+              // they re-shape into partition dirs through the INSERT
+              // path's writer (one aligned dir depth per table, the
+              // writePartitionedFresh contract). Costs one extra write
+              // of the REWRITTEN rows only; untouched partitions still
+              // carry by reference. Flat tables commit the staged files
+              // directly, as ever.
+              def reshaped(): Seq[String] =
+                if (partitionCols.isEmpty || stagedFresh.isEmpty) stagedFresh
+                else {
+                  val df = spark.read.parquet(
+                    stagedFresh.map(f => root.resolve(f).toString): _*)
+                  val shaped = SnapshotCatalog.writePartitionedFresh(df, root,
+                    partitionCols, s"${cmd.toString.toLowerCase}_sql")
+                  IndexStore.deleteRecursively(staging)
+                  shaped
+                }
               replaced match {
                 case Some(matched) =>
                   // file-scoped COW: rewritten groups land fresh, every
@@ -1034,13 +1153,14 @@ private[sql] class SnapshotRowLevelOperation(
                     // only a genuinely row-free artifact (DELETE's
                     // no-match contract: the version stands).
                     val stagedRows =
-                      if (fresh.isEmpty) 0L
+                      if (stagedFresh.isEmpty) 0L
                       else spark.read.parquet(
-                        fresh.map(f => root.resolve(f).toString): _*).count()
+                        stagedFresh.map(f => root.resolve(f).toString): _*).count()
                     if (stagedRows == 0L) IndexStore.deleteRecursively(staging)
-                    else SnapshotStore.commit(spark, root, filesRel ++ fresh,
+                    else SnapshotStore.commit(spark, root, filesRel ++ reshaped(),
                       expectedBase = baseVersion)
                   } else {
+                    val fresh = reshaped()
                     require(carried.nonEmpty || fresh.nonEmpty,
                       s"snapshot $cmd on $root produced an empty table — emptying a " +
                       "table wholesale goes through the maintenance API, not DML")
@@ -1050,6 +1170,7 @@ private[sql] class SnapshotRowLevelOperation(
                 case None =>
                   SnapshotSqlTable.lastMergeStats =
                     Some((filesRel.size, filesRel.size))
+                  val fresh = reshaped()
                   require(fresh.nonEmpty,
                     s"snapshot $cmd on $root produced an empty table — emptying a " +
                     "table wholesale goes through the maintenance API, not DML")
@@ -1146,7 +1267,9 @@ private[sql] class SnapshotScanBuilder(
     options: CaseInsensitiveStringMap,
     onNarrow: Option[Seq[String] => Unit],
     renameChains: Seq[(String, Seq[String])] = Seq.empty,
-    logicalSchema: Option[StructType] = None)
+    logicalSchema: Option[StructType] = None,
+    streamable: Boolean = false,
+    partitionCols: Seq[String] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -1222,11 +1345,82 @@ private[sql] class SnapshotScanBuilder(
       else new RenameCoalescingScan(base0,
         pruned.orElse(logicalSchema).getOrElse(throw new IllegalStateException(
           "renamed-table scan built without a logical schema")), chainOf)
-    if (!wantFile && onNarrow.isEmpty) base // plain read, zero wrapping
-    else if (onNarrow.isEmpty)
-      new TaggedSnapshotScan(root, base, wantFile)
-    else
-      new CowSnapshotScan(root, base, wantFile, filesRel, replay, onNarrow.get)
+    val built =
+      if (!wantFile && onNarrow.isEmpty) base // plain read, no batch wrapping
+      else if (onNarrow.isEmpty)
+        new TaggedSnapshotScan(root, base, wantFile)
+      else
+        new CowSnapshotScan(root, base, wantFile, filesRel, replay, onNarrow.get)
+    // HEAD loads additionally answer toMicroBatchStream (VERDICT r16 #7):
+    // a THIN forwarder whose toBatch IS the delegate's batch — batch
+    // planning and execution are object-identical to the unwrapped scan
+    // (spec-pinned) — and whose stream is the graft-snapshot
+    // MicroBatchStream, options (startVersion / maxFilesPerTrigger /
+    // skipRewrites) passed through. The row-level path stays unwrapped:
+    // SupportsRuntimeV2Filtering must remain visible on the scan object.
+    if (streamable && onNarrow.isEmpty)
+      new StreamCapableScan(built, root, options, partitionCols)
+    else built
+  }
+}
+
+/** The catalog scan's STREAMING face (VERDICT r16 #7 / r17 #2): batch
+  * calls forward verbatim to the wrapped scan (the returned Batch is
+  * the delegate's own object — zero execution-path wrapping);
+  * `toMicroBatchStream` binds the `graft-snapshot` incremental source
+  * ([[graft.sources.SnapshotMicroBatchStream]]) so
+  * {{{ spark.readStream.table("graft_lake.`/t`") }}}
+  * drains committed versions exactly like the format+path incantation,
+  * reader options passed through. Honest refusals, both loud:
+  *  - `cdcFeed` cannot ride the catalog binding — the feed APPENDS
+  *    `_seq`/`_tombstone` to the schema, but a catalog relation's
+  *    output is fixed by `Table.schema()` at resolution; use
+  *    `.format("graft-snapshot").option("path", …)`, whose
+  *    `inferSchema` serves the extended shape;
+  *  - partition-dir tables cannot stream yet — the per-batch scan
+  *    plans explicit leaf files under the declared schema, which
+  *    cannot recover dir-derived partition values (same gap as the
+  *    format path; stream the flat shape or read batch). */
+private[sql] class StreamCapableScan(delegate: Scan, root: Path,
+                                     options: CaseInsensitiveStringMap,
+                                     partitionCols: Seq[String])
+    extends Scan with SupportsReportStatistics {
+  /** Test seam: the wrapped scan (plan-shape specs assert the plain
+    * read's delegate is the STOCK parquet scan object). */
+  private[sql] def delegateScan: Scan = delegate
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!Option(options.get("cdcFeed")).exists(_.toBoolean),
+      s"graft_lake streaming read of $root: cdcFeed appends feed columns " +
+      "(_seq, _tombstone) that a catalog relation's fixed schema cannot " +
+      "carry — stream the feed via .format(\"graft-snapshot\")" +
+      ".option(\"path\", …).option(\"cdcFeed\", \"true\")")
+    require(partitionCols.isEmpty,
+      s"graft_lake streaming read of $root: partition-dir tables cannot " +
+      "stream — the per-batch scan plans explicit leaf files and cannot " +
+      "recover dir-derived partition values; read batch, or stream a flat " +
+      "table")
+    val spark = SparkSession.active
+    val streamSchema =
+      graft.sources.SnapshotStreamSource.tableSchema(spark, root)
+    new graft.sources.SnapshotMicroBatchStream(root, streamSchema,
+      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("skipRewrites")).exists(_.toBoolean),
+      cdcFeed = false)
   }
 }
 

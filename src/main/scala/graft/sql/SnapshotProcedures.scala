@@ -27,6 +27,8 @@ import graft.core.SnapshotStore
   *   CALL graft_lake.system.fold_mor(table => '/t', key => 'k', num_files => 8)
   *   CALL graft_lake.system.fold_dv(table => '/t', num_files => 8)
   *   CALL graft_lake.system.drop_retired_renames(table => '/t')
+  *   CALL graft_lake.system.publish_branch(table => '/t', branch => 'staging')
+  *   CALL graft_lake.system.drop_branch(table => '/t', branch => 'staging')
   * }}}
   *
   * Each procedure delegates 1:1 to the [[graft.core.SnapshotStore]]
@@ -38,7 +40,8 @@ import graft.core.SnapshotStore
 private[sql] object SnapshotProcedures {
 
   private val names = Seq("compact", "vacuum", "vacuum_older_than",
-    "fold_cdc", "fold_mor", "fold_dv", "drop_retired_renames")
+    "fold_cdc", "fold_mor", "fold_dv", "drop_retired_renames",
+    "publish_branch", "drop_branch")
 
   def procedureNames: Seq[String] = names
 
@@ -87,6 +90,10 @@ private[sql] object SnapshotProcedures {
         case "fold_dv" => Array(in("table", StringType),
           in("num_files", IntegerType))
         case "drop_retired_renames" => Array(in("table", StringType))
+        case "publish_branch" => Array(in("table", StringType),
+          in("branch", StringType))
+        case "drop_branch" => Array(in("table", StringType),
+          in("branch", StringType))
       }
 
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -121,6 +128,16 @@ private[sql] object SnapshotProcedures {
               SnapshotStore.foldDv(spark, root, numFiles = input.getInt(1)))
           case "drop_retired_renames" =>
             oneRow(versionOut, SnapshotStore.dropRetiredRenames(spark, root))
+          // the WAP gate's two verbs (VERDICT r17 #4): publish
+          // fast-forwards HEAD to the audited branch tip atomically;
+          // drop rejects the staged batch — manifests above HEAD and
+          // their unshared data files pruned, HEAD never moved
+          case "publish_branch" =>
+            oneRow(versionOut, SnapshotStore.publishBranch(spark, root,
+              input.getUTF8String(1).toString))
+          case "drop_branch" =>
+            oneRow(deletedOut, SnapshotStore.dropBranch(spark, root,
+              input.getUTF8String(1).toString).size.toLong)
         }
       }
     }

@@ -476,6 +476,114 @@ class SnapshotStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcFeed streams a DELETION-VECTOR table: named positions drain as derived retractions, folds as no-ops, post-fold DVs keep draining (VERDICT r17 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, max_by, struct, lit}
+    val root = java.nio.file.Files.createTempDirectory("snapstream-dv")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-dv-ckpt")
+    try {
+      // THREE range-clustered files; `p` NULL on k % 7 == 0 so the
+      // positional identity is exercised where key equality goes blind
+      (1L to 30L).map(k => (k, if (k % 2 == 0) "a" else "b",
+          if (k % 7 == 0) null else s"p$k"))
+        .toDF("k", "grp", "p")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+        .write.parquet(root.resolve("data/load1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root),
+        statsCols = Seq("k")) // v1
+      val q = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("cdcFeed", "true")
+        .load()
+        .writeStream.format("memory").queryName("snapstream_dv")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      def resolved() = spark.table("snapstream_dv")
+        .withColumn("_s", coalesce(col("_seq"), lit(0L)))
+        .groupBy("k")
+        .agg(max_by(struct(col("grp"), col("p"), col("_tombstone")), col("_s")).as("w"))
+        .where(!col("w._tombstone"))
+        .select(col("k"), col("w.grp").as("grp"), col("w.p").as("p"))
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      def viaDv(v: Option[Long]) = SnapshotStore.readAtDv(spark, root, v)
+        .select("k", "grp", "p")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      try {
+        q.processAllAvailable() // drains v1: 30 data rows
+        assert(spark.table("snapstream_dv").count() == 30L)
+        assert(spark.table("snapstream_dv")
+          .where(col("_tombstone") === true).count() == 0L)
+        // v2: multi-column positional delete (k 11-14 ∩ grp a = 12, 14;
+        // k=14 has a NULL payload — a key-less shape) — the retraction
+        // rows are DERIVED from the named base file's positions, so
+        // they carry FULL payload and _seq = the vector's commit version
+        SnapshotStore.deleteDv(spark, root,
+          col("grp") === "a" && col("k").between(11L, 14L)) // v2
+        q.processAllAvailable()
+        val t2 = spark.table("snapstream_dv")
+          .where(col("_tombstone") === true)
+          .select(col("k"), col("grp"), col("_seq"))
+          .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+        assert(t2 == Seq((12L, "a", 2L), (14L, "a", 2L)),
+          s"derived retractions must carry payload + the DV commit as _seq: $t2")
+        assert(resolved() == viaDv(Some(2L)),
+          "feed resolution must equal readAtDv at v2")
+        // v3: a second vector ACCUMULATES (different file, k=25 odd)
+        SnapshotStore.deleteDv(spark, root,
+          col("grp") === "b" && col("k") === 25L) // v3
+        q.processAllAvailable()
+        assert(spark.table("snapstream_dv")
+          .where(col("_tombstone") === true).count() == 3L)
+        assert(resolved() == viaDv(Some(3L)),
+          "feed resolution must equal readAtDv across accumulated vectors")
+        // v4: the FOLD — rewrites only the named files; the feed
+        // already carries data-minus-positions, so it drains as a NO-OP
+        SnapshotStore.foldDv(spark, root, numFiles = 3,
+          statsCols = Seq("k"))
+        q.processAllAvailable()
+        assert(spark.table("snapstream_dv").count() == 33L,
+          "a DV fold must not re-stream resolved content")
+        // v5: a LATE vector AFTER the fold — its positions point into
+        // the FOLDED files; the derived retraction still folds downstream
+        SnapshotStore.deleteDv(spark, root, col("k") === 7L) // v5 (NULL payload)
+        q.processAllAvailable()
+        val late = spark.table("snapstream_dv")
+          .where(col("_tombstone") === true && col("_seq") === 5L)
+          .select(col("k")).as[Long].collect().toSeq
+        assert(late == Seq(7L), s"post-fold DV must drain: $late")
+        assert(resolved() == viaDv(None),
+          "feed resolution must equal readAtDv at HEAD")
+        assert(resolved().size == 26)
+      } finally q.stop()
+      // plain mode still refuses a DV interval: positions have no
+      // replayable file representation without the derivation
+      val ckpt2 = java.nio.file.Files.createTempDirectory("snapstream-dv-ckpt2")
+      val q2 = spark.readStream
+        .format("graft-snapshot")
+        .option("path", root.toString)
+        .option("startVersion", "4") // above the fold: (4,5] is a pure DV append
+        .load()
+        .writeStream.format("memory").queryName("snapstream_dv_plain")
+        .option("checkpointLocation", ckpt2.toString)
+        .start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(e.getMessage.contains("deletion-vector") ||
+          Option(e.getCause).exists(_.getMessage.contains("deletion-vector")),
+          s"plain mode must keep the refusal: ${e.getMessage}")
+      } finally {
+        q2.stop()
+        IndexStore.deleteRecursively(ckpt2)
+      }
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
   test("cdcFeed streams a merge-on-read table between AND across folds: raw delta rows + _seq, downstream argmax equals readAtCdc (VERDICT r15 #3)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, max_by, struct, lit}
@@ -531,6 +639,78 @@ class SnapshotStreamSpec extends AnyFunSuite {
         assert(viaFeed == Seq((1L, "a", 1L), (2L, "b3", 3L), (3L, "c", 1L), (4L, "d", 2L)),
           s"late-older change must lose recency resolution: $viaFeed")
       } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("readStream.table through the SQL catalog drains version deltas; options pass through; cdcFeed and partitioned tables refuse loudly (VERDICT r16 #7)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-sql")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-sql-ckpt")
+    try {
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+        .coalesce(1).write.parquet(root.resolve("data/l1").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      graft.sources.SnapshotStreamSource.planLog.clear()
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", "8") // reader options pass through
+        .table(t)
+        .writeStream.format("memory").queryName("snapstream_sql")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains v1
+        assert(spark.table("snapstream_sql").count() == 2L)
+        // a mid-stream commit drains as EXACTLY its delta — and a batch
+        // read of the same catalog name stays live alongside
+        Seq((3L, "c")).toDF("k", "p")
+          .coalesce(1).write.parquet(root.resolve("data/l2").toString)
+        SnapshotStore.commitAppend(spark, root,
+          SnapshotStore.dataFiles(root).filter(_.startsWith("data/l2/"))) // v2
+        assert(spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) == 3L)
+        q.processAllAvailable()
+        assert(spark.table("snapstream_sql").as[(Long, String)]
+          .collect().sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+        // the drained batches planned through the SAME graft-snapshot
+        // machinery (plan log stamped per micro-batch)
+        import scala.jdk.CollectionConverters._
+        val plans = graft.sources.SnapshotStreamSource.planLog.iterator().asScala
+          .filter(_._1 == root.toString).toSeq
+        assert(plans.map(p => (p._2, p._3)).containsSlice(Seq((0L, 1L), (1L, 2L))),
+          s"catalog stream must plan version-delta batches: $plans")
+      } finally q.stop()
+      // cdcFeed cannot ride the catalog binding (fixed relation schema):
+      // loud refusal naming the format+path alternative
+      val ckpt2 = java.nio.file.Files.createTempDirectory("snapstream-sql-c2")
+      val q2 = spark.readStream.option("cdcFeed", "true").table(t)
+        .writeStream.format("memory").queryName("snapstream_sql_feed")
+        .option("checkpointLocation", ckpt2.toString)
+      val e = intercept[Exception](q2.start().processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("graft-snapshot")),
+        s"cdcFeed refusal must name the format path: ${msgs(e)}")
+      IndexStore.deleteRecursively(ckpt2)
+      // partitioned tables refuse the stream binding (dir-derived
+      // partition values have no per-batch recovery yet)
+      val proot = java.nio.file.Files.createTempDirectory("snapstream-sql-part")
+      try {
+        val pt = s"graft_lake.`${proot.toAbsolutePath.normalize}/pt`"
+        spark.sql(s"CREATE TABLE $pt (k BIGINT, day STRING) PARTITIONED BY (day)")
+        spark.sql(s"INSERT INTO $pt VALUES (1, 'd1'), (2, 'd2')")
+        val ckpt3 = java.nio.file.Files.createTempDirectory("snapstream-sql-c3")
+        val q3 = spark.readStream.table(pt)
+          .writeStream.format("memory").queryName("snapstream_sql_part")
+          .option("checkpointLocation", ckpt3.toString)
+        val e3 = intercept[Exception](q3.start().processAllAvailable())
+        assert(msgs(e3).exists(m => m != null && m.contains("partition")),
+          s"partitioned stream must refuse: ${msgs(e3)}")
+        IndexStore.deleteRecursively(ckpt3)
+      } finally IndexStore.deleteRecursively(proot)
     } finally {
       IndexStore.deleteRecursively(root)
       IndexStore.deleteRecursively(ckpt)

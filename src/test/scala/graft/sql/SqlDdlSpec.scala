@@ -221,13 +221,108 @@ class SqlDdlSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT k FROM $cat.tp VERSION AS OF 2 WHERE etype = 'click'")
         .as[Long].collect().toSet == Set(1L, 3L),
         "a pinned pre-overwrite version must keep the old partition content")
-      // row-level ops and flat INSERT OVERWRITE refusals hold
-      val d = intercept[Exception](spark.sql(s"DELETE FROM $cat.tp WHERE k = 2"))
-      assert(d.getMessage.contains("partitioned") || d.getMessage.contains("flat-table"),
-        d.getMessage)
-      val a = intercept[Exception](
-        spark.sql(s"ALTER TABLE $cat.tp ADD COLUMN x STRING"))
-      assert(a.getMessage.contains("partitioned"), a.getMessage)
+      // partition-column edits and the ledger-riding evolutions stay
+      // refused (values live in paths; chains/drop boundaries assume
+      // the flat single-generation read)
+      val w = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tp RENAME COLUMN v TO amount"))
+      assert(w.getMessage.contains("partitioned"), w.getMessage)
+      val dr = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tp DROP COLUMN v"))
+      assert(dr.getMessage.contains("partitioned"), dr.getMessage)
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("PARTITIONED tables evolve and take row-level DML (VERDICT r17 #3): ADD COLUMN rides the birth declaration; DELETE/UPDATE rewrite only matched partitions' files, untouched partitions byte-identical") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("pevo")
+    try {
+      Seq((1L, "click", 10.0), (2L, "view", 20.0), (3L, "click", 30.0),
+          (4L, "purchase", 40.0), (5L, "view", 50.0))
+        .toDF("k", "etype", "v").createOrReplaceTempView("pevo_src")
+      spark.sql(s"CREATE TABLE $cat.tp PARTITIONED BY (etype) AS " +
+        "SELECT k, etype, v FROM pevo_src")
+      val root = wh.resolve("tp")
+      // the partitioned CREATE stamped a declared schema at birth —
+      // what ADD COLUMN rides
+      assert(SnapshotStore.declaredSchema(root, 1L).nonEmpty,
+        "partitioned CTAS must declare at birth")
+      // ADD COLUMN: metadata-only; existing rows NULL; partition
+      // recovery intact
+      spark.sql(s"ALTER TABLE $cat.tp ADD COLUMN note STRING") // v2
+      assert(SnapshotStore.filesAt(spark, root, 2L).toSet ==
+        SnapshotStore.filesAt(spark, root, 1L).toSet,
+        "ADD COLUMN must rewrite zero files")
+      assert(spark.sql(s"SELECT * FROM $cat.tp").columns.toSet ==
+        Set("k", "v", "note", "etype"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.tp WHERE note IS NULL")
+        .as[Long].head() == 5L)
+      // the evolved column takes real values on the next INSERT
+      spark.sql(s"INSERT INTO $cat.tp VALUES (6, 66.0, 'late', 'view')") // v3
+      assert(spark.sql(s"SELECT k FROM $cat.tp WHERE note = 'late'")
+        .as[Long].collect().toSeq == Seq(6L))
+      // partition-column edits refuse (values live in paths) — an
+      // otherwise-SANCTIONED widening (int -> bigint passes Spark's own
+      // analyzer) on a partition column hits the catalog's guard
+      spark.sql(
+        s"CREATE TABLE $cat.tpart (k BIGINT, bucket INT) PARTITIONED BY (bucket)")
+      val pe = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tpart ALTER COLUMN bucket TYPE BIGINT"))
+      assert(pe.getMessage.contains("PARTITION"), pe.getMessage)
+      val v3Files = SnapshotStore.filesAt(spark, root, 3L)
+      val mtimes = v3Files.map(f =>
+        f -> java.nio.file.Files.getLastModifiedTime(root.resolve(f))).toMap
+      // DELETE with a partition-equality conjunct: candidate files prune
+      // to the named partition BEFORE any footer opens; survivors land
+      // back partition-dir-shaped; untouched partitions byte-identical
+      spark.sql(s"DELETE FROM $cat.tp WHERE etype = 'click' AND v > 15.0") // v4
+      assert(spark.sql(s"SELECT k FROM $cat.tp WHERE etype = 'click'")
+        .as[Long].collect().toSeq == Seq(1L),
+        "only the matching click row must go")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.tp").as[Long].head() == 5L)
+      val (cand, total) = SnapshotSqlTable.lastDeleteStats.get
+      assert(cand < total,
+        s"partition pruning must restrict the probe: $cand of $total")
+      val v4Files = SnapshotStore.filesAt(spark, root, 4L)
+      assert(v4Files.forall(f => f.contains("/etype=") || SnapshotCatalog.isSeedFile(f)),
+        s"rewritten survivors must stay partition-dir shaped: $v4Files")
+      val carried = v3Files.filterNot(_.contains("/etype=click/"))
+      assert(carried.forall(v4Files.toSet), "untouched partitions must carry")
+      carried.foreach(f => assert(
+        java.nio.file.Files.getLastModifiedTime(root.resolve(f)) == mtimes(f),
+        s"carried file $f was rewritten"))
+      // UPDATE through the group-based row-level path: the staged flat
+      // rewrite re-shapes into partition dirs before the commit
+      spark.sql(s"UPDATE $cat.tp SET v = v + 1000.0 WHERE etype = 'view' AND k = 2") // v5
+      assert(spark.sql(s"SELECT v FROM $cat.tp WHERE k = 2")
+        .as[Double].head() == 1020.0)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.tp").as[Long].head() == 5L)
+      val v5Files = SnapshotStore.filesAt(spark, root, 5L)
+      assert(v5Files.forall(f => f.contains("/etype=") || SnapshotCatalog.isSeedFile(f)),
+        s"UPDATE's rewrite must stay partition-dir shaped: $v5Files")
+      val (rew, tot) = SnapshotSqlTable.lastMergeStats.get
+      assert(rew < tot, s"runtime group filtering must scope the UPDATE: $rew of $tot")
+      // non-'view' partitions carried by reference through the UPDATE
+      val carried5 = v4Files.filterNot(_.contains("/etype=view/"))
+      assert(carried5.forall(v5Files.toSet),
+        "partitions untouched by the UPDATE must carry")
+      // MERGE INTO the partitioned table: matched update + not-matched
+      // insert, both landing partition-dir-shaped
+      Seq((1L, "click", -1.0), (9L, "purchase", 90.0))
+        .toDF("k", "etype", "v").createOrReplaceTempView("pevo_changes")
+      spark.sql(
+        s"""MERGE INTO $cat.tp t USING pevo_changes c ON t.k = c.k
+           |WHEN MATCHED THEN UPDATE SET v = c.v
+           |WHEN NOT MATCHED THEN INSERT (k, v, note, etype)
+           |  VALUES (c.k, c.v, NULL, c.etype)""".stripMargin) // v6
+      assert(spark.sql(s"SELECT v FROM $cat.tp WHERE k = 1").as[Double].head() == -1.0)
+      assert(spark.sql(s"SELECT etype FROM $cat.tp WHERE k = 9")
+        .as[String].head() == "purchase")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.tp").as[Long].head() == 6L)
+      assert(SnapshotStore.filesAt(spark, root,
+          SnapshotStore.headVersion(root).get)
+        .forall(f => f.contains("/etype=") || SnapshotCatalog.isSeedFile(f)),
+        "MERGE output must stay partition-dir shaped")
     } finally IndexStore.deleteRecursively(wh)
   }
 

@@ -109,4 +109,63 @@ class SqlProcedureSpec extends AnyFunSuite {
         .as[Double].collect().toSeq == Seq(5.0))
     } finally IndexStore.deleteRecursively(root)
   }
+
+  test("WAP in SQL (VERDICT r17 #4): wap.branch routes INSERTs to the branch, audits read VERSION AS OF, drop_branch leaves no trace, publish_branch fast-forwards HEAD") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    catalogOn()
+    val root = java.nio.file.Files.createTempDirectory("sql-wap").resolve("tbl")
+    val rootStr = root.toAbsolutePath.normalize.toString
+    val t = s"graft_lake.`$rootStr`"
+    try {
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").createOrReplaceTempView("wap_base")
+      spark.sql(s"CREATE TABLE $t AS SELECT * FROM wap_base") // v1 = HEAD
+      spark.conf.set("spark.graft.wap.branch", "staging")
+      try {
+        // staged INSERT lands on the branch: HEAD readers see nothing
+        spark.sql(s"INSERT INTO $t VALUES (3, -30.0)")
+        assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 2L,
+          "mainline must not see staged rows")
+        assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'staging'")
+          .as[Long].head() == 3L, "the audit view must see the staged batch")
+        // audit trips (negative value) -> drop_branch: no trace
+        val dropped = spark.sql(
+          s"CALL graft_lake.system.drop_branch(`table` => '$rootStr', " +
+          "branch => 'staging')").head().getLong(0)
+        assert(dropped >= 1L, "the rejected batch's files must prune")
+        assert(SnapshotStore.headVersion(root).contains(1L), "HEAD never moved")
+        assert(SnapshotStore.refVersion(root, "staging").isEmpty)
+        // cycle 2: the good batch stages, publishes, HEAD fast-forwards
+        spark.sql(s"INSERT INTO $t VALUES (4, 40.0)")
+        assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 2L)
+        val published = spark.sql(
+          s"CALL graft_lake.system.publish_branch(`table` => '$rootStr', " +
+          "branch => 'staging')").head().getLong(0)
+        assert(published == 2L)
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+        .as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)),
+        "HEAD must be base + the published batch, nothing else")
+      // with the conf unset, INSERTs land on HEAD again
+      spark.sql(s"INSERT INTO $t VALUES (5, 50.0)")
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 4L)
+      // partitioned WAP: staged appends fork; INSERT OVERWRITE refuses
+      val p = s"graft_lake.`$rootStr-part`"
+      spark.sql(s"CREATE TABLE $p (k BIGINT, g STRING) PARTITIONED BY (g)")
+      spark.sql(s"INSERT INTO $p VALUES (1, 'a')")
+      spark.conf.set("spark.graft.wap.branch", "staging")
+      try {
+        spark.sql(s"INSERT INTO $p VALUES (2, 'b')")
+        assert(spark.sql(s"SELECT count(*) FROM $p").as[Long].head() == 1L)
+        val e = intercept[Exception](
+          spark.sql(s"INSERT OVERWRITE $p VALUES (9, 'a')"))
+        assert(e.getMessage.contains("WAP branch"), e.getMessage)
+        spark.sql(s"CALL graft_lake.system.publish_branch(" +
+          s"`table` => '$rootStr-part', branch => 'staging')")
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      assert(spark.sql(s"SELECT k FROM $p ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+    } finally IndexStore.deleteRecursively(root.getParent)
+  }
 }

@@ -181,6 +181,12 @@ class SqlRuntimeGroupFilterSpec extends AnyFunSuite {
       }
       assert(scans.size == 1, s"expected one scan, got ${scans.size}")
       val tagged = scans.head match {
+        // the stream-capable face forwards batch reads verbatim —
+        // unwrap to the tagging scan it delegates to
+        case sc: StreamCapableScan => sc.delegateScan match {
+          case tsc: TaggedSnapshotScan => tsc
+          case other => fail(s"_file read must ride the tagged scan, got $other")
+        }
         case tsc: TaggedSnapshotScan => tsc
         case other => fail(s"_file read must ride the tagged scan, got $other")
       }
@@ -195,14 +201,20 @@ class SqlRuntimeGroupFilterSpec extends AnyFunSuite {
       // columnar-to-row boundary a columnar parquet scan produces
       assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
         "the tagged scan must stay columnar")
-      // and a plain read (no _file) bypasses the wrapper entirely
+      // and a plain read (no _file) bypasses the tagging wrapper: only
+      // the thin stream-capable face remains, whose toBatch IS the
+      // stock parquet scan's own Batch (object-identical execution)
       val plain = spark.sql(s"SELECT k FROM $t WHERE k >= 1000 AND k < 1100")
       val plainScans = plain.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
       }
-      assert(plainScans.head.isInstanceOf[
+      val plainDelegate = plainScans.head match {
+        case sc: StreamCapableScan => sc.delegateScan
+        case other => other
+      }
+      assert(plainDelegate.isInstanceOf[
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan],
-        s"plain reads must get the stock scan object, got ${plainScans.head}")
+        s"plain reads must delegate to the stock scan object, got $plainDelegate")
     } finally IndexStore.deleteRecursively(root)
   }
 
