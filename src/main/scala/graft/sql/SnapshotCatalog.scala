@@ -213,10 +213,19 @@ class SnapshotCatalog extends TableCatalog
     // deletion vectors refuse outright: one parquet relation would
     // surface DV ledger rows as all-null data rows with no column to
     // tell them apart (unlike MOR delete files, which carry the table
-    // schema) — fold first
+    // schema) — fold first. DELIBERATELY at load() rather than the
+    // scan (ADVICE r17 #3, documented asymmetry): the store's
+    // commitAppend legally permits appends alongside pending DVs, so a
+    // read-path-only refusal would admit SQL INSERTs during the DV
+    // window — but every SQL write plans through this same load, and
+    // admitting writes to a table SQL cannot read invites
+    // half-usable-state confusion for exactly the brief window a fold
+    // closes anyway. API writers keep the store's own (laxer) guards;
+    // streaming consumers drain DVs via the format path's cdcFeed.
     require(!filesRel.exists(SnapshotStore.isDvFile),
       s"$cname.${ident.name()}@v$v carries pending deletion-vector " +
-      "file(s) — run foldDv (or CALL system.fold_dv) first")
+      "file(s) — run foldDv (or CALL system.fold_dv) first, or stream " +
+      "the change feed via .format(\"graft-snapshot\") cdcFeed")
     val opts = new java.util.HashMap[String, String]()
     opts.put("basePath", root.resolve("data").toString)
     // the version's DECLARED read schema binds the SQL path exactly like
