@@ -381,7 +381,16 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     val declared =
       if (chains.isEmpty) logical
       else logical.map(SnapshotStore.chainExtendedSchema(_, chains))
-    if (declared.isEmpty) opts.put("basePath", root.resolve("data").toString)
+    // basePath rides UNCONDITIONALLY (round 18): a DECLARED table whose
+    // files are partition-dir shaped (the SQL PARTITIONED BY layout —
+    // its birth declaration carries the dir-derived columns) would
+    // otherwise read those columns as silent NULLs — explicit leaf
+    // files without a basePath never recover dir values, while the
+    // schema GUARD below still passed (names and types match). With
+    // basePath, Spark splits a declared schema into data + partition
+    // halves and recovers the values; on flat/epoch-dir layouts (no
+    // k=v segment) it is inert — exactly readAt's read shape.
+    opts.put("basePath", root.resolve("data").toString)
     val cmap = new CaseInsensitiveStringMap(opts)
     val pq = ParquetTable(s"graft-snapshot-batch.`$root`@($a,$b]", spark, cmap,
       delta.map(f => root.resolve(f).toString), declared, classOf[ParquetFileFormat])

@@ -672,7 +672,7 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     // folds each retired physical column back into its logical name
     new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None,
       renameChains = renameChains, logicalSchema = logicalOverride,
-      streamable = writable, partitionCols = partitionCols)
+      streamable = writable)
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
@@ -1277,8 +1277,7 @@ private[sql] class SnapshotScanBuilder(
     onNarrow: Option[Seq[String] => Unit],
     renameChains: Seq[(String, Seq[String])] = Seq.empty,
     logicalSchema: Option[StructType] = None,
-    streamable: Boolean = false,
-    partitionCols: Seq[String] = Seq.empty)
+    streamable: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -1368,7 +1367,7 @@ private[sql] class SnapshotScanBuilder(
     // skipRewrites) passed through. The row-level path stays unwrapped:
     // SupportsRuntimeV2Filtering must remain visible on the scan object.
     if (streamable && onNarrow.isEmpty)
-      new StreamCapableScan(built, root, options, partitionCols)
+      new StreamCapableScan(built, root, options)
     else built
   }
 }
@@ -1380,19 +1379,15 @@ private[sql] class SnapshotScanBuilder(
   * ([[graft.sources.SnapshotMicroBatchStream]]) so
   * {{{ spark.readStream.table("graft_lake.`/t`") }}}
   * drains committed versions exactly like the format+path incantation,
-  * reader options passed through. Honest refusals, both loud:
-  *  - `cdcFeed` cannot ride the catalog binding — the feed APPENDS
-  *    `_seq`/`_tombstone` to the schema, but a catalog relation's
-  *    output is fixed by `Table.schema()` at resolution; use
-  *    `.format("graft-snapshot").option("path", …)`, whose
-  *    `inferSchema` serves the extended shape;
-  *  - partition-dir tables cannot stream yet — the per-batch scan
-  *    plans explicit leaf files under the declared schema, which
-  *    cannot recover dir-derived partition values (same gap as the
-  *    format path; stream the flat shape or read batch). */
+  * reader options passed through — partition-dir tables included (the
+  * per-batch scan recovers dir values via basePath, round 18). One
+  * honest refusal, loud: `cdcFeed` cannot ride the catalog binding —
+  * the feed APPENDS `_seq`/`_tombstone` to the schema, but a catalog
+  * relation's output is fixed by `Table.schema()` at resolution; use
+  * `.format("graft-snapshot").option("path", …)`, whose `inferSchema`
+  * serves the extended shape. */
 private[sql] class StreamCapableScan(delegate: Scan, root: Path,
-                                     options: CaseInsensitiveStringMap,
-                                     partitionCols: Seq[String])
+                                     options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics {
   /** Test seam: the wrapped scan (plan-shape specs assert the plain
     * read's delegate is the STOCK parquet scan object). */
@@ -1417,11 +1412,6 @@ private[sql] class StreamCapableScan(delegate: Scan, root: Path,
       "(_seq, _tombstone) that a catalog relation's fixed schema cannot " +
       "carry — stream the feed via .format(\"graft-snapshot\")" +
       ".option(\"path\", …).option(\"cdcFeed\", \"true\")")
-    require(partitionCols.isEmpty,
-      s"graft_lake streaming read of $root: partition-dir tables cannot " +
-      "stream — the per-batch scan plans explicit leaf files and cannot " +
-      "recover dir-derived partition values; read batch, or stream a flat " +
-      "table")
     val spark = SparkSession.active
     val streamSchema =
       graft.sources.SnapshotStreamSource.tableSchema(spark, root)

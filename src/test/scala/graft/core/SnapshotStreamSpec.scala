@@ -645,7 +645,7 @@ class SnapshotStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("readStream.table through the SQL catalog drains version deltas; options pass through; cdcFeed and partitioned tables refuse loudly (VERDICT r16 #7)") {
+  test("readStream.table through the SQL catalog drains version deltas; options pass through; partitioned tables stream with dir values recovered; cdcFeed refuses loudly (VERDICT r16 #7)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snapstream-sql")
     val ckpt = java.nio.file.Files.createTempDirectory("snapstream-sql-ckpt")
@@ -695,8 +695,11 @@ class SnapshotStreamSpec extends AnyFunSuite {
       assert(msgs(e).exists(m => m != null && m.contains("graft-snapshot")),
         s"cdcFeed refusal must name the format path: ${msgs(e)}")
       IndexStore.deleteRecursively(ckpt2)
-      // partitioned tables refuse the stream binding (dir-derived
-      // partition values have no per-batch recovery yet)
+      // PARTITIONED tables stream with their dir-derived values
+      // RECOVERED (round 18 — basePath rides the per-batch scan): the
+      // silent-NULL shape this pins is exactly what an explicit-leaf-
+      // file plan without basePath produced, with the schema guard
+      // still green (names and types matched)
       val proot = java.nio.file.Files.createTempDirectory("snapstream-sql-part")
       try {
         val pt = s"graft_lake.`${proot.toAbsolutePath.normalize}/pt`"
@@ -706,9 +709,17 @@ class SnapshotStreamSpec extends AnyFunSuite {
         val q3 = spark.readStream.table(pt)
           .writeStream.format("memory").queryName("snapstream_sql_part")
           .option("checkpointLocation", ckpt3.toString)
-        val e3 = intercept[Exception](q3.start().processAllAvailable())
-        assert(msgs(e3).exists(m => m != null && m.contains("partition")),
-          s"partitioned stream must refuse: ${msgs(e3)}")
+          .start()
+        try {
+          q3.processAllAvailable()
+          // a mid-stream partitioned INSERT drains with its dir values
+          spark.sql(s"INSERT INTO $pt VALUES (3, 'd1')")
+          q3.processAllAvailable()
+          val got = spark.table("snapstream_sql_part")
+            .as[(Long, String)].collect().sorted.toSeq
+          assert(got == Seq((1L, "d1"), (2L, "d2"), (3L, "d1")),
+            s"partition values must stream recovered, never NULL: $got")
+        } finally q3.stop()
         IndexStore.deleteRecursively(ckpt3)
       } finally IndexStore.deleteRecursively(proot)
     } finally {
