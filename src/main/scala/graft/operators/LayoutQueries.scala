@@ -1246,8 +1246,13 @@ object LayoutQueries {
       SnapshotStore.deleteDv(spark, r, // v3: vectors accumulate
         col("event_type") === "purchase" &&
           col("event_id") > cut(4) && col("event_id") <= cut(5))
-      SnapshotStore.foldDv(spark, r, SnapMergeFiles,
-        statsCols = Seq("event_id")) // v4: vectors folded away
+      // v4: vectors folded away UNDER POLICY (maybeFoldDv's
+      // vector-count threshold, the maintenance-slot invocation) —
+      // two pending vectors hit maxDvCommits = 2
+      SnapshotStore.maybeFoldDv(spark, r, SnapMergeFiles,
+          statsCols = Seq("event_id"), maxDvCommits = 2)
+        .getOrElse(throw new IllegalStateException(
+          "the DV fold policy must fire after two pending vectors"))
     }
   }
 

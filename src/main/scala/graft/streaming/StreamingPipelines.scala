@@ -2405,9 +2405,13 @@ object StreamingPipelines {
         col("event_type") === "purchase" &&
           col("event_id") > cut(4) && col("event_id") <= cut(5))
       q.processAllAvailable()
-      // v4: MID-STREAM FOLD — vectors applied at rest; drains as a no-op
-      SnapshotStore.foldDv(spark, root, numFiles = 4,
-        statsCols = Seq("event_id"))
+      // v4: MID-STREAM FOLD, fired by the POLICY (maybeFoldDv's
+      // vector-count threshold — two pending vectors hit
+      // maxDvCommits = 2, the per-read ledger fan-in bound); vectors
+      // applied at rest; drains as a no-op
+      require(SnapshotStore.maybeFoldDv(spark, root, numFiles = 4,
+          statsCols = Seq("event_id"), maxDvCommits = 2).nonEmpty,
+        "the DV fold policy must fire after two pending vectors")
       q.processAllAvailable()
       SnapshotStore.deleteDv(spark, root, // v5: a LATE vector AFTER the fold
         col("event_type") === "click" &&
