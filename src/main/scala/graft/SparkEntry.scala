@@ -154,6 +154,8 @@ object SparkEntry {
     "q28f_stream_mor_feed" -> (graft.streaming.StreamingPipelines.q28fStreamMorFeed _),
     "q28k_stream_dv_feed" -> (graft.streaming.StreamingPipelines.q28kStreamDvFeed _),
     "q28l_sql_stream_read" -> (graft.streaming.StreamingPipelines.q28lSqlStreamRead _),
+    "q28o_sql_cdc_feed" -> (graft.streaming.StreamingPipelines.q28oSqlCdcFeed _),
+    "q28q_sql_stream_write" -> (graft.streaming.StreamingPipelines.q28qSqlStreamWrite _),
     "q28j_stream_renamed" -> (graft.streaming.StreamingPipelines.q28jStreamRenamed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "q28g_sql_partitioned" -> (LayoutQueries.q28gSqlPartitioned _),
     "q28m_sql_partitioned_evolve" -> (LayoutQueries.q28mSqlPartitionedEvolve _),
     "q28n_sql_wap" -> (LayoutQueries.q28nSqlWap _),
+    "q28p_sql_partitioned_rename" -> (LayoutQueries.q28pSqlPartitionedRename _),
     "q28h_dv_delete"       -> (LayoutQueries.q28hDvDelete _),
     "q28i_sql_renamed_read" -> (LayoutQueries.q28iSqlRenamedRead _),
     "q26i_snapshot_diff"   -> (LayoutQueries.q26iSnapshotDiff _),
@@ -645,6 +648,32 @@ object SparkEntry {
         |       ROUND(MIN(value), 6), MAX(event_id)
         |FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
+    // q28q: the day-chunked stream landed via writeStream.toTable
+    // (STREAMING_WRITE, per-epoch idempotent commits, mid-corpus
+    // checkpoint restart) — the table must reassemble exactly the flat
+    // corpus; a double-committed or lost epoch, or a codec-mangled row,
+    // hash-fails
+    "q28q_sql_stream_write" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28p: RENAME + DROP COLUMN on the partitioned table — the rollup
+    // reads `amount` across both file generations (old files carry
+    // `value` physically), so a read nulling the old generation, a lost
+    // late row, or a broken partition-dir recovery hash-fails
+    "q28p_sql_partitioned_rename" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |WHERE value > 25.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q26m: write-audit-publish — HEAD must be base ∪ the even-id tail
     // (the published batch) and NOTHING else: a leaked poisoned row
     // (negative value / +2e9 id) or a HEAD moved by the rejected cycle
@@ -1923,6 +1952,17 @@ object SparkEntry {
     // re-streamed fold, a lost delta, or broken _seq composition all
     // move the per-user argmax
     "q28b_stream_cdc_feed" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+    // q28o: the q28b cdcFeed drain bound through the catalog's
+    // `changes` namespace (readStream.table) — identical oracle; a
+    // binding that mis-shaped the feed schema, dropped a delta, or
+    // re-drained the fold moves the per-user argmax
+    "q28o_sql_cdc_feed" ->
       """WITH r AS (SELECT user_id, event_type, value, ts,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -2458,14 +2458,22 @@ object SnapshotStore {
                   maxPendingPositions: Long = 1L << 20,
                   maxDvCommits: Int = 8): Option[Long] = {
     val head = headVersion(root).getOrElse(return None)
-    val m = manifest(spark, root, head)
-    val pending = m.where(col("file").contains("/_dv_a") ||
-        col("file").startsWith("data/_dv_a"))
-      .agg(sum(col("n_rows")), count(lit(1))).head()
-    val (positions, dvFiles) =
-      (if (pending.isNullAt(0)) 0L else pending.getLong(0), pending.getLong(1))
-    if (dvFiles > 0 &&
-        (positions >= maxPendingPositions || dvFiles >= maxDvCommits))
+    // ONE definition of the DV path convention (ADVICE r18): the
+    // manifest's file names filter through [[isDvFile]] itself, and the
+    // commit threshold counts DISTINCT `_dv_a<v>` attempt dirs — not
+    // ledger files — so the policy stays honest if a vector ever lands
+    // multi-file. Still metadata-only (the manifest is tiny).
+    val dvNames = filesAt(spark, root, head).filter(isDvFile)
+    if (dvNames.isEmpty) return None
+    val dvCommits = dvNames.flatMap(n =>
+      "_dv_a(\\d+)/".r.findFirstMatchIn(n).map(_.group(1))).distinct.size
+    val positions = {
+      val p = manifest(spark, root, head)
+        .where(col("file").isin(dvNames: _*))
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head()
+      p.getLong(0)
+    }
+    if (positions >= maxPendingPositions || dvCommits >= maxDvCommits)
       Some(foldDv(spark, root, numFiles, statsCols))
     else None
   }

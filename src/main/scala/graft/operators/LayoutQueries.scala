@@ -722,6 +722,66 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Q28p — RENAME + DROP COLUMN ON A PARTITIONED TABLE (VERDICT r18
+    * missing #2 — the second-most-common evolution verbs on the most
+    * common production table shape): the q28m table takes `ALTER TABLE
+    * RENAME COLUMN value TO amount` (metadata-only — the partitioned
+    * v1/v2 files keep `value` physically; the chain-coalescing scan
+    * folds it back BY NAME, so the basePath partition split composes),
+    * an INSERT under the new name landing partition-dir shaped, and
+    * `DROP COLUMN batch_tag` (the `_dropped` ledger riding the same
+    * birth declaration ADD rides). The WEDGE GUARDS fire identically
+    * on the partitioned layout: re-adding the retired rename source
+    * (`value`), re-adding the dropped name (`batch_tag`), and renaming
+    * the partition column itself all refuse loudly — asserted inline.
+    * The final rollup's WHERE crosses both file generations: a read
+    * that nulls the old generation under the new name, drops the late
+    * rows, or loses a partition dir value hash-fails. */
+  def q28pSqlPartitionedRename(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28p").resolve("tbl")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).createOrReplaceTempView("q28p_base")
+    events.where(col("ts") >= cut).createOrReplaceTempView("q28p_tail")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (event_type) AS " +
+      "SELECT event_id, ts, event_type, user_id, value FROM q28p_base") // v1
+    spark.sql(s"ALTER TABLE $t ADD COLUMN batch_tag STRING") // v2: metadata-only
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount") // v3: metadata-only
+    // positional insert against the RENAMED table's logical order —
+    // (…, amount, event_type, batch_tag): ADD COLUMN appends to the
+    // declaration's end, and a renamed table presents the declared
+    // order itself (logicalOverride), not the basePath-split order
+    spark.sql(s"INSERT INTO $t SELECT event_id, ts, user_id, value AS amount, " +
+      "event_type, 'late' AS batch_tag FROM q28p_tail") // v4: new-name files
+    spark.sql(s"ALTER TABLE $t DROP COLUMN batch_tag") // v5: metadata-only
+    def mustRefuse(tag: String, substr: String)(f: => Any): Unit = {
+      val r = scala.util.Try(f)
+      require(r.isFailure && r.failed.get.getMessage != null &&
+        r.failed.get.getMessage.contains(substr),
+        s"q28p: $tag must refuse naming '$substr', got $r")
+    }
+    mustRefuse("re-adding the retired rename source", "RETIRED rename source")(
+      spark.sql(s"ALTER TABLE $t ADD COLUMN value DOUBLE"))
+    mustRefuse("re-adding the dropped name", "DROPPED")(
+      spark.sql(s"ALTER TABLE $t ADD COLUMN batch_tag STRING"))
+    mustRefuse("renaming the partition column", "PARTITION column")(
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN event_type TO etype"))
+    mustRefuse("dropping the partition column", "PARTITION column")(
+      spark.sql(s"ALTER TABLE $t DROP COLUMN event_type"))
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |WHERE amount > 25.0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Q28n — WRITE-AUDIT-PUBLISH ENTIRELY IN SQL (VERDICT r17 #4 — the
     * q26m cycle without leaving `spark.sql`): the pre-cutoff events as
     * mainline v1 (CTAS), then two staged batches under

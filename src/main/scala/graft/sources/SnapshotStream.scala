@@ -191,6 +191,13 @@ object SnapshotStreamSource {
     }
   }
 
+  /** The cdcFeed DRIVER-BOUND for derived DV retractions (VERDICT r18
+    * wrong #2): max deleted positions one micro-batch may collect.
+    * Matches [[graft.core.SnapshotStore.maybeFoldDv]]'s default
+    * `maxPendingPositions` — a writer honoring the fold policy never
+    * trips it. `var` as a test seam only. */
+  private[graft] var DvFeedMaxPositions: Long = 1L << 20
+
   /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
     * partLevelFastPath) per planned micro-batch — what the spec's
     * bounded-reads and O(delta)-planning pins assert against. Ring-
@@ -440,16 +447,49 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     val dataSchema = StructType(schema.filterNot(f =>
       f.name == "_seq" || f.name == "_tombstone"))
     val withSeq = StructType(schema.filterNot(_.name == "_tombstone"))
-    def pqBatch(files: Seq[String], declared: StructType, label: String): Batch = {
-      val cmap = new CaseInsensitiveStringMap(new java.util.HashMap[String, String]())
+    def pqBatch(files: Seq[String], declared: StructType,
+                label: String): (Batch, Option[FeedPerm]) = {
+      // basePath rides here too (ADVICE r18) — but only when THIS
+      // side's files actually live under `k=v` partition dirs: a
+      // PARTITIONED table (declared-at-birth schema includes the
+      // dir-derived columns) drained with cdcFeed would otherwise read
+      // those columns as silent NULLs, with the schema guard below
+      // still green (the schema is user-specified). Delete/DV-ledger
+      // attempt dirs (`_deletes_a<v>`, `_dv_a<v>`) must NOT get it —
+      // underscore dirs confuse Spark's partition inference into a
+      // conflicting-directory refusal, and their rows are key-only
+      // retractions anyway.
+      val pathParts: Seq[String] = files.headOption.toSeq
+        .flatMap(_.split('/').dropRight(1).toSeq
+          .filter(s => s.contains('=') && !s.startsWith("_"))
+          .map(_.takeWhile(_ != '=')))
+        .filter(c => declared.fieldNames.contains(c))
+      val omap = new java.util.HashMap[String, String]()
+      if (pathParts.nonEmpty)
+        omap.put("basePath", root.resolve("data").toString)
+      val cmap = new CaseInsensitiveStringMap(omap)
       val pq = ParquetTable(s"graft-snapshot-feed-$label.`$root`@($a,$b]", spark,
         cmap, files.map(f => root.resolve(f).toString), Some(declared),
         classOf[ParquetFileFormat])
       val scan = pq.newScanBuilder(cmap).build()
-      require(scan.readSchema() == declared,
+      // Under basePath, Spark SPLITS a user schema into data +
+      // partition halves and emits partition columns LAST — so when
+      // this side's files live under partition dirs, the scan's order
+      // diverges from the feed's declared order (e.g. the feed appends
+      // `_seq` after the partition column). Plan against the SPLIT
+      // order and hand the reader the permutation back to feed order;
+      // flat layouts yield the identity and skip the wrapper entirely.
+      val expected =
+        if (pathParts.isEmpty) declared
+        else StructType(declared.filterNot(f => pathParts.contains(f.name)) ++
+          pathParts.map(declared(_)))
+      require(scan.readSchema() == expected,
         s"graft-snapshot stream on $root: feed $label schema drift " +
-        s"(${scan.readSchema().toDDL} vs ${declared.toDDL}) — restart the stream")
-      scan.toBatch
+        s"(${scan.readSchema().toDDL} vs ${expected.toDDL}) — restart the stream")
+      val perm = declared.fields.map(f => expected.fieldIndex(f.name))
+      (scan.toBatch,
+        if (perm.sameElements(perm.indices)) None
+        else Some(FeedPerm(perm, declared)))
     }
     val seqOf: String => Long = { rel =>
       FeedBatch.DeleteAttempt.findFirstMatchIn(rel).map(_.group(1).toLong)
@@ -460,7 +500,25 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     // DV side: (commit version, named base file) -> deleted positions.
     // Driver-side and bounded by the interval's position count — a DV
     // is tiny by the deleteDv contract (readAtDv broadcasts this same
-    // set; maybeFoldDv's threshold bounds accumulation).
+    // set; maybeFoldDv's threshold bounds accumulation). The contract
+    // is ENFORCED, not just documented (VERDICT r18 wrong #2): the
+    // interval's position count is summed METADATA-SIDE from the
+    // manifest's n_rows ledger first, and a misbehaving writer who
+    // bulk-deleted via DVs (big deletes belong to COW) gets a loud
+    // refusal naming the fold, never an unbounded driver collect.
+    if (dvFiles.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, sum, coalesce, lit}
+      val pos = SnapshotStore.manifest(spark, root, b)
+        .where(col("file").isin(dvFiles: _*))
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+      require(pos <= SnapshotStreamSource.DvFeedMaxPositions,
+        s"graft-snapshot cdcFeed stream on $root: batch ($a, $b] carries " +
+        s"$pos pending deletion-vector positions (bound " +
+        s"${SnapshotStreamSource.DvFeedMaxPositions}) — the deletion " +
+        "vector path is for tiny deletes (big deletes belong to " +
+        "copy-on-write); run foldDv (or CALL system.fold_dv) and " +
+        "restart the stream")
+    }
     val dvGroups: Seq[(Long, String, Array[Long])] =
       if (dvFiles.isEmpty) Seq.empty
       else {
@@ -478,7 +536,7 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
             }
         }.sortBy(g => (g._1, g._2))
       }
-    val dvBase: Option[Batch] =
+    val dvBase: Option[(Batch, Option[FeedPerm])] =
       if (dvGroups.isEmpty) None
       else Some(pqBatch(dvGroups.map(_._2).distinct, dataSchema, "dv"))
     new FeedBatch(
@@ -558,6 +616,14 @@ private[sources] case class FeedPartition(inner: InputPartition,
 private[sources] case class DvFeedPartition(inner: InputPartition,
     seq: Long, positions: Array[Long]) extends InputPartition
 
+/** A feed side's SCAN→FEED column permutation (partitioned layouts,
+  * ADVICE r18): under basePath Spark emits partition columns last, so
+  * output position i of the feed's declared order `out` reads scan
+  * column `perm(i)`. Built only when non-identity — flat layouts never
+  * allocate it. */
+private[sources] case class FeedPerm(perm: Array[Int],
+    out: StructType) extends Serializable
+
 private[sources] object FeedBatch {
   /** The delete-attempt dir pattern whose number IS the commit version
     * (deleteMor/mergeCow pin `expectedBase`, so attempt = version). */
@@ -576,18 +642,19 @@ private[sources] object FeedBatch {
   * the file read in order from byte 0, so split-planned fragments are
   * re-fused (a deliberate unsplit, bounded by the files the vectors
   * actually name). See [[SnapshotMicroBatchStream.planFeedBatch]]. */
-private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
+private[sources] class FeedBatch(dataB: Option[(Batch, Option[FeedPerm])],
+                                 delB: Option[(Batch, Option[FeedPerm])],
                                  seqOf: String => Long,
                                  rootStr: String,
-                                 dvB: Option[Batch] = None,
+                                 dvB: Option[(Batch, Option[FeedPerm])] = None,
                                  dvGroups: Seq[(Long, String, Array[Long])] = Seq.empty)
     extends Batch {
   import org.apache.spark.sql.execution.datasources.FilePartition
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val data = dataB.toSeq.flatMap(_.planInputPartitions().toSeq)
+    val data = dataB.toSeq.flatMap(_._1.planInputPartitions().toSeq)
       .map(p => FeedPartition(p, tombstone = false, 0L): InputPartition)
-    val dels = delB.toSeq.flatMap { b =>
+    val dels = delB.toSeq.flatMap { case (b, _) =>
       b.planInputPartitions().toSeq.flatMap {
         case fp: FilePartition => fp.files.map(pf => Array(pf))
         case other => throw new IllegalStateException(
@@ -603,7 +670,7 @@ private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
     // file) — fragments Spark's packing/splitting produced are re-fused
     // to (start = 0, length = fileSize) so the reader's row counter is
     // the file-order row index (_metadata.row_index's definition)
-    val dvs = dvB.toSeq.flatMap { b =>
+    val dvs = dvB.toSeq.flatMap { case (b, _) =>
       val byRel: Map[String, org.apache.spark.sql.execution.datasources.PartitionedFile] =
         b.planInputPartitions().toSeq.flatMap {
           case fp: FilePartition => fp.files.toSeq
@@ -626,9 +693,11 @@ private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(dataB.map(_.createReaderFactory()),
-      delB.map(_.createReaderFactory()),
-      dvB.map(_.createReaderFactory()))
+    new FeedReaderFactory(dataB.map(_._1.createReaderFactory()),
+      delB.map(_._1.createReaderFactory()),
+      dvB.map(_._1.createReaderFactory()),
+      dataPerm = dataB.flatMap(_._2), delPerm = delB.flatMap(_._2),
+      dvPerm = dvB.flatMap(_._2))
 }
 
 /** Dispatches each [[FeedPartition]] to its side's stock parquet reader
@@ -641,11 +710,27 @@ private[sources] class FeedBatch(dataB: Option[Batch], delB: Option[Batch],
 private[sources] class FeedReaderFactory(
     dataF: Option[PartitionReaderFactory],
     delF: Option[PartitionReaderFactory],
-    dvF: Option[PartitionReaderFactory] = None) extends PartitionReaderFactory {
+    dvF: Option[PartitionReaderFactory] = None,
+    dataPerm: Option[FeedPerm] = None,
+    delPerm: Option[FeedPerm] = None,
+    dvPerm: Option[FeedPerm] = None) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.types.{BooleanType, LongType}
+
+  /** The scan→feed order restore for partitioned layouts (see
+    * [[FeedPerm]]): rows through a one-time UnsafeProjection of
+    * BoundReferences, identity (None) skips entirely. */
+  private def permuteRow(p: Option[FeedPerm]): InternalRow => InternalRow =
+    p match {
+      case None => identity
+      case Some(FeedPerm(perm, out)) =>
+        val proj = UnsafeProjection.create(out.fields.zipWithIndex.map {
+          case (f, i) => BoundReference(perm(i), f.dataType, f.nullable)
+        }.toIndexedSeq)
+        row => proj(row)
+    }
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import org.apache.spark.sql.connector.read.PartitionReader
 
@@ -660,8 +745,13 @@ private[sources] class FeedReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: DvFeedPartition => false // per-row position filter by nature
     case _ =>
+      // Spark refuses a batch mixing row-based and columnar partitions,
+      // so when this batch carries a DV side (row-based by nature — a
+      // catch-up interval spanning a base load AND its deletion
+      // vectors), every side reads row-based; DV-free batches (the
+      // steady state) keep the vectorized path.
       val (f, inner, _) = sideOf(p)
-      f.supportColumnarReads(inner)
+      dvF.isEmpty && f.supportColumnarReads(inner)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
@@ -671,6 +761,7 @@ private[sources] class FeedReaderFactory(
       val r = f.createReader(dv.inner)
       val right = new GenericInternalRow(Array[Any](dv.seq, true))
       val wanted = dv.positions // sorted by the planner
+      val order = permuteRow(dvPerm)
       new PartitionReader[InternalRow] {
         private val joined = new JoinedRow
         private var rowIdx = -1L // file-order row index of the CURRENT row
@@ -682,7 +773,7 @@ private[sources] class FeedReaderFactory(
           }
           false
         }
-        override def get(): InternalRow = joined(r.get(), right)
+        override def get(): InternalRow = joined(order(r.get()), right)
         override def close(): Unit = r.close()
       }
     case _ =>
@@ -691,10 +782,11 @@ private[sources] class FeedReaderFactory(
       val right =
         if (fp.tombstone) new GenericInternalRow(Array[Any](fp.seq, true))
         else new GenericInternalRow(Array[Any](false))
+      val order = permuteRow(if (fp.tombstone) delPerm else dataPerm)
       new PartitionReader[InternalRow] {
         private val joined = new JoinedRow
         override def next(): Boolean = r.next()
-        override def get(): InternalRow = joined(r.get(), right)
+        override def get(): InternalRow = joined(order(r.get()), right)
         override def close(): Unit = r.close()
       }
   }
@@ -702,11 +794,16 @@ private[sources] class FeedReaderFactory(
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val (f, inner, fp) = sideOf(p)
     val r = f.createColumnarReader(inner)
+    val perm = (if (fp.tombstone) delPerm else dataPerm).map(_.perm)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = r.next()
       override def get(): ColumnarBatch = {
         val b = r.get()
-        val cols = Array.tabulate[ColumnVector](b.numCols)(b.column)
+        val scanned = Array.tabulate[ColumnVector](b.numCols)(b.column)
+        // partitioned layouts: restore the feed's declared order (the
+        // scan emitted partition columns last) — a pointer shuffle,
+        // the vectors themselves untouched
+        val cols = perm.fold(scanned)(_.map(scanned))
         val tomb = new ConstantColumnVector(b.numRows, BooleanType)
         tomb.setBoolean(fp.tombstone)
         val extra: Array[ColumnVector] =

@@ -149,10 +149,24 @@ class DvDeleteSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
       refuses("sql-load")(
         spark.sql(s"SELECT COUNT(*) FROM graft_lake.`$root`").collect())
+      // SQL INSERT shares the load()-level refusal BY DESIGN (VERDICT
+      // r18 missing #4, decided: keep the refusal) — admitting writes
+      // to a table SQL cannot read invites half-usable state; the
+      // message points writers at the fold and the still-legal API path
+      val ei = intercept[Exception](
+        spark.sql(s"INSERT INTO graft_lake.`$root` VALUES (99, 'z', 'p99')"))
+      assert(ei.getMessage.contains("deletion-vector") &&
+        ei.getMessage.contains("commitAppend"),
+        s"INSERT refusal must name the fold and the legal API path: ${ei.getMessage}")
+      // …while the store's commitAppend stays legal during the window
+      Seq((99L, "z", "p99")).toDF("k", "grp", "p").coalesce(1)
+        .write.parquet(root.resolve("data/window_append").toString)
+      SnapshotStore.commitAppend(spark, root,
+        SnapshotStore.dataFiles(root).filter(_.startsWith("data/window_append/")))
       // the fold unblocks every surface, via SQL CALL to close the loop
       spark.sql(s"CALL graft_lake.system.fold_dv(`table` => '$root', num_files => 1)")
       assert(spark.sql(s"SELECT COUNT(*) FROM graft_lake.`$root`")
-        .head().getLong(0) == 29L)
+        .head().getLong(0) == 30L) // 30 - 1 deleted + 1 window append
       // and the mirror guard: a pending MOR key blocks deleteDv
       SnapshotStore.deleteMor(spark, root, Seq(3L).toDF("k"), "k")
       val e = intercept[Exception](

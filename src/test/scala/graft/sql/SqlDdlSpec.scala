@@ -221,15 +221,15 @@ class SqlDdlSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT k FROM $cat.tp VERSION AS OF 2 WHERE etype = 'click'")
         .as[Long].collect().toSet == Set(1L, 3L),
         "a pinned pre-overwrite version must keep the old partition content")
-      // partition-column edits and the ledger-riding evolutions stay
-      // refused (values live in paths; chains/drop boundaries assume
-      // the flat single-generation read)
+      // partition-column edits stay refused (values live in paths);
+      // data-column RENAME/DROP now ride the declaration on partitioned
+      // tables too — pinned in the dedicated r18 spec below
       val w = intercept[Exception](
-        spark.sql(s"ALTER TABLE $cat.tp RENAME COLUMN v TO amount"))
-      assert(w.getMessage.contains("partitioned"), w.getMessage)
+        spark.sql(s"ALTER TABLE $cat.tp RENAME COLUMN etype TO et"))
+      assert(w.getMessage.contains("PARTITION column"), w.getMessage)
       val dr = intercept[Exception](
-        spark.sql(s"ALTER TABLE $cat.tp DROP COLUMN v"))
-      assert(dr.getMessage.contains("partitioned"), dr.getMessage)
+        spark.sql(s"ALTER TABLE $cat.tp DROP COLUMN etype"))
+      assert(dr.getMessage.contains("PARTITION column"), dr.getMessage)
     } finally IndexStore.deleteRecursively(wh)
   }
 
@@ -323,6 +323,118 @@ class SqlDdlSpec extends AnyFunSuite {
           SnapshotStore.headVersion(root).get)
         .forall(f => f.contains("/etype=") || SnapshotCatalog.isSeedFile(f)),
         "MERGE output must stay partition-dir shaped")
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("partition pruning matches the writer's ESCAPED path form (ADVICE r18): values with spaces/colons/percents and timestamp partitions still DELETE, never silently no-op") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("pesc")
+    try {
+      // string partition values that need percent-escaping in paths
+      Seq((1L, "a b", 10.0), (2L, "x:y", 20.0), (3L, "p%q", 30.0),
+          (4L, "plain", 40.0))
+        .toDF("k", "etype", "v").createOrReplaceTempView("pesc_src")
+      spark.sql(s"CREATE TABLE $cat.te PARTITIONED BY (etype) AS " +
+        "SELECT k, etype, v FROM pesc_src")
+      val root = wh.resolve("te")
+      // the layout really escaped (the precondition this spec exists for)
+      assert(SnapshotStore.filesAt(spark, root, 1L)
+          .exists(f => f.contains("%3A") || f.contains("%25") || f.contains("a b")),
+        s"expected escaped partition dirs: ${SnapshotStore.filesAt(spark, root, 1L)}")
+      spark.sql(s"DELETE FROM $cat.te WHERE etype = 'x:y'") // v2
+      assert(spark.sql(s"SELECT count(*) FROM $cat.te").as[Long].head() == 3L,
+        "DELETE on an escaped partition value must actually delete")
+      val (cand, total) = SnapshotSqlTable.lastDeleteStats.get
+      assert(cand >= 1 && cand < total,
+        s"pruning must keep exactly the matching partition: $cand of $total")
+      spark.sql(s"DELETE FROM $cat.te WHERE etype = 'p%q' AND v > 25.0") // v3
+      assert(spark.sql(s"SELECT k FROM $cat.te ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 4L))
+      // TIMESTAMP partition: the filter value renders Cast-to-string
+      // ("…00:00:00", no ".0"), the path escapes the colons — raw
+      // toString comparison would wrongly prune and silently no-op
+      spark.sql(s"CREATE TABLE $cat.tts (k BIGINT, pts TIMESTAMP) PARTITIONED BY (pts)")
+      spark.sql(s"INSERT INTO $cat.tts VALUES " +
+        "(1, TIMESTAMP '2024-01-01 00:00:00'), (2, TIMESTAMP '2024-02-01 00:00:00')")
+      spark.sql(s"DELETE FROM $cat.tts WHERE pts = TIMESTAMP '2024-01-01 00:00:00'")
+      assert(spark.sql(s"SELECT k FROM $cat.tts").as[Long].collect().toSeq == Seq(2L),
+        "DELETE on a timestamp partition value must actually delete")
+      val (cand2, total2) = SnapshotSqlTable.lastDeleteStats.get
+      assert(cand2 >= 1 && cand2 < total2,
+        s"timestamp pruning must keep exactly the matching partition: $cand2 of $total2")
+    } finally IndexStore.deleteRecursively(wh)
+  }
+
+  test("PARTITIONED tables take RENAME + DROP COLUMN (VERDICT r18 #2): metadata-only, untouched partitions byte-identical, wedge guards fire identically, partition columns immutable") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog("prd")
+    try {
+      Seq((1L, "click", 10.0, "x1"), (2L, "view", 20.0, "x2"),
+          (3L, "click", 30.0, "x3"))
+        .toDF("k", "etype", "v", "note").createOrReplaceTempView("prd_src")
+      spark.sql(s"CREATE TABLE $cat.tr PARTITIONED BY (etype) AS " +
+        "SELECT k, etype, v, note FROM prd_src") // v1
+      val root = wh.resolve("tr")
+      val v1Files = SnapshotStore.filesAt(spark, root, 1L)
+      val mtimes = v1Files.map(f =>
+        f -> java.nio.file.Files.getLastModifiedTime(root.resolve(f))).toMap
+      // RENAME: metadata-only — zero files rewritten, all byte-identical
+      spark.sql(s"ALTER TABLE $cat.tr RENAME COLUMN v TO amount") // v2
+      assert(SnapshotStore.filesAt(spark, root, 2L).toSet == v1Files.toSet,
+        "RENAME must rewrite zero files")
+      v1Files.foreach(f => assert(
+        java.nio.file.Files.getLastModifiedTime(root.resolve(f)) == mtimes(f),
+        s"RENAME touched $f"))
+      // the chain-coalescing read composes with basePath recovery: the
+      // old generation's physical `v` serves under `amount`, partition
+      // values recovered — never NULL
+      assert(spark.sql(s"SELECT k, amount, etype FROM $cat.tr ORDER BY k")
+        .as[(Long, Double, String)].collect().toSeq ==
+        Seq((1L, 10.0, "click"), (2L, 20.0, "view"), (3L, 30.0, "click")))
+      // an INSERT under the new name lands partition-dir shaped and
+      // both generations answer one scan
+      // renamed tables present the DECLARED order (k, amount, note, etype)
+      spark.sql(s"INSERT INTO $cat.tr VALUES (4, 40.0, 'x4', 'view')") // v3
+      assert(spark.sql(
+          s"SELECT count(*) FROM $cat.tr WHERE amount > 15.0 AND etype = 'view'")
+        .as[Long].head() == 2L)
+      // DROP: metadata-only on the partitioned declaration
+      spark.sql(s"ALTER TABLE $cat.tr DROP COLUMN note") // v4
+      assert(SnapshotStore.filesAt(spark, root, 4L).toSet ==
+        SnapshotStore.filesAt(spark, root, 3L).toSet,
+        "DROP must rewrite zero files")
+      assert(spark.sql(s"SELECT * FROM $cat.tr").columns.toSet ==
+        Set("k", "amount", "etype"))
+      // wedge guards, identical on the partitioned layout: retired
+      // rename source, dropped-name re-add, partition-column edits
+      val e1 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tr ADD COLUMN v DOUBLE"))
+      assert(e1.getMessage.contains("RETIRED rename source"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tr ADD COLUMN note STRING"))
+      assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+      val e3 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tr RENAME COLUMN etype TO et"))
+      assert(e3.getMessage.contains("PARTITION column"), e3.getMessage)
+      val e4 = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.tr DROP COLUMN etype"))
+      assert(e4.getMessage.contains("PARTITION column"), e4.getMessage)
+      // and the rename×pending wedge guard (requireNoPendingAt) fires
+      // on partitioned layouts too: a pending MOR delete blocks RENAME
+      // (on a FRESH table — deleteMor itself refuses standing renames,
+      // the mirror guard, so the wedge is provoked before any rename)
+      spark.sql(s"CREATE TABLE $cat.tr2 PARTITIONED BY (etype) AS " +
+        "SELECT k, etype, v, note FROM prd_src")
+      SnapshotStore.deleteMor(spark, wh.resolve("tr2"), Seq(1L).toDF("k"), "k")
+      val e5 = intercept[Exception](SnapshotStore.renameColumnMapped(
+        spark, wh.resolve("tr2"), "v", "amt"))
+      assert(e5.getMessage.contains("MOR delete"), e5.getMessage)
+      // …and the SQL surface refuses the unplannable raw read with
+      // graft's own fold-naming message (never a bare
+      // CONFLICTING_DIRECTORY_STRUCTURES at analysis time)
+      val e6 = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.tr2").collect())
+      assert(e6.getMessage.contains("fold"), e6.getMessage)
     } finally IndexStore.deleteRecursively(wh)
   }
 
