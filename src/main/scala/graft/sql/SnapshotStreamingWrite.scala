@@ -40,12 +40,13 @@ import graft.core.SnapshotStore
   * [[ParquetFileFormat.prepareWrite]]'s [[OutputWriterFactory]] under
   * the session's hadoop conf, so epoch files are byte-compatible with
   * `df.write.parquet` — no driver round-trip, no rows in commit
-  * messages: at 100 TB/day the driver sees only file NAMES. Contracts
-  * kept loud: append output mode only (complete's truncate-per-epoch
-  * has no honest snapshot meaning), flat-table layout (partition-dir
-  * streaming lands through the foreachBatch epoch sink until the
-  * writer learns the Layout discipline), no WAP branch (staging a
-  * continuous stream is a batch concept). */
+  * messages: at 100 TB/day the driver sees only file NAMES.
+  * PARTITIONED tables take the stream too — dynamic per-task partition
+  * writers land `data/<k>=<v>/…` files with the data half alone in the
+  * footer (see [[EpochParquetWriterFactory]]). Contracts kept loud:
+  * append output mode only (complete's truncate-per-epoch has no
+  * honest snapshot meaning), no WAP branch (staging a continuous
+  * stream is a batch concept). */
 private[sql] class SnapshotStreamingWrite(root: Path, tableName: String,
                                           queryId: String,
                                           writeSchema: StructType,
@@ -53,11 +54,6 @@ private[sql] class SnapshotStreamingWrite(root: Path, tableName: String,
                                           partitionCols: Seq[String])
     extends StreamingWrite {
 
-  require(partitionCols.isEmpty,
-    s"$tableName: writeStream.toTable on a PARTITIONED table is refused — " +
-    "the streaming writer lands flat epoch files (the Layout partition " +
-    "discipline needs a per-epoch repartition the sink cannot impose); " +
-    "stream through foreachBatch + INSERT INTO instead")
   require(writeSchema.fieldNames.sameElements(declared.fieldNames) &&
       writeSchema.fields.zip(declared.fields).forall {
         case (a, b) => org.apache.spark.sql.types.DataType
@@ -65,24 +61,38 @@ private[sql] class SnapshotStreamingWrite(root: Path, tableName: String,
     s"$tableName: streaming write schema ${writeSchema.toDDL} does not " +
     s"match the table's declared schema ${declared.toDDL} — align the " +
     "query's output (names, order, types) to the table")
+  require(partitionCols.forall(writeSchema.fieldNames.contains),
+    s"$tableName: partition column(s) ${partitionCols.mkString(", ")} " +
+    s"missing from the stream schema ${writeSchema.toDDL}")
 
   private val rootStr = root.toAbsolutePath.normalize.toString
-  // the deterministic per-epoch attempt dir — the idempotence token
-  private val dirPrefixRel =
-    s"data/stream_${queryId.replaceAll("[^0-9a-fA-F]", "").take(12)}"
-  private def epochDirRel(epochId: Long): String = s"${dirPrefixRel}_e$epochId"
+  private val queryTok = queryId.replaceAll("[^0-9a-fA-F]", "").take(12)
+  // the deterministic per-epoch NAME TOKEN — the idempotence unit.
+  // Flat tables land the epoch's files under one attempt dir carrying
+  // it; partitioned tables scatter files across their partition dirs,
+  // so the token rides every file's BASENAME instead and the commit
+  // checks the manifest for it either way.
+  private def epochTok(epochId: Long): String = s"stream_${queryTok}_e$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     // driver-side: Spark's own parquet write stamping (legacy-format,
-    // timestamp type, rebase modes, codec — everything df.write sets)
+    // timestamp type, rebase modes, codec — everything df.write sets).
+    // Partitioned tables write the DATA half only (partition values
+    // live in the dir path, recovered via basePath — the layout
+    // contract every other partitioned writer on this seam keeps).
     val spark = SparkSession.active
+    val dataSchema =
+      if (partitionCols.isEmpty) writeSchema
+      else StructType(writeSchema.filterNot(f => partitionCols.contains(f.name)))
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, writeSchema)
-    new EpochParquetWriterFactory(rootStr, dirPrefixRel, writeSchema, owf,
-      new SerializableConfiguration(job.getConfiguration))
+      .prepareWrite(spark, job, Map.empty, dataSchema)
+    new EpochParquetWriterFactory(rootStr, queryTok, writeSchema,
+      partitionCols, owf,
+      new SerializableConfiguration(job.getConfiguration),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   override def commit(epochId: Long,
@@ -96,17 +106,30 @@ private[sql] class SnapshotStreamingWrite(root: Path, tableName: String,
     val fresh = messages.toSeq
       .collect { case m: EpochFilesMessage => m.files }.flatten.sorted
     if (fresh.isEmpty) return // an empty epoch commits nothing
-    val dirRel = epochDirRel(epochId) + "/"
+    val tok = epochTok(epochId)
     val head = SnapshotStore.headVersion(root)
     val already = head.exists(v =>
-      SnapshotStore.filesAt(spark, root, v).exists(_.startsWith(dirRel)))
+      SnapshotStore.filesAt(spark, root, v).exists(f =>
+        f.contains(s"/$tok/") || f.contains(s"/$tok-")))
     if (already) {
       // failure-replayed epoch: the manifest already references this
-      // epoch's dir — drop the duplicate files, keep the committed ones
+      // epoch's token — drop the duplicate files, keep the committed ones
       fresh.foreach(f => Files.deleteIfExists(root.resolve(f)))
       return
     }
-    SnapshotStore.commitAppend(spark, root, fresh, opType = "stream-epoch")
+    // on a PARTITIONED table the first landed epoch retires the flat
+    // 0-row creation seed (a flat file cannot coexist with partition
+    // dirs under one basePath) — the INSERT INTO contract, kept here
+    val seed =
+      if (partitionCols.isEmpty) Seq.empty
+      else head.toSeq.flatMap(v =>
+        SnapshotStore.filesAt(spark, root, v).filter(SnapshotCatalog.isSeedFile))
+    if (seed.isEmpty)
+      SnapshotStore.commitAppend(spark, root, fresh, opType = "stream-epoch")
+    else SnapshotStore.commit(spark, root,
+      SnapshotStore.filesAt(spark, root, head.get)
+        .filterNot(SnapshotCatalog.isSeedFile) ++ fresh,
+      expectedBase = head.get)
     ()
   }
 
@@ -123,43 +146,96 @@ private[sql] case class EpochFilesMessage(files: Seq[String])
 
 /** Task-side parquet writer: Spark's own [[OutputWriterFactory]] (the
   * exact writer `df.write.parquet` tasks run), opened lazily so empty
-  * partitions write nothing. */
+  * partitions write nothing.
+  *
+  * FLAT tables: one file per task under the epoch's attempt dir
+  * (`data/stream_<q>_e<n>/`). PARTITIONED tables: DYNAMIC partition
+  * writers — one open file per distinct partition tuple this task
+  * sees, landing `data/<k>=<v>/…` with the partition values rendered
+  * Cast-to-string and path-ESCAPED (the exact form the batch
+  * partitioned writer produces) and the DATA half alone in the footer
+  * (dir values recover via basePath, the layout contract). Open-file
+  * count = this task's partition-value cardinality: bounded by the
+  * partitioning discipline — a high-cardinality stream adds
+  * `.repartition(partitionCols)` upstream (the same repartition-first
+  * rule every batch partitioned write on this seam keeps), which
+  * collapses it to ~1 writer per task. */
 private[sql] class EpochParquetWriterFactory(rootStr: String,
-                                             dirPrefixRel: String,
+                                             queryTok: String,
                                              schema: StructType,
+                                             partitionCols: Seq[String],
                                              owf: OutputWriterFactory,
-                                             conf: SerializableConfiguration)
+                                             conf: SerializableConfiguration,
+                                             timeZoneId: String)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-      private var rel: String = _
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
+      import org.apache.spark.sql.execution.datasources.OutputWriter
 
-      private def open(): Unit = {
-        val tac = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      private val tok = s"stream_${queryTok}_e$epochId"
+      private def tac() =
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
           conf.value,
           new org.apache.hadoop.mapreduce.TaskAttemptID("graft",
             (epochId % Int.MaxValue).toInt,
             org.apache.hadoop.mapreduce.TaskType.MAP, partitionId, 0))
-        rel = s"${dirPrefixRel}_e$epochId/part-$partitionId-" +
-          s"${java.util.UUID.randomUUID().toString.take(12)}" +
-          owf.getFileExtension(tac)
-        val p = Paths.get(rootStr).resolve(rel)
-        Files.createDirectories(p.getParent)
-        writer = owf.newInstance(p.toString, schema, tac)
+
+      // partitioned shape: rendered-value casts + the data-half
+      // projection, built once per task
+      private val partOrdinals = partitionCols.map(schema.fieldIndex)
+      private val partCasts = partOrdinals.map { i =>
+        Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
+          org.apache.spark.sql.types.StringType, Option(timeZoneId))
       }
+      private val dataOrdinals =
+        schema.indices.filterNot(partOrdinals.contains)
+      private val dataSchema = StructType(dataOrdinals.map(schema(_)))
+      private val dataProj =
+        if (partitionCols.isEmpty) null
+        else UnsafeProjection.create(dataOrdinals.map(i =>
+          BoundReference(i, schema(i).dataType, schema(i).nullable)))
+
+      private val writers =
+        scala.collection.mutable.LinkedHashMap.empty[String, (OutputWriter, String)]
+
+      private def writerFor(dirRel: String): OutputWriter =
+        writers.getOrElseUpdate(dirRel, {
+          val ctx = tac()
+          val rel = s"$dirRel/$tok-p$partitionId-" +
+            s"${java.util.UUID.randomUUID().toString.take(12)}" +
+            owf.getFileExtension(ctx)
+          val p = Paths.get(rootStr).resolve(rel)
+          Files.createDirectories(p.getParent)
+          (owf.newInstance(p.toString,
+            if (partitionCols.isEmpty) schema else dataSchema, ctx), rel)
+        })._1
+
+      private def dirOf(row: InternalRow): String =
+        if (partitionCols.isEmpty) s"data/$tok"
+        else "data/" + partitionCols.zip(partCasts).map { case (c, cast) =>
+          val v = cast.eval(row)
+          val s =
+            if (v == null)
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .DEFAULT_PARTITION_NAME
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v.toString)
+          s"$c=$s"
+        }.mkString("/")
 
       override def write(row: InternalRow): Unit = {
-        if (writer == null) open()
-        writer.write(row)
+        val w = writerFor(dirOf(row))
+        w.write(if (dataProj == null) row else dataProj(row))
       }
-      override def commit(): WriterCommitMessage =
-        if (writer == null) EpochFilesMessage(Seq.empty)
-        else { writer.close(); EpochFilesMessage(Seq(rel)) }
-      override def abort(): Unit = if (writer != null) {
-        writer.close()
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._1.close())
+        EpochFilesMessage(writers.values.map(_._2).toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach { case (w, rel) =>
+        try w.close() catch { case _: Exception => () }
         Files.deleteIfExists(Paths.get(rootStr).resolve(rel))
       }
       override def close(): Unit = ()

@@ -2139,26 +2139,35 @@ object StreamingPipelines {
     * [[graft.core.SnapshotStore.commitAppend]] per epoch — the
     * `STREAMING_WRITE` capability binding
     * [[graft.sql.SnapshotStreamingWrite]], task-side parquet, file
-    * NAMES only across the driver, the per-epoch attempt dir as the
-    * exactly-once token. The stream is stopped and RESTARTED from its
-    * checkpoint mid-corpus (the torn-epoch shape: the sink may have
-    * committed an epoch the progress log never recorded), so the
-    * replayed epoch must hit the manifest idempotence check instead of
-    * double-landing. The drained table must reassemble exactly the
-    * flat corpus: a double-committed epoch, a lost epoch, or a row
-    * mangled by the task-side parquet codec (timestamps included) all
-    * hash-fail against the batch oracle. */
+    * NAMES only across the driver, the per-epoch name token as the
+    * exactly-once unit. The target is PARTITIONED (the production
+    * shape): each task runs DYNAMIC partition writers landing
+    * `data/event_type=<v>/…` files with the data half alone in the
+    * footer, and the first epoch retires the creation seed — so the
+    * query also gates partition-value escaping, basePath recovery, and
+    * the per-epoch/per-partition fan-out. The stream is stopped and
+    * RESTARTED from its checkpoint mid-corpus (the torn-epoch shape:
+    * the sink may have committed an epoch the progress log never
+    * recorded), so the replayed epoch must hit the manifest idempotence
+    * check instead of double-landing. The drained table must
+    * reassemble exactly the flat corpus: a double-committed epoch, a
+    * lost epoch, a row mangled by the task-side parquet codec
+    * (timestamps included), or a partition value lost to the dir
+    * round-trip all hash-fail against the batch oracle. */
   def q28qSqlStreamWrite(spark: SparkSession, dir: String): DataFrame = {
     val root = Files.createTempDirectory("graft-q28q").resolve("tbl")
     val ckpt = Files.createTempDirectory("graft-q28q-ckpt")
     spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
     val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
     spark.sql(s"CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP, " +
-      "user_id BIGINT, event_type STRING, value DOUBLE, props STRING)") // v1 seed
+      "user_id BIGINT, value DOUBLE, props STRING, event_type STRING) " +
+      "PARTITIONED BY (event_type)") // v1 seed
     val chunkDir = chunkEvents(spark, dir)
     def start() = eventStream(spark,
         SourceConfig(path = chunkDir.toString, filesPerTrigger = 6))
       .where(col("event_type") =!= SentinelType)
+      // aligned to the table's declared order (partition column last)
+      .select("event_id", "ts", "user_id", "value", "props", "event_type")
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .toTable(t)

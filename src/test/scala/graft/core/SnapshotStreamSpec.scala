@@ -933,13 +933,38 @@ class SnapshotStreamSpec extends AnyFunSuite {
         .option("checkpointLocation", cckpt.toString).toTable(t))
       assert(m1.contains("complete") || m1.contains("truncate") ||
         m1.contains("TRUNCATE"), m1)
-      val pt = s"graft_lake.`${wh.resolve("psink").toAbsolutePath.normalize}`"
+      IndexStore.deleteRecursively(cckpt)
+      // PARTITIONED targets take the stream: dynamic per-task partition
+      // writers land data/<k>=<v>/ files with the data half alone in
+      // the footer; batch reads recover dir values via basePath
+      val proot = wh.resolve("psink")
+      val pt = s"graft_lake.`${proot.toAbsolutePath.normalize}`"
       spark.sql(s"CREATE TABLE $pt (k BIGINT, p STRING) PARTITIONED BY (p)")
       val pckpt = java.nio.file.Files.createTempDirectory("snapstream-write-p")
-      val m2 = startFails(mem.toDF().toDF("k", "p").writeStream
-        .option("checkpointLocation", pckpt.toString).toTable(pt))
-      assert(m2.contains("PARTITIONED"), m2)
-      IndexStore.deleteRecursively(cckpt)
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)], spark.sqlContext)
+      val pq = mem2.toDF().toDF("k", "p").writeStream
+        .option("checkpointLocation", pckpt.toString).toTable(pt)
+      try {
+        mem2.addData((1L, "a"), (2L, "b"))
+        pq.processAllAvailable()
+        mem2.addData((3L, "a"))
+        pq.processAllAvailable()
+        assert(spark.sql(s"SELECT k, p FROM $pt ORDER BY k")
+          .as[(Long, String)].collect().toSeq ==
+          Seq((1L, "a"), (2L, "b"), (3L, "a")),
+          "partitioned streamed rows must read back with dir values")
+        val pfiles = SnapshotStore.filesAt(spark, proot,
+          SnapshotStore.headVersion(proot).get)
+        assert(pfiles.forall(f => f.contains("/p=") || f.contains("_seed")),
+          s"streamed files must land partition-dir shaped: $pfiles")
+        // the data half alone sits in the footer (dir values recover
+        // via basePath — the layout contract)
+        val one = pfiles.find(_.contains("/p=")).get
+        assert(spark.read.parquet(proot.resolve(one).toString)
+          .columns.toSeq == Seq("k"),
+          "partition values must live in the path, not the footer")
+      } finally pq.stop()
       IndexStore.deleteRecursively(pckpt)
     } finally {
       IndexStore.deleteRecursively(wh)
