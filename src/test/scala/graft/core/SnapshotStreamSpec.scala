@@ -812,6 +812,21 @@ class SnapshotStreamSpec extends AnyFunSuite {
         assert(retr.map(r => (r._1, r._3)).toSeq == Seq((1L, Some(2L))),
           s"retraction must carry the key + commit _seq: ${rows.toSeq}")
       } finally q.stop()
+      // reader options pass through the changes binding: startVersion
+      // skips the base load, so only the delete's retraction drains
+      val ckptSv = java.nio.file.Files.createTempDirectory("snapstream-sql-feed-sv")
+      val qsv = spark.readStream.option("startVersion", "1").table(ct)
+        .writeStream.format("memory").queryName("snapstream_changes_sv")
+        .option("checkpointLocation", ckptSv.toString)
+        .start()
+      try {
+        qsv.processAllAvailable()
+        val got = spark.table("snapstream_changes_sv")
+          .as[(Long, Option[Double], Option[Long], Boolean)].collect().toSeq
+        assert(got.map(r => (r._1, r._4)) == Seq((1L, true)),
+          s"startVersion=1 must drain only the v2 retraction: $got")
+      } finally qsv.stop()
+      IndexStore.deleteRecursively(ckptSv)
       // the feed has no version-pinned form — loud refusal
       val e1 = intercept[Exception](
         spark.sql(s"SELECT * FROM $ct VERSION AS OF 1").collect())
