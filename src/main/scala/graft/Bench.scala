@@ -166,7 +166,8 @@ object Bench {
     val spark = GraftSession.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+               sess: org.apache.spark.sql.SparkSession = spark): Double = {
       // q20* share one streamed replay (all streaming queries run
       // concurrently on one session, reference O19). The replay cost is
       // timed once, on q20_stream_tumbling (cache cleared → real
@@ -175,7 +176,7 @@ object Bench {
       if (name == "q20_stream_tumbling") graft.streaming.StreamingPipelines.clearCache()
       val t0 = System.nanoTime()
       val t = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(sess, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -188,6 +189,17 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
+
+    // ISOLATION LEVER (VERDICT r19 next #8, priced like the GC lever):
+    // families named in SPARK_GRAFT_FRESH_SESSION_FAMILIES (e.g.
+    // "q26,q28") run on a FRESH spark.newSession() per family per pass —
+    // same SparkContext/executors, but fresh SQL session state (temp
+    // views, catalog instances, session conf), so one family's
+    // accumulated session state cannot bill another's queries. Off by
+    // default; a paired run prices it.
+    val freshFams: Set[String] =
+      sys.env.getOrElse("SPARK_GRAFT_FRESH_SESSION_FAMILIES", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSet
 
     // wall-clock anchor: per-query start offsets (sec since this) ride
     // the artifact, so a contended host window shows up as a cluster of
@@ -214,12 +226,17 @@ object Bench {
     def runPass(label: String): (Seq[(String, (Double, Double))], (String, String)) = {
       val (gcMs0, gcN0) = gcStats()
       var prevFamily = ""
+      var famSession = spark
       val res = ordered.map { case (n, f) =>
         val fam = familyOf(n)
-        if (familyGc && prevFamily.nonEmpty && fam != prevFamily) System.gc()
+        if (prevFamily.nonEmpty && fam != prevFamily) {
+          if (familyGc) System.gc()
+          famSession = if (freshFams(fam)) spark.newSession() else spark
+        } else if (prevFamily.isEmpty && freshFams(fam))
+          famSession = spark.newSession()
         prevFamily = fam
         val startOff = (System.nanoTime() - benchT0) / 1e9
-        n -> (runOne(n, f), math.rint(startOff * 10) / 10)
+        n -> (runOne(n, f, famSession), math.rint(startOff * 10) / 10)
       }
       val (gcMs1, gcN1) = gcStats()
       // inter-pass hygiene: unload streaming state stores (native
@@ -467,8 +484,17 @@ object Bench {
           .exists(_.group(1) == sfDir)
         if (!sfOk) "[]"
         else {
+          // ANCHORED to the record's "queries" object (ADVICE r19 #4): a
+          // bare q-key regex over the whole file would absorb any other
+          // numeric q-keyed map a later record revision adds (e.g. a
+          // copied family_sec block) and misprice regressions
+          val qStart = txt.indexOf("\"queries\"")
+          val objStart = if (qStart < 0) -1 else txt.indexOf('{', qStart)
+          val objEnd = if (objStart < 0) -1 else txt.indexOf('}', objStart)
+          val queriesTxt =
+            if (objEnd < 0) "" else txt.substring(objStart, objEnd + 1)
           val price = """"(q[0-9a-z_@]+)":\s*([0-9.Ee+-]+)""".r
-          val record = price.findAllMatchIn(txt)
+          val record = price.findAllMatchIn(queriesTxt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           results.filter(_._2 >= 0).flatMap { case (n, v) =>
             record.get(n).filter(r => v > 2 * r).map(r =>

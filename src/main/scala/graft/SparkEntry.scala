@@ -156,6 +156,7 @@ object SparkEntry {
     "q28l_sql_stream_read" -> (graft.streaming.StreamingPipelines.q28lSqlStreamRead _),
     "q28o_sql_cdc_feed" -> (graft.streaming.StreamingPipelines.q28oSqlCdcFeed _),
     "q28q_sql_stream_write" -> (graft.streaming.StreamingPipelines.q28qSqlStreamWrite _),
+    "q28t_sql_stream_update" -> (graft.streaming.StreamingPipelines.q28tSqlStreamUpdate _),
     "q28j_stream_renamed" -> (graft.streaming.StreamingPipelines.q28jStreamRenamed _),
     "q28c_sql_ddl" -> (LayoutQueries.q28cSqlDdl _),
     "q28d_rename_mapped" -> (LayoutQueries.q28dRenameMapped _),
@@ -174,6 +175,8 @@ object SparkEntry {
     "q26r_stream_cdc_mor"  -> (graft.streaming.StreamingPipelines.q26rStreamCdcMor _),
     "q26o_mor_delete"      -> (LayoutQueries.q26oMorDelete _),
     "q26p_change_feed"     -> (LayoutQueries.q26pChangeFeed _),
+    "q28r_sql_changes_batch" -> (LayoutQueries.q28rSqlChangesBatch _),
+    "q28s_sql_partition_spec_evolve" -> (LayoutQueries.q28sSqlPartitionSpecEvolve _),
     "q26q_tagged_read"     -> (LayoutQueries.q26qTaggedRead _),
     "q18p_bm25_indexed"    -> (LayoutQueries.q18pBm25Indexed _),
     "q18q_bm25_stream_ingest" -> (graft.streaming.StreamingPipelines.q18qBm25StreamIngest _),
@@ -661,6 +664,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q28t: the update-mode streaming aggregate maintained in the
+    // catalog table via mergeKeys toTable (per-epoch CDC-delta merges,
+    // ledger-idempotent, mid-corpus restart, final fold) must equal the
+    // batch per-user aggregate — a lost epoch, a double-merged replay,
+    // or a stale cumulative row surviving recency resolution all move a
+    // user's count/sum
+    "q28t_sql_stream_update" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // q28p: RENAME + DROP COLUMN on the partitioned table — the rollup
     // reads `amount` across both file generations (old files carry
     // `value` physically), so a read nulling the old generation, a lost
@@ -672,6 +688,21 @@ object SparkEntry {
         |  MAX(ts) AS max_ts
         |FROM events
         |WHERE value > 25.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q28s: the day-window rollup across the partition-spec boundary —
+    // v1 files partitioned (event_type) with day in data, v2 files
+    // (event_type, day) with day in dirs; a generation read under the
+    // wrong layout (day NULLed / event_type lost), a tail row landed
+    // under the old spec, or a half-composed union hash-fails
+    "q28s_sql_partition_spec_evolve" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-12'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-25'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // q26m: write-audit-publish — HEAD must be base ∪ the even-id tail
@@ -789,6 +820,31 @@ object SparkEntry {
     // EXACTLY the decile change set — one row per insert/delete, two
     // images per update, nothing for carried rows
     "q26p_change_feed" ->
+      """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+        |c AS (SELECT lo, lo + (hi - lo) // 10 AS cut1,
+        |             lo + 2 * (hi - lo) // 10 AS cut2,
+        |             lo + 3 * (hi - lo) // 10 AS cut3 FROM b),
+        |feed AS (
+        |  SELECT 'update_preimage' AS change_type, e.event_id, e.ts, e.user_id,
+        |         e.event_type, e.value
+        |  FROM events e, c WHERE e.event_id <= c.cut1
+        |  UNION ALL
+        |  SELECT 'update_postimage', e.event_id, e.ts, e.user_id,
+        |         e.event_type, e.value + 1000
+        |  FROM events e, c WHERE e.event_id <= c.cut1
+        |  UNION ALL
+        |  SELECT 'delete', e.event_id, e.ts, e.user_id, e.event_type, e.value
+        |  FROM events e, c WHERE e.event_id > c.cut1 AND e.event_id <= c.cut2
+        |  UNION ALL
+        |  SELECT 'insert', e.event_id + 1000000000, e.ts + INTERVAL 30 DAY,
+        |         e.user_id, 'merged', e.value * 2
+        |  FROM events e, c WHERE e.event_id > c.cut2 AND e.event_id <= c.cut3)
+        |SELECT * FROM feed ORDER BY change_type, event_id""".stripMargin,
+    // q28r: the SAME change set asked through SQL — the batch-addressed
+    // changes namespace (VERSION AS OF '1..2') must hash-equal q26p's
+    // derivation; a broken substitution, default-key resolution, or
+    // range parse all diverge from the recomputed feed
+    "q28r_sql_changes_batch" ->
       """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
         |c AS (SELECT lo, lo + (hi - lo) // 10 AS cut1,
         |             lo + 2 * (hi - lo) // 10 AS cut2,

@@ -109,6 +109,15 @@ object ExtractHashtags {
   * rules/strategies would share. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the batch-addressed change feed's view-expansion rule (VERDICT
+    // r19 missing #1): substitutes graft_lake.changes.`…` VERSION AS OF
+    // '<v1>..<v2>' relations with the changesBetween derivation's plan
+    ext.injectResolutionRule(spark =>
+      new graft.sql.ChangesBatchSubstitution(spark))
+    // the spec-evolved read's composition rule (q28s): expands a
+    // mixed-partition-spec catalog relation into per-generation scans
+    ext.injectResolutionRule(spark =>
+      new graft.sql.EvolvedReadSubstitution(spark))
     ext.injectFunction(
       (FunctionIdentifier(ExtractHashtags.fnName),
        new ExpressionInfo(classOf[ExtractHashtags].getCanonicalName, ExtractHashtags.fnName),

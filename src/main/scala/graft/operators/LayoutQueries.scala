@@ -782,6 +782,65 @@ object LayoutQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Q28s — PARTITION-SPEC EVOLUTION THROUGH SQL (VERDICT r19 missing
+    * #2 — Iceberg's spec evolution, the re-partition-a-growing-table
+    * story without a rewrite): the q28g daily-load table starts
+    * `PARTITIONED BY (event_type)` (v1, CTAS), then
+    * {{{ CALL system.set_partition_spec(cols => 'event_type,day') }}}
+    * flips the CURRENT write spec — metadata-only, ZERO files
+    * rewritten (each file's path IS its spec record,
+    * [[SnapshotStore.specOfFile]], the q26x contract) — and the tail
+    * INSERT lands under two-level `event_type=…/day=…` dirs (v2).
+    * Reads now span spec GENERATIONS: the catalog flags the relation
+    * and the [[graft.sql.EvolvedReadSubstitution]] analyzer rule
+    * composes per-generation scans — old files recover `event_type`
+    * from dirs and read `day` from data; new files recover both from
+    * dirs — so the day-window rollup below prunes each generation by
+    * the dirs it actually encodes. INSERT OVERWRITE refuses on the
+    * mixed table (old-spec files don't encode the new tuples — a
+    * dynamic replacement would half-replace), pinned inline. The
+    * oracle recomputes the windowed rollup from the flat corpus: a
+    * generation read under the wrong layout (day NULLed, event_type
+    * lost), a tail row landed under the old spec, or a half-composed
+    * union all hash-fail. At 100 TB this is the table that outgrew
+    * daily partitioning: the flip costs one metadata write, and every
+    * query keeps pruning on both generations' layouts. */
+  def q28sSqlPartitionSpecEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q28s").resolve("tbl")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val cut = lit(SnapCutoff).cast("timestamp")
+    events.where(col("ts") < cut).createOrReplaceTempView("q28s_base")
+    events.where(col("ts") >= cut).createOrReplaceTempView("q28s_tail")
+    val rootStr = root.toAbsolutePath.normalize.toString
+    val t = s"graft_lake.`$rootStr`"
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (event_type) AS " +
+      "SELECT event_id, ts, event_type, user_id, value, day FROM q28s_base") // v1: spec (event_type)
+    spark.sql("CALL graft_lake.system.set_partition_spec(" +
+      s"`table` => '$rootStr', cols => 'event_type,day')") // spec flip: zero rewrite
+    spark.sql(s"INSERT INTO $t SELECT event_id, ts, user_id, value, day, " +
+      "event_type FROM q28s_tail") // v2: two-level dirs under the new spec
+    // the mixed table refuses dynamic partition replacement (half-replace
+    // hazard) — contract pinned inline like q28p's wedge guards
+    val ow = scala.util.Try(spark.sql(
+      s"INSERT OVERWRITE $t SELECT event_id, ts, user_id, value, day, " +
+      "event_type FROM q28s_tail"))
+    require(ow.isFailure && ow.failed.get.getMessage != null &&
+      ow.failed.get.getMessage.contains("partition-spec generations"),
+      s"q28s: INSERT OVERWRITE on the evolved table must refuse, got $ow")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         |  MAX(ts) AS max_ts
+         |FROM $t
+         |WHERE day >= '2024-01-12' AND day < '2024-01-25'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** Q28n — WRITE-AUDIT-PUBLISH ENTIRELY IN SQL (VERDICT r17 #4 — the
     * q26m cycle without leaving `spark.sql`): the pre-cutoff events as
     * mainline v1 (CTAS), then two staged batches under
@@ -1172,6 +1231,28 @@ object LayoutQueries {
     val root = eventsMergeRoot(spark, dir)
     SnapshotStore.changesBetween(spark, root, 1L, 2L, "event_id")
       .orderBy("change_type", "event_id")
+  }
+
+  /** Q28r — the BATCH-ADDRESSED change feed (VERDICT r19 missing #1):
+    * q26p's exact change set, asked through SQL —
+    * {{{ SELECT * FROM graft_lake.changes.`/t` VERSION AS OF '1..2' }}}
+    * — Delta's `table_changes(tbl, v1, v2)` / Iceberg's incremental
+    * batch read on the catalog's `changes` namespace. The relation is
+    * analyzer-substituted with the
+    * [[graft.core.SnapshotStore.changesBetween]] derivation (the
+    * view-expansion pattern, see [[graft.sql.SnapshotChangesBatchTable]]),
+    * so the plan IS q26p's file-pruned diff join — no driver rows, no
+    * second implementation to drift. The diff key defaults from the
+    * table's single manifest-envelope column (event_id here). Same
+    * oracle as q26p, hash-equal by construction or something is wrong
+    * with the addressing, the substitution, or the default-key
+    * resolution. */
+  def q28rSqlChangesBatch(spark: SparkSession, dir: String): DataFrame = {
+    val root = eventsMergeRoot(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    spark.sql(
+      s"SELECT * FROM graft_lake.changes.`${root.toAbsolutePath.normalize}` " +
+      "VERSION AS OF '1..2' ORDER BY change_type, event_id")
   }
 
   /** Q26q — IMMUTABLE VERSION TAGS made load-bearing (Iceberg tags —

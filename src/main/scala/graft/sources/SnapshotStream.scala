@@ -148,7 +148,8 @@ class SnapshotStreamSource extends TableProvider
       Option(opts.get("startVersion")).map(_.toLong).getOrElse(0L),
       Option(opts.get("maxFilesPerTrigger")).map(_.toInt),
       Option(opts.get("skipRewrites")).exists(_.toBoolean),
-      Option(opts.get("cdcFeed")).exists(_.toBoolean))
+      Option(opts.get("cdcFeed")).exists(_.toBoolean),
+      Option(opts.get("dvFeedMaxPositions")).map(_.toLong))
   }
 }
 
@@ -175,7 +176,26 @@ object SnapshotStreamSource {
     // cdcFeed keeps the refusal (CDC/MOR writes refuse renames anyway)
     if (cdcFeed)
       SnapshotStore.requireNoRenames(root, head, "graft-snapshot cdcFeed stream")
-    val base = SnapshotStore.readAt(spark, root, Some(head)).schema
+    val base =
+      try SnapshotStore.readAt(spark, root, Some(head)).schema
+      catch {
+        case e: Exception
+            if cdcFeed && SnapshotStore.declaredSchema(root, head).isDefined =>
+          // a MIXED-LAYOUT head (partition-dir files + flat ledger
+          // files — API commitCdcDelta on a partitioned table) cannot
+          // build ONE inferred relation (Spark partition-inference
+          // conflict), but the FEED plans per-layout scans (ADVICE r19
+          // #1) and only needs the schema: the declared DDL with the
+          // dir-encoded columns moved last — the split order readAt
+          // yields on the homogeneous layout
+          val declared = StructType.fromDDL(
+            SnapshotStore.declaredSchema(root, head).get)
+          val dirCols = SnapshotStore.filesAt(spark, root, head)
+            .flatMap(SnapshotStore.specOfFile).distinct
+          if (dirCols.isEmpty) throw e
+          StructType(declared.filterNot(f => dirCols.contains(f.name)) ++
+            declared.filter(f => dirCols.contains(f.name)))
+      }
     if (!cdcFeed) base
     else {
       import org.apache.spark.sql.types.{StructField, LongType, BooleanType}
@@ -195,7 +215,11 @@ object SnapshotStreamSource {
     * wrong #2): max deleted positions one micro-batch may collect.
     * Matches [[graft.core.SnapshotStore.maybeFoldDv]]'s default
     * `maxPendingPositions` — a writer honoring the fold policy never
-    * trips it. `var` as a test seam only. */
+    * trips it. This is only the DEFAULT (ADVICE r19 #3): each stream
+    * resolves its own bound from the `dvFeedMaxPositions` reader
+    * option at construction, so concurrent streams in one JVM never
+    * race on this var — it stays a default seam, not shared state a
+    * correctness bound reads per batch. */
   private[graft] var DvFeedMaxPositions: Long = 1L << 20
 
   /** Per-batch PLAN LOG (test seam): (root, startV, endV, filesPlanned,
@@ -214,7 +238,8 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
                                            startVersion: Long,
                                            maxFilesPerTrigger: Option[Int],
                                            skipRewrites: Boolean,
-                                           cdcFeed: Boolean)
+                                           cdcFeed: Boolean,
+                                           dvMaxPositions: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot.`$root`"
   override def schema(): StructType = schema0
@@ -226,7 +251,7 @@ private[sources] class SnapshotStreamTable(root: Path, schema0: StructType,
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(root, schema0, startVersion,
-            maxFilesPerTrigger, skipRewrites, cdcFeed)
+            maxFilesPerTrigger, skipRewrites, cdcFeed, dvMaxPositions)
       }
     }
 }
@@ -237,8 +262,15 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
                                                 startVersion: Long,
                                                 maxFilesPerTrigger: Option[Int],
                                                 skipRewrites: Boolean = false,
-                                                cdcFeed: Boolean = false)
+                                                cdcFeed: Boolean = false,
+                                                dvMaxPositions: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** This stream's OWN DV bound (ADVICE r19 #3): the reader option
+    * wins; the global var is only the default, captured at
+    * construction so concurrent streams never race on it. */
+  private val dvBound: Long =
+    dvMaxPositions.getOrElse(SnapshotStreamSource.DvFeedMaxPositions)
 
   private case class VOffset(v: Long) extends Offset {
     override def json(): String = v.toString
@@ -511,10 +543,10 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
       val pos = SnapshotStore.manifest(spark, root, b)
         .where(col("file").isin(dvFiles: _*))
         .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-      require(pos <= SnapshotStreamSource.DvFeedMaxPositions,
+      require(pos <= dvBound,
         s"graft-snapshot cdcFeed stream on $root: batch ($a, $b] carries " +
         s"$pos pending deletion-vector positions (bound " +
-        s"${SnapshotStreamSource.DvFeedMaxPositions}) — the deletion " +
+        s"$dvBound) — the deletion " +
         "vector path is for tiny deletes (big deletes belong to " +
         "copy-on-write); run foldDv (or CALL system.fold_dv) and " +
         "restart the stream")
@@ -539,8 +571,27 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
     val dvBase: Option[(Batch, Option[FeedPerm])] =
       if (dvGroups.isEmpty) None
       else Some(pqBatch(dvGroups.map(_._2).distinct, dataSchema, "dv"))
+    // the data side is grouped BY LAYOUT SIGNATURE (ADVICE r19 #1): a
+    // feed interval can legally mix partition-dir inserts with flat
+    // ledger files (API commitCdcDelta on a partitioned table), and one
+    // scan cannot serve both — with a flat head file the partition
+    // columns of the dir-shaped files would drain as silent NULLs
+    // (basePath omitted), with a dir-shaped head Spark's partition
+    // inference refuses the mixed listing. One scan per signature,
+    // deterministic order (flat group first), each with its own
+    // scan→feed permutation.
+    def layoutSig(f: String): Seq[String] = f.split('/').dropRight(1).toSeq
+      .filter(s => s.contains('=') && !s.startsWith("_"))
+      .map(_.takeWhile(_ != '='))
+      .filter(c => withSeq.fieldNames.contains(c))
+    val dataGroups: Seq[(Batch, Option[FeedPerm])] =
+      if (dataFiles.isEmpty) Seq.empty
+      else dataFiles.groupBy(layoutSig).toSeq
+        .sortBy(_._1.mkString("/"))
+        .zipWithIndex
+        .map { case ((_, fs), i) => pqBatch(fs, withSeq, s"data$i") }
     new FeedBatch(
-      if (dataFiles.isEmpty) None else Some(pqBatch(dataFiles, withSeq, "data")),
+      dataGroups,
       if (delFiles.isEmpty) None else Some(pqBatch(delFiles, dataSchema, "del")),
       seqOf, root.toAbsolutePath.normalize.toString, dvBase, dvGroups)
   }
@@ -604,7 +655,7 @@ private[graft] class SnapshotMicroBatchStream(root: Path, schema: StructType,
   * `_tombstone` for delete-key partitions, with `seq` = the delete's
   * commit version). */
 private[sources] case class FeedPartition(inner: InputPartition,
-    tombstone: Boolean, seq: Long) extends InputPartition
+    tombstone: Boolean, seq: Long, group: Int = 0) extends InputPartition
 
 /** One DERIVED-RETRACTION feed partition (VERDICT r17 #1): a
   * whole-file scan of ONE DV-named base file plus the vector's
@@ -642,7 +693,7 @@ private[sources] object FeedBatch {
   * the file read in order from byte 0, so split-planned fragments are
   * re-fused (a deliberate unsplit, bounded by the files the vectors
   * actually name). See [[SnapshotMicroBatchStream.planFeedBatch]]. */
-private[sources] class FeedBatch(dataB: Option[(Batch, Option[FeedPerm])],
+private[sources] class FeedBatch(dataBs: Seq[(Batch, Option[FeedPerm])],
                                  delB: Option[(Batch, Option[FeedPerm])],
                                  seqOf: String => Long,
                                  rootStr: String,
@@ -652,8 +703,15 @@ private[sources] class FeedBatch(dataB: Option[(Batch, Option[FeedPerm])],
   import org.apache.spark.sql.execution.datasources.FilePartition
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val data = dataB.toSeq.flatMap(_._1.planInputPartitions().toSeq)
-      .map(p => FeedPartition(p, tombstone = false, 0L): InputPartition)
+    // the data side is a SEQ of per-layout scans (ADVICE r19 #1): a
+    // feed interval legally mixes partition-dir inserts with flat
+    // ledger appends (commitCdcDelta on a partitioned table), and one
+    // scan cannot serve both layouts — each group's partitions carry
+    // their group index so the reader dispatches to the right scan
+    val data = dataBs.zipWithIndex.flatMap { case ((b, _), g) =>
+      b.planInputPartitions().toSeq
+        .map(p => FeedPartition(p, tombstone = false, 0L, group = g): InputPartition)
+    }
     val dels = delB.toSeq.flatMap { case (b, _) =>
       b.planInputPartitions().toSeq.flatMap {
         case fp: FilePartition => fp.files.map(pf => Array(pf))
@@ -693,10 +751,10 @@ private[sources] class FeedBatch(dataB: Option[(Batch, Option[FeedPerm])],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(dataB.map(_._1.createReaderFactory()),
+    new FeedReaderFactory(dataBs.map(_._1.createReaderFactory()),
       delB.map(_._1.createReaderFactory()),
       dvB.map(_._1.createReaderFactory()),
-      dataPerm = dataB.flatMap(_._2), delPerm = delB.flatMap(_._2),
+      dataPerms = dataBs.map(_._2), delPerm = delB.flatMap(_._2),
       dvPerm = dvB.flatMap(_._2))
 }
 
@@ -708,10 +766,10 @@ private[sources] class FeedBatch(dataB: Option[(Batch, Option[FeedPerm])],
   * filter — in-order whole-file read, emit exactly the vector's
   * positions, tag (`_seq` = vector commit, `_tombstone` = true). */
 private[sources] class FeedReaderFactory(
-    dataF: Option[PartitionReaderFactory],
+    dataFs: Seq[PartitionReaderFactory],
     delF: Option[PartitionReaderFactory],
     dvF: Option[PartitionReaderFactory] = None,
-    dataPerm: Option[FeedPerm] = None,
+    dataPerms: Seq[Option[FeedPerm]] = Seq.empty,
     delPerm: Option[FeedPerm] = None,
     dvPerm: Option[FeedPerm] = None) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -737,10 +795,17 @@ private[sources] class FeedReaderFactory(
   private def sideOf(p: InputPartition): (PartitionReaderFactory, InputPartition,
       FeedPartition) = {
     val fp = p.asInstanceOf[FeedPartition]
-    val f = (if (fp.tombstone) delF else dataF).getOrElse(
-      throw new IllegalStateException("feed partition for an unplanned side"))
+    val f =
+      if (fp.tombstone) delF.getOrElse(
+        throw new IllegalStateException("feed partition for an unplanned side"))
+      else dataFs.lift(fp.group).getOrElse(
+        throw new IllegalStateException(
+          s"feed partition for unplanned data group ${fp.group}"))
     (f, fp.inner, fp)
   }
+
+  private def dataPermOf(fp: FeedPartition): Option[FeedPerm] =
+    dataPerms.lift(fp.group).flatten
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: DvFeedPartition => false // per-row position filter by nature
@@ -782,7 +847,7 @@ private[sources] class FeedReaderFactory(
       val right =
         if (fp.tombstone) new GenericInternalRow(Array[Any](fp.seq, true))
         else new GenericInternalRow(Array[Any](false))
-      val order = permuteRow(if (fp.tombstone) delPerm else dataPerm)
+      val order = permuteRow(if (fp.tombstone) delPerm else dataPermOf(fp))
       new PartitionReader[InternalRow] {
         private val joined = new JoinedRow
         override def next(): Boolean = r.next()
@@ -794,7 +859,7 @@ private[sources] class FeedReaderFactory(
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val (f, inner, fp) = sideOf(p)
     val r = f.createColumnarReader(inner)
-    val perm = (if (fp.tombstone) delPerm else dataPerm).map(_.perm)
+    val perm = (if (fp.tombstone) delPerm else dataPermOf(fp)).map(_.perm)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = r.next()
       override def get(): ColumnarBatch = {

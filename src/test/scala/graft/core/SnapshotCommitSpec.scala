@@ -159,9 +159,17 @@ class SnapshotCommitSpec extends AnyFunSuite {
   }
 
   test("CatalogArbiter: the race / torn-commit / tag suites hold WITHOUT atomic rename (VERDICT r12 #5)") {
+    arbiterMatrix("cat-arbiter", new CatalogArbiter)
+  }
+
+  test("ObjectStoreArbiter: the same matrix holds on conditional-put alone — no rename, no link (VERDICT r19 #7)") {
+    arbiterMatrix("os-arbiter", new ObjectStoreArbiter)
+  }
+
+  private def arbiterMatrix(tag: String, arbiter: CommitArbiter): Unit = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("cat-arbiter")
-    SnapshotStore.setArbiter(root, new CatalogArbiter)
+    val root = java.nio.file.Files.createTempDirectory(tag)
+    SnapshotStore.setArbiter(root, arbiter)
     try {
       (1L to 6L).map(k => (k, s"v$k")).toDF("k", "p")
         .coalesce(1).write.parquet(root.resolve("data/base").toString)
@@ -217,6 +225,10 @@ class SnapshotCommitSpec extends AnyFunSuite {
 
   test("CAS stress WITHOUT atomic rename: the six-way race linearizes under the CatalogArbiter too") {
     casStress(arbiter = Some(new CatalogArbiter))
+  }
+
+  test("CAS stress on conditional-put alone: the six-way race linearizes under the ObjectStoreArbiter (VERDICT r19 #7)") {
+    casStress(arbiter = Some(new ObjectStoreArbiter))
   }
 
   private def casStress(arbiter: Option[CommitArbiter]): Unit = {

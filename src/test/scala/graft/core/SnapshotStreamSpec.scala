@@ -588,7 +588,6 @@ class SnapshotStreamSpec extends AnyFunSuite {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snapstream-dvbound")
     val ckpt = java.nio.file.Files.createTempDirectory("snapstream-dvbound-ckpt")
-    val saved = graft.sources.SnapshotStreamSource.DvFeedMaxPositions
     try {
       (1L to 30L).map(k => (k, s"p$k")).toDF("k", "p")
         .repartitionByRange(3, col("k")).sortWithinPartitions("k")
@@ -608,11 +607,13 @@ class SnapshotStreamSpec extends AnyFunSuite {
       } finally q.stop()
       // the SAME interval past a lowered bound: the metadata-side count
       // (manifest n_rows, no vector read) refuses loudly before any
-      // driver collect, naming the fold
-      graft.sources.SnapshotStreamSource.DvFeedMaxPositions = 5L
+      // driver collect, naming the fold. The bound is THIS stream's own
+      // reader option (ADVICE r19 #3) — the global default var is
+      // untouched, so a concurrently-running stream keeps its bound
       val ckpt2 = java.nio.file.Files.createTempDirectory("snapstream-dvbound-c2")
       val q2 = spark.readStream.format("graft-snapshot")
-        .option("path", root.toString).option("cdcFeed", "true").load()
+        .option("path", root.toString).option("cdcFeed", "true")
+        .option("dvFeedMaxPositions", "5").load()
         .writeStream.format("memory").queryName("snapstream_dvbound2")
         .option("checkpointLocation", ckpt2.toString).start()
       try {
@@ -629,7 +630,6 @@ class SnapshotStreamSpec extends AnyFunSuite {
         IndexStore.deleteRecursively(ckpt2)
       }
     } finally {
-      graft.sources.SnapshotStreamSource.DvFeedMaxPositions = saved
       IndexStore.deleteRecursively(root)
       IndexStore.deleteRecursively(ckpt)
     }
@@ -1031,6 +1031,47 @@ class SnapshotStreamSpec extends AnyFunSuite {
       } finally q.stop()
     } finally {
       IndexStore.deleteRecursively(root)
+      IndexStore.deleteRecursively(ckpt)
+    }
+  }
+
+  test("cdcFeed drains a MIXED-LAYOUT interval (ADVICE r19 #1): partition-dir files + a flat CDC-delta ledger in one batch — per-layout scans, dir values recovered, never silent NULLs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstream-mixed").resolve("tbl")
+    val ckpt = java.nio.file.Files.createTempDirectory("snapstream-mixed-ckpt")
+    try {
+      // a PARTITIONED catalog table (declared at birth, dir-encoded g)…
+      spark.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+      val rootStr = root.toAbsolutePath.normalize.toString
+      spark.sql(s"CREATE TABLE graft_lake.`$rootStr` " +
+        "(k BIGINT, v DOUBLE, g STRING) PARTITIONED BY (g)")
+      spark.sql(s"INSERT INTO graft_lake.`$rootStr` " +
+        "VALUES (1, 1.0, 'a'), (2, 2.0, 'b')") // v2: partition dirs
+      // …takes an API CDC delta (flat ledger file) — the mixed head
+      val dv = SnapshotStore.commitCdcDelta(spark, root,
+        Seq((1L, 10.0, "a")).toDF("k", "v", "g"), "k") // v3: data/_cdcdelta_a3
+      // one drain spans BOTH layouts in one feed batch
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root.toString).option("cdcFeed", "true").load()
+        .writeStream.format("memory").queryName("snapstream_mixed")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("snapstream_mixed")
+          .select("k", "v", "g", "_seq").orderBy("k", "_seq")
+          .collect().map(r => (r.getLong(0), r.getDouble(1),
+            Option(r.getString(2)), if (r.isNullAt(3)) -1L else r.getLong(3)))
+          .toSeq
+        // the dir-shaped rows recovered g from their dirs (the silent-
+        // NULL bug this pins); the delta row carries its _seq stamp
+        assert(rows.contains((1L, 1.0, Some("a"), -1L)), s"dir row lost: $rows")
+        assert(rows.contains((2L, 2.0, Some("b"), -1L)), s"dir row lost: $rows")
+        assert(rows.contains((1L, 10.0, Some("a"), dv)), s"delta row lost: $rows")
+        assert(rows.forall(_._3.nonEmpty),
+          s"a partition column drained as silent NULL: $rows")
+      } finally q.stop()
+    } finally {
+      IndexStore.deleteRecursively(root.getParent)
       IndexStore.deleteRecursively(ckpt)
     }
   }
