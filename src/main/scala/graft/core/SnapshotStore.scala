@@ -293,6 +293,72 @@ object SnapshotStore {
     * specs shrink it to force consolidation on small fixtures. */
   @volatile private[core] var maxManifestParts: Int = 16
 
+  // ---- immutable-part metadata caches (round 20 optimization) --------
+  //
+  // Manifest parts are IMMUTABLE and UUID-named (a part path is never
+  // reused), so their file-name lists and column shapes can be cached
+  // per JVM with zero staleness risk — exactly Iceberg's manifest
+  // caching. Before this, every commit on a chain re-read the SAME
+  // carried parts (one names job + one footer probe per part per
+  // commit), and every filesAt/appendDeltaFiles call re-collected
+  // names already materialized moments earlier (guide §2.4/§5: the
+  // dominant cost of the q25/q26/q28 commit chains was repeated
+  // driver-side metadata jobs, measured 109 part-read jobs across one
+  // q28k/q28/q28b decomposition). Bounded LRU; evicted entries simply
+  // re-read. Deleted parts (vacuum/gcParts) age out — nothing ever
+  // reads a deleted part's cache entry because no live list names it.
+  private def lruCache[V](maxEntries: Int) = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > maxEntries
+    })
+  private val partNamesCache = lruCache[Seq[String]](512)
+  private val partColsCache  = lruCache[Seq[String]](2048)
+
+  /** Test seam: drop the part caches (content is never stale — this
+    * exists for memory hygiene in long-lived harnesses, not
+    * correctness). */
+  def clearPartCaches(): Unit = { partNamesCache.clear(); partColsCache.clear() }
+
+  /** File names per manifest part, cache-backed. Uncached parts are
+    * read in ONE names-only job and attributed to their part dir via
+    * input_file_name (each part is a single-file parquet dir). Returns
+    * mpath → sorted names. */
+  private[core] def partNamesFor(spark: SparkSession, root: Path,
+                                 mpaths: Seq[String]): Map[String, Seq[String]] = {
+    import spark.implicits._
+    val keyed = mpaths.map(m =>
+      root.resolve(m).toAbsolutePath.normalize.toString -> m)
+    val miss = keyed.collect {
+      case (abs, _) if !partNamesCache.containsKey(abs) => abs }
+    if (miss.nonEmpty) {
+      val byDir: Map[String, Seq[String]] = spark.read.parquet(miss: _*)
+        .select(input_file_name().as("_u"), col("file"))
+        .as[(String, String)].collect().toSeq
+        .groupMap { case (u, _) =>
+          java.nio.file.Paths.get(new java.net.URI(u))
+            .getParent.toAbsolutePath.normalize.toString
+        } { case (_, f) => f }
+      miss.foreach(abs =>
+        partNamesCache.put(abs, byDir.getOrElse(abs, Seq.empty).sorted))
+    }
+    keyed.map { case (abs, m) => m -> partNamesCache.get(abs) }.toMap
+  }
+
+  /** Column names of one manifest part's footer, cache-backed (driver
+    * footer read on miss, no job). */
+  private[core] def partColsFor(spark: SparkSession, root: Path,
+                                mpath: String): Seq[String] = {
+    val abs = root.resolve(mpath).toAbsolutePath.normalize.toString
+    val hit = partColsCache.get(abs)
+    if (hit != null) hit
+    else {
+      val cols = spark.read.parquet(abs).columns.toSeq
+      partColsCache.put(abs, cols)
+      cols
+    }
+  }
+
   /** Per-commit metadata-cost STAMP (the round-14 O(delta) contract,
     * observable): how many parts the commit wrote, how many entry rows
     * those parts hold, the published list's width, and how many file
@@ -311,10 +377,19 @@ object SnapshotStore {
     val rel = s"_snapshots/manifests/m_${java.util.UUID.randomUUID()}"
     inFlightFor(root).add(rel) // registered BEFORE bytes land — gc-safe
     try {
-      entries.coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
-      val agg = spark.read.parquet(root.resolve(rel).toString)
-        .agg(count(lit(1)).as("f"), coalesce(sum(col("n_rows")), lit(0L)).as("r")).head()
-      ListRow(rel, agg.getLong(0), agg.getLong(1))
+      // entry/row counts are OBSERVED on the write job itself
+      // (computed over exactly the rows the writer serialized, so the
+      // stamp still reflects what a reader will see) instead of
+      // re-reading the written part: ONE Spark job per part write, not
+      // two — commit chains in the q25/q26/q28 harnesses pay this per
+      // commit (guide §1.2/§5; measured 41 read-back jobs across one
+      // q28k/q28/q28b decomposition)
+      val obs = org.apache.spark.sql.Observation()
+      entries.observe(obs, count(lit(1)).as("f"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("r"))
+        .coalesce(1).write.mode("overwrite").parquet(root.resolve(rel).toString)
+      val m = obs.get
+      ListRow(rel, m("f").asInstanceOf[Long], m("r").asInstanceOf[Long])
     } catch { case t: Throwable =>
       // a failed write never reaches the caller's `written` ledger, so
       // its registration would otherwise shield the partial dir from
@@ -791,8 +866,13 @@ object SnapshotStore {
     // metadata only — the shape decisions below are PER PART (ADVICE
     // r14: one-footer probing let a statsCols-subset commit carry wide
     // parts next to a narrow fresh one, leaving the version's manifest
-    // schema nondeterministic and envelope pruning null-blind)
-    val partCols: Seq[Seq[String]] = prevParts.map(r => partDf(r).columns.toSeq)
+    // schema nondeterministic and envelope pruning null-blind).
+    // Cache-backed for list parts (immutable); the legacy pseudo-part
+    // keeps its direct footer probe.
+    val partCols: Seq[Seq[String]] = prevParts.map {
+      case Some(lr) => partColsFor(spark, root, lr.mpath)
+      case r @ None => partDf(r).columns.toSeq
+    }
     // one statsCols shape for life: an empty request inherits the UNION
     // of the previous parts' min_/max_ column sets (a healthy version's
     // parts all share one shape; on a mixed-shape table the union is
@@ -809,13 +889,19 @@ object SnapshotStore {
     // part must serve the shape, or none is copied/carried
     val shapeOk = prevParts.nonEmpty &&
       partCols.forall(cs => manifestCols.forall(cs.contains))
-    // names per part, ONE job, names only
+    // names per part — cache-backed (immutable parts): at most ONE job
+    // over the not-yet-cached parts, zero on a warm chain
     val namesByPart: Map[Int, Seq[String]] =
       if (!shapeOk) Map.empty
-      else prevParts.zipWithIndex.map { case (r, i) =>
-          partDf(r).select(col("file")).withColumn("_pi", lit(i)) }
-        .reduce(_.unionByName(_)).as[(String, Int)].collect().toSeq
-        .groupMap(_._2)(_._1)
+      else {
+        val byPath = partNamesFor(spark, root,
+          prevParts.flatten.map(_.mpath).distinct)
+        prevParts.zipWithIndex.map {
+          case (Some(lr), i) => i -> byPath(lr.mpath)
+          case (r @ None, i) => // legacy pseudo-part: uncached direct read
+            i -> partDf(r).select(col("file")).as[String].collect().toSeq
+        }.toMap
+      }
     val prevNames: Set[String] = namesByPart.values.flatten.toSet
     val keep = files.toSet
     // per-part carry: clean parts ride by reference; dirty parts (and
@@ -1098,7 +1184,7 @@ object SnapshotStore {
     // widen the shape, or land on a mixed-shape table, takes the
     // general path, which projects/rescans to ONE shape per version
     val carriedColSets: Seq[Seq[String]] = carried.map(r =>
-      spark.read.parquet(root.resolve(r.mpath).toString).columns.toSeq)
+      partColsFor(spark, root, r.mpath))
     val effStats: Seq[String] =
       if (statsCols.nonEmpty) statsCols
       else carriedColSets.flatten
@@ -1230,11 +1316,17 @@ object SnapshotStore {
     }
 
   /** Version N's file list (driver-side, bounded by the version's file
-    * count). */
-  def filesAt(spark: SparkSession, root: Path, v: Long): Seq[String] = {
-    import spark.implicits._
-    manifest(spark, root, v).select("file").as[String].collect().toSeq.sorted
-  }
+    * count). Served from the immutable-part names cache — repeated
+    * calls on a live table (stream planning, commit probes, catalog
+    * reads) cost zero jobs once a part has been read once. */
+  def filesAt(spark: SparkSession, root: Path, v: Long): Seq[String] =
+    readList(root, v) match {
+      case Some(rows) =>
+        partNamesFor(spark, root, rows.map(_.mpath)).values.flatten.toSeq.sorted
+      case None =>
+        import spark.implicits._
+        manifest(spark, root, v).select("file").as[String].collect().toSeq.sorted
+    }
 
   /** Version-pinned MANIFEST PRUNING: the files of version N whose
     * manifest row satisfies `pred` — partition-dir pruning via the
@@ -1290,8 +1382,8 @@ object SnapshotStore {
     if (!old.subsetOf(lb.map(_.mpath).toSet)) return None
     val fresh = lb.filterNot(r => old(r.mpath))
     if (fresh.isEmpty) Some(Seq.empty)
-    else Some(spark.read.parquet(fresh.map(r => root.resolve(r.mpath).toString): _*)
-      .select("file").as[String].collect().toSeq.sorted)
+    else Some(partNamesFor(spark, root, fresh.map(_.mpath))
+      .values.flatten.toSeq.sorted)
   }
 
   /** Per-version FILE-COUNT ledger over (a, b] — metadata-only (list
@@ -1527,9 +1619,14 @@ object SnapshotStore {
         // underscore-prefixed columns are the seam's INTERNAL markers
         // (`_seq` on CDC delta files) — they must never graduate into
         // the table's logical declaration, or a fold would leave a
-        // permanent all-null `_seq` on every plain read
-        val added = spark.read.option("mergeSchema", "true")
-          .parquet(freshAbs: _*).schema
+        // permanent all-null `_seq` on every plain read.
+        // Footer merge runs DRIVER-SIDE over the delta files (same
+        // footer reader + same merge as mergeSchema=true, via
+        // GraftParquetShim) — O(delta) footer reads instead of one
+        // distributed mergeSchema job per commit (guide §5)
+        val added = org.apache.spark.sql.execution.datasources.parquet
+          .GraftParquetShim.footerMergedSchema(spark, freshAbs)
+          .map(_.fields.toSeq).getOrElse(Seq.empty)
           .filterNot(f => have.contains(f.name) || f.name.startsWith("_") ||
             droppedNames.contains(f.name.toLowerCase) ||
             retiredNames.contains(f.name.toLowerCase))
@@ -1556,8 +1653,12 @@ object SnapshotStore {
     if (prev.nonEmpty || freshAbs.isEmpty ||
         files.exists(f => specOfFile(f).nonEmpty)) None
     else {
-      val s = spark.read.option("mergeSchema", "true").parquet(freshAbs: _*)
-        .schema.filterNot(_.name.startsWith("_")) // internal markers stay out
+      // driver-side footer merge, same semantics as mergeSchema=true
+      // without the distributed job (guide §5; O(delta) files at birth)
+      val s = org.apache.spark.sql.execution.datasources.parquet
+        .GraftParquetShim.footerMergedSchema(spark, freshAbs)
+        .map(_.fields.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.name.startsWith("_")) // internal markers stay out
       if (s.isEmpty) None
       else Some(org.apache.spark.sql.types.StructType(s.toArray).toDDL)
     }

@@ -1213,11 +1213,21 @@ object StreamingPipelines {
           compactIngestAppendix(spark, sigDir, Seq("doc_id", "sig"), uptoExclusive = batchId)
           compactIngestAppendix(spark, bandDir, Seq("doc_id", "band"), uptoExclusive = batchId)
         }
+        // telemetry stamp only (q16k_batches): appendix row count from
+        // parquet FOOTERS driver-side — exact, zero Spark jobs, where a
+        // count() job per epoch was pure scheduler overhead (guide §5)
         val (dirsNow, rowsNow) =
           if (!Files.exists(Paths.get(sigDir))) (0, 0L)
-          else (listDir(Paths.get(sigDir))
-                  .count(_.getFileName.toString.startsWith("batch_id=")),
-                spark.read.parquet(sigDir).count())
+          else {
+            val walked = Files.walk(Paths.get(sigDir))
+            val pq = try walked.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq finally walked.close()
+            (listDir(Paths.get(sigDir))
+               .count(_.getFileName.toString.startsWith("batch_id=")),
+             org.apache.spark.sql.execution.datasources.parquet
+               .GraftParquetShim.footerRowCount(spark, pq))
+          }
         val t0 = System.nanoTime()
         val shingled = shingleBatch(batch)
         growingIngestProbe(spark, baseIdx, payload, shingled, batchId, sigDir, bandDir)
@@ -2237,17 +2247,28 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt.toString)
       .option("mergeKeys", "user_id")
       .toTable(t)
-    val q1 = start()
+    // state sized to the state, not the cores (the replay()/q20k
+    // discipline, guide §2): this aggregation holds one row per user —
+    // 32 state-store partitions would mean 32 near-empty store commits
+    // AND ≤32 staging files per epoch (each epoch's commitCdcDelta then
+    // reads 32 tiny files). 2 is right locally; on a real cluster this
+    // is sized to state volume. Baked into the checkpoint at first
+    // start, so set before q1 and restore after q2 drains.
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      // drain a prefix, then stop mid-corpus: the restart replays the
-      // last epoch whose sink commit the progress log may not have
-      // recorded — the epoch ledger absorbs it
-      var waited = 0
-      while (graft.core.SnapshotStore.headVersion(root).forall(_ < 3L)
-          && waited < 600) { Thread.sleep(100); waited += 1 }
-    } finally q1.stop()
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+      val q1 = start()
+      try {
+        // drain a prefix, then stop mid-corpus: the restart replays the
+        // last epoch whose sink commit the progress log may not have
+        // recorded — the epoch ledger absorbs it
+        var waited = 0
+        while (graft.core.SnapshotStore.headVersion(root).forall(_ < 3L)
+            && waited < 600) { Thread.sleep(100); waited += 1 }
+      } finally q1.stop()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     // quiesced-slot compaction: resolve any pending deltas so PLAIN SQL
     // serves the state (mid-stream folds already ran under policy)
     spark.sql(s"CALL graft_lake.system.fold_cdc(" +

@@ -1,0 +1,55 @@
+package org.apache.spark.sql.execution.datasources.parquet
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Driver-side parquet footer schema read + merge over a SMALL file
+  * list — the same footer reader and the same merge
+  * ([[ParquetFileFormat.readSchema]]) that `mergeSchema=true` runs
+  * inside its distributed job, called directly on the driver so an
+  * O(delta) metadata path (a commit's fresh-file schema merge) costs
+  * footer reads instead of a Spark job per commit (optimization guide
+  * §5: the driver should do almost no data work — and a scheduler
+  * round-trip for a 2-file footer merge is exactly the kind it should
+  * not do). Callers pass DELTA file lists only (bounded by the
+  * commit's own size); whole-table schema inference keeps the
+  * distributed path. */
+object GraftParquetShim {
+  def footerMergedSchema(spark: SparkSession,
+                         paths: Seq[String]): Option[StructType] = {
+    if (paths.isEmpty) return None
+    val conf = spark.sessionState.newHadoopConf()
+    // deterministic merge order (field order of added columns follows
+    // first-seen order, exactly like the sorted listing the
+    // distributed path sees)
+    val statuses: Seq[FileStatus] = paths.sorted.map { p =>
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).getFileStatus(hp)
+    }
+    val footers = ParquetFileFormat.readParquetFootersInParallel(
+      conf, statuses, ignoreCorruptFiles = false)
+    // `spark.read` nullable-izes every inferred schema at relation
+    // creation (HadoopFsRelation.asNullable); match it exactly — the
+    // footer's REQUIRED fields must not leak NOT NULL into declared
+    // schemas that the old mergeSchema path stamped nullable
+    ParquetFileFormat.readSchema(footers, spark)
+      .map(_.asNullable.asInstanceOf[StructType])
+  }
+
+  /** Exact row count of a parquet file set from footers alone (block
+    * row counts are exact, not estimates) — the telemetry/stats path
+    * for SMALL file lists where a count() job is pure scheduler
+    * overhead. */
+  def footerRowCount(spark: SparkSession, paths: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val footer = ParquetFooterReader.readFooter(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HPath(p), conf),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
+  }
+}
