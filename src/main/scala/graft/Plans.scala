@@ -93,6 +93,10 @@ object BenchOne {
       t
     }
     def pass(): Seq[(String, Double)] = {
+      // mirror Bench's per-pass replay-cache wipe (Bench clears at
+      // q20_stream_tumbling; a subset without it would otherwise time
+      // cached sink reads instead of real replays)
+      graft.streaming.StreamingPipelines.clearCache()
       val r = qs.map { case (n, f) => n -> runOne(n, f) }
       graft.streaming.StreamingPipelines.unloadStateStores()
       System.gc()

@@ -345,15 +345,29 @@ object SnapshotStore {
     keyed.map { case (abs, m) => m -> partNamesCache.get(abs) }.toMap
   }
 
-  /** Column names of one manifest part's footer, cache-backed (driver
-    * footer read on miss, no job). */
+  /** Column names of one manifest part's footer, cache-backed. A miss
+    * reads the part's single data file's FOOTER driver-side (parts are
+    * coalesce(1) writes) — `spark.read.parquet(dir)` was observed to
+    * launch a schema-inference job per miss. Falls back to the
+    * DataFrame probe if the dir shape is unexpected. */
   private[core] def partColsFor(spark: SparkSession, root: Path,
                                 mpath: String): Seq[String] = {
     val abs = root.resolve(mpath).toAbsolutePath.normalize.toString
     val hit = partColsCache.get(abs)
     if (hit != null) hit
     else {
-      val cols = spark.read.parquet(abs).columns.toSeq
+      val pq = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(root.resolve(mpath))
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq
+        finally s.close()
+      }
+      val cols = org.apache.spark.sql.execution.datasources.parquet
+        .GraftParquetShim.footerMergedSchema(spark, pq)
+        .map(_.fieldNames.toSeq)
+        .getOrElse(spark.read.parquet(abs).columns.toSeq)
       partColsCache.put(abs, cols)
       cols
     }
