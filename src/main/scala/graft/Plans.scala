@@ -87,6 +87,7 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[benchone] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        e.printStackTrace()
         -1.0
       }
       spark.catalog.clearCache()

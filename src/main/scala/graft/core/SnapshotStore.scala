@@ -329,8 +329,18 @@ object SnapshotStore {
     import spark.implicits._
     val keyed = mpaths.map(m =>
       root.resolve(m).toAbsolutePath.normalize.toString -> m)
+    // build the result from locally-HELD values (ADVICE r20 #2): the
+    // LRU is shared across tables/threads, so a re-read after the puts
+    // could see a concurrent eviction and hand back null
+    val held = scala.collection.mutable.Map.empty[String, Seq[String]]
+    keyed.foreach { case (abs, _) =>
+      if (!held.contains(abs)) {
+        val hit = partNamesCache.get(abs)
+        if (hit != null) held(abs) = hit
+      }
+    }
     val miss = keyed.collect {
-      case (abs, _) if !partNamesCache.containsKey(abs) => abs }
+      case (abs, _) if !held.contains(abs) => abs }.distinct
     if (miss.nonEmpty) {
       val byDir: Map[String, Seq[String]] = spark.read.parquet(miss: _*)
         .select(input_file_name().as("_u"), col("file"))
@@ -339,10 +349,37 @@ object SnapshotStore {
           java.nio.file.Paths.get(new java.net.URI(u))
             .getParent.toAbsolutePath.normalize.toString
         } { case (_, f) => f }
-      miss.foreach(abs =>
-        partNamesCache.put(abs, byDir.getOrElse(abs, Seq.empty).sorted))
+      // FAIL LOUD on attribution misses (ADVICE r20 #1): a part whose
+      // input_file_name parent does not lexically match its computed
+      // key (symlinked root, alternate path form) must never cache as
+      // an empty name list — commitOnce would treat it as vacuously
+      // clean and carry it, and filesAt would silently drop its files.
+      // A genuinely EMPTY part (0 entry rows, footer-verified) is the
+      // only legitimate unattributed miss.
+      val unattributed = (miss.toSet -- byDir.keySet).filter { abs =>
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(java.nio.file.Paths.get(abs))
+        val pq = try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toSeq
+          finally s.close()
+        pq.isEmpty || org.apache.spark.sql.execution.datasources.parquet
+          .GraftParquetShim.footerRowCount(spark, pq) != 0L
+      }
+      require(unattributed.isEmpty,
+        s"manifest part name attribution failed (path-form mismatch?) " +
+        s"for: ${unattributed.toSeq.sorted.mkString(", ")}")
+      miss.foreach { abs =>
+        val names = byDir.getOrElse(abs, Seq.empty).sorted
+        held(abs) = names
+        // retained-size bound (ADVICE r20 #5): the LRU caps ENTRIES, but
+        // one consolidated part on a large table can hold 10^5-10^6 name
+        // strings — skip caching oversized lists (callers still get the
+        // value from `held`; a re-read costs one names job, not heap)
+        if (names.size <= 65536) partNamesCache.put(abs, names)
+      }
     }
-    keyed.map { case (abs, m) => m -> partNamesCache.get(abs) }.toMap
+    keyed.map { case (abs, m) => m -> held(abs) }.toMap
   }
 
   /** Column names of one manifest part's footer, cache-backed. A miss

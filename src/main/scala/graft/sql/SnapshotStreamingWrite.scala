@@ -194,9 +194,23 @@ private[sql] class SnapshotStreamingWrite(root: Path, tableName: String,
   }
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit =
-    messages.toSeq.collect { case m: EpochFilesMessage => m.files }.flatten
-      .foreach(f => Files.deleteIfExists(root.resolve(f)))
+                     messages: Array[WriterCommitMessage]): Unit = {
+    // ABORT-AFTER-COMMIT MUST BE A NO-OP (the classic commit-protocol
+    // rule): stop() can interrupt the micro-batch thread BETWEEN the
+    // sink commit (manifest landed, ledger stamped) and the progress-log
+    // write — Spark then treats the batch as failed and calls abort on
+    // an epoch whose files the manifest already references; deleting
+    // them corrupts the table (restart dies with PATH_NOT_FOUND on its
+    // own epoch file). The `_stream_epochs` ledger read in commit() is
+    // exactly the committed-epoch marker: at-or-below high-water means
+    // this epoch's content is table state, not staging.
+    val committed = SnapshotStore.headVersion(root)
+      .flatMap(v => SnapshotStore.streamEpochOf(root, v, queryTok))
+      .exists(_ >= epochId)
+    if (!committed)
+      messages.toSeq.collect { case m: EpochFilesMessage => m.files }.flatten
+        .foreach(f => Files.deleteIfExists(root.resolve(f)))
+  }
 }
 
 /** One epoch's file names, table-root-relative (names only — never

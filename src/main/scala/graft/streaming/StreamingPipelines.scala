@@ -1219,9 +1219,17 @@ object StreamingPipelines {
         val (dirsNow, rowsNow) =
           if (!Files.exists(Paths.get(sigDir))) (0, 0L)
           else {
+            // match Spark's leaf-file filtering (ADVICE r20 #3): skip
+            // _temporary/hidden segments an aborted epoch write can
+            // stray, which spark.read ignores but a bare walk counts
             val walked = Files.walk(Paths.get(sigDir))
             val pq = try walked.iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet"))
+              .filter(p => Paths.get(sigDir).relativize(p).iterator().asScala
+                .forall { seg =>
+                  val s = seg.toString
+                  !s.startsWith("_") && !s.startsWith(".")
+                })
               .map(_.toString).toSeq finally walked.close()
             (listDir(Paths.get(sigDir))
                .count(_.getFileName.toString.startsWith("batch_id=")),

@@ -27,8 +27,12 @@ object GraftParquetShim {
       val hp = new HPath(p)
       hp.getFileSystem(conf).getFileStatus(hp)
     }
+    // honor the session's corrupt-file policy exactly like the replaced
+    // distributed mergeSchema path did (ADVICE r20 #4): sessions that
+    // enable spark.sql.files.ignoreCorruptFiles skipped corrupt delta
+    // files there and must keep skipping them here
     val footers = ParquetFileFormat.readParquetFootersInParallel(
-      conf, statuses, ignoreCorruptFiles = false)
+      conf, statuses, spark.sessionState.conf.ignoreCorruptFiles)
     // `spark.read` nullable-izes every inferred schema at relation
     // creation (HadoopFsRelation.asNullable); match it exactly — the
     // footer's REQUIRED fields must not leak NOT NULL into declared

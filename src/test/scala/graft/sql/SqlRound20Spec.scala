@@ -311,4 +311,61 @@ class SqlRound20Spec extends AnyFunSuite {
       IndexStore.deleteRecursively(src)
     }
   }
+
+  // ---- abort-after-commit (the q28q 32-core flake, VERDICT r20 #1) ----
+
+  test("streaming-write abort after a landed commit is a no-op; abort of an uncommitted epoch still cleans its staging") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = tmpRoot("abort-commit")
+    try {
+      // base table: one committed version, no ledger yet
+      Seq((1L, "a")).toDF("k", "p").coalesce(1)
+        .write.parquet(root.resolve("data/base").toString)
+      SnapshotStore.commit(spark, root, SnapshotStore.dataFiles(root)) // v1
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("p", StringType)))
+      val qid = "deadbeef-0000-0000-0000-000000000000"
+      val w = new SnapshotStreamingWrite(root, "t", qid, schema, schema, Nil)
+      def stage(name: String): String = {
+        val rel = s"data/stream_deadbeef0000_e0/$name.parquet"
+        Seq((2L, "b")).toDF("k", "p").coalesce(1)
+          .write.mode("overwrite").parquet(root.resolve("stage-tmp").toString)
+        val part = java.nio.file.Files.list(root.resolve("stage-tmp")).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        java.nio.file.Files.createDirectories(root.resolve(rel).getParent)
+        java.nio.file.Files.move(part, root.resolve(rel))
+        rel
+      }
+      val rel0 = stage("f0")
+      val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+        Array(EpochFilesMessage(Seq(rel0)))
+      w.commit(0L, msgs) // epoch 0 lands: manifest references rel0
+      // stop() mid-batch makes Spark call abort on the SAME epoch after
+      // the sink commit already landed — the file must survive
+      w.abort(0L, msgs)
+      assert(java.nio.file.Files.exists(root.resolve(rel0)),
+        "abort after a landed commit deleted a manifest-referenced file")
+      val head = SnapshotStore.headVersion(root).get
+      assert(SnapshotStore.filesAt(spark, root, head).contains(rel0))
+      // the table still reads (the restart-time schema probe path)
+      assert(spark.read.parquet(
+        SnapshotStore.filesAt(spark, root, head)
+          .map(f => root.resolve(f).toString): _*).count() == 2L)
+      // an epoch that never committed still cleans its staging on abort
+      val rel1 = stage("f1")
+      val msgs1: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+        Array(EpochFilesMessage(Seq(
+          rel1.replace("_e0/", "_e1/"))))
+      java.nio.file.Files.createDirectories(
+        root.resolve(rel1.replace("_e0/", "_e1/")).getParent)
+      java.nio.file.Files.move(root.resolve(rel1),
+        root.resolve(rel1.replace("_e0/", "_e1/")))
+      w.abort(1L, msgs1)
+      assert(!java.nio.file.Files.exists(
+        root.resolve(rel1.replace("_e0/", "_e1/"))),
+        "abort of an uncommitted epoch must delete its staged files")
+    } finally IndexStore.deleteRecursively(root.getParent)
+  }
 }
