@@ -146,6 +146,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(Bpe.fnName),
        new ExpressionInfo(classOf[BpeTokens].getCanonicalName, Bpe.fnName),
        (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(VecOps.dotFnName),
+       new ExpressionInfo(classOf[VecDot].getCanonicalName, VecOps.dotFnName),
+       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VecOps.unitFnName),
+       new ExpressionInfo(classOf[VecUnit].getCanonicalName, VecOps.unitFnName),
+       (exprs: Seq[Expression]) => VecUnit(exprs(0), exprs(1))))
     // whole-operator extension: the LSH similarity self-join logical
     // node, lowered to the band-join assembly inside the operator-
     // optimization fixed point (graft.plans.SimilarityJoin)

@@ -17,9 +17,28 @@ import graft.functions.{Scored, TopKByScore}
   */
 object SimilarityQueries {
 
-  /** dot(a,b) over array<double> columns — native, codegen-friendly. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** dot(a,b) over array<double> columns — the native
+    * [[graft.functions.VecDot]] kernel (round 21, guide §4: the former
+    * `aggregate(zip_with(…))` pipeline is CodegenFallback, an
+    * interpreted lambda per ELEMENT; the kernel runs the same left
+    * fold in a while-loop — bit-identical doubles, whole-stage
+    * codegen). Registration is lazy on the active session so
+    * driver-owned sessions resolve it too. */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecOps.ensureRegistered)
+    call_function(graft.functions.VecOps.dotFnName, a, b)
+  }
+
+  /** v / nrm per element — `transform(v, x => x / nrm)` as the native
+    * [[graft.functions.VecUnit]] kernel (same per-element division,
+    * null elements stay null; the lambda transform was interpreted
+    * per element on every normalization site). */
+  def unitize(v: Column, nrm: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VecOps.ensureRegistered)
+    call_function(graft.functions.VecOps.unitFnName, v, nrm)
+  }
 
   // ---- hyperplane LSH (random-projection sign bits) -------------------
 
@@ -250,13 +269,13 @@ object SimilarityQueries {
     import spark.implicits._
     val raw = normalized(spark, dir)
     val unitRaw = raw.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unitRaw) // the shared persisted index
     val cdf = ivf.centroids.toDF("cid", "cvec")
     val emb = plantedEmbeddings(spark, dir)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val assigned = assignToCentroids(unit, cdf)
     val l = assigned.select(col("id").as("vec_i"), col("cid"))
     val r = assigned.select(col("id").as("vec_j"), col("cid"))
@@ -645,7 +664,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val ivf0 = ivfCentroids(spark, dir, unit)
     val ivf = nprobeFrac
       .map(f => ivf0.copy(nprobe =
@@ -721,7 +740,7 @@ object SimilarityQueries {
     import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
     val cand = ivfCandidates(spark, unit, ivf)
       .select(col("probe_id"), col("id").as("neighbor_id"))
@@ -909,31 +928,6 @@ object SimilarityQueries {
     graft.core.IndexStore.clearMemo(PqFamily)
   }
 
-  /** (id, sub, subv): each unit vector exploded into its m subvectors —
-    * the frame every PQ train/encode step runs over. One narrow map +
-    * generate; the slice is positional, no shuffle. */
-  private def pqExplode(unit: DataFrame): DataFrame =
-    unit.select(col("id"),
-        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("sub"), col("v"))
-      .select(col("id"), col("sub"),
-        slice(col("v"), col("sub") * pqSubDim + 1, lit(pqSubDim)).as("subv"))
-
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-
-  /** Nearest-code assignment for every (id, sub) subvector: broadcast
-    * the (tiny) codebook, argmin L2² via lexicographic struct min (ties
-    * → smaller code, deterministic). All m subspaces assign in ONE
-    * distributed pass — the per-subspace loop FAISS runs becomes a
-    * `sub` join key, not driver iteration. */
-  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
-    subs.join(broadcast(codebook), "sub")
-      .select(col("id"), col("sub"), col("code"),
-        l2sq(col("subv"), col("cvec")).as("d"))
-      .groupBy("id", "sub")
-      .agg(min(struct(col("d"), col("code"))).as("m"))
-      .select(col("id"), col("sub"), col("m.code").as("code"))
-
   /** Training-sample bound for the codebooks: 256 vectors per code —
     * the FAISS `max_points_per_centroid` discipline. 4096 rows
     * REGARDLESS of corpus size: at 100 TB the codebook trains on the
@@ -957,12 +951,18 @@ object SimilarityQueries {
     * init = the pqCodes smallest-id sample rows (id order, so the init
     * is stable under sample-cap changes), rows fold in id order,
     * distance ties keep the smaller code — the same tie-break
-    * [[pqAssign]]'s struct-min applies at encode time. Subspace
+    * [[pqEncode]]'s first-index argmin applies at encode time. Subspace
     * centroids are plain means, NOT re-normalized — PQ quantizes in L2
     * subspace geometry even when the full vectors are unit. */
   def pqTrain(spark: SparkSession, unit: DataFrame): Seq[(Int, Int, Seq[Double])] = {
     import spark.implicits._
     val sample = unit
+      // TakeOrdered collects each partition's top-|sample| WITH the full
+      // f64 vectors — 32 scan partitions meant 32 × 4096 × dim doubles
+      // to the driver merge; 8 bounds that fan-in at identical output
+      // (the (hash, id) order is total, so the global top-|sample| set
+      // is partitioning-independent) — guide §5, driver data work
+      .coalesce(8)
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(pqTrainSampleRows)
       .as[(Long, Seq[Double])].collect()
@@ -1022,14 +1022,72 @@ object SimilarityQueries {
   /** Encode (id → packed m-code array) against a codebook — the step
     * shared by the index build and the incremental delta accept, so
     * batch-built and delta-encoded codes are identical by
-    * construction. Sub-major order via sorted struct collect. */
+    * construction.
+    *
+    * MAP-ONLY (round 21, guide §1.2/§2.4): the previous plan exploded
+    * every vector into m subvector rows, broadcast-joined the codebook
+    * (m × ks scored rows per vector), and paid TWO exchanges —
+    * groupBy(id, sub) argmin plus groupBy(id) collect_list — to
+    * reassemble the code array; q17l pays this encode for the full
+    * corpus twice per staged replay (base build + growth retrain) plus
+    * once per accepted epoch. The codebook is driver-resident and tiny
+    * (m × ks × (d/m) ≤ 1024 doubles), so the whole assignment is ONE
+    * projection: per subspace, the ks-length distance array over
+    * centroid literals — the SAME L2² left fold, so every double is
+    * bit-identical — and argmin as `array_position(d, array_min(d))`,
+    * whose first-index tie-break equals the old struct-min (d, code)
+    * smaller-code rule. Zero joins, zero shuffles, whole-stage codegen
+    * end to end; at 100 TB the encode is exactly one pass over the
+    * vectors, the plan FAISS runs. */
   def pqEncode(unit: DataFrame, codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val bySub: Map[Int, Seq[Seq[Double]]] =
+      codebook.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    require((0 until pqSubspaces).forall(bySub.contains),
+      s"pqEncode: codebook missing subspaces (have ${bySub.keySet.toSeq.sorted})")
+    // TIGHT JVM LOOP per partition (guide §1.2 per-task work / §4.2 —
+    // the relational forms both lose: the old explode + broadcast-join
+    // + double-shuffle plan evaluated L2² through zip_with/aggregate,
+    // which are CodegenFallback and run INTERPRETED per (row, sub,
+    // code); an unrolled whole-stage-codegen expression tree inlines
+    // the codebook doubles into the generated source, so every fresh
+    // codebook (each staged q17l replay trains two) forces a Janino
+    // recompile of a 1000-node method — measured slower than the
+    // interpretation it replaced). A mapPartitions while-loop holds
+    // the m × ks × (d/m) codebook as plain arrays and encodes each
+    // vector in registers: the SAME left fold 0.0 + (x₀-c₀)² + … per
+    // distance (bit-identical doubles) and strict-< ascending scan
+    // (ties keep the smaller code — the old struct-min rule). Encode
+    // is one pass over the vectors, zero joins, zero shuffles, no
+    // per-codebook compilation.
     val spark = unit.sparkSession
     import spark.implicits._
-    pqAssign(pqExplode(unit), codebook.toDF("sub", "code", "cvec"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(pqSubspaces)(s => bySub(s).map(_.toArray).toArray)
+    val (m, sd) = (pqSubspaces, pqSubDim)
+    unit.select(col("id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val cbs = cb(s)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cbs.length) {
+              val cv = cbs(c)
+              var d = 0.0
+              var j = 0
+              while (j < sd) { val t = v(s * sd + j) - cv(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = c } // strict <: ties keep the smaller code
+              c += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF("id", "codes")
   }
 
   def pqIndex(spark: SparkSession, dir: String, unit: DataFrame,
@@ -1087,7 +1145,7 @@ object SimilarityQueries {
   def q17jPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val pq = pqIndex(spark, dir, unit)
     pqSearch(spark, emb, unit, pq, spark.read.parquet(pq.codesPath))
   }
@@ -1114,7 +1172,7 @@ object SimilarityQueries {
   def q17jPqTopKAt(spark: SparkSession, dir: String, shortlistDepth: Int): DataFrame = {
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val pq = pqIndex(spark, dir, unit)
     pqSearch(spark, emb, unit, pq, spark.read.parquet(pq.codesPath), shortlistDepth)
   }
@@ -1164,8 +1222,24 @@ object SimilarityQueries {
                      unitAll: DataFrame, growthFactor: Double = 0.2): Boolean = {
     val inc = java.nio.file.Paths.get(s"${pq.codesPath}_inc")
     if (!graft.core.IndexStore.hasParquetFiles(inc)) return false
-    val incRows = spark.read.parquet(inc.toString).count()
-    val baseRows = spark.read.parquet(pq.codesPath).count()
+    // the growth check is a two-count METADATA decision — parquet
+    // footer row counts (exact) driver-side instead of two count()
+    // jobs per replay (guide §5: scheduler round-trips for per-file
+    // metadata are the driver's to read, not a cluster's to compute)
+    def footerRows(dir: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(dir)
+      val pqFiles = try walked.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filter(p => dir.relativize(p).iterator().asScala.forall { seg =>
+            val s = seg.toString; !s.startsWith("_") && !s.startsWith(".") })
+          .map(_.toString).toSeq
+        finally walked.close()
+      org.apache.spark.sql.execution.datasources.parquet
+        .GraftParquetShim.footerRowCount(spark, pqFiles)
+    }
+    val incRows = footerRows(inc)
+    val baseRows = footerRows(java.nio.file.Paths.get(pq.codesPath))
     if (incRows <= growthFactor * baseRows) false
     else { pqIndex(spark, key, unitAll, pqIngestBuildCount); true }
   }
@@ -1181,7 +1255,7 @@ object SimilarityQueries {
     import spark.implicits._
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     // load the loop index's CURRENT on-disk state as-is (base ∪
     // appendix mid-stream; retrained-full after the policy fires) —
     // deliberately NOT the fingerprint-keyed builder, which would
@@ -1213,11 +1287,16 @@ object SimilarityQueries {
   }
 
   /** ADC score = Σ_s lut[s][code_s] — m `element_at` lookups per row
-    * over the joined (lut, codes) columns; no f64 vector touched. */
+    * over the joined (lut, codes) columns; no f64 vector touched.
+    * UNROLLED (guide §4): the former `aggregate(sequence(…))` wrapper
+    * is CodegenFallback (interpreted per row over the whole code
+    * scan); the explicit m-term chain is the same left fold
+    * 0.0 + lut[1][…] + … — bit-identical doubles, whole-stage
+    * codegen. */
   private def pqAdcScore: Column =
-    aggregate(sequence(lit(1), lit(pqSubspaces)), lit(0.0),
-      (acc, s) => acc +
+    (1 to pqSubspaces).map(s =>
         element_at(element_at(col("lut"), s), element_at(col("codes"), s) + 1))
+      .foldLeft(lit(0.0))(_ + _)
 
   /** Exact cosine re-rank of a (probe_id, neighbor_id) shortlist: the
     * shortlist (with its probe vectors attached — ≤ probes×shortlist
@@ -1247,7 +1326,7 @@ object SimilarityQueries {
   def q17kIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = normalized(spark, dir)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
     val ivf = ivfCentroids(spark, dir, unit)
     val pq = pqIndex(spark, dir, unit)
     val codes = spark.read.parquet(pq.codesPath)
@@ -1295,7 +1374,7 @@ object SimilarityQueries {
     // (the tokens() performance-contract trap: ProjectCollapse would
     // inline the normalize-transform into the code derivation)
     val unit = emb.select(col("vec_id").as("id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
+      graft.operators.SimilarityQueries.unitize(col("v"), col("nrm")).as("v"))
       .repartition(spark.sparkContext.defaultParallelism)
     // second barrier: the code table the pair join reads is computed
     // once per corpus row, not once per (candidate, probe) pair — the

@@ -2999,7 +2999,7 @@ object StreamingPipelines {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     def unitOf(df: DataFrame): DataFrame = df
       .withColumn("n", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
-      .select(col("vec_id").as("id"), transform(col("v"), x => x / col("n")).as("v"))
+      .select(col("vec_id").as("id"), graft.operators.SimilarityQueries.unitize(col("v"), col("n")).as("v"))
     val pqKey = dir + "#pqingest"
     val idx = SimilarityQueries.pqIndex(spark, pqKey,
       unitOf(emb.where(col("vec_id") % DedupQueries.IngestSplitMod

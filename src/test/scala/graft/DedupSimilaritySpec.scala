@@ -600,6 +600,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq.groupBy(_._1).keySet == exact.groupBy(_._1).keySet, "every probe answered")
   }
 
+  test("pqEncode: map-only argmin equals the exploded-join struct-min reference (bit-identical distances, smaller-code ties)") {
+    // the round-21 encode is one projection (per-subspace distance
+    // arrays over centroid literals + first-index argmin); this pins it
+    // against the pre-round-21 distributed plan — explode into
+    // subvector rows, broadcast-join the codebook, lexicographic
+    // struct-min (d, code) — which is the semantics of record
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fullUnit = emb
+      .withColumn("n", sqrt(SimilarityQueries.dot(col("v"), col("v"))))
+      .select(col("vec_id").as("id"), transform(col("v"), x => x / col("n")).as("v"))
+    val baseUnit = fullUnit.where(col("id") % 5 =!= 4)
+    val cb = SimilarityQueries.pqIndex(spark, sf + "#pqspec", baseUnit).codebook
+    val m = SimilarityQueries.pqSubspaces
+    val subDim = graft.functions.HyperplaneLsh.Dim / m
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val ref = fullUnit
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("subv"))
+      .join(broadcast(cb.toDF("sub", "code", "cvec")), "sub")
+      .select(col("id"), col("sub"), col("code"), l2(col("subv"), col("cvec")).as("d"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("mn"))
+      .select(col("id"), col("sub"), col("mn.code").as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val got = SimilarityQueries.pqEncode(fullUnit, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got.size == ref.size)
+    assert(got == ref,
+      s"map-only encode diverged from the reference on ids: " +
+      got.collect { case (k, v) if ref.get(k) != Some(v) => k }.take(5).toSeq.sorted)
+  }
+
   test("pqEncodeIncremental: delta codes equal batch encode against the same codebook") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
