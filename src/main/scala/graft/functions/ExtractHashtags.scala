@@ -147,6 +147,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new ExpressionInfo(classOf[BpeTokens].getCanonicalName, Bpe.fnName),
        (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
     ext.injectFunction(
+      (FunctionIdentifier(TextKernels.shinglesFnName),
+       new ExpressionInfo(classOf[WordShingles].getCanonicalName, TextKernels.shinglesFnName),
+       (exprs: Seq[Expression]) => WordShingles(exprs(0),
+         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(
+      (FunctionIdentifier(TextKernels.bigramsFnName),
+       new ExpressionInfo(classOf[WordBigrams].getCanonicalName, TextKernels.bigramsFnName),
+       (exprs: Seq[Expression]) => WordBigrams(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier(TextKernels.topTokenFnName),
+       new ExpressionInfo(classOf[TopTokenCount].getCanonicalName, TextKernels.topTokenFnName),
+       (exprs: Seq[Expression]) => TopTokenCount(exprs.head)))
+    ext.injectFunction(
       (FunctionIdentifier(VecOps.dotFnName),
        new ExpressionInfo(classOf[VecDot].getCanonicalName, VecOps.dotFnName),
        (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
@@ -154,6 +167,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(VecOps.unitFnName),
        new ExpressionInfo(classOf[VecUnit].getCanonicalName, VecOps.unitFnName),
        (exprs: Seq[Expression]) => VecUnit(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VecOps.agreeFnName),
+       new ExpressionInfo(classOf[VecSigAgree].getCanonicalName, VecOps.agreeFnName),
+       (exprs: Seq[Expression]) => VecSigAgree(exprs(0), exprs(1))))
     // whole-operator extension: the LSH similarity self-join logical
     // node, lowered to the band-join assembly inside the operator-
     // optimization fixed point (graft.plans.SimilarityJoin)

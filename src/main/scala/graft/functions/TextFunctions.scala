@@ -31,21 +31,31 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(coalesce(text, lit("")), "\\s+")
 
-  /** Adjacent-token bigrams, `"a b"` strings; < 2 tokens → empty. */
+  private def ensureKernels(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(TextKernels.ensureRegistered)
+
+  /** Adjacent-token bigrams, `"a b"` strings; < 2 tokens (or null) →
+    * empty. Native [[WordBigrams]] kernel (round 21, guide §4 — the
+    * former transform(sequence(…)) form was interpreted per element). */
   def bigrams(toks: Column): Column = {
-    val t = toks
-    when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    ensureKernels()
+    call_function(TextKernels.bigramsFnName,
+      coalesce(toks, array().cast("array<string>")))
   }
 
   /** Distinct word k-shingles (k consecutive tokens joined by spaces) —
-    * the near-dup unit for MinHash/Jaccard. < k tokens → empty set. */
+    * the near-dup unit for MinHash/Jaccard. < k tokens (or null) →
+    * empty set. Native [[WordShingles]] kernel (round 21, guide §4):
+    * the transform + concat_ws + array_distinct pipeline was
+    * CodegenFallback — an interpreted lambda per shingle per row,
+    * measured 0.64 s per full-corpus evaluation at sf0.1 and paid per
+    * probe pass by every MinHash consumer; the kernel emits the same
+    * strings in the same first-occurrence order. */
   def shingles(toks: Column, k: Int): Column = {
-    val joined = transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
-    array_distinct(when(size(toks) >= k, joined).otherwise(array().cast("array<string>")))
+    ensureKernels()
+    call_function(TextKernels.shinglesFnName,
+      coalesce(toks, array().cast("array<string>")), lit(k))
   }
 
   /** Deterministic document fingerprint: polynomial rolling hash over a
@@ -60,13 +70,17 @@ object TextFunctions {
 
   /** Highest single-token occurrence count — the numerator of the
     * "top-token dominance" repetition signal (the most boilerplate-like
-    * token's share of the document). O(distinct × tokens) comparisons
-    * per row, all inside codegen — a pure map with zero shuffles; the
-    * explode + groupBy(doc, token) + max alternative would shuffle the
-    * corpus's entire token stream to compute a per-row scalar. */
-  def topTokenCount(toks: Column): Column =
-    aggregate(array_distinct(toks), lit(0L),
-      (acc, u) => greatest(acc, size(filter(toks, x => x === u)).cast("long")))
+    * token's share of the document). Native [[TopTokenCount]] kernel:
+    * one hash-count pass per row (the former aggregate(array_distinct)
+    * × filter form was O(distinct × tokens) INTERPRETED comparisons per
+    * row — CodegenFallback, not codegen as its old comment claimed).
+    * Still a pure map with zero shuffles; the explode + groupBy(doc,
+    * token) + max alternative would shuffle the corpus's entire token
+    * stream to compute a per-row scalar. */
+  def topTokenCount(toks: Column): Column = {
+    ensureKernels()
+    call_function(TextKernels.topTokenFnName, toks)
+  }
 
   /** Marker-token score: how many tokens of `text` fall in `markers`.
     * The unit of the language-ID heuristic (score per language, argmax). */

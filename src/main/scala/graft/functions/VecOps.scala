@@ -31,6 +31,24 @@ import org.apache.spark.sql.types._
 object VecOps {
   val dotFnName = "vec_dot"
   val unitFnName = "vec_unit"
+  val agreeFnName = "sig_agree"
+
+  /** Count of positions where two MinHash signatures agree — the LSH
+    * candidate screen's estimator. Matches
+    * `aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), 0, _ + _)`
+    * exactly: zip_with pads the shorter side with nulls and a null
+    * comparison falls to the otherwise(0) branch, so positions beyond
+    * the shorter array (and null elements) contribute 0. */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) s += 1
+      i += 1
+    }
+    s
+  }
 
   /** Σ aᵢ·bᵢ, left fold from 0.0 in element order. Boxed so a length
     * mismatch / null element can yield NULL like the lambda pipeline. */
@@ -87,7 +105,37 @@ object VecOps {
       reg.registerFunction(uid,
         new ExpressionInfo(classOf[VecUnit].getCanonicalName, unitFnName),
         (exprs: Seq[Expression]) => VecUnit(exprs(0), exprs(1)))
+    val aid = FunctionIdentifier(agreeFnName)
+    if (!reg.functionExists(aid))
+      reg.registerFunction(aid,
+        new ExpressionInfo(classOf[VecSigAgree].getCanonicalName, agreeFnName),
+        (exprs: Seq[Expression]) => VecSigAgree(exprs(0), exprs(1)))
   }
+}
+
+/** `sig_agree(a: array<bigint>, b: array<bigint>) -> int` — MinHash
+  * position-agreement count (the candidate screen's Jaccard
+  * estimator), evaluated per CANDIDATE PAIR — the former
+  * aggregate(zip_with(…)) form was interpreted per element per pair. */
+case class VecSigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${VecOps.agreeFnName} expects (array<bigint>, array<bigint>), got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = VecOps.agreeFnName
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecSigAgree =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `vec_dot(a: array<double>, b: array<double>) -> double` */

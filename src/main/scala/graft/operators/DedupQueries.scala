@@ -227,7 +227,16 @@ object DedupQueries {
                        bucketCap: Int, skewSampleMod: Int,
                        buildIndex: Option[BandIndex] = None): DataFrame = {
     val spark = probe.sparkSession
-    graft.functions.MinHash.ensureRegistered(spark)
+    // register on BOTH input sessions: inside a foreachBatch the probe
+    // rides the micro-batch CLONE session while the standing corpus /
+    // index frames ride the outer one — the assembled plan analyzes
+    // against whichever session the final Dataset inherits (the LEFT
+    // side's), so a single-session registration can miss (caught by
+    // StreamingParitySpec when the asym join order flipped in r21)
+    Seq(spark, build.sparkSession).distinct.foreach { s =>
+      graft.functions.MinHash.ensureRegistered(s)
+      graft.functions.VecOps.ensureRegistered(s)
+    }
     val par = spark.sparkContext.defaultParallelism
     val sigP = probe.repartition(par).select(col("doc_id"), sigCol.as("sig"))
     // the build side's signatures/bands come from the PERSISTED index
@@ -248,27 +257,56 @@ object DedupQueries {
     val guarded = bandsB.join(hot, col("band") === col("hot_band"), "left_anti")
     val bandsP = sigP.select(col("doc_id").as(probeName), explode(bandKeys(col("sig"))).as("band"))
       .join(hot, col("band") === col("hot_band"), "left_anti")
-    val joined = bandsP.join(guarded.select(col("doc_id").as(buildName), col("band")), "band")
+    // ASYMMETRIC (ingest) probes broadcast the BATCH side at every join
+    // (round 21, guide §3.1 — the embeddingNearDupAcross discipline,
+    // batch-sided broadcasts pinned in PlanShapeSpec): the batch and
+    // everything derived from it (bands, candidates, screened pairs,
+    // batch sigs/payloads) are bounded by admission control, while the
+    // corpus-sized index/payload tables then STREAM from their scans
+    // with ZERO exchanges — previously every micro-batch epoch paid
+    // band/sig/payload shuffles of corpus-sized tables. The symmetric
+    // corpus×corpus path (q16b/q16d) keeps its shuffle shape: there is
+    // no bounded side to broadcast.
+    val asym = buildIndex.isDefined
+    val joined =
+      if (asym)
+        guarded.select(col("doc_id").as(buildName), col("band"))
+          .join(broadcast(bandsP), "band")
+      else bandsP.join(guarded.select(col("doc_id").as(buildName), col("band")), "band")
     val candidates =
       (if (orderedPairs) joined.where(col(probeName) < col(buildName)) else joined)
         .select(probeName, buildName)
 
     val minAgree = math.ceil((threshold - screenSlack) * numHashes).toInt
-    val screened = candidates
-      .join(sigP.select(col("doc_id").as(probeName), col("sig").as("sig_i"))
-        .hint("shuffle_hash"), probeName)
-      .join(sigB.select(col("doc_id").as(buildName), col("sig").as("sig_j"))
-        .hint("shuffle_hash"), buildName)
-      .withColumn("agree", aggregate(
-        zip_with(col("sig_i"), col("sig_j"), (a, b) => when(a === b, 1).otherwise(0)),
-        lit(0), _ + _))
-      .where(col("agree") >= minAgree)
-      .groupBy(probeName, buildName).agg(count(lit(1)).as("_c"))
-      .select(probeName, buildName)
+    val sigPi = sigP.select(col("doc_id").as(probeName), col("sig").as("sig_i"))
+    val sigBj = sigB.select(col("doc_id").as(buildName), col("sig").as("sig_j"))
+    val screened = {
+      val withSigs =
+        if (asym)
+          broadcast(candidates.join(broadcast(sigPi), probeName)).join(sigBj, buildName)
+        else candidates
+          .join(sigPi.hint("shuffle_hash"), probeName)
+          .join(sigBj.hint("shuffle_hash"), buildName)
+      withSigs
+        // native sig_agree kernel (round 21, guide §4): the former
+        // aggregate(zip_with(…)) screen is CodegenFallback — an
+        // interpreted lambda per SIGNATURE POSITION per candidate pair
+        // (numHashes × |candidates| interpreted evaluations); the kernel
+        // counts agreements in one while-loop with identical padding/null
+        // semantics
+        .withColumn("agree", call_function(
+          graft.functions.VecOps.agreeFnName, col("sig_i"), col("sig_j")))
+        .where(col("agree") >= minAgree)
+        .groupBy(probeName, buildName).agg(count(lit(1)).as("_c"))
+        .select(probeName, buildName)
+    }
 
     val si = probe.select(col("doc_id").as(probeName), payloadCol.as("p_i"))
     val sj = build.select(col("doc_id").as(buildName), payloadCol.as("p_j"))
-    screened.join(si, probeName).join(sj, buildName)
+    val verified =
+      if (asym) broadcast(screened.join(broadcast(si), probeName)).join(sj, buildName)
+      else screened.join(si, probeName).join(sj, buildName)
+    verified
       .withColumn("jac", jacOf(col("p_i"), col("p_j")))
       .where(col("jac") >= threshold)
       .select(probeName, buildName, "jac")

@@ -94,6 +94,7 @@ class ExpandSimilarityJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case SimilarityJoin(child, mode, threshold, docId, payload, out) =>
       MinHash.ensureRegistered(spark)
       TextSim.ensureRegistered(spark)
+      graft.functions.VecOps.ensureRegistered(spark)
       // normalize to the canonical column names by ExprId: the captured
       // attributes stay valid under renames/pruning of the child
       val payloadName = if (mode == SimilarityJoin.WordMode) "toks" else "text"

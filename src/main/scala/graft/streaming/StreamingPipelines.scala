@@ -1838,10 +1838,19 @@ object StreamingPipelines {
     * needed at read. Oracle = batch q27's SQL, hash-checked. */
   def funnelReplay(spark: SparkSession, dir: String,
                    filesPerTrigger: Int = 16): String = {
-    import spark.implicits._
     val chunkDir = chunkEvents(spark, dir)
     val out  = Files.createTempDirectory("graft-funnel-out").toString
     val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    // state sized to the state, not the cores (the q28t/replay()
+    // discipline, guide §2.1 — q20n was one of the r20 ANTI-SCALERS:
+    // 32 state-store partitions for a few-thousand-user funnel meant
+    // 32 near-empty store commits per trigger). Scoped session so the
+    // shared session's conf is never mutated; the count is the same
+    // deployment knob as q28t's.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
+    import ss.implicits._
     val fold: (Long, Iterator[Event], GroupState[FunnelState]) => (Long, Boolean, Boolean, Boolean) =
       (uid, events, state) => {
         var s = state.getOption.getOrElse(FunnelState(None, None, None))
@@ -1858,7 +1867,7 @@ object StreamingPipelines {
         state.update(s)
         (uid, s.tv.isDefined, s.tc.isDefined, s.tp.isDefined)
       }
-    val q = eventStream(spark,
+    val q = eventStream(ss,
         SourceConfig(path = chunkDir.toString, filesPerTrigger = filesPerTrigger))
       .where(col("event_type") =!= SentinelType)
       .as[Event]
@@ -2243,7 +2252,20 @@ object StreamingPipelines {
     spark.sql(s"CREATE TABLE $t (user_id BIGINT, n_events BIGINT, " +
       "sum_value DOUBLE, max_ts TIMESTAMP)") // v1 seed, flat
     val chunkDir = chunkEvents(spark, dir)
-    def start() = eventStream(spark,
+    // state sized to the state, not the cores (the replay()/q20k
+    // discipline, guide §2): this aggregation holds one row per user —
+    // 32 state-store partitions would mean 32 near-empty store commits
+    // AND ≤32 staging files per epoch (each epoch's commitCdcDelta then
+    // reads 32 tiny files). VERDICT r20 wrong #4: the former
+    // set/restore mutated the SHARED session's conf for the stream's
+    // whole lifetime — a SCOPED newSession() (same SparkContext, own
+    // SQL conf) isolates the setting to this stream. Overridable for
+    // deployments whose state volume warrants more partitions.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.catalog.graft_lake", "graft.sql.SnapshotCatalog")
+    ss.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
+    def start() = eventStream(ss,
         SourceConfig(path = chunkDir.toString, filesPerTrigger = 6))
       .where(col("event_type") =!= SentinelType)
       .groupBy(col("user_id"))
@@ -2255,16 +2277,7 @@ object StreamingPipelines {
       .option("checkpointLocation", ckpt.toString)
       .option("mergeKeys", "user_id")
       .toTable(t)
-    // state sized to the state, not the cores (the replay()/q20k
-    // discipline, guide §2): this aggregation holds one row per user —
-    // 32 state-store partitions would mean 32 near-empty store commits
-    // AND ≤32 staging files per epoch (each epoch's commitCdcDelta then
-    // reads 32 tiny files). 2 is right locally; on a real cluster this
-    // is sized to state volume. Baked into the checkpoint at first
-    // start, so set before q1 and restore after q2 drains.
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    locally {
       val q1 = start()
       try {
         // drain a prefix, then stop mid-corpus: the restart replays the
@@ -2276,7 +2289,7 @@ object StreamingPipelines {
       } finally q1.stop()
       val q2 = start()
       try q2.processAllAvailable() finally q2.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    }
     // quiesced-slot compaction: resolve any pending deltas so PLAIN SQL
     // serves the state (mid-stream folds already ran under policy)
     spark.sql(s"CALL graft_lake.system.fold_cdc(" +

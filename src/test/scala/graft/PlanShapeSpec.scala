@@ -131,8 +131,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "growing-probe candidates must come from the band equi-join")
-    assert(!broadcastOutputs(plan).exists(_.startsWith("sig")),
-      "signature columns must cross shuffle joins, not broadcasts")
+    // round 21: batch-side sigs (sig_i) broadcast — bounded by
+    // admission control; the accumulated-index side (sig_j) must still
+    // stream, never broadcast (it grows with the corpus)
+    assert(!broadcastOutputs(plan).exists(_.startsWith("sig_j")),
+      "standing-index signature columns must stream, not broadcast")
     val scans = allNodes(plan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         (f.relation.location.rootPaths.mkString(","), f.partitionFilters.mkString(","))
@@ -205,15 +208,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q16i: incremental near-dup — no cartesian, no base×base pairing, sigs never broadcast") {
+  test("q16i: incremental near-dup — no cartesian, no base×base pairing, corpus sigs never broadcast") {
     val df = DedupQueries.q16iIncrementalNearDup(spark, dir)
     // one execution serves all three checks
     val (rows, plan) = executedRowsAndPlan(df)
     val p = plan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "incremental candidates must come from the asymmetric band equi-join")
-    assert(!broadcastOutputs(plan).exists(_.startsWith("sig")),
-      "signature columns must cross shuffle joins, not broadcasts")
+    // round 21: the BATCH side (bands, candidates, sig_i, payload p_i)
+    // broadcasts — bounded by admission control, the
+    // embeddingNearDupAcross discipline — so the corpus-sized index
+    // tables stream with zero exchanges. The CORPUS side's signatures
+    // (sig_j) must still never broadcast: that is the side that OOMs
+    // at billions of docs.
+    assert(!broadcastOutputs(plan).exists(_.startsWith("sig_j")),
+      "corpus signature columns must stream past the probe, not broadcast")
     // semantics: every result pairs an incoming doc with a base doc —
     // and there must BE results, else the pin is vacuous (sf0.001 has 9)
     assert(rows.nonEmpty, "the batch slice must near-duplicate the base corpus somewhere")

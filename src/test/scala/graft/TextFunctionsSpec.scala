@@ -205,4 +205,52 @@ class TextFunctionsSpec extends AnyFunSuite {
     // row3: all zero → ties at 0 → first listed (aa)
     assert(pred == Seq("bb", "aa", "aa"))
   }
+
+  // ---- native text kernels vs the lambda pipelines of record (r21) ----
+
+  private def refShingles(toks: org.apache.spark.sql.Column, k: Int) = {
+    val joined = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= k, joined).otherwise(array().cast("array<string>")))
+  }
+
+  test("shingles kernel ≡ the transform/concat_ws/array_distinct reference (order, dups, edges, corpus)") {
+    val edge = Seq(
+      Some("a b c d"), Some("a b c a b c a b c"), Some("x y"), Some("solo"),
+      Some(""), None, Some("a  b\tc"), Some("t1 t2 t3 t4 t5 t6 t7 t8"))
+      .toDF("text").select(col("text"), tokens(col("text")).as("toks"))
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"), tokens(col("text")).as("toks"))
+    for (df <- Seq(edge, corpus); k <- Seq(2, 3, 5)) {
+      val got = df.select(shingles(col("toks"), k).as("s")).as[Seq[String]].collect().toSeq
+      val ref = df.select(refShingles(col("toks"), k).as("s")).as[Seq[String]].collect().toSeq
+      assert(got == ref, s"shingles k=$k diverged from the lambda reference")
+    }
+  }
+
+  test("bigrams kernel ≡ the transform reference") {
+    val refBigrams = (t: org.apache.spark.sql.Column) =>
+      when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    val df = (Seq(Some("a b c b a"), Some("x"), Some(""), None) ++
+        Seq.tabulate(20)(i => Some(s"w$i " * (i + 1))))
+      .toDF("text").select(tokens(col("text")).as("toks"))
+    val got = df.select(bigrams(col("toks")).as("b")).as[Seq[String]].collect().toSeq
+    val ref = df.select(refBigrams(col("toks")).as("b")).as[Seq[String]].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("topTokenCount kernel ≡ the aggregate/filter reference on the corpus") {
+    val refTop = (t: org.apache.spark.sql.Column) =>
+      aggregate(array_distinct(t), lit(0L),
+        (acc, u) => greatest(acc, size(filter(t, x => x === u)).cast("long")))
+    val df = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(tokens(col("text")).as("toks"))
+      .unionAll(Seq("a a a b", "", "z").toDF("text").select(tokens(col("text")).as("toks")))
+    val got = df.select(topTokenCount(col("toks")).as("c")).as[Long].collect().toSeq
+    val ref = df.select(refTop(col("toks")).as("c")).as[Long].collect().toSeq
+    assert(got == ref)
+  }
 }
