@@ -17,6 +17,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Inferred-schema cache for the catalog's plain parquet FILES
+  // (round 21, guide §5): every `spark.read.parquet` call re-infers the
+  // footer schema — measured as a ~45 ms driver/listing job per call,
+  // and harness queries call load() several times (streaming replays
+  // dozens of times). Keyed by (absolute path, mtime, size, the
+  // NTZ-inference conf that shapes the result): an in-place rewrite
+  // changes mtime/size and re-infers, so entries cannot go stale —
+  // metadata caching with revalidation, not result caching. Directories
+  // and unreadable paths fall back to plain inference.
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long, String), org.apache.spark.sql.types.StructType]
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      if (!attrs.isRegularFile) spark.read.parquet(path)
+      else {
+        val inferNtz = spark.conf
+          .getOption("spark.sql.parquet.inferTimestampNTZ.enabled").getOrElse("true")
+        val key = (p.toAbsolutePath.toString,
+          attrs.lastModifiedTime.toMillis, attrs.size, inferNtz)
+        val schema = schemaCache.getOrElseUpdate(key, spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      }
+    } catch { case _: java.io.IOException => spark.read.parquet(path) }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark 4 has no
     // nanosecond timestamp type and throws PARQUET_TYPE_ILLEGAL unless the
@@ -28,7 +57,7 @@ object Tables {
     // a non-UTC JVM would silently shift instants and break oracle
     // parity. Pin it here, not just in GraftSession (ADVICE r8 #1).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = readCached(spark, s"$dir/$name.parquet")
     val df =
       if (name == "events" && raw.schema("ts").dataType == LongType)
         // nanos → micros by truncation (integer DIV keeps 64-bit exactness;
